@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the TPC-H-ish test corpus.
+  *
+  * At 100 TB these would be partitioned/bucketed catalog tables; the load
+  * path stays the same (`spark.read.parquet` on a directory of files), and
+  * all downstream operators rely only on the DataFrame, so filter pushdown
+  * and column pruning reach the scan regardless of table size.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

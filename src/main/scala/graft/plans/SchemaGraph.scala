@@ -1,0 +1,85 @@
+package graft.plans
+
+/** Graph model of a relational schema, mirroring the reference's
+  * `Schema`/`Table`/`Reference` (slice_db/dump.py:430-520) and the
+  * forward/reverse reference directions (slice_db/formats/dump.py:11-30).
+  *
+  * This is pure metadata — it lives on the driver and is tiny (one entry
+  * per table/FK), so graph algorithms here (toposort, cycle detection)
+  * never touch executor data.
+  *
+  * @param columns key column(s) on the child side
+  * @param refColumns referenced (parent) column(s)
+  */
+final case class Reference(
+    id: String,
+    table: String,
+    columns: Seq[String],
+    refTable: String,
+    refColumns: Seq[String],
+    forward: Boolean = true,
+    reverse: Boolean = true)
+
+final case class TableDef(id: String, key: Seq[String])
+
+final case class SchemaGraph(tables: Seq[TableDef], references: Seq[Reference]) {
+  val tableIds: Seq[String] = tables.map(_.id)
+  def table(id: String): TableDef =
+    tables.find(_.id == id).getOrElse(sys.error(s"No table $id"))
+
+  /** references where `id` is the child (FK holder) — traversed FORWARD
+    * (child rows pull in their parents). */
+  def refsFrom(id: String): Seq[Reference] = references.filter(r => r.table == id && r.forward)
+
+  /** references where `id` is the parent — traversed REVERSE (parent rows
+    * pull in their children). */
+  def refsTo(id: String): Seq[Reference] = references.filter(r => r.refTable == id && r.reverse)
+
+  /** Restore order: parents before children (Kahn). Cycle members are
+    * emitted last, flagged so a restore would defer those constraints —
+    * the reference handles this with deferrable FKs (slice_db/restore.py).
+    */
+  def restoreOrder: Seq[(String, Boolean)] = {
+    val deps = tableIds.map { t =>
+      // t depends on the parents it references (self-refs ignored)
+      t -> references.collect { case r if r.table == t && r.refTable != t => r.refTable }.toSet
+    }.toMap
+    var remaining = deps
+    val out = Seq.newBuilder[(String, Boolean)]
+    while (remaining.nonEmpty) {
+      val ready = remaining.collect { case (t, ds) if ds.forall(!remaining.contains(_)) => t }
+        .toSeq.sorted
+      if (ready.nonEmpty) {
+        ready.foreach(t => out += ((t, false)))
+        remaining = remaining -- ready
+      } else { // cycle: break it deterministically, mark deferred
+        val t = remaining.keys.toSeq.min
+        out += ((t, true))
+        remaining = remaining - t
+      }
+    }
+    out.result()
+  }
+}
+
+object SchemaGraph {
+  /** The FK graph of the test corpus (what `slicedb schema` would infer
+    * from pg_catalog foreign keys — slice_db/schema.py). */
+  val tpch: SchemaGraph = SchemaGraph(
+    tables = Seq(
+      TableDef("region", Seq("r_regionkey")),
+      TableDef("nation", Seq("n_nationkey")),
+      TableDef("customer", Seq("c_custkey")),
+      TableDef("supplier", Seq("s_suppkey")),
+      TableDef("part", Seq("p_partkey")),
+      TableDef("orders", Seq("o_orderkey")),
+      TableDef("lineitem", Seq("l_orderkey", "l_linenumber"))),
+    references = Seq(
+      Reference("nation_region", "nation", Seq("n_regionkey"), "region", Seq("r_regionkey")),
+      Reference("customer_nation", "customer", Seq("c_nationkey"), "nation", Seq("n_nationkey")),
+      Reference("supplier_nation", "supplier", Seq("s_nationkey"), "nation", Seq("n_nationkey")),
+      Reference("orders_customer", "orders", Seq("o_custkey"), "customer", Seq("c_custkey")),
+      Reference("lineitem_orders", "lineitem", Seq("l_orderkey"), "orders", Seq("o_orderkey")),
+      Reference("lineitem_part", "lineitem", Seq("l_partkey"), "part", Seq("p_partkey")),
+      Reference("lineitem_supplier", "lineitem", Seq("l_suppkey"), "supplier", Seq("s_suppkey"))))
+}
