@@ -2,7 +2,8 @@ package graft.functions
 
 /** Replacement vocabularies for scrub transforms.
   *
-  * The reference ships ~10k-entry public datasets (slice_db/data/*.txt).
+  * The reference ships ~10k-entry public datasets (txt files under
+  * slice_db/data).
   * Graft embeds original, deliberately compact lists — the transform
   * *algorithm* (deterministic pepper-keyed choice, case preservation) is
   * what's re-expressed; swapping in larger vocabularies is a one-line
