@@ -74,12 +74,20 @@ object SchemaGraph {
       TableDef("part", Seq("p_partkey")),
       TableDef("orders", Seq("o_orderkey")),
       TableDef("lineitem", Seq("l_orderkey", "l_linenumber"))),
+    // Directions mirror how a slice-db config would set them
+    // (slice_db/formats/dump.py:11-30): fact chains walk both ways
+    // (a customer pulls its orders and lineitems), dimension refs are
+    // forward-only (a nation must NOT pull every customer in it).
     references = Seq(
-      Reference("nation_region", "nation", Seq("n_regionkey"), "region", Seq("r_regionkey")),
-      Reference("customer_nation", "customer", Seq("c_nationkey"), "nation", Seq("n_nationkey")),
-      Reference("supplier_nation", "supplier", Seq("s_nationkey"), "nation", Seq("n_nationkey")),
+      Reference("nation_region", "nation", Seq("n_regionkey"), "region", Seq("r_regionkey"), reverse = false),
+      Reference("customer_nation", "customer", Seq("c_nationkey"), "nation", Seq("n_nationkey"), reverse = false),
+      Reference("supplier_nation", "supplier", Seq("s_nationkey"), "nation", Seq("n_nationkey"), reverse = false),
       Reference("orders_customer", "orders", Seq("o_custkey"), "customer", Seq("c_custkey")),
       Reference("lineitem_orders", "lineitem", Seq("l_orderkey"), "orders", Seq("o_orderkey")),
-      Reference("lineitem_part", "lineitem", Seq("l_partkey"), "part", Seq("p_partkey")),
-      Reference("lineitem_supplier", "lineitem", Seq("l_suppkey"), "supplier", Seq("s_suppkey"))))
+      Reference("lineitem_part", "lineitem", Seq("l_partkey"), "part", Seq("p_partkey"), reverse = false),
+      Reference("lineitem_supplier", "lineitem", Seq("l_suppkey"), "supplier", Seq("s_suppkey"), reverse = false)))
+
+  /** Forward-only variant: child rows pull parents, nothing fans out. */
+  val tpchForward: SchemaGraph =
+    tpch.copy(references = tpch.references.map(_.copy(reverse = false)))
 }

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{SliceRoot, Slicer}
+import graft.plans.SchemaGraph
+
+/** Pack A — core slicing queries (reference semantics: slice_db/dump.py
+  * discovery + slice_db/dump_memory.py `next`). Every query here is a
+  * full BFS-to-fixpoint slice over the TPC-H FK graph; the oracle SQL is
+  * the unrolled chain of semi-joins, which equals the fixpoint because
+  * the configured reference directions make the walk acyclic.
+  */
+object SliceQueries {
+
+  private def slicer(s: SparkSession, dir: String, g: SchemaGraph = SchemaGraph.tpch) =
+    new Slicer(g, t => Tables.load(s, dir, t))
+
+  /** The shared "customer root" slice used by several queries. */
+  private val custRoots = Seq(SliceRoot("customer", "c_custkey % 50 = 7"))
+  // DuckDB mirrors of each hop of the custRoots discovery
+  private val custSql = "SELECT c_custkey FROM customer WHERE c_custkey % 50 = 7"
+  private val ordSql  = s"SELECT o_orderkey FROM orders WHERE o_custkey IN ($custSql)"
+  private val liSql   = s"SELECT * FROM lineitem WHERE l_orderkey IN ($ordSql)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Forward-only: orders roots pull their customers (and nation/region);
+    // returns the sliced customer rows.
+    "slice_fwd_orders" -> ((s, dir) =>
+      slicer(s, dir, SchemaGraph.tpchForward)
+        .run(Seq(SliceRoot("orders", "o_orderkey % 100 < 2")))
+        .rows("customer").orderBy("c_custkey")),
+
+    // Reverse refs: customer roots pull their orders, orders their
+    // lineitems; returns the sliced lineitem rows.
+    "slice_rev_lineitem" -> ((s, dir) =>
+      slicer(s, dir).run(custRoots)
+        .rows("lineitem").orderBy("l_orderkey", "l_linenumber")),
+
+    // Multi-hop to fixpoint: the same slice reaches part via lineitem.
+    "slice_full_part" -> ((s, dir) =>
+      slicer(s, dir).run(custRoots).rows("part").orderBy("p_partkey")),
+
+    // ... and nation via BOTH customer and supplier forward refs.
+    "slice_full_nation" -> ((s, dir) =>
+      slicer(s, dir).run(custRoots).rows("nation").orderBy("n_nationkey")),
+
+    // Two roots on different tables; discovery unions into one key set.
+    "slice_multiroot_customer" -> ((s, dir) =>
+      slicer(s, dir, SchemaGraph.tpchForward)
+        .run(Seq(
+          SliceRoot("customer", "c_acctbal > 9000"),
+          SliceRoot("orders", "o_totalprice > 400000")))
+        .rows("customer").orderBy("c_custkey")),
+
+    "slice_manifest" -> ((s, dir) =>
+      slicer(s, dir).run(custRoots).manifest.orderBy("table_id")),
+
+    "slice_sequences" -> ((s, dir) =>
+      slicer(s, dir).run(custRoots).sequences.orderBy("table_id")),
+
+    // Driver-side toposort of the FK graph (tiny metadata — no executor
+    // data involved); emitted as a DataFrame for the gate.
+    "restore_order" -> ((s, dir) => {
+      val rows = SchemaGraph.tpch.restoreOrder.zipWithIndex.map {
+        case ((t, deferred), i) => (i, t, deferred)
+      }
+      s.createDataFrame(rows).toDF("pos", "table_id", "deferred").orderBy("pos")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "slice_fwd_orders" ->
+      s"""SELECT * FROM customer WHERE c_custkey IN
+         (SELECT o_custkey FROM orders WHERE o_orderkey % 100 < 2)
+         ORDER BY c_custkey""",
+
+    "slice_rev_lineitem" -> s"$liSql ORDER BY l_orderkey, l_linenumber",
+
+    "slice_full_part" ->
+      s"""SELECT * FROM part WHERE p_partkey IN
+         (SELECT l_partkey FROM ($liSql)) ORDER BY p_partkey""",
+
+    "slice_full_nation" ->
+      s"""SELECT * FROM nation WHERE n_nationkey IN
+           (SELECT c_nationkey FROM customer WHERE c_custkey IN ($custSql))
+         OR n_nationkey IN
+           (SELECT s_nationkey FROM supplier WHERE s_suppkey IN
+             (SELECT l_suppkey FROM ($liSql)))
+         ORDER BY n_nationkey""",
+
+    "slice_multiroot_customer" ->
+      s"""SELECT * FROM customer WHERE c_acctbal > 9000
+         OR c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+         ORDER BY c_custkey""",
+
+    "slice_manifest" -> {
+      val counts = Seq(
+        "customer" -> s"SELECT count(*) FROM ($custSql)",
+        "lineitem" -> s"SELECT count(*) FROM ($liSql)",
+        "nation" -> s"""SELECT count(*) FROM nation WHERE n_nationkey IN
+            (SELECT c_nationkey FROM customer WHERE c_custkey IN ($custSql))
+          OR n_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_suppkey IN
+            (SELECT l_suppkey FROM ($liSql)))""",
+        "orders" -> s"SELECT count(*) FROM ($ordSql)",
+        "part" -> s"SELECT count(distinct l_partkey) FROM ($liSql)",
+        "region" -> s"""SELECT count(distinct n_regionkey) FROM nation WHERE n_nationkey IN
+            (SELECT c_nationkey FROM customer WHERE c_custkey IN ($custSql))
+          OR n_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_suppkey IN
+            (SELECT l_suppkey FROM ($liSql)))""",
+        "supplier" -> s"SELECT count(distinct l_suppkey) FROM ($liSql)")
+      counts.map { case (t, c) =>
+        s"SELECT '$t' AS table_id, CAST(($c) AS BIGINT) AS row_count"
+      }.mkString("", " UNION ALL ", " ORDER BY table_id")
+    },
+
+    "slice_sequences" -> {
+      val maxes = Seq(
+        "customer" -> s"SELECT max(c_custkey) FROM ($custSql)",
+        "lineitem" -> s"SELECT max(l_orderkey) FROM ($liSql)",
+        "nation" -> s"""SELECT max(n_nationkey) FROM nation WHERE n_nationkey IN
+            (SELECT c_nationkey FROM customer WHERE c_custkey IN ($custSql))
+          OR n_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_suppkey IN
+            (SELECT l_suppkey FROM ($liSql)))""",
+        "orders" -> s"SELECT max(o_orderkey) FROM ($ordSql)",
+        "part" -> s"SELECT max(l_partkey) FROM ($liSql)",
+        "region" -> s"""SELECT max(n_regionkey) FROM nation WHERE n_nationkey IN
+            (SELECT c_nationkey FROM customer WHERE c_custkey IN ($custSql))
+          OR n_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_suppkey IN
+            (SELECT l_suppkey FROM ($liSql)))""",
+        "supplier" -> s"SELECT max(l_suppkey) FROM ($liSql)")
+      maxes.map { case (t, m) =>
+        s"SELECT '$t' AS table_id, CAST(($m) AS BIGINT) AS last_value"
+      }.mkString("", " UNION ALL ", " ORDER BY table_id")
+    },
+
+    "restore_order" ->
+      """SELECT * FROM (VALUES
+        (0, 'part', false), (1, 'region', false), (2, 'nation', false),
+        (3, 'customer', false), (4, 'supplier', false), (5, 'orders', false),
+        (6, 'lineitem', false)) AS t(pos, table_id, deferred) ORDER BY pos"""
+  )
+}
