@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (SliceQueries.queries, SliceQueries.oracleSql)
+      (SliceQueries.queries, SliceQueries.oracleSql),
+      (TransformQueries.queries, TransformQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import Determinism._
+
+/** The scrub-transform library — Spark-native re-expression of the
+  * reference's transform zoo (slice_db/transforms/person.py, address.py,
+  * text.py, date.py, common.py, json.py).
+  *
+  * Every transform is a pure Column expression (whole-stage codegen, no
+  * UDFs; the one custom Expression, [[AlphanumScramble]], implements
+  * `doGenCode`). Each has an `sql*` twin producing the bit-identical
+  * DuckDB SQL for the oracle gate. Determinism is pepper-keyed per the
+  * contract in [[Determinism]]; distinct draws inside one transform use
+  * salted seeds.
+  *
+  * 100 TB posture: these are scalar expressions — they scale with the
+  * scan, shuffle nothing, and vocabularies are literal arrays baked into
+  * the generated code (no join, no broadcast needed).
+  */
+object Transforms {
+  val Pepper = "graft"
+
+  private def seed(v: Column, salt: String = ""): Column =
+    concat(upper(v), lit(salt + Pepper))
+  private def sqlSeed(v: String, salt: String = ""): String =
+    s"(upper($v) || '$salt$Pepper')"
+
+  /** Re-apply the original's case pattern: ALLCAPS / alllower / Title. */
+  private def caseApply(orig: Column, picked: Column): Column =
+    when(upper(orig) === orig, upper(picked))
+      .when(lower(orig) === orig, lower(picked))
+      .otherwise(picked)
+  private def sqlCaseApply(orig: String, picked: String): String =
+    s"""(CASE WHEN upper($orig) = $orig THEN upper($picked)
+        WHEN lower($orig) = $orig THEN lower($picked)
+        ELSE $picked END)"""
+
+  // --- person (slice_db/transforms/person.py:9-37) ---
+
+  def givenName(v: Column): Column = caseApply(v, pick(seed(v), Vocab.givenNames))
+  def sqlGivenName(v: String): String = sqlCaseApply(v, sqlPick(sqlSeed(v), Vocab.givenNames))
+
+  def surname(v: Column): Column = caseApply(v, pick(seed(v), Vocab.surnames))
+  def sqlSurname(v: String): String = sqlCaseApply(v, sqlPick(sqlSeed(v), Vocab.surnames))
+
+  // --- address (slice_db/transforms/address.py:10-146) ---
+
+  def city(v: Column): Column = pick(seed(v), Vocab.cities)
+  def sqlCity(v: String): String = sqlPick(sqlSeed(v), Vocab.cities)
+
+  /** Deterministic (state, abbreviation) pair sharing one index. */
+  def usState(v: Column): Column = pick(seed(v), Vocab.usStates)
+  def usStateAbbr(v: Column): Column = pick(seed(v), Vocab.usStateAbbrs)
+  def sqlUsState(v: String): String = sqlPick(sqlSeed(v), Vocab.usStates)
+  def sqlUsStateAbbr(v: String): String = sqlPick(sqlSeed(v), Vocab.usStateAbbrs)
+
+  /** Zip scramble preserving the 3-digit geo prefix (address.py:81-114). */
+  def geozip(v: Column): Column =
+    concat(substring(v, 1, 3), lpad((choice(seed(v), 100)).cast("string"), 2, "0"))
+  def sqlGeozip(v: String): String =
+    s"(substr($v, 1, 3) || lpad(CAST(${sqlChoice(sqlSeed(v), 100)} AS VARCHAR), 2, '0'))"
+
+  def address1(v: Column): Column =
+    concat((choice(seed(v), 9999) + 1).cast("string"), lit(" "), pick(seed(v, "st#"), Vocab.streets))
+  def sqlAddress1(v: String): String =
+    s"(CAST(${sqlChoice(sqlSeed(v), 9999)} + 1 AS VARCHAR) || ' ' || ${sqlPick(sqlSeed(v, "st#"), Vocab.streets)})"
+
+  private val unitKinds = Seq("Apt", "Suite", "Unit")
+  def address2(v: Column): Column =
+    concat(pick(seed(v, "u#"), unitKinds), lit(" "), (choice(seed(v, "n#"), 999) + 1).cast("string"))
+  def sqlAddress2(v: String): String =
+    s"(${sqlPick(sqlSeed(v, "u#"), unitKinds)} || ' ' || CAST(${sqlChoice(sqlSeed(v, "n#"), 999)} + 1 AS VARCHAR))"
+
+  // --- text (slice_db/transforms/text.py) ---
+
+  /** Char-class-preserving scramble — the custom codegen Expression. */
+  def alphanum(v: Column): Column =
+    ColumnBridge.column(AlphanumScramble(
+      ColumnBridge.expression(v.cast("string")), ColumnBridge.expression(lit(Pepper))))
+
+  /** DuckDB mirror of [[AlphanumScramble]]. `v` must be a simple column
+    * reference (it is spliced several times). */
+  def sqlAlphanum(v: String): String = {
+    def draw = sqlMd5Idx(s"md5($v || '$Pepper') || CAST(i AS VARCHAR)")
+    s"""list_aggregate(list_transform(range(1, length($v) + 1), i ->
+        CASE
+          WHEN substr($v, CAST(i AS INT), 1) BETWEEN 'a' AND 'z' THEN chr(CAST(97 + $draw % 26 AS INT))
+          WHEN substr($v, CAST(i AS INT), 1) BETWEEN 'A' AND 'Z' THEN chr(CAST(65 + $draw % 26 AS INT))
+          WHEN substr($v, CAST(i AS INT), 1) BETWEEN '0' AND '9' THEN chr(CAST(48 + $draw % 10 AS INT))
+          ELSE substr($v, CAST(i AS INT), 1) END),
+      'string_agg', '')"""
+  }
+
+  /** Per-word replacement preserving length bucket + case
+    * (text.py:141-192): each word maps to a vocab word of the same
+    * length (clamped to 12), case pattern re-applied. */
+  def words(v: Column): Column =
+    array_join(transform(split(v, " "), w => wordPick(w)), " ")
+  private def wordPick(w: Column): Column = {
+    val bucketed = Vocab.wordsByLen.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (bucket, i)) =>
+        when(least(length(w), lit(12)) === (i + 1), caseApply(w, pick(seed(w), bucket))).otherwise(acc)
+    }
+    when(length(w) === 0, w).otherwise(bucketed)
+  }
+  def sqlWords(v: String): String = {
+    val cases = Vocab.wordsByLen.zipWithIndex.map { case (bucket, i) =>
+      s"WHEN least(length(w), 12) = ${i + 1} THEN ${sqlCaseApply("w", sqlPick(sqlSeed("w"), bucket))}"
+    }.mkString("\n")
+    s"""list_aggregate(list_transform(string_split($v, ' '), w ->
+        CASE WHEN length(w) = 0 THEN w $cases END), 'string_agg', ' ')"""
+  }
+
+  // --- date (slice_db/transforms/date.py:14-28): jitter within year ---
+
+  def dateYear(v: Column): Column = {
+    val start = trunc(v, "year")
+    val days = datediff(add_months(start, 12), start)
+    val s = seed(date_format(v, "yyyy-MM-dd"), "d#")
+    date_add(start, (md5Idx(s) % days).cast("int"))
+  }
+  def sqlDateYear(v: String): String = {
+    val start = s"date_trunc('year', $v)"
+    val days = s"date_diff('day', $start, $start + INTERVAL 1 YEAR)"
+    val s = sqlSeed(s"strftime($v, '%Y-%m-%d')", "d#")
+    s"CAST($start + INTERVAL 1 DAY * (${sqlMd5Idx(s)} % $days) AS DATE)"
+  }
+
+  // --- common (slice_db/transforms/common.py:18-95) ---
+
+  def const(value: String): Column = lit(value)
+  def nul: Column = lit(null).cast("string")
+  def replaceDigits(v: Column): Column = regexp_replace(v, "[0-9]", "X")
+  def sqlReplaceDigits(v: String): String = s"regexp_replace($v, '[0-9]', 'X', 'g')"
+
+  // --- json (slice_db/transforms/json.py:11-47) ---
+
+  /** Scrub the numeric field `$.k` inside a JSON string column. */
+  def jsonK(v: Column): Column = {
+    val k = get_json_object(v, "$.k")
+    concat(lit("{\"k\": "), choice(seed(k, "j#"), 100).cast("string"), lit("}"))
+  }
+  def sqlJsonK(v: String): String = {
+    val k = s"json_extract_string($v, '$$.k')"
+    s"""('{"k": ' || CAST(${sqlChoice(sqlSeed(k, "j#"), 100)} AS VARCHAR) || '}')"""
+  }
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Transforms._
+
+/** Pack B — scrub transforms, each wired to a real column of the test
+  * corpus and mirrored bit-for-bit by DuckDB oracle SQL. */
+object TransformQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_given_name" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"), givenName(col("c_name")).as("scrubbed"))
+        .orderBy("c_custkey")),
+
+    "t_surname" -> ((s, dir) =>
+      t(s, dir, "supplier").select(col("s_suppkey"), surname(col("s_name")).as("scrubbed"))
+        .orderBy("s_suppkey")),
+
+    "t_city" -> ((s, dir) =>
+      t(s, dir, "nation").select(col("n_nationkey"), city(col("n_name")).as("scrubbed"))
+        .orderBy("n_nationkey")),
+
+    "t_us_state" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        usState(col("c_name")).as("state"), usStateAbbr(col("c_name")).as("abbr"))
+        .orderBy("c_custkey")),
+
+    "t_geozip" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        lpad((col("c_custkey") % 100000).cast("string"), 5, "0").as("zip"),
+        geozip(lpad((col("c_custkey") % 100000).cast("string"), 5, "0")).as("scrubbed"))
+        .orderBy("c_custkey")),
+
+    "t_address1" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"), address1(col("c_name")).as("scrubbed"))
+        .orderBy("c_custkey")),
+
+    "t_address2" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"), address2(col("c_name")).as("scrubbed"))
+        .orderBy("c_custkey")),
+
+    "t_alphanum" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"), alphanum(col("c_name")).as("scrubbed"))
+        .orderBy("c_custkey")),
+
+    "t_words" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"), words(col("p_name")).as("scrubbed"))
+        .orderBy("p_partkey")),
+
+    "t_date_year" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"), dateYear(col("o_orderdate")).as("scrubbed"))
+        .orderBy("o_orderkey")),
+
+    "t_const" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"), const("REDACTED").as("scrubbed"))
+        .orderBy("c_custkey")),
+
+    "t_null" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"), nul.as("scrubbed"))
+        .orderBy("c_custkey")),
+
+    "t_replace" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"), replaceDigits(col("c_name")).as("scrubbed"))
+        .orderBy("c_custkey")),
+
+    // compose: digit-masking THEN class-preserving scramble, chained.
+    "t_compose" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        alphanum(replaceDigits(col("c_name"))).as("scrubbed"))
+        .orderBy("c_custkey")),
+
+    "t_jsonpath" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"), jsonK(col("props")).as("scrubbed"))
+        .orderBy("event_id")),
+
+    // table-level scrub: several transformed columns in one pass.
+    "t_table_scrub" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        concat(givenName(col("c_name")), lit(" "), surname(col("c_name"))).as("name"),
+        col("c_nationkey"),
+        nul.as("acctbal"),
+        const("SEGMENT").as("mktsegment"))
+        .orderBy("c_custkey"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t_given_name" ->
+      s"SELECT c_custkey, ${sqlGivenName("c_name")} AS scrubbed FROM customer ORDER BY c_custkey",
+    "t_surname" ->
+      s"SELECT s_suppkey, ${sqlSurname("s_name")} AS scrubbed FROM supplier ORDER BY s_suppkey",
+    "t_city" ->
+      s"SELECT n_nationkey, ${sqlCity("n_name")} AS scrubbed FROM nation ORDER BY n_nationkey",
+    "t_us_state" ->
+      s"""SELECT c_custkey, ${sqlUsState("c_name")} AS state,
+          ${sqlUsStateAbbr("c_name")} AS abbr FROM customer ORDER BY c_custkey""",
+    "t_geozip" ->
+      s"""SELECT c_custkey, zip, ${sqlGeozip("zip")} AS scrubbed FROM
+          (SELECT c_custkey, lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') AS zip
+           FROM customer) ORDER BY c_custkey""",
+    "t_address1" ->
+      s"SELECT c_custkey, ${sqlAddress1("c_name")} AS scrubbed FROM customer ORDER BY c_custkey",
+    "t_address2" ->
+      s"SELECT c_custkey, ${sqlAddress2("c_name")} AS scrubbed FROM customer ORDER BY c_custkey",
+    "t_alphanum" ->
+      s"SELECT c_custkey, ${sqlAlphanum("c_name")} AS scrubbed FROM customer ORDER BY c_custkey",
+    "t_words" ->
+      s"SELECT p_partkey, ${sqlWords("p_name")} AS scrubbed FROM part ORDER BY p_partkey",
+    "t_date_year" ->
+      s"SELECT o_orderkey, ${sqlDateYear("o_orderdate")} AS scrubbed FROM orders ORDER BY o_orderkey",
+    "t_const" ->
+      "SELECT c_custkey, 'REDACTED' AS scrubbed FROM customer ORDER BY c_custkey",
+    "t_null" ->
+      "SELECT c_custkey, CAST(NULL AS VARCHAR) AS scrubbed FROM customer ORDER BY c_custkey",
+    "t_replace" ->
+      s"""SELECT c_custkey, ${sqlReplaceDigits("c_name")} AS scrubbed FROM customer ORDER BY c_custkey""",
+    "t_compose" ->
+      s"""SELECT c_custkey, ${sqlAlphanum("masked")} AS scrubbed FROM
+          (SELECT c_custkey, ${sqlReplaceDigits("c_name")} AS masked FROM customer)
+          ORDER BY c_custkey""",
+    "t_jsonpath" ->
+      s"SELECT event_id, ${sqlJsonK("props")} AS scrubbed FROM events ORDER BY event_id",
+    "t_table_scrub" ->
+      s"""SELECT c_custkey,
+          (${sqlGivenName("c_name")} || ' ' || ${sqlSurname("c_name")}) AS name,
+          c_nationkey, CAST(NULL AS VARCHAR) AS acctbal, 'SEGMENT' AS mktsegment
+          FROM customer ORDER BY c_custkey"""
+  )
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` Column↔Expression conversion (Spark 4 moved
+  * Column to a plan-agnostic ColumnNode; classic.ExpressionUtils does the
+  * conversion). Lives under org.apache.spark.sql — the standard extension
+  * pattern for libraries that register custom Catalyst expressions. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
