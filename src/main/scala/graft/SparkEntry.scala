@@ -11,6 +11,7 @@ object SparkEntry {
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (SliceQueries.queries, SliceQueries.oracleSql),
+      (Relational.queries, Relational.oracleSql),
       (TransformQueries.queries, TransformQueries.oracleSql)
     )
 

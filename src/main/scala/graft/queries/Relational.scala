@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AsOfJoin, Sessionize}
+
+/** Pack C — relational analytics core. Declarative DataFrame programs;
+  * Catalyst owns pushdown/pruning/join strategy. Money math is cast to
+  * DECIMAL before aggregation so results are EXACT and engine-portable
+  * (double sums are order-dependent; the driver hash-compares values).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Filter + 2-column project: both must reach the parquet scan
+    // (PushedFilters / pruned ReadSchema in .explain).
+    "q_filter_pushdown" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1999-01-01" && col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // TPC-H Q1 flavor: map-side partial aggregation, exact decimal sums.
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= "2000-12-31")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec("l_quantity")).as("sum_qty"),
+          sum(dec("l_extendedprice")).as("sum_base"),
+          sum(dec("l_extendedprice") * (lit(1) - col("l_discount").cast("decimal(4,2)"))).as("sum_disc"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Q3 flavor: 3-way join, group, top-10 by revenue.
+    "q3_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < "1999-06-30")
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > "1999-06-30")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(dec("l_extendedprice") * (lit(1) - col("l_discount").cast("decimal(4,2)"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Q5 flavor: 6-way join; region/nation are genuinely tiny at every
+    // scale factor -> explicit broadcast; fact joins shuffle with AQE.
+    "q5_join" -> ((s, dir) => {
+      val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      val n = broadcast(t(s, dir, "nation"))
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1998-01-01" && col("o_orderdate") < "1999-01-01")
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(dec("l_extendedprice") * (lit(1) - col("l_discount").cast("decimal(4,2)"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    "q_having" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum(dec("o_totalprice")).as("total"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey")),
+
+    // order+limit -> TakeOrderedAndProject (no global sort of the table).
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    // Exact count-distincts, plus the approx sketch validated by bound
+    // (a hash-compare can't check an approximation; a tolerance can).
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("d_part"),
+        countDistinct(col("l_suppkey")).as("d_supp"),
+        (abs(approx_count_distinct(col("l_partkey"), 0.01) - countDistinct(col("l_partkey")))
+          / countDistinct(col("l_partkey")) < 0.05).as("approx_ok"))),
+
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(dec("o_totalprice")).over(w).as("running"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          (grouping(col("l_returnflag")).cast("int") * 2
+            + grouping(col("l_linestatus")).cast("int")).as("gid"))
+        .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec("o_totalprice")))
+        .orderBy("o_orderpriority")),
+
+    "q_antijoin" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Scalar/expression zoo: case-when, date math, string functions.
+    "q_exprs" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "O", "open")
+          .when(col("o_orderstatus") === "F", "finished")
+          .otherwise("pending").as("status_word"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("days_to_2002"),
+        upper(substring(col("o_orderpriority"), 3, 20)).as("prio_word"),
+        length(col("o_orderpriority")).as("prio_len"),
+        concat(col("o_orderstatus"), lit("/"), regexp_replace(col("o_orderpriority"), "-", "_")).as("tag"),
+        floor(col("o_totalprice") / 50000).cast("int").as("price_bucket"))
+        .orderBy("o_orderkey")),
+
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy("l_returnflag")),
+
+    // As-of join: each purchase -> latest strictly-prior error, same user.
+    "q_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+      AsOfJoin(purchases, errors, Seq("user_id"), "ts",
+        rightVals = Seq("event_id", "ts"), tiebreak = "event_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("prior_event_id"), col("prior_ts"))
+        .orderBy("event_id")
+    }),
+
+    // Gaps-and-islands sessionization, 30-minute timeout.
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize(t(s, dir, "events"), "user_id", "ts", "event_id", gapSeconds = 1800)
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+        .orderBy("user_id", "session_idx")),
+
+    "q_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"), max("k").as("max_k"))
+        .orderBy("event_type"))
+  )
+
+  private val rev = "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_join" ->
+      s"""SELECT l_orderkey, o_orderdate, $rev AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1999-06-30'
+           AND l_shipdate > TIMESTAMP '1999-06-30'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+
+    "q5_join" ->
+      s"""SELECT n_name, $rev AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""",
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS d_part,
+           count(DISTINCT l_suppkey) AS d_supp, true AS approx_ok
+         FROM lineitem""",
+
+    "q_window_rank" ->
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q_exprs" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'O' THEN 'open'
+                WHEN o_orderstatus = 'F' THEN 'finished'
+                ELSE 'pending' END AS status_word,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(month(o_orderdate) AS INT) AS o_month,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+           upper(substr(o_orderpriority, 3)) AS prio_word,
+           CAST(length(o_orderpriority) AS INT) AS prio_len,
+           (o_orderstatus || '/' || replace(o_orderpriority, '-', '_')) AS tag,
+           CAST(floor(o_totalprice / 50000) AS INT) AS price_bucket
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+           (SELECT e.event_id FROM events e WHERE e.user_id = p.user_id
+              AND e.event_type = 'error' AND e.ts < p.ts
+            ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS prior_event_id,
+           (SELECT e.ts FROM events e WHERE e.user_id = p.user_id
+              AND e.event_type = 'error' AND e.ts < p.ts
+            ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS prior_ts
+         FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""",
+
+    "q_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+           FROM marked)
+         SELECT user_id, session_idx, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+         FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    "q_json" ->
+      """SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           count(*) AS n,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}
