@@ -12,7 +12,10 @@ object SparkEntry {
     Seq(
       (SliceQueries.queries, SliceQueries.oracleSql),
       (Relational.queries, Relational.oracleSql),
-      (TransformQueries.queries, TransformQueries.oracleSql)
+      (TransformQueries.queries, TransformQueries.oracleSql),
+      (TextAnalysis.queries, TextAnalysis.oracleSql),
+      (Dedup.queries, Dedup.oracleSql),
+      (Similarity.queries, Similarity.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -24,6 +24,11 @@ object Determinism {
   def md5Idx(seed: Column): Column =
     conv(substring(md5(seed.cast("binary")), 1, K), 16, 10).cast("long")
 
+  /** Wider variant: first `k` hex chars (k<=15 keeps it in a positive
+    * Long; k=12 gives 48 bits — used for shingle/minhash hashing). */
+  def md5IdxK(seed: Column, k: Int): Column =
+    conv(substring(md5(seed.cast("binary")), 1, k), 16, 10).cast("long")
+
   /** Deterministic choice out of N options (0-based index). */
   def choice(seed: Column, n: Int): Column = md5Idx(seed) % n
 
@@ -35,9 +40,11 @@ object Determinism {
   // ---- DuckDB oracle SQL generators (must mirror the Spark side) ----
 
   /** hex→int of the first K chars of md5(expr) in portable SQL. */
-  def sqlMd5Idx(seedSql: String): String = {
-    val terms = (1 to K).map { i =>
-      val mult = math.pow(16, K - i).toLong
+  def sqlMd5Idx(seedSql: String): String = sqlMd5IdxK(seedSql, K)
+
+  def sqlMd5IdxK(seedSql: String, k: Int): String = {
+    val terms = (1 to k).map { i =>
+      val mult = math.pow(16, k - i).toLong
       s"(strpos('0123456789abcdef', substr(md5($seedSql), $i, 1)) - 1) * $mult"
     }
     "(" + terms.mkString(" + ") + ")"

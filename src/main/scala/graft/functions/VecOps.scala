@@ -1,0 +1,65 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<double>` embedding columns.
+  *
+  * Dot products are UNROLLED to a fixed-dimension left-to-right addition
+  * chain — both the Spark Column tree and the DuckDB oracle SQL evaluate
+  * the same IEEE operations in the same order, so cosines compare
+  * BIT-EXACTLY (no rounding tolerance needed anywhere downstream).
+  * `functions.aggregate`'s fold would also be sequential, but unrolling
+  * keeps the whole thing inside whole-stage codegen with zero lambda
+  * dispatch per element.
+  */
+object VecOps {
+  val Dim = 64
+
+  def dot(a: Column, b: Column): Column =
+    (0 until Dim).map(i => element_at(a, i + 1) * element_at(b, i + 1)).reduce(_ + _)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine from precomputed norms (precompute per side BEFORE a join so
+    * the norm isn't re-evaluated per pair). */
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  def sqlDot(a: String, b: String): String =
+    (0 until Dim).map(i => s"$a[${i + 1}] * $b[${i + 1}]").mkString("(", " + ", ")")
+
+  def sqlNorm(v: String): String = s"sqrt(${sqlDot(v, v)})"
+
+  /** Deterministic hyperplane coefficients in [-1, 1], 3 decimals — the
+    * JVM mirror of Determinism.md5Idx so literals bake into both the
+    * Column tree and the oracle SQL identically. */
+  def planeCoef(plane: Int, dim: Int): Double = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$plane#$dim".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val idx = java.lang.Long.parseLong(hex.substring(0, 6), 16)
+    (idx % 2001 - 1000) / 1000.0
+  }
+
+  def plane(p: Int): Seq[Double] = (0 until Dim).map(d => planeCoef(p, d))
+
+  /** Dot of a data vector against a literal plane — unrolled like dot(). */
+  def dotPlane(v: Column, coefs: Seq[Double]): Column =
+    coefs.zipWithIndex.map { case (c, i) => element_at(v, i + 1) * lit(c) }.reduce(_ + _)
+
+  def sqlDotPlane(v: String, coefs: Seq[Double]): String =
+    coefs.zipWithIndex.map { case (c, i) => s"$v[${i + 1}] * ($c)" }.mkString("(", " + ", ")")
+
+  /** Random-hyperplane LSH bucket: 8 sign bits packed into an int. */
+  val NPlanes = 8
+  def lshBucket(v: Column): Column =
+    (0 until NPlanes).map(p => when(dotPlane(v, plane(p)) > 0, lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _)
+  def sqlLshBucket(v: String): String =
+    (0 until NPlanes).map(p =>
+      s"(CASE WHEN ${sqlDotPlane(v, plane(p))} > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+}

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Determinism, VecOps}
+
+/** Pack D — deduplication over `documents` / `embeddings`, the dedup
+  * stage of a training-data pipeline.
+  *
+  * 100 TB posture: every method here is blocked/banded — candidate pairs
+  * are generated ONLY inside small buckets (normalized-hash groups, LSH
+  * bands, simhash chunks, label blocks), never via an all-pairs cross
+  * join. The quadratic term is bounded by bucket size; shuffles are on
+  * bucket keys.
+  *
+  * Where the live corpus has no duplicates to find (it's synthetic), a
+  * query builds a twin corpus (`doc_id + 100000` with a benign
+  * perturbation) so the operator provably finds known dups; the oracle
+  * constructs the identical corpus.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private def wordsOf(c: Column): Column = split(c, " ")
+
+  private def shingles3(words: Column): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - 3, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(3)))))
+  private def sqlShingles3(w: String): String =
+    s"""list_distinct(list_transform(range(0, greatest(len($w) - 3, 0) + 1),
+        i -> array_to_string($w[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ')))"""
+
+  /** Distinct doc shingle sets keyed by lang block. */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang"),
+      shingles3(wordsOf(col("text"))).as("sh"))
+
+  private val sqlShingleSets =
+    s"""SELECT doc_id, lang, ${sqlShingles3("string_split(text, ' ')")} AS sh
+        FROM documents"""
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)) / size(array_union(a, b))
+  private def sqlJaccard(a: String, b: String): String =
+    s"(len(list_intersect($a, $b)) / len(list_distinct($a || $b)))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: normalize -> hash -> group; emit (doc, canonical).
+    "d_exact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.select(col("doc_id"), col("text"))
+        .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" ")).as("text")))
+      val hashed = corpus.select(col("doc_id"),
+        md5(trim(lower(regexp_replace(col("text"), "\\s+", " "))).cast("binary")).as("h"))
+      val canon = hashed.groupBy("h").agg(min("doc_id").as("dup_of"))
+      hashed.join(canon, "h")
+        .filter(col("doc_id") =!= col("dup_of"))
+        .select("doc_id", "dup_of").orderBy("doc_id")
+    }),
+
+    // n-gram Jaccard near-dup, exact pairwise WITHIN lang blocks.
+    "d_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingleSets(s, dir)
+      sh.as("x").join(sh.as("y"),
+          col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          jaccard(col("x.sh"), col("y.sh")).as("jac"))
+        .filter(col("jac") >= 0.2)
+        .orderBy("a", "b")
+    }),
+
+    // MinHash(8) + LSH: 4 bands x 2 rows -> candidates share a band;
+    // exact-Jaccard verify stage keeps only true near-dups.
+    "d_minhash_lsh" -> ((s, dir) => {
+      val sh = shingleSets(s, dir)
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val sig = ex.groupBy("doc_id").agg(
+        min(Determinism.md5IdxK(concat(lit("0#"), col("s")), 12)).as("m0"),
+        (1 until 8).map(j =>
+          min(Determinism.md5IdxK(concat(lit(s"$j#"), col("s")), 12)).as(s"m$j")): _*)
+      val bands = (0 until 4).map { bi =>
+        sig.select(col("doc_id"), lit(bi).as("bi"),
+          concat_ws(":", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("bk"))
+      }.reduce(_ union _)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val sa = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
+      val sb = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
+      cand.join(sa, "a").join(sb, "b")
+        .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jac"))
+        .filter(col("jac") >= 0.2)
+        .orderBy("a", "b")
+    }),
+
+    // SimHash 60-bit over the word set; candidates share one of 4
+    // 15-bit chunks (pigeonhole covers hamming<=3); verify popcount.
+    "d_simhash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // twin corpus: copy with last word dropped => tiny hamming distance
+      val w = wordsOf(col("text"))
+      val corpus = d.select(col("doc_id"), col("text"))
+        .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+          concat_ws(" ", slice(w, lit(1), size(w) - 1)).as("text")))
+      val ex = corpus.select(col("doc_id"),
+        explode(array_distinct(wordsOf(col("text")))).as("w"))
+        .select(col("doc_id"), Determinism.md5IdxK(col("w"), 15).as("h"))
+      val bitVotes = ex
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1)).as("v"))
+      val sim = bitVotes.groupBy("doc_id")
+        .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("sh"))
+      val chunks = sim.select(col("doc_id"), col("sh"),
+          explode(sequence(lit(0), lit(3))).as("ci"))
+        .select(col("doc_id"), col("sh"), col("ci"),
+          expr("shiftright(sh, ci * 15) & 32767").as("cv"))
+      chunks.as("x").join(chunks.as("y"),
+          col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("dist")).distinct()
+        .filter(col("dist") <= 3)
+        .orderBy("a", "b")
+    }),
+
+    // embedding cosine near-dup within label blocks; twin corpus with a
+    // perturbed first component gives known cosine~0.999 pairs.
+    "d_embed_dup" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val twin = e.select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+        concat(array(element_at(col("v"), 1) + 0.05), slice(col("v"), 2, 63)).as("v"))
+      val corpus = e.unionByName(twin)
+        .withColumn("n", VecOps.norm(col("v")))
+      corpus.as("x").join(corpus.as("y"),
+          col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          VecOps.cosine(col("x.v"), col("y.v"), col("x.n"), col("y.n")).as("cos"))
+        .filter(col("cos") >= 0.99)
+        .orderBy("a", "b")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d_exact" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' ' FROM documents),
+         hashed AS (SELECT doc_id,
+           md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS h FROM corpus),
+         canon AS (SELECT h, min(doc_id) AS dup_of FROM hashed GROUP BY h)
+         SELECT doc_id, dup_of FROM hashed JOIN canon USING (h)
+         WHERE doc_id <> dup_of ORDER BY doc_id""",
+
+    "d_ngram_jaccard" ->
+      s"""WITH sh AS ($sqlShingleSets)
+         SELECT a.doc_id AS a, b.doc_id AS b, ${sqlJaccard("a.sh", "b.sh")} AS jac
+         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE ${sqlJaccard("a.sh", "b.sh")} >= 0.2 ORDER BY a, b""",
+
+    "d_minhash_lsh" -> {
+      val mins = (0 until 8).map(j =>
+        s"CAST(min(${Determinism.sqlMd5IdxK(s"'$j#' || s", 12)}) AS BIGINT) AS m$j").mkString(", ")
+      val bandSelects = (0 until 4).map(bi =>
+        s"""SELECT doc_id, $bi AS bi,
+            (CAST(m${2 * bi} AS VARCHAR) || ':' || CAST(m${2 * bi + 1} AS VARCHAR)) AS bk
+            FROM sig""").mkString(" UNION ALL ")
+      s"""WITH sh AS ($sqlShingleSets),
+         ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         sig AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+         bands AS ($bandSelects),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands x JOIN bands y
+           ON x.bi = y.bi AND x.bk = y.bk AND x.doc_id < y.doc_id)
+         SELECT a, b, ${sqlJaccard("sa.sh", "sb.sh")} AS jac
+         FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+         WHERE ${sqlJaccard("sa.sh", "sb.sh")} >= 0.2 ORDER BY a, b"""
+    },
+
+    "d_simhash" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000,
+             array_to_string(w[1:len(w)-1], ' ')
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+         ex AS (SELECT doc_id, ${Determinism.sqlMd5IdxK("w", 15)} AS h
+           FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+                 FROM corpus)),
+         votes AS (SELECT doc_id, bit,
+             sum(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM ex, unnest(range(0, 60)) AS t(bit) GROUP BY doc_id, bit),
+         sim AS (SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INT) ELSE 0 END) AS BIGINT) AS sh
+           FROM votes GROUP BY doc_id),
+         chunks AS (SELECT doc_id, sh, ci,
+             (sh >> CAST(ci * 15 AS INT)) & 32767 AS cv
+           FROM sim, unnest(range(0, 4)) AS t(ci))
+         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS dist
+         FROM chunks x JOIN chunks y
+         ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.sh, y.sh)) <= 3 ORDER BY a, b""",
+
+    "d_embed_dup" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         corpus AS (
+           SELECT vec_id, label, v FROM e
+           UNION ALL SELECT vec_id + 100000, label,
+             [v[1] + 0.05] || v[2:64] FROM e),
+         withn AS (SELECT *, ${VecOps.sqlNorm("v")} AS n FROM corpus)
+         SELECT a.vec_id AS a, b.vec_id AS b,
+           (${VecOps.sqlDot("a.v", "b.v")} / (a.n * b.n)) AS cos
+         FROM withn a JOIN withn b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE (${VecOps.sqlDot("a.v", "b.v")} / (a.n * b.n)) >= 0.99
+         ORDER BY a, b"""
+  )
+}

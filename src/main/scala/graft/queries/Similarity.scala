@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VecOps
+
+/** Pack E — similarity search over the `embeddings` table.
+  *
+  * Brute-force cosine top-k is the baseline (and the recall oracle);
+  * LSH and IVF are the scale paths: both turn the all-pairs problem into
+  * a bucket-join (shuffle on bucket key / centroid id), so candidate
+  * generation is linear-ish and the quadratic term is bounded by bucket
+  * population. Cosines are bit-exact vs the oracle (unrolled IEEE chain,
+  * see [[VecOps]]), so rankings are identical, not approximately so.
+  */
+object Similarity {
+
+  private val K = 5          // neighbors returned per query
+  private val NQueries = 5   // queries = vec_id < NQueries
+  private val NProbe = 2     // IVF probes
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", VecOps.norm(col("v")))
+
+  private val sqlVecs =
+    s"""SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+        ${VecOps.sqlNorm("CAST(embedding AS DOUBLE[])")} AS n FROM embeddings"""
+
+  private def topk(joined: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q").orderBy(col("cos").desc, col("vec_id").asc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select("q", "vec_id", "cos", "rn")
+      .orderBy("q", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact brute-force top-k: queries broadcast against the full table.
+    "s_cosine_topk" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val q = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn")))
+      topk(q.join(e, col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
+    }),
+
+    // random-hyperplane LSH: candidates share the query's 8-bit bucket.
+    "s_lsh_ann" -> ((s, dir) => {
+      val e = vecs(s, dir).withColumn("bucket", VecOps.lshBucket(col("v")))
+      val q = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn"),
+          col("bucket").as("qbucket")))
+      topk(q.join(e, col("bucket") === col("qbucket") && col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
+    }),
+
+    // IVF flavor: centroids are a deterministic sample; every vector is
+    // assigned to its nearest centroid; queries probe the NProbe nearest
+    // centroid cells and search only those.
+    "s_ivf_ann" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val cents = broadcast(e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn")))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+      val assigned = e.join(cents)
+        .select(col("vec_id"), col("label"), col("v"), col("n"), col("cid"),
+          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("ccos"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select("vec_id", "v", "n", "cid")
+      val qRaw = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn"))
+      val wProbe = Window.partitionBy("q").orderBy(col("pcos").desc, col("cid").asc)
+      val probes = broadcast(qRaw.join(cents)
+        .select(col("q"), col("qv"), col("qn"), col("cid"),
+          VecOps.cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("pcos"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= NProbe)
+        .select("q", "qv", "qn", "cid"))
+      topk(probes.join(assigned, "cid")
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
+    })
+  )
+
+  private val sqlTopk = (from: String) =>
+    s"""SELECT q, vec_id, cos, rn FROM (
+          SELECT q, vec_id, cos,
+            row_number() OVER (PARTITION BY q ORDER BY cos DESC, vec_id) AS rn
+          FROM ($from))
+        WHERE rn <= $K ORDER BY q, rn"""
+
+  val oracleSql: Map[String, String] = Map(
+    "s_cosine_topk" -> sqlTopk(
+      s"""SELECT qs.vec_id AS q, e.vec_id,
+           (${VecOps.sqlDot("qs.v", "e.v")} / (qs.n * e.n)) AS cos
+         FROM ($sqlVecs) qs JOIN ($sqlVecs) e ON e.vec_id <> qs.vec_id
+         WHERE qs.vec_id < $NQueries"""),
+
+    "s_lsh_ann" -> sqlTopk(
+      s"""SELECT qs.vec_id AS q, e.vec_id,
+           (${VecOps.sqlDot("qs.v", "e.v")} / (qs.n * e.n)) AS cos
+         FROM (SELECT *, ${VecOps.sqlLshBucket("v")} AS bucket FROM ($sqlVecs)) qs
+         JOIN (SELECT *, ${VecOps.sqlLshBucket("v")} AS bucket FROM ($sqlVecs)) e
+           ON e.bucket = qs.bucket AND e.vec_id <> qs.vec_id
+         WHERE qs.vec_id < $NQueries"""),
+
+    "s_ivf_ann" -> sqlTopk(
+      s"""WITH e AS ($sqlVecs),
+         cents AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e WHERE vec_id % 97 = 0),
+         assigned AS (
+           SELECT vec_id, v, n, cid FROM (
+             SELECT e.vec_id, e.v, e.n, cents.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "cents.cv")} / (e.n * cents.cn)) DESC,
+                   cents.cid) AS arn
+             FROM e, cents) WHERE arn = 1),
+         probes AS (
+           SELECT q, qv, qn, cid FROM (
+             SELECT e.vec_id AS q, e.v AS qv, e.n AS qn, cents.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "cents.cv")} / (e.n * cents.cn)) DESC,
+                   cents.cid) AS prn
+             FROM e, cents WHERE e.vec_id < $NQueries) WHERE prn <= $NProbe)
+         SELECT probes.q, assigned.vec_id,
+           (${VecOps.sqlDot("probes.qv", "assigned.v")} / (probes.qn * assigned.n)) AS cos
+         FROM probes JOIN assigned USING (cid)
+         WHERE assigned.vec_id <> probes.q""")
+  )
+}
