@@ -15,7 +15,9 @@ object SparkEntry {
       (TransformQueries.queries, TransformQueries.oracleSql),
       (TextAnalysis.queries, TextAnalysis.oracleSql),
       (Dedup.queries, Dedup.oracleSql),
-      (Similarity.queries, Similarity.oracleSql)
+      (Similarity.queries, Similarity.oracleSql),
+      (MultimodalQueries.queries, MultimodalQueries.oracleSql),
+      (StreamingQueries.queries, StreamingQueries.oracleSql)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

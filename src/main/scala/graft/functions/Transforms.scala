@@ -29,14 +29,19 @@ object Transforms {
   private def sqlSeed(v: String, salt: String = ""): String =
     s"(upper($v) || '$salt$Pepper')"
 
-  /** Re-apply the original's case pattern: ALLCAPS / alllower / Title. */
+  /** Re-apply the original's case pattern: ALLCAPS / alllower /
+    * Title-case (leading capital) / as-picked. */
   private def caseApply(orig: Column, picked: Column): Column =
     when(upper(orig) === orig, upper(picked))
       .when(lower(orig) === orig, lower(picked))
+      .when(upper(substring(orig, 1, 1)) === substring(orig, 1, 1),
+        concat(upper(substring(picked, 1, 1)), substring(picked, 2, 1000000)))
       .otherwise(picked)
   private def sqlCaseApply(orig: String, picked: String): String =
     s"""(CASE WHEN upper($orig) = $orig THEN upper($picked)
         WHEN lower($orig) = $orig THEN lower($picked)
+        WHEN upper(substr($orig, 1, 1)) = substr($orig, 1, 1)
+          THEN (upper(substr($picked, 1, 1)) || substr($picked, 2))
         ELSE $picked END)"""
 
   // --- person (slice_db/transforms/person.py:9-37) ---

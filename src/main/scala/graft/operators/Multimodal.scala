@@ -1,0 +1,64 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: media as opaque `binary` columns with typed
+  * metadata, and a partition-aware decode→feature-extract pipeline.
+  *
+  * The real engine would decode images/audio here (no codecs in this
+  * container), so `decodeBatch` is a clearly-marked deterministic STUB —
+  * but the Spark-side shape is real: typed Dataset, `mapPartitions` with
+  * explicit micro-batching (the same batch shape a Pandas-UDF/Arrow
+  * pipeline would use), case-class Encoders, and no driver-side work.
+  * At 100 TB the pipeline scales with partitions; batch size bounds peak
+  * decode memory per task.
+  */
+object Multimodal {
+
+  /** One media blob: id + bytes + claimed kind. */
+  final case class Blob(doc_id: Long, bytes: Array[Byte], kind: String)
+
+  /** Extracted features (what a decoder would emit). */
+  final case class Features(
+      doc_id: Long, width: Int, height: Int, n_frames: Int, mean_intensity: Double)
+
+  val BatchSize = 64
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes).map(b => f"$b%02x").mkString
+
+  private def idx6(hex: String): Long = java.lang.Long.parseLong(hex.substring(0, 6), 16)
+
+  /** STUB decoder: deterministic pseudo-features from the content hash
+    * (mirrors the md5 determinism contract so the DuckDB oracle can
+    * reproduce it). A real build would decode `b.bytes` here, one batch
+    * at a time. */
+  private def decodeBatch(batch: Seq[Blob]): Seq[Features] =
+    batch.map { b =>
+      val h = md5Hex(b.bytes)
+      Features(
+        doc_id = b.doc_id,
+        width = (16 + idx6(h) % 1024).toInt,
+        height = (16 + idx6(md5Hex((h + "h").getBytes("UTF-8"))) % 1024).toInt,
+        n_frames = (1 + idx6(md5Hex((h + "f").getBytes("UTF-8"))) % 64).toInt,
+        mean_intensity = (idx6(md5Hex((h + "i").getBytes("UTF-8"))) % 256) / 255.0)
+    }
+
+  /** Partition-aware feature extraction: iterator → micro-batches →
+    * decode → flat iterator. Lazy (grouped) so a partition never
+    * materializes fully. */
+  def extractFeatures(blobs: Dataset[Blob]): Dataset[Features] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.grouped(BatchSize).flatMap(decodeBatch))
+  }
+
+  /** Blob table from documents: the text bytes stand in for media bytes. */
+  def blobs(spark: SparkSession, docs: DataFrame): Dataset[Blob] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("bytes"),
+      lit("text/plain").as("kind")).as[Blob]
+  }
+}

@@ -1,0 +1,29 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.StreamingOps
+
+/** Pack H query — a real Structured Streaming execution (file source →
+  * watermark → windowed state → memory sink) whose bounded result equals
+  * the batch SQL the oracle runs. */
+object StreamingQueries {
+
+  @volatile private var runId = 0
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_window_agg" -> ((s, dir) => {
+      val name = synchronized { runId += 1; s"st_window_agg_$runId" }
+      val out = StreamingOps.runToMemory(
+        s, StreamingOps.windowAgg(StreamingOps.eventsStream(s, dir)), name)
+      out.orderBy("wstart", "event_type")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "st_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS wstart, event_type,
+           count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY wstart, event_type"""
+  )
+}

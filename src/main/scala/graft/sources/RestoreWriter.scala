@@ -1,0 +1,44 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.plans.SchemaGraph
+
+/** Restore-script sink: parents-before-children ordering with
+  * deferred-constraint handling for FK cycles — the analog of the
+  * reference's restore path (slice_db/restore.py:43-163; deferred
+  * constraints at restore.py:221-263).
+  *
+  * The script itself is metadata-sized (one section per table); the data
+  * volume stays in the parquet/sql segments it references.
+  */
+object RestoreWriter {
+
+  /** @param sequences per-table max key (from SliceResult.sequences),
+    *   restored so serial generation resumes past sliced rows. */
+  def restoreScript(graph: SchemaGraph, sliceDir: String,
+      sequences: Map[String, Long]): String = {
+    val order = graph.restoreOrder
+    val deferred = order.collect { case (t, true) => t }
+    val sb = new StringBuilder
+    sb ++= "BEGIN;\n"
+    if (deferred.nonEmpty)
+      sb ++= s"SET CONSTRAINTS ALL DEFERRED; -- cycle tables: ${deferred.mkString(", ")}\n"
+    order.foreach { case (t, isDeferred) =>
+      val note = if (isDeferred) " -- constraints deferred (FK cycle)" else ""
+      sb ++= s"\\i $sliceDir/sql/$t$note\n"
+    }
+    sequences.toSeq.sortBy(_._1).foreach { case (t, maxKey) =>
+      val key = graph.table(t).key.head
+      sb ++= s"SELECT setval(pg_get_serial_sequence('$t', '$key'), ${maxKey + 1}, false);\n"
+    }
+    sb ++= "COMMIT;\n"
+    sb.result()
+  }
+
+  def write(graph: SchemaGraph, sliceDir: String, sequences: Map[String, Long],
+      outPath: String): Unit = {
+    Files.createDirectories(Paths.get(outPath).getParent)
+    Files.writeString(Paths.get(outPath), restoreScript(graph, sliceDir, sequences))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Pack H — Structured Streaming operators.
+  *
+  * Streams are the same declarative programs as batch: readStream →
+  * transforms → writeStream. At 100 TB/day the state store is the scale
+  * concern: watermarks bound state for windows/dedup, and the custom
+  * sessionizer evicts per-key state on event-time timeout.
+  */
+object StreamingOps {
+
+  /** events schema as stored (ts is int64 nanos in the parquet; the
+    * stream converts to a microsecond timestamp on read). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events parquet with proper timestamps. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour window aggregation with a watermark. Watermark
+    * bounds state at scale; `complete` output in the bounded demo so
+    * every window flushes (append would hold the tail window open). */
+  def windowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Run a bounded stream to completion into a memory sink; returns the
+    * materialized result. This is a REAL streaming execution (source →
+    * state store → sink), just over a finite input. */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  // --- streaming sessionization (flatMapGroupsWithState) --------------
+
+  final case class SessEvent(user_id: Long, event_id: Long, ts: Timestamp)
+  final case class SessState(start: Long, end: Long, n: Int, idx: Int)
+  final case class Session(user_id: Long, session_idx: Int, n_events: Int,
+      session_start: Timestamp, session_end: Timestamp)
+
+  /** Event-time sessionization with a gap timeout: state holds only the
+    * OPEN session per key; a session closes (and emits) when a new event
+    * arrives past the gap, or when the watermark times the key out. */
+  def sessionize(events: Dataset[SessEvent], gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def fn(userId: Long, incoming: Iterator[SessEvent],
+        state: GroupState[SessState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(Session(userId, s.idx, s.n, new Timestamp(s.start), new Timestamp(s.end)))
+      }
+      val sorted = incoming.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var out = List.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.end <= gapMs =>
+            cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+          case Some(s) =>
+            out ::= Session(userId, s.idx, s.n, new Timestamp(s.start), new Timestamp(s.end))
+            cur = Some(SessState(t, t, 1, s.idx + 1))
+          case None =>
+            cur = Some(SessState(t, t, 1, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.end + gapMs)
+      }
+      out.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /** Streaming dedup by key with bounded state: duplicates within the
+    * watermark horizon are dropped; state ages out with the watermark. */
+  def dedup(events: DataFrame, keyCols: Seq[String], watermarkCol: String,
+      delay: String): DataFrame =
+    events.withWatermark(watermarkCol, delay)
+      .dropDuplicates(keyCols :+ watermarkCol)
+}

@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+import graft.operators.{SliceRoot, Slicer}
+import graft.plans.{SchemaConfig, SchemaGraph}
+import graft.sources.{RestoreWriter, SliceWriter, SqlWriter}
+
+/** CLI analog of `slicedb dump` (slice_db/cli/main.py): slice the corpus
+  * from a root condition and write every output format — parquet
+  * segments + manifest, INSERT scripts, and the ordered restore script.
+  *
+  * Usage: SliceDump <sfDir> <outDir> <rootTable> <condition> [graph.json]
+  */
+object SliceDump {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, rootTable, condition) = args.take(4)
+    val graph =
+      if (args.length > 4)
+        SchemaConfig.fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(args(4))))
+      else SchemaGraph.tpch
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val result = new Slicer(graph, t => Tables.load(spark, sfDir, t))
+      .run(Seq(SliceRoot(rootTable, condition)))
+    SliceWriter.write(result, outDir)
+    SqlWriter.write(result, outDir)
+    val seqs = result.sequences.collect()
+      .flatMap(r => if (r.isNullAt(1)) None else Some(r.getString(0) -> r.getLong(1))).toMap
+    RestoreWriter.write(graph, outDir, seqs, s"$outDir/restore.sql")
+    println(s"slice written to $outDir: tables=${result.keys.keys.toSeq.sorted.mkString(",")}")
+    spark.stop()
+  }
+}

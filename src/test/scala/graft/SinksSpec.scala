@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.{SliceRoot, Slicer}
+import graft.plans.{Reference, SchemaConfig, SchemaGraph, TableDef}
+import graft.sources.{RestoreWriter, SliceWriter, SqlWriter}
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val graph = SchemaGraph(
+    tables = Seq(TableDef("p", Seq("pid")), TableDef("c", Seq("cid"))),
+    references = Seq(Reference("cp", "c", Seq("pid"), "p", Seq("pid"))))
+
+  private val tables = Map(
+    "p" -> Seq((1, "it's"), (2, "b")).toDF("pid", "txt"),
+    "c" -> Seq((10, 1), (11, 2)).toDF("cid", "pid"))
+
+  private def result() =
+    new Slicer(graph, tables(_)).run(Seq(SliceRoot("p", "pid = 1")))
+
+  test("SliceWriter writes parquet segments + JSON manifest") {
+    val dir = Files.createTempDirectory("slicew").toString
+    SliceWriter.write(result(), dir)
+    val back = spark.read.parquet(s"$dir/data/p")
+    assert(back.count() == 1)
+    val manifest = Files.readString(Paths.get(s"$dir/manifest.json"))
+    assert(manifest.contains(""""id": "p", "row_count": 1"""))
+    assert(manifest.contains(""""id": "c", "row_count": 1"""))
+  }
+
+  test("SqlWriter emits escaped INSERT statements from executors") {
+    val stmts = SqlWriter.insertStatements(tables("p"), "p")
+      .as[String].collect().sorted
+    assert(stmts.length == 2)
+    assert(stmts.head == "INSERT INTO p (pid, txt) VALUES (1, 'it''s');")
+  }
+
+  test("SqlWriter.write shards one text dir per table") {
+    val dir = Files.createTempDirectory("sqlw").toString
+    SqlWriter.write(result(), dir)
+    val c = spark.read.text(s"$dir/sql/c").as[String].collect()
+    assert(c.toSeq == Seq("INSERT INTO c (cid, pid) VALUES (10, 1);"))
+  }
+
+  test("RestoreWriter orders parents first and restores sequences") {
+    val script = RestoreWriter.restoreScript(graph, "/s", Map("p" -> 2L, "c" -> 11L))
+    val pIdx = script.indexOf("\\i /s/sql/p")
+    val cIdx = script.indexOf("\\i /s/sql/c")
+    assert(pIdx >= 0 && cIdx > pIdx, "parent restored before child")
+    assert(script.contains("setval(pg_get_serial_sequence('c', 'cid'), 12, false)"))
+    assert(script.startsWith("BEGIN;") && script.trim.endsWith("COMMIT;"))
+  }
+
+  test("SchemaConfig JSON roundtrips the graph") {
+    val g2 = SchemaConfig.fromJson(SchemaConfig.toJson(graph))
+    assert(g2 == graph)
+    val fwd = SchemaConfig.fromJson(
+      """{"tables": [{"id": "t", "key": ["k"]}],
+         "references": [{"id": "r", "table": "t", "columns": ["k"],
+                         "refTable": "t", "refColumns": ["k"],
+                         "forward": true, "reverse": false}]}""")
+    assert(fwd.references.head.reverse == false)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{SliceRoot, Slicer}
+import graft.plans.{Reference, SchemaGraph, TableDef}
+
+class SlicerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // parent <- child; grandchild references child
+  private val graph = SchemaGraph(
+    tables = Seq(
+      TableDef("parent", Seq("pid")),
+      TableDef("child", Seq("cid")),
+      TableDef("grandchild", Seq("gid"))),
+    references = Seq(
+      Reference("c_p", "child", Seq("pid"), "parent", Seq("pid")),
+      Reference("g_c", "grandchild", Seq("cid"), "child", Seq("cid"))))
+
+  private val tables: Map[String, DataFrame] = Map(
+    "parent" -> Seq((1, "a"), (2, "b"), (3, "c")).toDF("pid", "name"),
+    "child" -> Seq((10, 1), (11, 1), (12, 2)).toDF("cid", "pid"),
+    "grandchild" -> Seq((100, 10), (101, 12)).toDF("gid", "cid"))
+
+  private def slicer(g: SchemaGraph = graph) = new Slicer(g, tables(_))
+
+  test("forward slice pulls parents only") {
+    val fwd = graph.copy(references = graph.references.map(_.copy(reverse = false)))
+    val r = new Slicer(fwd, tables(_)).run(Seq(SliceRoot("child", "cid = 10")))
+    assert(r.rows("parent").as[(Int, String)].collect().toSet == Set((1, "a")))
+    assert(r.keys.get("grandchild").isEmpty)
+  }
+
+  test("reverse slice pulls children transitively to fixpoint") {
+    val r = slicer().run(Seq(SliceRoot("parent", "pid = 1")))
+    assert(r.rows("child").select("cid").as[Int].collect().toSet == Set(10, 11))
+    assert(r.rows("grandchild").select("gid").as[Int].collect().toSet == Set(100))
+  }
+
+  test("multi-root discovery unions and dedups") {
+    val r = slicer().run(Seq(
+      SliceRoot("parent", "pid = 1"), SliceRoot("parent", "pid = 2")))
+    assert(r.rows("child").select("cid").as[Int].collect().toSet == Set(10, 11, 12))
+    assert(r.rows("grandchild").select("gid").as[Int].collect().toSet == Set(100, 101))
+  }
+
+  test("manifest counts rows per reached table") {
+    val m = slicer().run(Seq(SliceRoot("parent", "pid = 2"))).manifest
+      .as[(String, Long)].collect().toMap
+    assert(m == Map("parent" -> 1L, "child" -> 1L, "grandchild" -> 1L))
+  }
+
+  test("restore order is parents-first; cycles marked deferred") {
+    assert(graph.restoreOrder == Seq(
+      ("parent", false), ("child", false), ("grandchild", false)))
+    val cyclic = SchemaGraph(
+      tables = Seq(TableDef("a", Seq("id")), TableDef("b", Seq("id"))),
+      references = Seq(
+        Reference("ab", "a", Seq("bid"), "b", Seq("id")),
+        Reference("ba", "b", Seq("aid"), "a", Seq("id"))))
+    val order = cyclic.restoreOrder
+    assert(order.map(_._1).toSet == Set("a", "b"))
+    assert(order.head._2, "first cycle member must be deferred")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{SessEvent, Session}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // base well above epoch: rows AT the initial watermark (epoch 0) are
+  // dropped as late by stateful operators
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L)
+
+  test("streaming sessionization emits closed sessions, keeps open state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessEvent]
+    val sessions = StreamingOps.sessionize(input.toDS(), gapSeconds = 1800)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_test").outputMode(OutputMode.Append()).start()
+
+    // session 1: two events 10 min apart; then a 2h gap closes it
+    input.addData(SessEvent(1L, 1L, ts(0)), SessEvent(1L, 2L, ts(10)))
+    q.processAllAvailable()
+    input.addData(SessEvent(1L, 3L, ts(130)))
+    q.processAllAvailable()
+    // watermark must advance past session1.end + gap: add a later batch
+    input.addData(SessEvent(2L, 4L, ts(600)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sess_test").as[Session].collect()
+    val closed = out.find(s => s.user_id == 1L && s.session_idx == 1)
+    assert(closed.isDefined, s"session 1 should have closed; got ${out.toSeq}")
+    assert(closed.get.n_events == 2)
+    assert(closed.get.session_start == ts(0) && closed.get.session_end == ts(10))
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val df = input.toDS().toDF("id", "ts")
+    val deduped = StreamingOps.dedup(df, Seq("id"), "ts", "1 hour")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_test").outputMode(OutputMode.Append()).start()
+
+    input.addData((1L, ts(0)), (1L, ts(0)), (2L, ts(1)))
+    q.processAllAvailable()
+    input.addData((1L, ts(0)), (3L, ts(2))) // late duplicate of id=1
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_test").select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("windowed aggregation over a bounded stream equals batch") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.runToMemory(spark,
+      StreamingOps.windowAgg(StreamingOps.eventsStream(spark, dir)), "wa_test")
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour",
+        org.apache.spark.sql.functions.col("ts")))
+      .count()
+    assert(streamed.select("wstart").distinct().count() == batch.count())
+  }
+}
