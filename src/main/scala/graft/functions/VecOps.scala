@@ -46,7 +46,12 @@ object VecOps {
 
   def plane(p: Int): Seq[Double] = (0 until Dim).map(d => planeCoef(p, d))
 
-  /** Dot of a data vector against a literal plane — unrolled like dot(). */
+  /** Dot of a data vector against a literal plane — unrolled like dot().
+    * (A zip_with/aggregate fold was tried and is 5-10x slower: Spark
+    * evaluates higher-order lambdas interpreted, per element. Unrolling
+    * stays inside whole-stage codegen; callers that use the bucket on
+    * both sides of a self-join should persist the bucketed relation so
+    * the 512-term projection runs once per row, not once per side.) */
   def dotPlane(v: Column, coefs: Seq[Double]): Column =
     coefs.zipWithIndex.map { case (c, i) => element_at(v, i + 1) * lit(c) }.reduce(_ + _)
 

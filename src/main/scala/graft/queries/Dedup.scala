@@ -40,15 +40,20 @@ object Dedup {
   /** Distinct doc shingle sets keyed by (lang, length-bucket) block.
     * The length bucket bounds block population: near-dups have nearly
     * equal length, so blocking on coarse length keeps ~all true pairs
-    * (measured 77/79 at sf0.1) while cutting candidate pairs ~5x. */
+    * (measured 77/79 at sf0.1) while cutting candidate pairs ~5x.
+    * Shingles are hashed to 48-bit longs up front: the per-pair set
+    * intersections then compare longs, not strings — the pairwise
+    * verify is the quadratic hot loop, so this is where the time goes. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("lang"),
       expr("n_chars div 100").as("lb"),
-      shingles3(wordsOf(col("text"))).as("sh"))
+      array_distinct(transform(shingles3(wordsOf(col("text"))),
+        x => Determinism.md5IdxK(x, 12))).as("sh"))
 
   private val sqlShingleSets =
     s"""SELECT doc_id, lang, n_chars // 100 AS lb,
-        ${sqlShingles3("string_split(text, ' ')")} AS sh
+        list_distinct(list_transform(${sqlShingles3("string_split(text, ' ')")},
+          x -> ${Determinism.sqlMd5IdxK("x", 12)})) AS sh
         FROM documents"""
 
   private def jaccard(a: Column, b: Column): Column =
@@ -94,9 +99,9 @@ object Dedup {
       val sh = shingleSets(s, dir)
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       val sig = ex.groupBy("doc_id").agg(
-        min(Determinism.md5IdxK(concat(lit("0#"), col("s")), 12)).as("m0"),
+        min(Determinism.md5IdxK(concat(lit("0#"), col("s").cast("string")), 12)).as("m0"),
         (1 until 8).map(j =>
-          min(Determinism.md5IdxK(concat(lit(s"$j#"), col("s")), 12)).as(s"m$j")): _*)
+          min(Determinism.md5IdxK(concat(lit(s"$j#"), col("s").cast("string")), 12)).as(s"m$j")): _*)
       val bands = (0 until 4).map { bi =>
         sig.select(col("doc_id"), lit(bi).as("bi"),
           concat_ws(":", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("bk"))
@@ -157,6 +162,7 @@ object Dedup {
       val corpus = e.unionByName(twin)
         .withColumn("n", VecOps.norm(col("v")))
         .withColumn("bucket", VecOps.lshBucket(col("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       corpus.as("x").join(corpus.as("y"),
           col("x.label") === col("y.label") && col("x.bucket") === col("y.bucket")
             && col("x.vec_id") < col("y.vec_id"))
@@ -191,7 +197,7 @@ object Dedup {
 
     "d_minhash_lsh" -> {
       val mins = (0 until 8).map(j =>
-        s"CAST(min(${Determinism.sqlMd5IdxK(s"'$j#' || s", 12)}) AS BIGINT) AS m$j").mkString(", ")
+        s"CAST(min(${Determinism.sqlMd5IdxK(s"'$j#' || CAST(s AS VARCHAR)", 12)}) AS BIGINT) AS m$j").mkString(", ")
       val bandSelects = (0 until 4).map(bi =>
         s"""SELECT doc_id, $bi AS bi,
             (CAST(m${2 * bi} AS VARCHAR) || ':' || CAST(m${2 * bi + 1} AS VARCHAR)) AS bk

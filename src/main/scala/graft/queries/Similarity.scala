@@ -51,8 +51,11 @@ object Similarity {
     }),
 
     // random-hyperplane LSH: candidates share the query's 8-bit bucket.
+    // Bucketed table persisted: the 8x64-term signature projection runs
+    // once per row, not once per join side.
     "s_lsh_ann" -> ((s, dir) => {
       val e = vecs(s, dir).withColumn("bucket", VecOps.lshBucket(col("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = broadcast(e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn"),
           col("bucket").as("qbucket")))
