@@ -51,13 +51,14 @@ final class Slicer(
       val cond = rs.map(r => s"(${r.condition})").mkString(" OR ")
       t -> table.filter(expr(cond)).select(keyCols(t).map(col): _*).distinct()
     }
-    seeds.foreach { case (t, keys) =>
-      val k = keys.persist(StorageLevel.MEMORY_AND_DISK)
-      val n = k.count()
+    // one Spark job materializes + counts ALL seed tables
+    countAll(seeds.toSeq.map { case (t, keys) =>
+      t -> keys.persist(StorageLevel.MEMORY_AND_DISK)
+    }).foreach { case (t, (k, n)) =>
       if (n > 0) {
         discovered += t -> k
         frontier += t -> (k, n)
-      }
+      } else k.unpersist()
     }
 
     while (frontier.nonEmpty) {
@@ -90,14 +91,17 @@ final class Slicer(
 
       val previous = frontier
       frontier = Map.empty
-      candidates.foreach { case (t, dfs) =>
+      // one job per ROUND (not per table): persist every fresh frontier
+      // and collect all their counts together
+      val freshByTable = candidates.toSeq.map { case (t, dfs) =>
         val cand = dfs.reduce(_ union _).distinct()
         val fresh = discovered.get(t) match {
           case Some(seen) => cand.join(seen, keyCols(t), "left_anti")
           case None       => cand
         }
-        val f = fresh.persist(StorageLevel.MEMORY_AND_DISK)
-        val n = f.count()
+        t -> fresh.persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      countAll(freshByTable).foreach { case (t, (f, n)) =>
         if (n > 0) {
           frontier += t -> (f, n)
           discovered += t -> (discovered.get(t) match {
@@ -117,6 +121,17 @@ final class Slicer(
       }
     }
     discovered
+  }
+
+  /** Count several (persisted) DataFrames in ONE Spark job: their
+    * grouped counts union into a single plan, so a BFS round costs one
+    * action regardless of how many tables its frontier touches. */
+  private def countAll(dfs: Seq[(String, DataFrame)]): Seq[(String, (DataFrame, Long))] = {
+    if (dfs.isEmpty) return Seq.empty
+    val counts = dfs.map { case (t, df) =>
+      df.groupBy().count().select(lit(t).as("t"), col("count").as("n"))
+    }.reduce(_ union _).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    dfs.map { case (t, df) => t -> (df, counts.getOrElse(t, 0L)) }
   }
 
   /** Run discovery ONCE; everything (rows, manifest, sequences) derives
@@ -156,7 +171,7 @@ final class SliceResult(
   def manifest: DataFrame =
     keys.keys.toSeq.sorted.map { t =>
       rows(t).groupBy().count().select(lit(t).as("table_id"), col("count").as("row_count"))
-    }.reduce(_ union _)
+    }.reduceOption(_ union _).getOrElse(emptyMeta("row_count"))
 
   /** Sequence-capture analog (slice_db/dump.py:216-250): the reference
     * records `last_value` of each serial; graft records max(key) per
@@ -165,5 +180,13 @@ final class SliceResult(
     keys.toSeq.sortBy(_._1).map { case (t, k) =>
       k.select(lit(t).as("table_id"),
         max(col(keyCols(t).head).cast("long")).as("last_value"))
-    }.reduce(_ union _)
+    }.reduceOption(_ union _).getOrElse(emptyMeta("last_value"))
+
+  /** Empty-slice metadata frame (a root condition can match nothing). */
+  private def emptyMeta(valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    org.apache.spark.sql.SparkSession.active.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("table_id", StringType), StructField(valueCol, LongType))))
+  }
 }
