@@ -24,6 +24,24 @@ import Determinism._
 object Transforms {
   val Pepper = "graft"
 
+  /** Name→transform registry (the analog of the reference's transform
+    * module registry, slice_db/transform.py `TransformerProvider`).
+    * Used by [[ScrubConfig]] and the TransformField CLI. */
+  lazy val byName: Map[String, Column => Column] = Map(
+    "given_name" -> givenName,
+    "surname" -> surname,
+    "city" -> city,
+    "us_state" -> usState,
+    "geozip" -> geozip,
+    "address1" -> address1,
+    "address2" -> address2,
+    "alphanum" -> alphanum,
+    "words" -> words,
+    "date_year" -> (c => dateYear(c)),
+    "null" -> (_ => nul),
+    "replace" -> replaceDigits,
+    "const" -> (_ => const("REDACTED")))
+
   private def seed(v: Column, salt: String = ""): Column =
     concat(upper(v), lit(salt + Pepper))
   private def sqlSeed(v: String, salt: String = ""): String =

@@ -18,9 +18,14 @@ import graft.operators.SliceResult
   */
 object SliceWriter {
 
-  def write(result: SliceResult, outDir: String): Unit = {
+  /** @param scrub per-table output transform (e.g. a
+    *   [[graft.functions.ScrubConfig]]) applied while dumping — the
+    *   reference scrubs during COPY-out, never in place. */
+  def write(result: SliceResult, outDir: String,
+      scrub: (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+        (_, df) => df): Unit = {
     result.allRows.foreach { case (table, df) =>
-      df.write.mode("overwrite").parquet(s"$outDir/data/$table")
+      scrub(table, df).write.mode("overwrite").parquet(s"$outDir/data/$table")
     }
     val counts = result.manifest.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

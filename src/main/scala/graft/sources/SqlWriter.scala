@@ -44,8 +44,10 @@ object SqlWriter {
     df.select(concat(parts: _*).as("stmt"))
   }
 
-  def write(result: SliceResult, outDir: String): Unit =
+  def write(result: SliceResult, outDir: String,
+      scrub: (String, DataFrame) => DataFrame = (_, df) => df): Unit =
     result.allRows.foreach { case (table, df) =>
-      insertStatements(df, table).write.mode("overwrite").text(s"$outDir/sql/$table")
+      insertStatements(scrub(table, df), table)
+        .write.mode("overwrite").text(s"$outDir/sql/$table")
     }
 }

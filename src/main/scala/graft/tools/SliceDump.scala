@@ -11,15 +11,22 @@ import graft.sources.{RestoreWriter, SliceWriter, SqlWriter}
   * from a root condition and write every output format — parquet
   * segments + manifest, INSERT scripts, and the ordered restore script.
   *
-  * Usage: SliceDump <sfDir> <outDir> <rootTable> <condition> [graph.json]
+  * Usage: SliceDump <sfDir> <outDir> <rootTable> <condition>
+  *                  [graph.json] [scrub.json]
   */
 object SliceDump {
+  private def readFile(p: String) =
+    java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rootTable, condition) = args.take(4)
     val graph =
-      if (args.length > 4)
-        SchemaConfig.fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(args(4))))
+      if (args.length > 4 && args(4).nonEmpty) SchemaConfig.fromJson(readFile(args(4)))
       else SchemaGraph.tpch
+    val scrub: (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+      if (args.length > 5)
+        graft.functions.ScrubConfig.fromJson(readFile(args(5))).apply
+      else (_, df) => df
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
@@ -31,8 +38,8 @@ object SliceDump {
 
     val result = new Slicer(graph, t => Tables.load(spark, sfDir, t))
       .run(Seq(SliceRoot(rootTable, condition)))
-    SliceWriter.write(result, outDir)
-    SqlWriter.write(result, outDir)
+    SliceWriter.write(result, outDir, scrub)
+    SqlWriter.write(result, outDir, scrub)
     val seqs = result.sequences.collect()
       .flatMap(r => if (r.isNullAt(1)) None else Some(r.getString(0) -> r.getLong(1))).toMap
     RestoreWriter.write(graph, outDir, seqs, s"$outDir/restore.sql")

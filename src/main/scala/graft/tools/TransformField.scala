@@ -12,19 +12,11 @@ import graft.functions.Transforms
   * Usage: TransformField <transform> <value>
   */
 object TransformField {
-  val transforms: Map[String, Column => Column] = Map(
-    "given_name" -> Transforms.givenName,
-    "surname" -> Transforms.surname,
-    "city" -> Transforms.city,
-    "us_state" -> Transforms.usState,
-    "geozip" -> Transforms.geozip,
-    "address1" -> Transforms.address1,
-    "address2" -> Transforms.address2,
-    "alphanum" -> Transforms.alphanum,
-    "words" -> Transforms.words,
-    "date_year" -> (c => Transforms.dateYear(c.cast("timestamp")).cast("string")),
-    "null" -> (_ => Transforms.nul),
-    "replace" -> Transforms.replaceDigits)
+  /** The shared registry, with string-typed input handling for the CLI
+    * (date_year takes a 'yyyy-MM-dd' string here). */
+  val transforms: Map[String, Column => Column] =
+    Transforms.byName + ("date_year" ->
+      ((c: Column) => Transforms.dateYear(c.cast("timestamp")).cast("string")))
 
   def main(args: Array[String]): Unit = {
     val Array(name, value) = args.take(2)
