@@ -138,6 +138,31 @@ object Relational {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    "q_semijoin" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // INTERSECT / EXCEPT over key projections
+    "q_set_ops" -> ((s, dir) => {
+      val partsSold = t(s, dir, "lineitem").select(col("l_partkey").as("p"))
+      val bigParts = t(s, dir, "part").filter(col("p_size") >= 40).select(col("p_partkey").as("p"))
+      val both = partsSold.intersect(bigParts).withColumn("src", lit("both"))
+      val unsold = bigParts.except(partsSold).withColumn("src", lit("unsold"))
+      both.unionByName(unsold).orderBy("src", "p")
+    }),
+
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).as("total"),
+          (grouping(col("o_orderstatus")).cast("int") * 2
+            + grouping(col("o_orderpriority")).cast("int")).as("gid"))
+        .orderBy(col("gid").asc, col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     // Scalar/expression zoo: case-when, date math, string functions.
     "q_exprs" -> ((s, dir) =>
       t(s, dir, "orders").select(
@@ -278,6 +303,29 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          ORDER BY c_custkey""",
+
+    "q_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+         ORDER BY c_custkey""",
+
+    "q_set_ops" ->
+      """SELECT p, 'both' AS src FROM
+           (SELECT l_partkey AS p FROM lineitem
+            INTERSECT SELECT p_partkey FROM part WHERE p_size >= 40)
+         UNION ALL
+         SELECT p, 'unsold' AS src FROM
+           (SELECT p_partkey AS p FROM part WHERE p_size >= 40
+            EXCEPT SELECT l_partkey FROM lineitem)
+         ORDER BY src, p""",
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
     "q_exprs" ->
       """SELECT o_orderkey,
