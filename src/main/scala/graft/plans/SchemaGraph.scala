@@ -35,6 +35,23 @@ final case class SchemaGraph(tables: Seq[TableDef], references: Seq[Reference]) 
     * pull in their children). */
   def refsTo(id: String): Seq[Reference] = references.filter(r => r.refTable == id && r.reverse)
 
+  /** Table-level reachability closure from a root — which tables a
+    * slice starting at `root` can touch, honoring reference directions
+    * (the metadata analog of the reference's schema-filter `children`
+    * visit, slice_db/cli/schema_filter.py:19-31). Driver-side only. */
+  def reachableFrom(root: String): Set[String] = {
+    val seen = collection.mutable.Set(root)
+    var frontier = Set(root)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap { t =>
+        refsFrom(t).map(_.refTable) ++ refsTo(t).map(_.table)
+      }.diff(seen)
+      seen ++= next
+      frontier = next
+    }
+    seen.toSet
+  }
+
   /** Restore order: parents before children (Kahn). Cycle members are
     * emitted last, flagged so a restore would defer those constraints —
     * the reference handles this with deferrable FKs (slice_db/restore.py).

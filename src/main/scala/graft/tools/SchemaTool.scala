@@ -1,0 +1,33 @@
+package graft.tools
+
+import graft.plans.{SchemaConfig, SchemaGraph}
+
+/** Schema CLI — analogs of `slicedb schema` (dump the FK graph as JSON;
+  * ours prints the configured graph, the reference infers it from
+  * pg_catalog) and `slicedb schema-filter children` (reachability
+  * closure from a root).
+  *
+  * Usage:
+  *   SchemaTool print [graph.json]
+  *   SchemaTool reachable <table> [graph.json]
+  *   SchemaTool restore-order [graph.json]
+  */
+object SchemaTool {
+  def main(args: Array[String]): Unit = {
+    val graph =
+      if (args.last.endsWith(".json"))
+        SchemaConfig.fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(args.last)))
+      else SchemaGraph.tpch
+    args.head match {
+      case "print" =>
+        println(SchemaConfig.toJson(graph))
+      case "reachable" =>
+        println(graph.reachableFrom(args(1)).toSeq.sorted.mkString("\n"))
+      case "restore-order" =>
+        graph.restoreOrder.foreach { case (t, deferred) =>
+          println(if (deferred) s"$t (deferred)" else t)
+        }
+      case other => sys.error(s"unknown subcommand '$other' (print | reachable | restore-order)")
+    }
+  }
+}

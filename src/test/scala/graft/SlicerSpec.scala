@@ -51,6 +51,13 @@ class SlicerSpec extends SparkSpec {
     assert(m == Map("parent" -> 1L, "child" -> 1L, "grandchild" -> 1L))
   }
 
+  test("reachability closure honors reference directions") {
+    assert(graph.reachableFrom("parent") == Set("parent", "child", "grandchild"))
+    val fwd = graph.copy(references = graph.references.map(_.copy(reverse = false)))
+    assert(fwd.reachableFrom("parent") == Set("parent"), "no reverse refs: nothing to pull")
+    assert(fwd.reachableFrom("grandchild") == Set("grandchild", "child", "parent"))
+  }
+
   test("restore order is parents-first; cycles marked deferred") {
     assert(graph.restoreOrder == Seq(
       ("parent", false), ("child", false), ("grandchild", false)))
