@@ -47,8 +47,9 @@ object Dedup {
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("lang"),
       expr("n_chars div 100").as("lb"),
-      array_distinct(transform(shingles3(wordsOf(col("text"))),
-        x => Determinism.md5IdxK(x, 12))).as("sh"))
+      // sorted once per doc so the pairwise stage can two-pointer merge
+      sort_array(array_distinct(transform(shingles3(wordsOf(col("text"))),
+        x => Determinism.md5IdxK(x, 12)))).as("sh"))
 
   private val sqlShingleSets =
     s"""SELECT doc_id, lang, n_chars // 100 AS lb,
@@ -56,10 +57,15 @@ object Dedup {
           x -> ${Determinism.sqlMd5IdxK("x", 12)})) AS sh
         FROM documents"""
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)) / size(array_union(a, b))
   private def sqlJaccard(a: String, b: String): String =
     s"(len(list_intersect($a, $b)) / len(list_distinct($a || $b)))"
+
+  /** |A∩B| via the custom two-pointer Expression (arrays pre-sorted). */
+  private def sortedInter(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: normalize -> hash -> group; emit (doc, canonical).
@@ -80,12 +86,19 @@ object Dedup {
     // blocks. The intersect is computed ONCE per pair (staged projects;
     // |A∪B| = |A|+|B|-|A∩B| avoids materializing the union array).
     "d_ngram_jaccard" -> ((s, dir) => {
+      // persisted: the shingle build (1.5M md5s + sorts at sf0.1) runs
+      // once, not once per join side
       val sh = shingleSets(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sh.as("x").join(sh.as("y"),
           col("x.lang") === col("y.lang") && col("x.lb") === col("y.lb")
-            && col("x.doc_id") < col("y.doc_id"))
+            && col("x.doc_id") < col("y.doc_id")
+            // size-ratio prefilter IMPLIED by jac>=0.2 (jac <= min/max),
+            // prunes pairs before the per-pair merge; results unchanged
+            && least(size(col("x.sh")), size(col("y.sh"))) * 5
+              >= greatest(size(col("x.sh")), size(col("y.sh"))))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          size(array_intersect(col("x.sh"), col("y.sh"))).as("inter"),
+          sortedInter(col("x.sh"), col("y.sh")).as("inter"),
           size(col("x.sh")).as("sa"), size(col("y.sh")).as("sb"))
         .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= 0.2)
         .select(col("a"), col("b"),
@@ -97,6 +110,7 @@ object Dedup {
     // exact-Jaccard verify stage keeps only true near-dups.
     "d_minhash_lsh" -> ((s, dir) => {
       val sh = shingleSets(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       val sig = ex.groupBy("doc_id").agg(
         min(Determinism.md5IdxK(concat(lit("0#"), col("s").cast("string")), 12)).as("m0"),
@@ -113,8 +127,11 @@ object Dedup {
       val sa = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
       val sb = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
       cand.join(sa, "a").join(sb, "b")
-        .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jac"))
-        .filter(col("jac") >= 0.2)
+        .select(col("a"), col("b"), sortedInter(col("sha"), col("shb")).as("inter"),
+          size(col("sha")).as("sa"), size(col("shb")).as("sb"))
+        .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= 0.2)
+        .select(col("a"), col("b"),
+          (col("inter") / (col("sa") + col("sb") - col("inter"))).as("jac"))
         .orderBy("a", "b")
     }),
 
