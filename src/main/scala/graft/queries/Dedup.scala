@@ -147,12 +147,17 @@ object Dedup {
       val ex = corpus.select(col("doc_id"),
         explode(array_distinct(wordsOf(col("text")))).as("w"))
         .select(col("doc_id"), Determinism.md5IdxK(col("w"), 15).as("h"))
-      val bitVotes = ex
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
-        .groupBy("doc_id", "bit")
-        .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1)).as("v"))
-      val sim = bitVotes.groupBy("doc_id")
-        .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("sh"))
+      // one wide aggregation instead of a 60x bit-explosion: per doc,
+      // count words with bit b set (60 sums + count); bit b of the
+      // simhash is set iff set-count > half the words (same vote rule)
+      val bitSums = ex.groupBy("doc_id").agg(
+        count(lit(1)).as("cnt"),
+        (0 until 60).map(b =>
+          sum(expr(s"shiftright(h, $b) & 1")).as(s"b$b")): _*)
+      val sim = bitSums.select(col("doc_id"),
+        (0 until 60).map(b =>
+          when(col(s"b$b") * 2 > col("cnt"), lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("sh"))
       val chunks = sim.select(col("doc_id"), col("sh"),
           explode(sequence(lit(0), lit(3))).as("ci"))
         .select(col("doc_id"), col("sh"), col("ci"),
