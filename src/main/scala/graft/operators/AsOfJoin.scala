@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   * rows so "latest" is total, not planner-dependent.
   */
 object AsOfJoin {
+  /** @param toleranceSeconds if set, a match is dropped (null) when the
+    *   prior right row is older than the tolerance window — standard
+    *   as-of-join tolerance semantics. */
   def apply(
       left: DataFrame,
       right: DataFrame,
@@ -27,11 +30,13 @@ object AsOfJoin {
       time: String,
       rightVals: Seq[String],
       tiebreak: String,
-      outPrefix: String = "prior_"): DataFrame = {
+      outPrefix: String = "prior_",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
 
     val l = left.withColumn("__side", lit(0))
     val r = right.select(
-      (keys.map(col) :+ col(time)) ++ (rightVals :+ tiebreak).distinct.map(c => col(c).as(s"__r_$c")): _*)
+      (keys.map(col) :+ col(time)) ++ (rightVals :+ tiebreak :+ time).distinct
+        .map(c => col(c).as(s"__r_$c")): _*)
       .withColumn("__side", lit(1))
 
     val unioned = l.unionByName(r, allowMissingColumns = true)
@@ -39,11 +44,22 @@ object AsOfJoin {
       .orderBy(col(time).asc, col("__side").asc, col(s"__r_$tiebreak").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
 
-    val withPrior = rightVals.foldLeft(unioned) { (df, v) =>
+    val withPrior0 = rightVals.foldLeft(unioned) { (df, v) =>
       df.withColumn(outPrefix + v, last(col(s"__r_$v"), ignoreNulls = true).over(w))
+    }
+    val withPrior = toleranceSeconds match {
+      case None => withPrior0
+      case Some(tol) =>
+        // the prior row's own time bounds the lookback window
+        val priorTime = last(col(s"__r_$time"), ignoreNulls = true).over(w)
+        val inWindow =
+          unix_micros(col(time)) - unix_micros(priorTime) <= tol * 1000000L
+        rightVals.foldLeft(withPrior0) { (df, v) =>
+          df.withColumn(outPrefix + v, when(inWindow, col(outPrefix + v)))
+        }
     }
     withPrior.filter(col("__side") === 0)
       .drop("__side")
-      .drop((rightVals :+ tiebreak).distinct.map("__r_" + _): _*)
+      .drop((rightVals :+ tiebreak :+ time).distinct.map("__r_" + _): _*)
   }
 }

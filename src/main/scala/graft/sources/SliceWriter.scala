@@ -20,12 +20,14 @@ object SliceWriter {
 
   /** @param scrub per-table output transform (e.g. a
     *   [[graft.functions.ScrubConfig]]) applied while dumping — the
-    *   reference scrubs during COPY-out, never in place. */
+    *   reference scrubs during COPY-out, never in place.
+    * @param format segment format (parquet | orc | csv | json) */
   def write(result: SliceResult, outDir: String,
       scrub: (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
-        (_, df) => df): Unit = {
+        (_, df) => df,
+      format: String = "parquet"): Unit = {
     result.allRows.foreach { case (table, df) =>
-      scrub(table, df).write.mode("overwrite").parquet(s"$outDir/data/$table")
+      Formats.write(scrub(table, df), s"$outDir/data/$table", format)
     }
     val counts = result.manifest.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

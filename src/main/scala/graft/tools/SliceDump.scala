@@ -38,7 +38,8 @@ object SliceDump {
 
     val result = new Slicer(graph, t => Tables.load(spark, sfDir, t))
       .run(Seq(SliceRoot(rootTable, condition)))
-    SliceWriter.write(result, outDir, scrub)
+    SliceWriter.write(result, outDir, scrub,
+      format = sys.env.getOrElse("SPARK_GRAFT_SLICE_FORMAT", "parquet"))
     SqlWriter.write(result, outDir, scrub)
     val seqs = result.sequences.collect()
       .flatMap(r => if (r.isNullAt(1)) None else Some(r.getString(0) -> r.getLong(1))).toMap

@@ -25,6 +25,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out(102L).isEmpty, "no prior right row for user 2")
   }
 
+  test("as-of join tolerance nulls out matches older than the window") {
+    val left = Seq((1L, 100L, ts(60))).toDF("user_id", "event_id", "ts")
+    val right = Seq((1L, 50L, ts(10))).toDF("user_id", "event_id", "ts")
+    def run(tol: Option[Long]) =
+      AsOfJoin(left, right, Seq("user_id"), "ts", Seq("event_id"), "event_id",
+        toleranceSeconds = tol)
+        .select("prior_event_id").as[Option[Long]].head()
+    assert(run(None).contains(50L))
+    assert(run(Some(3600L)).contains(50L), "50-min lookback within 1h tolerance")
+    assert(run(Some(600L)).isEmpty, "50-min lookback outside 10-min tolerance")
+  }
+
   test("sessionize splits on gaps greater than the timeout") {
     val df = Seq(
       (1L, 1L, ts(0)), (1L, 2L, ts(20)), (1L, 3L, ts(60)), (2L, 4L, ts(0)))

@@ -53,6 +53,26 @@ class SinksSpec extends SparkSpec {
     assert(script.startsWith("BEGIN;") && script.trim.endsWith("COMMIT;"))
   }
 
+  test("Formats round-trips values through orc, csv, and json") {
+    import graft.sources.Formats
+    val df = Seq((1L, "it's, quoted", 2.5), (2L, "plain", -1.0))
+      .toDF("id", "txt", "x")
+    Seq("orc", "csv", "json").foreach { fmt =>
+      val dir = Files.createTempDirectory(s"fmt_$fmt").toString
+      Formats.write(df, dir, fmt)
+      val back = Formats.read(spark, dir, fmt, Some(df.schema))
+        .as[(Long, String, Double)].collect().sortBy(_._1)
+      assert(back.toSeq == Seq((1L, "it's, quoted", 2.5), (2L, "plain", -1.0)), fmt)
+    }
+    intercept[IllegalArgumentException] { Formats.write(df, "/tmp/x", "avro") }
+  }
+
+  test("SliceWriter can emit ORC segments") {
+    val dir = Files.createTempDirectory("slicew_orc").toString
+    SliceWriter.write(result(), dir, format = "orc")
+    assert(spark.read.orc(s"$dir/data/p").count() == 1)
+  }
+
   test("SchemaConfig JSON roundtrips the graph") {
     val g2 = SchemaConfig.fromJson(SchemaConfig.toJson(graph))
     assert(g2 == graph)
