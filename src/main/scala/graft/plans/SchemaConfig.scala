@@ -39,7 +39,8 @@ object SchemaConfig {
         refTable = r.get("refTable").asText(),
         refColumns = strings(r.get("refColumns")),
         forward = Option(r.get("forward")).forall(_.asBoolean(true)),
-        reverse = Option(r.get("reverse")).forall(_.asBoolean(true)))
+        reverse = Option(r.get("reverse")).forall(_.asBoolean(true)),
+        deferrable = Option(r.get("deferrable")).exists(_.asBoolean(false)))
     }.toSeq).getOrElse(Seq.empty)
     SchemaGraph(tables, refs)
   }
@@ -50,7 +51,7 @@ object SchemaConfig {
     val rs = g.references.map(r =>
       s"""    {"id": "${r.id}", "table": "${r.table}", "columns": ${arr(r.columns)},
          |     "refTable": "${r.refTable}", "refColumns": ${arr(r.refColumns)},
-         |     "forward": ${r.forward}, "reverse": ${r.reverse}}""".stripMargin)
+         |     "forward": ${r.forward}, "reverse": ${r.reverse}, "deferrable": ${r.deferrable}}""".stripMargin)
     s"""{\n  "tables": [\n${ts.mkString(",\n")}\n  ],\n  "references": [\n${rs.mkString(",\n")}\n  ]\n}"""
   }
 }

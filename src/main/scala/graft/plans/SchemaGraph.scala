@@ -18,7 +18,8 @@ final case class Reference(
     refTable: String,
     refColumns: Seq[String],
     forward: Boolean = true,
-    reverse: Boolean = true)
+    reverse: Boolean = true,
+    deferrable: Boolean = false)
 
 final case class TableDef(id: String, key: Seq[String])
 
@@ -69,8 +70,13 @@ final case class SchemaGraph(tables: Seq[TableDef], references: Seq[Reference]) 
       if (ready.nonEmpty) {
         ready.foreach(t => out += ((t, false)))
         remaining = remaining -- ready
-      } else { // cycle: break it deterministically, mark deferred
-        val t = remaining.keys.toSeq.min
+      } else {
+        // cycle: break at a table whose incoming FK is declared
+        // DEFERRABLE (slice_db restore defers exactly those constraints,
+        // restore.py:221-263); fall back to the deterministic minimum
+        val deferrableTables = remaining.keys.toSeq.filter(t =>
+          references.exists(r => r.table == t && r.deferrable)).sorted
+        val t = deferrableTables.headOption.getOrElse(remaining.keys.toSeq.min)
         out += ((t, true))
         remaining = remaining - t
       }

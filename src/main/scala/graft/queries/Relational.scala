@@ -202,6 +202,20 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // As-of with a bounded lookback: prior errors older than 2h don't
+    // count (standard as-of tolerance semantics).
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+      AsOfJoin(purchases, errors, Seq("user_id"), "ts",
+        rightVals = Seq("event_id"), tiebreak = "event_id",
+        toleranceSeconds = Some(7200L))
+        .select(col("event_id"), col("user_id"), col("prior_event_id"))
+        .orderBy("event_id")
+    }),
+
     // Gaps-and-islands sessionization, 30-minute timeout.
     "q_sessionize" -> ((s, dir) =>
       Sessionize(t(s, dir, "events"), "user_id", "ts", "event_id", gapSeconds = 1800)
@@ -357,6 +371,16 @@ object Relational {
            (SELECT e.ts FROM events e WHERE e.user_id = p.user_id
               AND e.event_type = 'error' AND e.ts < p.ts
             ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS prior_ts
+         FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""",
+
+    // latest-within-window == latest-overall-if-within-window: all
+    // earlier errors are older still, so both formulations agree.
+    "q_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id,
+           (SELECT e.event_id FROM events e WHERE e.user_id = p.user_id
+              AND e.event_type = 'error' AND e.ts < p.ts
+              AND e.ts >= p.ts - INTERVAL 2 HOUR
+            ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS prior_event_id
          FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""",
 
     "q_sessionize" ->

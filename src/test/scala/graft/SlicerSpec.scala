@@ -70,4 +70,14 @@ class SlicerSpec extends SparkSpec {
     assert(order.map(_._1).toSet == Set("a", "b"))
     assert(order.head._2, "first cycle member must be deferred")
   }
+
+  test("cycle breaking prefers tables with DEFERRABLE incoming FKs") {
+    val cyclic = SchemaGraph(
+      tables = Seq(TableDef("a", Seq("id")), TableDef("b", Seq("id"))),
+      references = Seq(
+        Reference("ab", "a", Seq("bid"), "b", Seq("id")),
+        Reference("ba", "b", Seq("aid"), "a", Seq("id"), deferrable = true)))
+    // b's incoming FK is deferrable -> break the cycle at b, not min("a")
+    assert(cyclic.restoreOrder == Seq(("b", true), ("a", false)))
+  }
 }
