@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
 object VecOps {
   val Dim = 64
 
-  def dot(a: Column, b: Column): Column =
-    (0 until Dim).map(i => element_at(a, i + 1) * element_at(b, i + 1)).reduce(_ + _)
+  private def dotExpr(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(DotProduct(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  def dot(a: Column, b: Column): Column = dotExpr(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -46,14 +50,14 @@ object VecOps {
 
   def plane(p: Int): Seq[Double] = (0 until Dim).map(d => planeCoef(p, d))
 
-  /** Dot of a data vector against a literal plane — unrolled like dot().
+  /** Dot of a data vector against a literal plane: the plane bakes in
+    * as an array literal, the same [[DotProduct]] loop does the work.
     * (A zip_with/aggregate fold was tried and is 5-10x slower: Spark
-    * evaluates higher-order lambdas interpreted, per element. Unrolling
-    * stays inside whole-stage codegen; callers that use the bucket on
-    * both sides of a self-join should persist the bucketed relation so
-    * the 512-term projection runs once per row, not once per side.) */
+    * evaluates higher-order lambdas interpreted, per element. Callers
+    * that bucket both sides of a self-join should still persist the
+    * bucketed relation.) */
   def dotPlane(v: Column, coefs: Seq[Double]): Column =
-    coefs.zipWithIndex.map { case (c, i) => element_at(v, i + 1) * lit(c) }.reduce(_ + _)
+    dotExpr(v, lit(coefs.toArray))
 
   def sqlDotPlane(v: String, coefs: Seq[Double]): String =
     coefs.zipWithIndex.map { case (c, i) => s"$v[${i + 1}] * ($c)" }.mkString("(", " + ", ")")
