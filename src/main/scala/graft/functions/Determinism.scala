@@ -29,6 +29,15 @@ object Determinism {
   def md5IdxK(seed: Column, k: Int): Column =
     conv(substring(md5(seed.cast("binary")), 1, k), 16, 10).cast("long")
 
+  /** JVM-side twin of md5IdxK, for deriving literal constants (plane
+    * coefficients, hash-family parameters) that bake into BOTH the
+    * Column tree and the oracle SQL. */
+  def jvmMd5Idx(s: String, k: Int = K): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, k), 16)
+  }
+
   /** Deterministic choice out of N options (0-based index). */
   def choice(seed: Column, n: Int): Column = md5Idx(seed) % n
 

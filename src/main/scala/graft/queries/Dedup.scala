@@ -60,6 +60,17 @@ object Dedup {
   private def sqlJaccard(a: String, b: String): String =
     s"(len(list_intersect($a, $b)) / len(list_distinct($a || $b)))"
 
+  /** Universal-hash family for minhash: h_j(x) = (a_j x + b_j) mod p
+    * over the 48-bit shingle hashes reduced mod p; p = 2^31 - 1
+    * (Mersenne prime) keeps every product inside a signed 64-bit long.
+    * Parameters derive from the md5 determinism contract so both
+    * engines bake in identical literals. */
+  private val MinhashP = 2147483647L
+  private val MinhashA: IndexedSeq[Long] =
+    (0 until 8).map(j => Determinism.jvmMd5Idx(s"mh-a#$j", 12) % (MinhashP - 1) + 1)
+  private val MinhashB: IndexedSeq[Long] =
+    (0 until 8).map(j => Determinism.jvmMd5Idx(s"mh-b#$j", 12) % MinhashP)
+
   /** |A∩B| via the custom two-pointer Expression (arrays pre-sorted). */
   private def sortedInter(a: Column, b: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
@@ -76,8 +87,10 @@ object Dedup {
           concat(col("text"), lit(" ")).as("text")))
       val hashed = corpus.select(col("doc_id"),
         md5(trim(lower(regexp_replace(col("text"), "\\s+", " "))).cast("binary")).as("h"))
-      val canon = hashed.groupBy("h").agg(min("doc_id").as("dup_of"))
-      hashed.join(canon, "h")
+      // canonical-per-group via a window: ONE shuffle on the hash, no
+      // groupBy + self-join (which scans and md5s the corpus twice)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      hashed.withColumn("dup_of", min("doc_id").over(w))
         .filter(col("doc_id") =!= col("dup_of"))
         .select("doc_id", "dup_of").orderBy("doc_id")
     }),
@@ -107,15 +120,19 @@ object Dedup {
     }),
 
     // MinHash(8) + LSH: 4 bands x 2 rows -> candidates share a band;
-    // exact-Jaccard verify stage keeps only true near-dups.
+    // exact-Jaccard verify stage keeps only true near-dups. The hash
+    // family is universal hashing over the ALREADY-HASHED shingles
+    // (a_j*x + b_j mod p) — integer arithmetic both engines evaluate
+    // identically, replacing 8 md5 calls per (doc, shingle) row.
     "d_minhash_lsh" -> ((s, dir) => {
       val sh = shingleSets(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      def hj(j: Int): Column =
+        (lit(MinhashA(j)) * (col("s") % MinhashP) + MinhashB(j)) % MinhashP
       val sig = ex.groupBy("doc_id").agg(
-        min(Determinism.md5IdxK(concat(lit("0#"), col("s").cast("string")), 12)).as("m0"),
-        (1 until 8).map(j =>
-          min(Determinism.md5IdxK(concat(lit(s"$j#"), col("s").cast("string")), 12)).as(s"m$j")): _*)
+        min(hj(0)).as("m0"),
+        (1 until 8).map(j => min(hj(j)).as(s"m$j")): _*)
       val bands = (0 until 4).map { bi =>
         sig.select(col("doc_id"), lit(bi).as("bi"),
           concat_ws(":", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("bk"))
@@ -219,7 +236,7 @@ object Dedup {
 
     "d_minhash_lsh" -> {
       val mins = (0 until 8).map(j =>
-        s"CAST(min(${Determinism.sqlMd5IdxK(s"'$j#' || CAST(s AS VARCHAR)", 12)}) AS BIGINT) AS m$j").mkString(", ")
+        s"CAST(min((${MinhashA(j)} * (s % $MinhashP) + ${MinhashB(j)}) % $MinhashP) AS BIGINT) AS m$j").mkString(", ")
       val bandSelects = (0 until 4).map(bi =>
         s"""SELECT doc_id, $bi AS bi,
             (CAST(m${2 * bi} AS VARCHAR) || ':' || CAST(m${2 * bi + 1} AS VARCHAR)) AS bk
