@@ -88,8 +88,70 @@ object TextAnalysis {
         array_min(transform(sh, x => Determinism.md5IdxK(x, 12))).as("fp"),
         size(sh).as("n_shingles"))
         .orderBy("doc_id")
+    }),
+
+    // PII redaction: emails/URLs replaced by tags, occurrences counted.
+    // The corpus has none, so every 5th doc gets a synthetic contact
+    // line (mirrored by the oracle) to prove redaction fires.
+    "x_redact_pii" -> ((s, dir) => {
+      val withPii = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact bob@example.com or https://example.com/x")))
+        .otherwise(col("text"))
+      docs(s, dir).select(col("doc_id"), withPii.as("t"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(UrlRe), lit(0))).as("n_urls"),
+          regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+            .as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // stratified sampling: deterministic per-language keep rates — the
+    // data-mixing primitive (hash-gated, so resumable and exact).
+    "x_sample_strata" -> ((s, dir) => {
+      val gate = Determinism.md5Idx(concat(lit("smp#"), col("doc_id").cast("string"))) % 100
+      val rate = SampleRates.foldLeft(lit(5)) { case (acc, (lang, r)) =>
+        when(col("lang") === lang, r).otherwise(acc)
+      }
+      docs(s, dir).filter(gate < rate)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: docs sharing any word 8-gram with the
+    // benchmark set (doc_id < 10) are flagged with the overlap count.
+    "x_contamination" -> ((s, dir) => {
+      val grams = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(transform(shingles(wordsCol, 8),
+          x => Determinism.md5IdxK(x, 12)))).as("g"))
+      val bench = grams.filter(col("doc_id") < 10)
+        .select(col("g")).distinct()
+      grams.filter(col("doc_id") >= 10)
+        .join(bench, "g")
+        .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // chunking: 50-token windows, stride 40 (10-token overlap) — the
+    // pretraining tokenize-and-pack precursor.
+    "x_chunk" -> ((s, dir) => {
+      val w = wordsCol
+      val starts = sequence(lit(0), expr("(size(split(text, ' ')) - 1) div 40"))
+      docs(s, dir).select(col("doc_id"),
+          explode(transform(starts, i =>
+            struct(i.as("chunk_id"),
+              concat_ws(" ", slice(w, i * 40 + 1, lit(50))).as("chunk")))).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").cast("int").as("chunk_id"),
+          col("c.chunk").as("chunk"),
+          size(split(col("c.chunk"), " ")).as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
     })
   )
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+  private val SampleRates =
+    Seq("en" -> 50, "es" -> 30, "de" -> 30, "fr" -> 20, "zh" -> 10)
 
   val oracleSql: Map[String, String] = Map(
     "x_token_count" ->
@@ -133,6 +195,47 @@ object TextAnalysis {
            CAST(list_aggregate(list_transform(sh, x -> ${Determinism.sqlMd5IdxK("x", 12)}), 'min') AS BIGINT) AS fp,
            CAST(len(sh) AS INT) AS n_shingles
          FROM (SELECT doc_id, ${sqlShingles("string_split(text, ' ')", 5)} AS sh
-               FROM documents) ORDER BY doc_id"""
+               FROM documents) ORDER BY doc_id""",
+
+    "x_redact_pii" ->
+      s"""SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '$EmailRe')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '$UrlRe')) AS INT) AS n_urls,
+           regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+             '$UrlRe', '<URL>', 'g') AS redacted
+         FROM (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+               THEN text || ' contact bob@example.com or https://example.com/x'
+               ELSE text END AS t
+           FROM documents) ORDER BY doc_id""",
+
+    "x_sample_strata" -> {
+      val rateSql = "CASE lang " + SampleRates.map { case (l, r) =>
+        s"WHEN '$l' THEN $r" }.mkString(" ") + " ELSE 5 END"
+      s"""SELECT doc_id, lang FROM documents
+         WHERE (${Determinism.sqlMd5Idx("'smp#' || CAST(doc_id AS VARCHAR)")} % 100) < $rateSql
+         ORDER BY doc_id"""
+    },
+
+    "x_contamination" ->
+      s"""WITH grams AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             ${sqlShingles("string_split(text, ' ')", 8)},
+             x -> ${Determinism.sqlMd5IdxK("x", 12)}))) AS g
+           FROM documents),
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10)
+         SELECT doc_id, count(DISTINCT g) AS n_shared FROM grams
+         WHERE doc_id >= 10 AND g IN (SELECT g FROM bench)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "x_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         c AS (SELECT doc_id, w,
+             unnest(range(0, (len(w) - 1) // 40 + 1)) AS i FROM d)
+         SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           array_to_string(w[CAST(i*40+1 AS INT):CAST(i*40+50 AS INT)], ' ') AS chunk,
+           CAST(len(string_split(
+             array_to_string(w[CAST(i*40+1 AS INT):CAST(i*40+50 AS INT)], ' '), ' ')) AS INT) AS n_tokens
+         FROM c ORDER BY doc_id, chunk_id"""
   )
 }
