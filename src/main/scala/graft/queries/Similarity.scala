@@ -64,6 +64,22 @@ object Similarity {
           VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
     }),
 
+    // int8-quantized cosine top-k: each vector scales to [-127,127] by
+    // its max-abs and floors to integers — 4x smaller vectors, and the
+    // integer dot products are EXACT in any summation order, so this is
+    // the one similarity score with zero float-divergence surface.
+    "s_int8_topk" -> ((s, dir) => {
+      val mx = array_max(transform(col("v"), x => abs(x)))
+      val qv = transform(col("v"), x => floor(x * 127.0 / mx).cast("double"))
+      val e = vecs(s, dir).select(col("vec_id"), qv.as("qv"))
+        .withColumn("qn", sqrt(VecOps.dot(col("qv"), col("qv"))))
+      val q = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("qv").as("qqv"), col("qn").as("qqn")))
+      topk(q.join(e, col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          (VecOps.dot(col("qqv"), col("qv")) / (col("qqn") * col("qn"))).as("cos")))
+    }),
+
     // IVF flavor: centroids are a deterministic sample; every vector is
     // assigned to its nearest centroid; queries probe the NProbe nearest
     // centroid cells and search only those.
@@ -114,6 +130,22 @@ object Similarity {
          FROM (SELECT *, ${VecOps.sqlLshBucket("v")} AS bucket FROM ($sqlVecs)) qs
          JOIN (SELECT *, ${VecOps.sqlLshBucket("v")} AS bucket FROM ($sqlVecs)) e
            ON e.bucket = qs.bucket AND e.vec_id <> qs.vec_id
+         WHERE qs.vec_id < $NQueries"""),
+
+    "s_int8_topk" -> sqlTopk(
+      s"""SELECT qs.vec_id AS q, e.vec_id,
+           (${VecOps.sqlDot("qs.qv", "e.qv")} / (qs.qn * e.qn)) AS cos
+         FROM (SELECT vec_id, qv, ${VecOps.sqlNorm("qv")} AS qn FROM (
+             SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x * 127.0 /
+                 list_aggregate(list_transform(v, y -> abs(y)), 'max')) AS DOUBLE)) AS qv
+             FROM ($sqlVecs))) qs
+         JOIN (SELECT vec_id, qv, ${VecOps.sqlNorm("qv")} AS qn FROM (
+             SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x * 127.0 /
+                 list_aggregate(list_transform(v, y -> abs(y)), 'max')) AS DOUBLE)) AS qv
+             FROM ($sqlVecs))) e
+           ON e.vec_id <> qs.vec_id
          WHERE qs.vec_id < $NQueries"""),
 
     "s_ivf_ann" -> sqlTopk(
