@@ -288,8 +288,8 @@ object Relational {
     "q_window_rank" ->
       """SELECT * FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
            FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
 
     "q_window_running" ->

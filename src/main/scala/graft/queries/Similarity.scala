@@ -113,7 +113,7 @@ object Similarity {
   private val sqlTopk = (from: String) =>
     s"""SELECT q, vec_id, cos, rn FROM (
           SELECT q, vec_id, cos,
-            row_number() OVER (PARTITION BY q ORDER BY cos DESC, vec_id) AS rn
+            CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, vec_id) AS INT) AS rn
           FROM ($from))
         WHERE rn <= $K ORDER BY q, rn"""
 
