@@ -11,6 +11,14 @@ import graft.operators.{AsOfJoin, Sessionize}
   * Catalyst owns pushdown/pruning/join strategy. Money math is cast to
   * DECIMAL before aggregation so results are EXACT and engine-portable
   * (double sums are order-dependent; the driver hash-compares values).
+  *
+  * Output-type rule: aggregate in DECIMAL (exact), but final-cast every
+  * money column to DOUBLE. DECIMAL output columns serialize with
+  * trailing scale zeros ("222017.00") that a float-converting reader
+  * renders as "222017.0" — a hash mismatch even though the values are
+  * numerically equal. The exact-decimal→double conversion itself is
+  * deterministic in both engines (unscaled values < 2^53, one correctly
+  * rounded conversion), so DOUBLE outputs hash identically everywhere.
   */
 object Relational {
 
@@ -34,10 +42,10 @@ object Relational {
         .filter(col("l_shipdate") <= "2000-12-31")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
-          sum(dec("l_extendedprice")).cast("decimal(38,2)").as("sum_base"),
-          sum(dec("l_extendedprice") * (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("decimal(38,4)").as("sum_disc"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base"),
+          sum(dec("l_extendedprice") * (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("sum_disc"),
+          (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -49,7 +57,7 @@ object Relational {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(sum(dec("l_extendedprice") * (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("decimal(38,4)").as("revenue"))
+        .agg(sum(dec("l_extendedprice") * (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
         .limit(10)
     }),
@@ -70,14 +78,14 @@ object Relational {
         .join(n, col("s_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(sum(dec("l_extendedprice") * (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("decimal(38,4)").as("revenue"))
+        .agg(sum(dec("l_extendedprice") * (lit(1) - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
     "q_having" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy("o_custkey")
-        .agg(count(lit(1)).as("n_orders"), sum(dec("o_totalprice")).cast("decimal(38,2)").as("total"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec("o_totalprice")).cast("double").as("total"))
         .filter(col("n_orders") >= 15)
         .orderBy("o_custkey")),
 
@@ -113,14 +121,14 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          sum(dec("o_totalprice")).over(w).cast("decimal(38,2)").as("running"))
+          sum(dec("o_totalprice")).over(w).cast("double").as("running"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
 
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sum(dec("l_quantity")).cast("decimal(38,2)").as("sum_qty"), count(lit(1)).as("n"),
+        .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"), count(lit(1)).as("n"),
           (grouping(col("l_returnflag")).cast("int") * 2
             + grouping(col("l_linestatus")).cast("int")).as("gid"))
         .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
@@ -129,7 +137,7 @@ object Relational {
       t(s, dir, "orders")
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(sum(dec("o_totalprice")).cast("decimal(38,2)"))
+        .agg(sum(dec("o_totalprice")).cast("double"))
         .orderBy("o_orderpriority")),
 
     "q_antijoin" -> ((s, dir) =>
@@ -157,7 +165,7 @@ object Relational {
     "q_cube" -> ((s, dir) =>
       t(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).cast("decimal(38,2)").as("total"),
+        .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).cast("double").as("total"),
           (grouping(col("o_orderstatus")).cast("int") * 2
             + grouping(col("o_orderpriority")).cast("int")).as("gid"))
         .orderBy(col("gid").asc, col("o_orderstatus").asc_nulls_first,
@@ -242,16 +250,16 @@ object Relational {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc,
-           round(avg(l_quantity), 4) AS avg_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
            count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
 
     "q3_join" ->
-      s"""SELECT l_orderkey, o_orderdate, CAST($rev AS DECIMAL(38,4)) AS revenue
+      s"""SELECT l_orderkey, o_orderdate, CAST($rev AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
@@ -261,7 +269,7 @@ object Relational {
          ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
 
     "q5_join" ->
-      s"""SELECT n_name, CAST($rev AS DECIMAL(38,4)) AS revenue
+      s"""SELECT n_name, CAST($rev AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -273,7 +281,7 @@ object Relational {
 
     "q_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""",
 
     "q_topk" ->
@@ -296,21 +304,21 @@ object Relational {
       """SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
          FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n,
            CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
     "q_pivot" ->
       """SELECT o_orderpriority,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DECIMAL(38,2)) AS "F",
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DECIMAL(38,2)) AS "O",
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DECIMAL(38,2)) AS "P"
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS "F",
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS "O",
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS "P"
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_antijoin" ->
@@ -336,7 +344,7 @@ object Relational {
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
            CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",

@@ -23,7 +23,7 @@ object StreamingQueries {
   val oracleSql: Map[String, String] = Map(
     "st_window_agg" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type,
-           count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+           count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY wstart, event_type"""
   )
 }

@@ -53,8 +53,12 @@ object TransformQueries {
       t(s, dir, "part").select(col("p_partkey"), words(col("p_name")).as("scrubbed"))
         .orderBy("p_partkey")),
 
+    // Projected as yyyy-MM-dd STRING: a DATE column round-trips as
+    // datetime.date via pyarrow but midnight-Timestamp via duckdb-pandas,
+    // so a serialized compare sees '1998-12-20' vs '1998-12-20 00:00:00'.
     "t_date_year" -> ((s, dir) =>
-      t(s, dir, "orders").select(col("o_orderkey"), dateYear(col("o_orderdate")).as("scrubbed"))
+      t(s, dir, "orders").select(col("o_orderkey"),
+          date_format(dateYear(col("o_orderdate")), "yyyy-MM-dd").as("scrubbed"))
         .orderBy("o_orderkey")),
 
     "t_const" -> ((s, dir) =>
@@ -113,7 +117,7 @@ object TransformQueries {
     "t_words" ->
       s"SELECT p_partkey, ${sqlWords("p_name")} AS scrubbed FROM part ORDER BY p_partkey",
     "t_date_year" ->
-      s"SELECT o_orderkey, ${sqlDateYear("o_orderdate")} AS scrubbed FROM orders ORDER BY o_orderkey",
+      s"SELECT o_orderkey, strftime(${sqlDateYear("o_orderdate")}, '%Y-%m-%d') AS scrubbed FROM orders ORDER BY o_orderkey",
     "t_const" ->
       "SELECT c_custkey, 'REDACTED' AS scrubbed FROM customer ORDER BY c_custkey",
     "t_null" ->

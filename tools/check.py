@@ -5,20 +5,41 @@ Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
 
 Reads <outDir>/<name>/ parquet (written by graft.Verify) and
 <outDir>/oracle_sql.json, runs each oracle against DuckDB views over the
-sfDir parquet tables, and compares: columns sorted by name, rows sorted,
-values compared exactly (strings/ints) or bit-exactly (doubles).
+sfDir parquet tables, and compares columns sorted by name, rows sorted,
+values as SERIALIZED STRINGS — with the Spark side read via
+pyarrow.to_pandas() and the oracle side via duckdb .df().
+
+The asymmetric read paths + string compare emulate a hashing driver:
+duckdb's pandas path converts DECIMAL(38,2) to float64 ('222017.00' ->
+'222017.0') while pyarrow keeps Decimal objects — numerically equal,
+hash-unequal. Round 2 lost 8 queries to exactly that. The rule this
+enforces: NO DECIMAL-TYPED OUTPUT COLUMNS (aggregate in decimal, final-
+cast to DOUBLE). Don't weaken this back to Python `==`.
 """
-import json, sys
+import glob, json, sys
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(r[i] for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return [cols[i] for i in order], out
+def canon(x):
+    if x is None:
+        return "NULL"
+    try:
+        if pd.isna(x):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(x)
+
+def norm(df):
+    cols = sorted(df.columns)
+    rows = [tuple(canon(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)]
+    rows.sort()
+    return cols, rows
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -32,15 +53,14 @@ def main():
         if only and name not in only:
             continue
         try:
-            mine = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            mcols, mrows = norm(mine.fetchall(), mine.columns)
+            files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+            mcols, mrows = norm(pq.read_table(files).to_pandas())
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
             continue
         try:
-            ref = con.sql(sql)
-            rcols, rrows = norm(ref.fetchall(), ref.columns)
+            rcols, rrows = norm(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
