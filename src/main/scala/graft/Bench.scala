@@ -17,8 +17,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val only = args.toSet // optional query-name filter for local iteration
     val errors = collection.mutable.Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
@@ -27,7 +30,7 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\n\\r\\t]", " ") + "\""
+      .replaceAll("[\\x00-\\x1F]", " ") + "\""
     val qs = results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.toSeq.sortBy(_._1).map { case (k, v) => q(k) + ":" + q(v) }
       .mkString("{", ",", "}")

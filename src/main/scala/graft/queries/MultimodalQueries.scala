@@ -33,8 +33,11 @@ object MultimodalQueries {
   private def f(seedSql: String): String = Determinism.sqlMd5IdxK(seedSql, 6)
 
   val oracleSql: Map[String, String] = Map(
+    // strlen (bytes), not length (characters): Spark's length(blob)
+    // counts BYTES of the UTF-8 cast, so the two agree only while the
+    // corpus is pure ASCII unless the oracle counts bytes too.
     "m_binary_meta" ->
-      """SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
+      """SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
            md5(text) AS content_hash, 'text/plain' AS kind
          FROM documents ORDER BY doc_id""",
 

@@ -15,18 +15,26 @@ import graft.plans.SchemaGraph
 object RestoreWriter {
 
   /** @param sequences per-table max key (from SliceResult.sequences),
-    *   restored so serial generation resumes past sliced rows. */
+    *   restored so serial generation resumes past sliced rows.
+    * @param slicedTables tables the slice actually reached (e.g.
+    *   `result.keys.keySet`): SqlWriter only dumps sql/<table> for
+    *   those, so the script must not reference the others. Empty set =
+    *   include every table in the graph. */
   def restoreScript(graph: SchemaGraph, sliceDir: String,
-      sequences: Map[String, Long]): String = {
+      sequences: Map[String, Long],
+      slicedTables: Set[String] = Set.empty): String = {
     val order = graph.restoreOrder
+      .filter { case (t, _) => slicedTables.isEmpty || slicedTables(t) }
     val deferred = order.collect { case (t, true) => t }
     val sb = new StringBuilder
     sb ++= "BEGIN;\n"
     if (deferred.nonEmpty)
       sb ++= s"SET CONSTRAINTS ALL DEFERRED; -- cycle tables: ${deferred.mkString(", ")}\n"
     order.foreach { case (t, isDeferred) =>
-      val note = if (isDeferred) " -- constraints deferred (FK cycle)" else ""
-      sb ++= s"\\i $sliceDir/sql/$t$note\n"
+      // cycle note on its own line: anything after the \i path would be
+      // parsed as extra psql meta-command arguments, not a comment
+      if (isDeferred) sb ++= s"-- $t: constraints deferred (FK cycle)\n"
+      sb ++= s"\\i $sliceDir/sql/$t\n"
     }
     sequences.toSeq.sortBy(_._1).foreach { case (t, maxKey) =>
       val key = graph.table(t).key.head
@@ -37,8 +45,9 @@ object RestoreWriter {
   }
 
   def write(graph: SchemaGraph, sliceDir: String, sequences: Map[String, Long],
-      outPath: String): Unit = {
+      outPath: String, slicedTables: Set[String] = Set.empty): Unit = {
     Files.createDirectories(Paths.get(outPath).getParent)
-    Files.writeString(Paths.get(outPath), restoreScript(graph, sliceDir, sequences))
+    Files.writeString(Paths.get(outPath),
+      restoreScript(graph, sliceDir, sequences, slicedTables))
   }
 }

@@ -43,7 +43,8 @@ object SliceDump {
     SqlWriter.write(result, outDir, scrub)
     val seqs = result.sequences.collect()
       .flatMap(r => if (r.isNullAt(1)) None else Some(r.getString(0) -> r.getLong(1))).toMap
-    RestoreWriter.write(graph, outDir, seqs, s"$outDir/restore.sql")
+    RestoreWriter.write(graph, outDir, seqs, s"$outDir/restore.sql",
+      result.keys.keySet)
     println(s"slice written to $outDir: tables=${result.keys.keys.toSeq.sorted.mkString(",")}")
     spark.stop()
   }

@@ -53,6 +53,21 @@ class SinksSpec extends SparkSpec {
     assert(script.startsWith("BEGIN;") && script.trim.endsWith("COMMIT;"))
   }
 
+  test("RestoreWriter references only sliced tables, cycle note on own line") {
+    val cyclic = SchemaGraph(
+      tables = Seq(TableDef("p", Seq("pid")), TableDef("c", Seq("cid"))),
+      references = Seq(
+        Reference("cp", "c", Seq("pid"), "p", Seq("pid")),
+        Reference("pc", "p", Seq("pid"), "c", Seq("cid"))))
+    val script = RestoreWriter.restoreScript(cyclic, "/s", Map.empty, Set("p"))
+    assert(script.contains("\\i /s/sql/p\n"), "sliced table included")
+    assert(!script.contains("/s/sql/c"), "unsliced table not referenced")
+    // no trailing text after the \i path (psql parses it as arguments)
+    script.linesIterator.filter(_.startsWith("\\i")).foreach { l =>
+      assert(l.matches("""\\i \S+"""), s"clean \\i line: $l")
+    }
+  }
+
   test("Formats round-trips values through orc, csv, and json") {
     import graft.sources.Formats
     val df = Seq((1L, "it's, quoted", 2.5), (2L, "plain", -1.0))
