@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the clustering
+  * stage that turns near-dup PAIRS (minhash/simhash/Jaccard output)
+  * into dedup GROUPS, so a pipeline can keep one canonical document per
+  * component.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts
+  * labeled with its own id; each round a node adopts the smallest label
+  * among itself and its neighbors; fixpoint when no label changes. The
+  * label a component converges to is its minimum node id ("cluster").
+  *
+  * Scale posture (100 TB): the label table and edge list stay
+  * distributed (shuffles key on node id; nothing collects to the
+  * driver). Rounds are bounded by the component DIAMETER, which for
+  * near-dup graphs is small (dup clusters are dense); the loop
+  * terminates via the same fused-count trick as the Slicer — one action
+  * per round. Labels persist per round and the superseded generation is
+  * unpersisted; a pathological chain-shaped graph is the known worst
+  * case (diameter rounds), where a large-star/small-star variant would
+  * halve rounds at the cost of two joins per round.
+  */
+object ConnectedComponents {
+
+  /** @param edges two-column DataFrame of undirected edges (a, b).
+    * @return (id, cluster) for every node that appears in an edge;
+    *   cluster = min node id of the component. */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val bi = edges.toDF("src", "dst")
+      .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = bi.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // neighbor labels: join edges to labels on the source endpoint,
+      // take min(own, neighbors) per node
+      val nbr = bi.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          coalesce((col("nlbl") < col("lbl")).cast("long"), lit(0L)).as("chg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // one action: materializes `next` and counts changed labels
+      changed = next.agg(coalesce(sum("chg"), lit(0L))).collect()(0).getLong(0)
+      labels.unpersist()
+      labels = next.select("id", "lbl")
+      iter += 1
+    }
+    bi.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Determinism, VecOps}
+import graft.operators.ConnectedComponents
 
 /** Pack D — deduplication over `documents` / `embeddings`, the dedup
   * stage of a training-data pipeline.
@@ -188,6 +189,41 @@ object Dedup {
         .orderBy("a", "b")
     }),
 
+    // dedup CLUSTERING: near-dup/exact pairs are only half the job — a
+    // pipeline needs dedup GROUPS to keep one canonical doc per group.
+    // Edges = exact-dup pairs (twin corpus) ∪ Jaccard>=0.2 pairs;
+    // components via distributed min-label propagation
+    // (graft.operators.ConnectedComponents). cluster = min doc_id.
+    "d_cluster" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.select(col("doc_id"), col("text"))
+        .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" ")).as("text")))
+      val hashed = corpus.select(col("doc_id"),
+        md5(trim(lower(regexp_replace(col("text"), "\\s+", " "))).cast("binary")).as("h"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      val exactPairs = hashed.withColumn("dup_of", min("doc_id").over(w))
+        .filter(col("doc_id") =!= col("dup_of"))
+        .select(col("dup_of").as("a"), col("doc_id").as("b"))
+      val sh = shingleSets(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val jacPairs = sh.as("x").join(sh.as("y"),
+          col("x.lang") === col("y.lang") && col("x.lb") === col("y.lb")
+            && col("x.doc_id") < col("y.doc_id")
+            && least(size(col("x.sh")), size(col("y.sh"))) * 5
+              >= greatest(size(col("x.sh")), size(col("y.sh"))))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          sortedInter(col("x.sh"), col("y.sh")).as("inter"),
+          size(col("x.sh")).as("sa"), size(col("y.sh")).as("sb"))
+        .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= 0.2)
+        .select("a", "b")
+      val labels = ConnectedComponents.run(exactPairs.union(jacPairs))
+      val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("csize"))
+      labels.join(sizes, "cluster")
+        .select(col("id").as("doc_id"), col("cluster"), col("csize"))
+        .orderBy("doc_id")
+    }),
+
     // embedding cosine near-dup, candidates blocked by (label, LSH
     // bucket): cos>=0.99 pairs share all 8 hyperplane signs with high
     // probability, so the join key prunes the quadratic term ~256x;
@@ -276,6 +312,34 @@ object Dedup {
          FROM chunks x JOIN chunks y
          ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id
          WHERE bit_count(xor(x.sh, y.sh)) <= 3 ORDER BY a, b""",
+
+    // transitive closure via recursive CTE (UNION dedups, so cycles
+    // terminate); cluster = min reachable id — identical to what the
+    // min-label propagation converges to.
+    "d_cluster" ->
+      s"""WITH RECURSIVE sh AS ($sqlShingleSets),
+         jac AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b
+           ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+           WHERE ${sqlJaccard("a.sh", "b.sh")} >= 0.2),
+         corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text || ' ' FROM documents),
+         hashed AS (SELECT doc_id,
+           md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS h FROM corpus),
+         canon AS (SELECT h, min(doc_id) AS dup_of FROM hashed GROUP BY h),
+         exact AS (SELECT dup_of AS a, doc_id AS b FROM hashed JOIN canon USING (h)
+           WHERE doc_id <> dup_of),
+         e AS (SELECT a, b FROM exact UNION SELECT a, b FROM jac),
+         bi AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+         r AS (SELECT src, dst FROM bi
+           UNION SELECT r.src, bi.dst FROM r JOIN bi ON r.dst = bi.src),
+         reach AS (SELECT src, dst FROM r UNION SELECT DISTINCT src, src FROM bi),
+         lbl AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src),
+         sz AS (SELECT cluster, count(*) AS csize FROM lbl GROUP BY cluster)
+         SELECT id AS doc_id, cluster, csize FROM lbl JOIN sz USING (cluster)
+         ORDER BY doc_id""",
 
     "d_embed_dup" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

@@ -237,7 +237,58 @@ object Relational {
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
         .groupBy("event_type")
         .agg(sum("k").as("sum_k"), count(lit(1)).as("n"), max("k").as("max_k"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Salted skew join: the hot-key mitigation AQE can't always apply
+    // (shuffle-hash paths, downstream aggs on the hot key). Salting is
+    // physical-plan-only, so the result equals the plain join.
+    "q_skew_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.operators.SkewJoin.salted(l, sup, "l_suppkey", "l_orderkey", salts = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"),
+          sum(dec("l_extendedprice")).cast("double").as("revenue"))
+        .orderBy("s_name")
+    }),
+
+    // Range join via bucketed equi-join: tiers explode into the fixed-
+    // width buckets they span, rows join on their bucket, and a residual
+    // range filter keeps exact semantics — a hash join instead of the
+    // broadcast-nested-loop a raw range predicate gets.
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val step = 50000L
+      val tiers = Seq(("low", 0L, 100000L), ("mid", 100000L, 300000L),
+        ("high", 300000L, 600000L)).toDF("tier", "lo", "hi")
+      val tierBuckets = tiers.withColumn("bucket",
+        explode(sequence((col("lo") / step).cast("long"),
+          ((col("hi") - 1) / step).cast("long"))))
+      t(s, dir, "orders")
+        .withColumn("bucket", floor(col("o_totalprice") / step).cast("long"))
+        .join(broadcast(tierBuckets), "bucket")
+        .filter(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast("double").as("total"))
+        .orderBy("tier")
+    }),
+
+    // t-digest sketch coverage: approx_percentile vs exact, validated
+    // by bound (same pattern as q_distinct's approx_ok — a hash compare
+    // can't check an approximation; a tolerance can).
+    "q_approx_quantile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          (abs(expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+            - expr("percentile(l_extendedprice, 0.5)"))
+            / expr("percentile(l_extendedprice, 0.5)") < 0.01).as("median_ok"),
+          (abs(expr("approx_percentile(l_extendedprice, 0.9, 1000)")
+            - expr("percentile(l_extendedprice, 0.9)"))
+            / expr("percentile(l_extendedprice, 0.9)") < 0.01).as("p90_ok"))
+        .orderBy("l_returnflag"))
   )
 
   private val rev = "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))"
@@ -406,6 +457,24 @@ object Relational {
          SELECT user_id, session_idx, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end
          FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    "q_skew_join" ->
+      """SELECT s_name, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name ORDER BY s_name""",
+
+    "q_range_join" ->
+      """SELECT tier, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN (VALUES ('low', 0, 100000), ('mid', 100000, 300000),
+           ('high', 300000, 600000)) AS tiers(tier, lo, hi)
+         ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY tier ORDER BY tier""",
+
+    "q_approx_quantile" ->
+      """SELECT l_returnflag, true AS median_ok, true AS p90_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_json" ->
       """SELECT event_type,

@@ -17,6 +17,20 @@ object StreamingQueries {
       val out = StreamingOps.runToMemory(
         s, StreamingOps.windowAgg(StreamingOps.eventsStream(s, dir)), name)
       out.orderBy("wstart", "event_type")
+    }),
+
+    // Streaming dedup with watermark-bounded state: distinct
+    // (user_id, hour) pairs emitted in append mode; the batch oracle is
+    // a plain SELECT DISTINCT over the same projection.
+    "st_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val name = synchronized { runId += 1; s"st_dedup_$runId" }
+      val stream = StreamingOps.eventsStream(s, dir)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      val dd = StreamingOps.dedup(stream, Seq("user_id"), "h", "2 hours")
+      StreamingOps.runToMemory(s, dd, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("user_id", "h")
     })
   )
 
@@ -24,6 +38,10 @@ object StreamingQueries {
     "st_window_agg" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type,
            count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY wstart, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
+
+    "st_dedup" ->
+      """SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+         FROM events ORDER BY user_id, h"""
   )
 }
