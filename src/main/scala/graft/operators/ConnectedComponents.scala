@@ -30,14 +30,19 @@ object ConnectedComponents {
     * @return (id, cluster) for every node that appears in an edge;
     *   cluster = min node id of the component. */
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val bi = edges.toDF("src", "dst")
-      .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
+    // EAGERLY materialize the directed input first: callers hand in
+    // expensive pipelines (e.g. blocked pairwise similarity joins), and
+    // the forward ∪ reversed union below references it twice. A lazy
+    // persist is not enough — the union's branches execute concurrently
+    // in the first job and would both compute the upstream pipeline
+    // before either populates the cache.
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = bi.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     var changed = 1L
     var iter = 0
@@ -46,17 +51,22 @@ object ConnectedComponents {
       // take min(own, neighbors) per node
       val nbr = bi.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("lbl").as("nlbl"))
+      // localCheckpoint (eager) rather than persist: `labels` appears
+      // twice per round, so a lazily-planned generation DOUBLES the
+      // logical plan every iteration (analysis time was the dominant
+      // cost before data size even mattered). Checkpointing pins each
+      // generation to its materialized blocks; superseded generations
+      // are reclaimed by the ContextCleaner once unreferenced.
       val next = labels.join(nbr, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           coalesce((col("nlbl") < col("lbl")).cast("long"), lit(0L)).as("chg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // one action: materializes `next` and counts changed labels
+        .localCheckpoint(true)
       changed = next.agg(coalesce(sum("chg"), lit(0L))).collect()(0).getLong(0)
-      labels.unpersist()
       labels = next.select("id", "lbl")
       iter += 1
     }
+    val out = labels.select(col("id"), col("lbl").as("cluster"))
     bi.unpersist()
-    labels.select(col("id"), col("lbl").as("cluster"))
+    out
   }
 }

