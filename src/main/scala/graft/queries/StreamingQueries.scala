@@ -31,6 +31,16 @@ object StreamingQueries {
       StreamingOps.runToMemory(s, dd, name,
           org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy("user_id", "h")
+    }),
+
+    // Stream-stream interval join (purchase ↔ same-user error within
+    // the prior hour); the batch oracle is the equivalent interval join.
+    "st_join" -> ((s, dir) => {
+      val name = synchronized { runId += 1; s"st_join_$runId" }
+      val out = StreamingOps.runToMemory(s,
+        StreamingOps.purchaseErrorJoin(StreamingOps.eventsStream(s, dir)), name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      out.orderBy("p_id", "e_id")
     })
   )
 
@@ -42,6 +52,14 @@ object StreamingQueries {
 
     "st_dedup" ->
       """SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
-         FROM events ORDER BY user_id, h"""
+         FROM events ORDER BY user_id, h""",
+
+    "st_join" ->
+      """SELECT p.event_id AS p_id, p.user_id, e.event_id AS e_id
+         FROM events p JOIN events e
+         ON p.event_type = 'purchase' AND e.event_type = 'error'
+           AND e.user_id = p.user_id
+           AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+         ORDER BY p_id, e_id"""
   )
 }

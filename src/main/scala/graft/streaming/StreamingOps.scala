@@ -110,6 +110,26 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** Stream-stream interval join: purchases matched to same-user errors
+    * in the preceding hour. Both sides carry watermarks and the join
+    * condition bounds event-time on BOTH ends — that's what lets the
+    * state store evict rows once the watermark passes the interval, so
+    * state stays O(window), not O(stream). */
+  def purchaseErrorJoin(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val e = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    p.join(e,
+      col("user_id") === col("e_user")
+        && col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+        && col("e_ts") < col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("e_id"))
+  }
+
   /** Streaming dedup by key with bounded state: duplicates within the
     * watermark horizon are dropped; state ages out with the watermark. */
   def dedup(events: DataFrame, keyCols: Seq[String], watermarkCol: String,
