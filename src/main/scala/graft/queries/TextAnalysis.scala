@@ -145,6 +145,25 @@ object TextAnalysis {
           col("c.chunk").as("chunk"),
           size(split(col("c.chunk"), " ")).as("n_tokens"))
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // TF-IDF-style top terms: two-pass corpus computation (per-doc term
+    // frequency + corpus document frequency) joined and ranked. Ranked
+    // by the INTEGER key (tf DESC, df ASC, term) — "frequent in doc,
+    // rare in corpus" — so no transcendental (ln) enters the compare.
+    "x_top_terms" -> ((s, dir) => {
+      val terms = docs(s, dir)
+        .select(col("doc_id"), explode(wordsCol).as("term"))
+        .filter(!col("term").isInCollection(stopwords) && length(col("term")) >= 3)
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(df, "term")
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df")
+        .orderBy("doc_id", "rank")
     })
   )
 
@@ -236,6 +255,23 @@ object TextAnalysis {
            array_to_string(w[CAST(i*40+1 AS INT):CAST(i*40+50 AS INT)], ' ') AS chunk,
            CAST(len(string_split(
              array_to_string(w[CAST(i*40+1 AS INT):CAST(i*40+50 AS INT)], ' '), ' ')) AS INT) AS n_tokens
-         FROM c ORDER BY doc_id, chunk_id"""
+         FROM c ORDER BY doc_id, chunk_id""",
+
+    "x_top_terms" ->
+      s"""WITH terms AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         filtered AS (
+           SELECT doc_id, term FROM terms
+           WHERE term NOT IN ($stopSqlList) AND length(term) >= 3),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM filtered GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         ranked AS (
+           SELECT doc_id, term, tf, df,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tf DESC, df ASC, term ASC) AS INT) AS rank
+           FROM tf JOIN df USING (term))
+         SELECT doc_id, rank, term, tf, df FROM ranked
+         WHERE rank <= 3 ORDER BY doc_id, rank"""
   )
 }
