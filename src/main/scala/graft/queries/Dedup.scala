@@ -56,6 +56,12 @@ object Dedup {
     * the cache. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     synchronized { shCache.getOrElseUpdate((s, dir), {
+      // In-place array build (transform + md5 + sort per doc). The md5
+      // lambda evaluates interpreted, but an explode → codegen-md5 →
+      // groupBy/collect_list rewrite measured SLOWER end-to-end: the
+      // 1.5M-row reassembly shuffle + per-doc re-sort costs more than
+      // the interpreter, and this shape has no shuffle at all — it
+      // scales with the scan.
       val sh = docs(s, dir).select(col("doc_id"), col("lang"),
         expr("n_chars div 100").as("lb"),
         // sorted once per doc so the pairwise stage can two-pointer merge

@@ -121,9 +121,13 @@ object TextAnalysis {
     // benchmark decontamination: docs sharing any word 8-gram with the
     // benchmark set (doc_id < 10) are flagged with the overlap count.
     "x_contamination" -> ((s, dir) => {
-      val grams = docs(s, dir).select(col("doc_id"),
-        explode(array_distinct(transform(shingles(wordsCol, 8),
-          x => Determinism.md5IdxK(x, 12)))).as("g"))
+      // explode the raw shingles FIRST, hash as a top-level projection:
+      // md5 inside a transform() lambda evaluates interpreted per
+      // element; as a plain column expression it stays in whole-stage
+      // codegen. countDistinct downstream dedups, so no array_distinct.
+      val grams = docs(s, dir)
+        .select(col("doc_id"), explode(shingles(wordsCol, 8)).as("gs"))
+        .select(col("doc_id"), Determinism.md5IdxK(col("gs"), 12).as("g"))
       val bench = grams.filter(col("doc_id") < 10)
         .select(col("g")).distinct()
       grams.filter(col("doc_id") >= 10)

@@ -41,4 +41,33 @@ object SliceWriter {
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(s"$outDir/manifest.json"), json)
   }
+
+  /** Package an already-written slice directory into a single ZIP —
+    * literal parity with the reference's ZIP-of-segments archive
+    * (slice_db/slice.py:69-104). The data was written by executors;
+    * zipping is a driver-side export/packaging step over the finished
+    * files (the reference's writer is single-process here too). Entry
+    * names are relative to `sliceDir` with stable ordering. */
+  def zip(sliceDir: String, zipPath: String): Unit = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(sliceDir)
+    val out = new ZipOutputStream(Files.newOutputStream(Paths.get(zipPath)))
+    try {
+      val files = Files.walk(root).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => (root.relativize(p).toString, p))
+        // skip spark's _SUCCESS markers and .crc sidecars
+        .filterNot { case (_, p) =>
+          val f = p.getFileName.toString
+          f.startsWith("_") || f.startsWith(".")
+        }
+        .toSeq.sortBy(_._1)
+      files.foreach { case (name, p) =>
+        out.putNextEntry(new ZipEntry(name))
+        Files.copy(p, out)
+        out.closeEntry()
+      }
+    } finally out.close()
+  }
 }

@@ -68,6 +68,23 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("SliceWriter.zip packages segments + manifest, skipping markers") {
+    val dir = Files.createTempDirectory("slicez").toString
+    SliceWriter.write(result(), dir, format = "csv")
+    val zipPath = s"$dir/slice.zip"
+    SliceWriter.zip(dir, zipPath)
+    val zf = new java.util.zip.ZipFile(zipPath)
+    try {
+      val names = zf.entries().asIterator()
+      val all = scala.jdk.CollectionConverters.IteratorHasAsScala(names)
+        .asScala.map(_.getName).toSeq
+      assert(all.contains("manifest.json"))
+      assert(all.exists(_.startsWith("data/p/")), all.mkString(","))
+      assert(!all.exists(_.contains("_SUCCESS")))
+      assert(!all.exists(n => n.split("/").last.startsWith(".")))
+    } finally zf.close()
+  }
+
   test("Formats round-trips values through orc, csv, and json") {
     import graft.sources.Formats
     val df = Seq((1L, "it's, quoted", 2.5), (2L, "plain", -1.0))
