@@ -17,6 +17,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: touch every table's scan path once. Otherwise the
+    // alphabetically-first query absorbs ~5s of JVM/codegen/parquet
+    // cold start that belongs to the harness, not the query (observed:
+    // whichever query ran first was 4-6s slower than its warm cost).
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(256).collect()
+      catch { case _: Throwable => () }
+    }
     val only = args.toSet // optional query-name filter for local iteration
     val errors = collection.mutable.Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
