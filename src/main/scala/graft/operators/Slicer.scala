@@ -43,6 +43,20 @@ final class Slicer(
   def discoverKeys(roots: Seq[SliceRoot]): Map[String, DataFrame] =
     discover(roots)._1
 
+  /** Incremental slice: extend a completed discovery with NEW roots
+    * without re-walking what it already found. A finished key set is
+    * closed under expansion (every neighbor of a discovered key is
+    * discovered), so seeding the BFS with `prev`'s keys as the
+    * already-seen state and anti-joining the new seeds against it
+    * reaches exactly the keys of a from-scratch slice over the union of
+    * roots — but the frontier only ever carries the DELTA. At 100 TB
+    * this is the refresh path: nightly roots extend yesterday's slice
+    * at the cost of the new data only. */
+  def extend(prev: SliceResult, roots: Seq[SliceRoot]): SliceResult = {
+    val (keys, counts) = discover(roots, prev.keys, prev.keyCounts)
+    new SliceResult(graph, loadTable, keys, counts, broadcastKeyLimit)
+  }
+
   /** How many persisted key generations a table accumulates before they
     * are compacted into one localCheckpoint'd frame. Generations are
     * individually cached, so anti-joins against their lazy union stay
@@ -54,29 +68,41 @@ final class Slicer(
 
   /** Discovery plus the exact key count per table (the counts fall out
     * of the per-round termination test for free, and gate whether row
-    * materialization may broadcast the key set). */
-  private def discover(roots: Seq[SliceRoot]): (Map[String, DataFrame], Map[String, Long]) = {
+    * materialization may broadcast the key set).
+    *
+    * @param priorKeys / @param priorCounts a previous discovery's closed
+    *   key state to extend incrementally (empty = slice from scratch) */
+  private def discover(
+      roots: Seq[SliceRoot],
+      priorKeys: Map[String, DataFrame] = Map.empty,
+      priorCounts: Map[String, Long] = Map.empty): (Map[String, DataFrame], Map[String, Long]) = {
     // per-table persisted key GENERATIONS; the discovered set is their union
-    var gens = Map.empty[String, Vector[DataFrame]]
-    var counts = Map.empty[String, Long].withDefaultValue(0L)
+    var gens: Map[String, Vector[DataFrame]] =
+      priorKeys.map { case (t, k) => t -> Vector(k) }
+    var counts = Map.empty[String, Long].withDefaultValue(0L) ++ priorCounts
     var frontier = Map.empty[String, (DataFrame, Long)]
     def discoveredOf(t: String): Option[DataFrame] =
       gens.get(t).map(_.reduce(_ union _))
 
     // seed: root conditions (multi-root unions on the same table dedup
-    // through the same anti-join path as everything else)
+    // through the same anti-join path as everything else); when
+    // extending, seeds already covered by the prior slice drop out here
     val seeds = roots.groupBy(_.table).map { case (t, rs) =>
       val table = loadTable(t)
       val cond = rs.map(r => s"(${r.condition})").mkString(" OR ")
-      t -> table.filter(expr(cond)).select(keyCols(t).map(col): _*).distinct()
+      val sel = table.filter(expr(cond)).select(keyCols(t).map(col): _*).distinct()
+      t -> (discoveredOf(t) match {
+        case Some(seen) => sel.join(seen, keyCols(t), "left_anti")
+        case None       => sel
+      })
     }
     // one Spark job materializes + counts ALL seed tables
     countAll(seeds.toSeq.map { case (t, keys) =>
       t -> keys.persist(StorageLevel.MEMORY_AND_DISK)
     }).foreach { case (t, (k, n)) =>
       if (n > 0) {
-        gens += t -> Vector(k)
-        counts += t -> n
+        gens += t -> (gens.getOrElse(t, Vector.empty) :+ k)
+        counts += t -> (counts(t) + n)
         frontier += t -> (k, n)
       } else k.unpersist()
     }

@@ -66,6 +66,15 @@ object SliceQueries {
           SliceRoot("orders", "o_totalprice > 400000")))
         .rows("customer").orderBy("c_custkey")),
 
+    // Incremental: extend the completed customer slice with a SECOND
+    // customer cohort; the BFS walks only the delta but the result
+    // equals a from-scratch slice over both cohorts (the oracle is the
+    // union-of-roots semi-join chain).
+    "slice_incremental" -> ((s, dir) =>
+      slicer(s, dir)
+        .extend(custSlice(s, dir), Seq(SliceRoot("customer", "c_custkey % 50 = 19")))
+        .rows("orders").orderBy("o_orderkey")),
+
     "slice_manifest" -> ((s, dir) =>
       custSlice(s, dir).manifest.orderBy("table_id")),
 
@@ -106,6 +115,11 @@ object SliceQueries {
       s"""SELECT * FROM customer WHERE c_acctbal > 9000
          OR c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
          ORDER BY c_custkey""",
+
+    "slice_incremental" ->
+      s"""SELECT * FROM orders WHERE o_custkey IN ($custSql)
+         OR o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 19)
+         ORDER BY o_orderkey""",
 
     "slice_manifest" -> {
       val counts = Seq(

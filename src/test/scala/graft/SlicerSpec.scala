@@ -45,6 +45,40 @@ class SlicerSpec extends SparkSpec {
     assert(r.rows("grandchild").select("gid").as[Int].collect().toSet == Set(100, 101))
   }
 
+  test("extend reaches exactly what a from-scratch union slice reaches") {
+    val s = slicer()
+    val incremental = s.extend(
+      s.run(Seq(SliceRoot("parent", "pid = 1"))),
+      Seq(SliceRoot("parent", "pid = 2")))
+    val scratch = s.run(Seq(
+      SliceRoot("parent", "pid = 1"), SliceRoot("parent", "pid = 2")))
+    Seq("parent", "child", "grandchild").foreach { t =>
+      assert(incremental.rows(t).collect().toSet == scratch.rows(t).collect().toSet, t)
+      assert(incremental.keyCounts(t) == scratch.keyCounts(t), s"$t counts")
+    }
+    // seeds fully covered by the prior slice are a no-op extension
+    val noop = s.extend(scratch, Seq(SliceRoot("parent", "pid = 1")))
+    assert(noop.keyCounts == scratch.keyCounts)
+  }
+
+  test("deep chain BFS crosses the generation-compaction threshold") {
+    // 12-table chain: t0 references t1 references ... t11 (forward
+    // refs), so a root at t0 walks 11 rounds — past compactEvery=8
+    val n = 12
+    val chainGraph = SchemaGraph(
+      tables = (0 until n).map(i => TableDef(s"t$i", Seq("id"))),
+      references = (0 until n - 1).map(i =>
+        Reference(s"r$i", s"t$i", Seq("nxt"), s"t${i + 1}", Seq("id"), reverse = false)))
+    val chainTables: Map[String, DataFrame] = (0 until n).map { i =>
+      s"t$i" -> Seq((i, i + 1)).toDF("id", "nxt")
+    }.toMap
+    val r = new Slicer(chainGraph, chainTables(_)).run(Seq(SliceRoot("t0", "id = 0")))
+    assert(r.keys.keySet == (0 until n).map(i => s"t$i").toSet)
+    (0 until n).foreach { i =>
+      assert(r.rows(s"t$i").select("id").as[Int].collect().toSeq == Seq(i), s"t$i")
+    }
+  }
+
   test("manifest counts rows per reached table") {
     val m = slicer().run(Seq(SliceRoot("parent", "pid = 2"))).manifest
       .as[(String, Long)].collect().toMap
