@@ -56,17 +56,18 @@ object Dedup {
     * the cache. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     synchronized { shCache.getOrElseUpdate((s, dir), {
-      // In-place array build (transform + md5 + sort per doc). The md5
-      // lambda evaluates interpreted, but an explode → codegen-md5 →
-      // groupBy/collect_list rewrite measured SLOWER end-to-end: the
-      // 1.5M-row reassembly shuffle + per-doc re-sort costs more than
-      // the interpreter, and this shape has no shuffle at all — it
-      // scales with the scan.
+      // One custom codegen Expression builds the sorted distinct hash
+      // array per doc (ShingleHashSet; spec-verified identical to the
+      // transform+md5IdxK Column formula). No shuffle — scales with the
+      // scan. An explode → codegen-md5 → groupBy/collect_list rewrite
+      // measured SLOWER (reassembly shuffle + re-sort), and the Column
+      // formula evaluates its lambda interpreted per shingle.
       val sh = docs(s, dir).select(col("doc_id"), col("lang"),
         expr("n_chars div 100").as("lb"),
-        // sorted once per doc so the pairwise stage can two-pointer merge
-        sort_array(array_distinct(transform(shingles3(wordsOf(col("text"))),
-          x => Determinism.md5IdxK(x, 12)))).as("sh"))
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.ShingleHashSet(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              wordsOf(col("text"))), 3, 12)).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sh.count()
       sh
