@@ -55,6 +55,32 @@ object Multimodal {
     blobs.mapPartitions(_.grouped(BatchSize).flatMap(decodeBatch))
   }
 
+  /** One sampled frame of a media blob. */
+  final case class Frame(doc_id: Long, frame_idx: Int, brightness: Double)
+
+  /** STUB frame sampler: every `stride`-th frame of the decoded stream,
+    * with a per-frame feature derived from the content hash (same
+    * determinism contract as [[decodeBatch]] — a real build would seek
+    * and decode the frame here). One output row per sampled frame. */
+  private def sampleBatch(batch: Seq[Blob], stride: Int): Seq[Frame] =
+    batch.flatMap { b =>
+      val h = md5Hex(b.bytes)
+      val n = (1 + idx6(md5Hex((h + "f").getBytes("UTF-8"))) % 64).toInt
+      (0 until n by stride).map { i =>
+        Frame(b.doc_id, i,
+          (idx6(md5Hex((h + "#" + i).getBytes("UTF-8"))) % 256) / 255.0)
+      }
+    }
+
+  /** Frame sampling with the same batched-partition shape as
+    * [[extractFeatures]]: output cardinality is data-dependent
+    * (n_frames/stride per blob), which is exactly the explode-shaped
+    * stage a video pipeline feeds into per-frame embedding. */
+  def sampleFrames(blobs: Dataset[Blob], stride: Int = 8): Dataset[Frame] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.grouped(BatchSize).flatMap(sampleBatch(_, stride)))
+  }
+
   /** Blob table from documents: the text bytes stand in for media bytes. */
   def blobs(spark: SparkSession, docs: DataFrame): Dataset[Blob] = {
     import spark.implicits._

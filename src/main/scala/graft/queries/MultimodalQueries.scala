@@ -27,7 +27,14 @@ object MultimodalQueries {
     "m_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         Multimodal.blobs(s, Tables.load(s, dir, "documents")))
-        .toDF().orderBy("doc_id"))
+        .toDF().orderBy("doc_id")),
+
+    // frame sampling: one row per stride-sampled frame (explode-shaped
+    // stage a video pipeline feeds into per-frame embedding)
+    "m_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.blobs(s, Tables.load(s, dir, "documents")), stride = 8)
+        .toDF().orderBy("doc_id", "frame_idx"))
   )
 
   private def f(seedSql: String): String = Determinism.sqlMd5IdxK(seedSql, 6)
@@ -47,6 +54,15 @@ object MultimodalQueries {
            CAST(16 + ${f("md5(text) || 'h'")} % 1024 AS INT) AS height,
            CAST(1 + ${f("md5(text) || 'f'")} % 64 AS INT) AS n_frames,
            ((${f("md5(text) || 'i'")} % 256) / 255.0) AS mean_intensity
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "m_frames" ->
+      s"""WITH nf AS (SELECT doc_id, text,
+             CAST(1 + ${f("md5(text) || 'f'")} % 64 AS INT) AS n
+           FROM documents)
+         SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           ((${f("md5(text) || '#' || CAST(i AS VARCHAR)")} % 256) / 255.0) AS brightness
+         FROM nf, unnest(range(0, n, 8)) AS t(i)
+         ORDER BY doc_id, frame_idx"""
   )
 }
