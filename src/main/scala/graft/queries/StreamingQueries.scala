@@ -33,6 +33,33 @@ object StreamingQueries {
         .orderBy("user_id", "h")
     }),
 
+    // Streaming sessionization via flatMapGroupsWithState — the same
+    // custom-state operator the MemoryStream ScalaTest drives, here run
+    // over the file stream and oracle-checked against the batch
+    // gaps-and-islands SQL. A sentinel stream (same source, timestamps
+    // pinned far past the data) closes every real session inside the
+    // bounded run: the sentinel lands outside any real session's gap,
+    // so the operator emits all real sessions and only the unclosed
+    // sentinel sessions stay in state (filtered by construction).
+    "st_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.StreamingOps.SessEvent
+      val name = synchronized { runId += 1; s"st_sessionize_$runId" }
+      val ev = StreamingOps.eventsStream(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val sentinel = StreamingOps.eventsStream(s, dir)
+        .select(col("user_id"), col("event_id"),
+          lit("2030-01-01 00:00:00").cast("timestamp").as("ts"))
+      val sessions = {
+        import s.implicits._
+        StreamingOps.sessionize(
+          ev.unionByName(sentinel).as[SessEvent], gapSeconds = 1800)
+      }
+      StreamingOps.runToMemory(s, sessions.toDF(), name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("user_id", "session_idx")
+    }),
+
     // Stream-stream interval join (purchase ↔ same-user error within
     // the prior hour); the batch oracle is the equivalent interval join.
     "st_join" -> ((s, dir) => {
@@ -60,6 +87,24 @@ object StreamingQueries {
          ON p.event_type = 'purchase' AND e.event_type = 'error'
            AND e.user_id = p.user_id
            AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
-         ORDER BY p_id, e_id"""
+         ORDER BY p_id, e_id""",
+
+    // same gaps-and-islands math as q_sessionize's oracle, with the
+    // streaming operator's INT index/count types
+    "st_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+           FROM marked)
+         SELECT user_id, session_idx, CAST(count(*) AS INT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+         FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
   )
 }

@@ -64,34 +64,50 @@ object StreamingOps {
   // --- streaming sessionization (flatMapGroupsWithState) --------------
 
   final case class SessEvent(user_id: Long, event_id: Long, ts: Timestamp)
+  /** start/end in epoch MICROSECONDS — java.sql.Timestamp.getTime alone
+    * is millisecond-truncated, which breaks exact-match against the
+    * microsecond-precision batch sessionization. */
   final case class SessState(start: Long, end: Long, n: Int, idx: Int)
   final case class Session(user_id: Long, session_idx: Int, n_events: Int,
       session_start: Timestamp, session_end: Timestamp)
+
+  /** Serializable μs↔Timestamp converters: the sessionize closure ships
+    * to executors, so these live on a tiny Serializable holder instead
+    * of the (non-serializable-capturing) enclosing object. */
+  private object Micros extends Serializable {
+    def to(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def from(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+  }
 
   /** Event-time sessionization with a gap timeout: state holds only the
     * OPEN session per key; a session closes (and emits) when a new event
     * arrives past the gap, or when the watermark times the key out. */
   def sessionize(events: Dataset[SessEvent], gapSeconds: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
 
     def fn(userId: Long, incoming: Iterator[SessEvent],
         state: GroupState[SessState]): Iterator[Session] = {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        return Iterator(Session(userId, s.idx, s.n, new Timestamp(s.start), new Timestamp(s.end)))
+        return Iterator(Session(userId, s.idx, s.n, Micros.from(s.start), Micros.from(s.end)))
       }
-      val sorted = incoming.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = incoming.toSeq.sortBy(e => (Micros.to(e.ts), e.event_id))
       var out = List.empty[Session]
       var cur = state.getOption
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = Micros.to(e.ts)
         cur match {
-          case Some(s) if t - s.end <= gapMs =>
+          case Some(s) if t - s.end <= gapUs =>
             cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
           case Some(s) =>
-            out ::= Session(userId, s.idx, s.n, new Timestamp(s.start), new Timestamp(s.end))
+            out ::= Session(userId, s.idx, s.n, Micros.from(s.start), Micros.from(s.end))
             cur = Some(SessState(t, t, 1, s.idx + 1))
           case None =>
             cur = Some(SessState(t, t, 1, 1))
@@ -99,7 +115,9 @@ object StreamingOps {
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.end + gapMs)
+        // timeout API is millisecond-based; round UP so a timeout never
+        // fires a microsecond early
+        state.setTimeoutTimestamp(Math.floorDiv(s.end + gapUs + 999L, 1000L))
       }
       out.reverseIterator
     }
