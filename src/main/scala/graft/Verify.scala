@@ -22,12 +22,19 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    def deleteRecursively(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(deleteRecursively))
+      p.delete()
+    }
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a failed query must FAIL the compare, not silently reuse the
+          // previous run's parquet if outDir is being re-used
+          deleteRecursively(new java.io.File(s"$outDir/$name"))
         }
       }
     }

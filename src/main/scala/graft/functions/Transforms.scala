@@ -22,7 +22,13 @@ import Determinism._
   * the generated code (no join, no broadcast needed).
   */
 object Transforms {
-  val Pepper = "graft"
+  /** Secret pepper keying every scrub (the reference takes it per dump;
+    * slice_db derives per-instance peppers from it). Overridable via
+    * GRAFT_PEPPER; read once at class init, so the Column expressions
+    * and the generated oracle SQL always agree. Per-transform salts
+    * (the `salt` argument below) play the reference's instance-name
+    * role: two transform types never share a seed stream. */
+  val Pepper: String = sys.env.getOrElse("GRAFT_PEPPER", "graft")
 
   /** Name→transform registry (the analog of the reference's transform
     * module registry, slice_db/transform.py `TransformerProvider`).
