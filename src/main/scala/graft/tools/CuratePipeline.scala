@@ -69,12 +69,18 @@ object CuratePipeline {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     val sa = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
     val sb = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
-    val dupIds = cand.join(sa, "a").join(sb, "b")
-      .select(col("b"),
+    val pairs = cand.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
         (size(array_intersect(col("sha"), col("shb")))
           / size(array_union(col("sha"), col("shb")))).as("jac"))
       .filter(col("jac") >= 0.5)
-      .select(col("b").as("doc_id")).distinct()
+      .select("a", "b")
+    // transitive cluster-keep (standard corpus-dedup semantics: one
+    // canonical doc per connected near-dup component, not per pair —
+    // a chain a~b~c keeps only min(a,b,c) even if a!~c directly)
+    val labels = graft.operators.ConnectedComponents.run(pairs)
+    val dupIds = labels.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"))
     val near = exact.join(dupIds, Seq("doc_id"), "left_anti")
     stages += "after_near_dedup" -> near.count()
 

@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.tools.CuratePipeline
+
+class CuratePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate filters, exact-dedups, and cluster-keeps near-dups") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    val docs = Seq(
+      // 1 and 2: exact dups after whitespace normalization
+      (1L, base, "en"),
+      (2L, base + " ", "en"),
+      // 3: near-dup of 1 (one word appended -> high Jaccard)
+      (3L, base + "omega", "en"),
+      // 4: distinct content, survives
+      (4L, "one two three four five six seven eight nine ten " * 8, "en"),
+      // 5: too short -> quality-filtered
+      (5L, "tiny", "en"))
+      .map { case (id, text, lang) => (id, text.trim, lang, text.trim.length) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val dir = Files.createTempDirectory("curate").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val (curated, stages) = CuratePipeline.curate(spark, dir, minQuality = 0.3)
+    val kept = curated.select("doc_id").as[Long].collect().toSet
+    assert(stages("input") == 5L)
+    assert(stages("after_quality") == 4L, "doc 5 fails quality")
+    assert(stages("after_exact_dedup") == 3L, "doc 2 is an exact dup of 1")
+    // near-dedup clusters {1,3} -> keep 1; 4 untouched
+    assert(kept == Set(1L, 4L), s"got $kept")
+  }
+}
