@@ -50,16 +50,25 @@ object Similarity {
           VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
     }),
 
-    // random-hyperplane LSH: candidates share the query's 8-bit bucket.
-    // Bucketed table persisted: the 8x64-term signature projection runs
-    // once per row, not once per join side.
+    // random-hyperplane LSH with MULTI-PROBE: candidates live in any
+    // bucket within hamming distance 1 of the query's 8-bit bucket
+    // (the 1+8 most likely buckets). Probing stays a bucket EQUI-join —
+    // each query explodes into 9 probe keys, so the quadratic term is
+    // still bounded by bucket population, and recall jumps from the
+    // single-probe ~0 on weakly-clustered corpora. Bucketed table
+    // persisted: the 8x64-term signature projection runs once per row,
+    // not once per join side.
     "s_lsh_ann" -> ((s, dir) => {
       val e = vecs(s, dir).withColumn("bucket", VecOps.lshBucket(col("v")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probeBuckets = array(
+        col("qbucket") +: (0 until 8).map(b =>
+          col("qbucket").bitwiseXOR(lit(1 << b))): _*)
       val q = broadcast(e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn"),
-          col("bucket").as("qbucket")))
-      topk(q.join(e, col("bucket") === col("qbucket") && col("vec_id") =!= col("q"))
+          col("bucket").as("qbucket"))
+        .withColumn("bucket", explode(probeBuckets)))
+      topk(q.join(e, Seq("bucket")).filter(col("vec_id") =!= col("q"))
         .select(col("q"), col("vec_id"),
           VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
     }),
@@ -78,6 +87,22 @@ object Similarity {
       topk(q.join(e, col("vec_id") =!= col("q"))
         .select(col("q"), col("vec_id"),
           (VecOps.dot(col("qqv"), col("qv")) / (col("qqn") * col("qn"))).as("cos")))
+    }),
+
+    // ANN evaluation: recall@K of the LSH index vs the brute-force
+    // baseline, per query. Both rankings are bit-exact deterministic, so
+    // recall is an exact integer ratio — the oracle recomputes BOTH
+    // pipelines in SQL and must agree exactly. (Lambdas resolve the
+    // sibling queries lazily, after this Map is constructed.)
+    "s_ann_recall" -> ((s, dir) => {
+      val bf = Similarity.queries("s_cosine_topk")(s, dir).select("q", "vec_id")
+      val ann = Similarity.queries("s_lsh_ann")(s, dir)
+        .select(col("q"), col("vec_id"), lit(1).as("hit"))
+      bf.join(ann, Seq("q", "vec_id"), "left")
+        .groupBy("q")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
+        .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
+        .orderBy("q")
     }),
 
     // IVF flavor: centroids are a deterministic sample; every vector is
@@ -117,19 +142,23 @@ object Similarity {
           FROM ($from))
         WHERE rn <= $K ORDER BY q, rn"""
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "s_cosine_topk" -> sqlTopk(
       s"""SELECT qs.vec_id AS q, e.vec_id,
            (${VecOps.sqlDot("qs.v", "e.v")} / (qs.n * e.n)) AS cos
          FROM ($sqlVecs) qs JOIN ($sqlVecs) e ON e.vec_id <> qs.vec_id
          WHERE qs.vec_id < $NQueries"""),
 
+    // multi-probe = hamming(bucket, qbucket) <= 1; the oracle states it
+    // as a bit_count predicate (the Spark side's 9 exploded probe keys
+    // select exactly these buckets)
     "s_lsh_ann" -> sqlTopk(
       s"""SELECT qs.vec_id AS q, e.vec_id,
            (${VecOps.sqlDot("qs.v", "e.v")} / (qs.n * e.n)) AS cos
          FROM (SELECT *, ${VecOps.sqlLshBucket("v")} AS bucket FROM ($sqlVecs)) qs
          JOIN (SELECT *, ${VecOps.sqlLshBucket("v")} AS bucket FROM ($sqlVecs)) e
-           ON e.bucket = qs.bucket AND e.vec_id <> qs.vec_id
+           ON bit_count(xor(CAST(e.bucket AS BIGINT), CAST(qs.bucket AS BIGINT))) <= 1
+             AND e.vec_id <> qs.vec_id
          WHERE qs.vec_id < $NQueries"""),
 
     "s_int8_topk" -> sqlTopk(
@@ -170,4 +199,13 @@ object Similarity {
          FROM probes JOIN assigned USING (cid)
          WHERE assigned.vec_id <> probes.q""")
   )
+
+  val oracleSql: Map[String, String] = oracleBase +
+    ("s_ann_recall" ->
+      s"""WITH bf AS (${oracleBase("s_cosine_topk")}),
+         ann AS (${oracleBase("s_lsh_ann")})
+         SELECT bf.q, CAST(count(ann.vec_id) AS INT) AS hits,
+           (count(ann.vec_id) / ${K}.0) AS recall
+         FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id
+         GROUP BY bf.q ORDER BY bf.q""")
 }
