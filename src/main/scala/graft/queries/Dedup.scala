@@ -217,6 +217,23 @@ object Dedup {
         .orderBy("a", "b")
     }),
 
+    // dedup-method evaluation: the (lang, length)-blocked Jaccard pass
+    // and the MinHash-LSH pass find DIFFERENT pair sets (blocking
+    // misses cross-block dups; LSH bands are block-free). Exact
+    // partition of the union into both/only_blocked/only_lsh — the
+    // numbers that tell an operator which candidate generator to trust.
+    "d_dedup_eval" -> ((s, dir) => {
+      val jac = Dedup.queries("d_ngram_jaccard")(s, dir).select("a", "b")
+      val mh = Dedup.queries("d_minhash_lsh")(s, dir).select("a", "b")
+      val both = jac.join(mh, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("n")).select(lit("both").as("part"), col("n"))
+      val onlyBlocked = jac.join(mh, Seq("a", "b"), "left_anti")
+        .agg(count(lit(1)).as("n")).select(lit("only_blocked").as("part"), col("n"))
+      val onlyLsh = mh.join(jac, Seq("a", "b"), "left_anti")
+        .agg(count(lit(1)).as("n")).select(lit("only_lsh").as("part"), col("n"))
+      both.unionByName(onlyBlocked).unionByName(onlyLsh).orderBy("part")
+    }),
+
     // dedup CLUSTERING: near-dup/exact pairs are only half the job — a
     // pipeline needs dedup GROUPS to keep one canonical doc per group.
     // Edges = exact-dup pairs (twin corpus) ∪ Jaccard>=0.2 pairs;
@@ -265,7 +282,7 @@ object Dedup {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "d_exact" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
@@ -374,4 +391,20 @@ object Dedup {
          WHERE (${VecOps.sqlDot("a.v", "b.v")} / (a.n * b.n)) >= 0.99
          ORDER BY a, b"""
   )
+
+  val oracleSql: Map[String, String] = oracleBase +
+    ("d_dedup_eval" ->
+      s"""WITH jac_full AS (${oracleBase("d_ngram_jaccard")}),
+         mh_full AS (${oracleBase("d_minhash_lsh")}),
+         jac AS (SELECT a, b FROM jac_full),
+         mh AS (SELECT a, b FROM mh_full)
+         SELECT 'both' AS part, CAST((SELECT count(*) FROM jac
+           WHERE EXISTS (SELECT 1 FROM mh WHERE mh.a = jac.a AND mh.b = jac.b)) AS BIGINT) AS n
+         UNION ALL
+         SELECT 'only_blocked', CAST((SELECT count(*) FROM jac
+           WHERE NOT EXISTS (SELECT 1 FROM mh WHERE mh.a = jac.a AND mh.b = jac.b)) AS BIGINT)
+         UNION ALL
+         SELECT 'only_lsh', CAST((SELECT count(*) FROM mh
+           WHERE NOT EXISTS (SELECT 1 FROM jac WHERE jac.a = mh.a AND jac.b = mh.b)) AS BIGINT)
+         ORDER BY part""")
 }
