@@ -51,13 +51,23 @@ object StreamingOps {
     * state store → sink), just over a finite input. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // State-store count = shuffle partitions at query start; scope it to
+    // the stream's actual state volume rather than the batch session's
+    // width (each store pays per-commit file IO every micro-batch). At
+    // cluster scale this is the same knob, sized to stream throughput.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    spark.conf.set(key, streamParts)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 
