@@ -28,4 +28,29 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("edge direction does not matter") {
     assert(labelsOf(Seq((5L, 1L), (1L, 3L))) == Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
   }
+
+  test("matches union-find on random graphs") {
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic test
+    (1 to 4).foreach { trial =>
+      val n = 20 + rnd.nextInt(30)
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: plain union-find with min-root bookkeeping
+      val parent = collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = nodes.map { v =>
+        val root = find(v)
+        v -> nodes.filter(find(_) == root).min
+      }.toMap
+      assert(labelsOf(edges) == expect, s"trial $trial, edges $edges")
+    }
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{AlphanumScramble, Determinism, ShingleHashSet, SortedIntersectCount}
+
+/** ScalaCheck properties for the pure-JVM kernels behind the custom
+  * Expressions — the contracts the oracle gate relies on, checked over
+  * arbitrary inputs rather than fixtures. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val asciiStr = Gen.listOf(Gen.choose(' ', '~')).map(_.mkString)
+
+  test("AlphanumScramble preserves length and per-char class; deterministic") {
+    check("alphanum", Prop.forAll(asciiStr, Gen.alphaNumStr) { (v, pepper) =>
+      val out = AlphanumScramble.scramble(
+        UTF8String.fromString(v), UTF8String.fromString(pepper)).toString
+      val again = AlphanumScramble.scramble(
+        UTF8String.fromString(v), UTF8String.fromString(pepper)).toString
+      out.length == v.length &&
+        out == again &&
+        v.zip(out).forall { case (a, b) =>
+          if (a.isDigit) b.isDigit
+          else if (a.isLower) b.isLower
+          else if (a.isUpper) b.isUpper
+          else a == b // non-alphanumeric passes through unchanged
+        }
+    })
+  }
+
+  test("SortedIntersectCount equals set-intersection size on sorted distinct arrays") {
+    val sortedArr = Gen.listOf(Gen.choose(0L, 50L)).map(_.distinct.sorted)
+    check("sortedInter", Prop.forAll(sortedArr, sortedArr) { (a, b) =>
+      val n = SortedIntersectCount.count(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      n == a.toSet.intersect(b.toSet).size
+    })
+  }
+
+  test("ShingleHashSet matches a naive shingle+md5 reference on arbitrary words") {
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val wordsGen = Gen.nonEmptyListOf(word)
+    check("shingles", Prop.forAll(wordsGen) { words =>
+      val got = ShingleHashSet.eval(
+        new GenericArrayData(words.map(UTF8String.fromString).toArray), 3, 12)
+      val m = math.max(words.size - 3, 0) + 1
+      val expect = (0 until m)
+        .map(i => words.slice(i, i + 3).mkString(" "))
+        .distinct
+        .map(sh => Determinism.jvmMd5Idx(sh, 12))
+        .distinct.sorted
+      (0 until got.numElements()).map(got.getLong).toSeq == expect
+    })
+  }
+
+  test("jvmMd5Idx stays within [0, 16^k)") {
+    check("md5idx", Prop.forAll(asciiStr, Gen.choose(1, 14)) { (s, k) =>
+      val v = Determinism.jvmMd5Idx(s, k)
+      v >= 0 && v < math.pow(16, k).toLong
+    })
+  }
+}
