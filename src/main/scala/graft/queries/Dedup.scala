@@ -190,20 +190,16 @@ object Dedup {
       val corpus = d.select(col("doc_id"), col("text"))
         .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
           concat_ws(" ", slice(w, lit(1), size(w) - 1)).as("text")))
-      val ex = corpus.select(col("doc_id"),
-        explode(array_distinct(wordsOf(col("text")))).as("w"))
-        .select(col("doc_id"), Determinism.md5IdxK(col("w"), 15).as("h"))
-      // one wide aggregation instead of a 60x bit-explosion: per doc,
-      // count words with bit b set (60 sums + count); bit b of the
-      // simhash is set iff set-count > half the words (same vote rule)
-      val bitSums = ex.groupBy("doc_id").agg(
-        count(lit(1)).as("cnt"),
-        (0 until 60).map(b =>
-          sum(expr(s"shiftright(h, $b) & 1")).as(s"b$b")): _*)
-      val sim = bitSums.select(col("doc_id"),
-        (0 until 60).map(b =>
-          when(col(s"b$b") * 2 > col("cnt"), lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("sh"))
+      // one custom codegen Expression computes the 60-bit signature per
+      // row (SimHash; spec- and property-verified identical to the
+      // explode → md5IdxK → 60-bit-sum vote formula): no explode, no
+      // shuffle of one row per (doc, word), no 61-buffer aggregation —
+      // the signature scales with the scan.
+      val sim = corpus.select(col("doc_id"),
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.SimHash(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              wordsOf(col("text"))), 60, 15)).as("sh"))
       val chunks = sim.select(col("doc_id"), col("sh"),
           explode(sequence(lit(0), lit(3))).as("ci"))
         .select(col("doc_id"), col("sh"), col("ci"),

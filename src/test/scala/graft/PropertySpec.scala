@@ -61,6 +61,22 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("SimHash matches the naive distinct-word vote reference") {
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val wordsGen = Gen.nonEmptyListOf(word)
+    check("simhash", Prop.forAll(wordsGen) { words =>
+      val got = graft.functions.SimHash.eval(
+        new GenericArrayData(words.map(UTF8String.fromString).toArray), 60, 15)
+      val distinct = words.distinct
+      val hs = distinct.map(w => Determinism.jvmMd5Idx(w, 15))
+      val expect = (0 until 60).map { b =>
+        val votes = hs.count(h => ((h >> b) & 1L) == 1L)
+        if (votes * 2 > distinct.size) 1L << b else 0L
+      }.sum
+      got == expect
+    })
+  }
+
   test("jvmMd5Idx stays within [0, 16^k)") {
     check("md5idx", Prop.forAll(asciiStr, Gen.choose(1, 14)) { (s, k) =>
       val v = Determinism.jvmMd5Idx(s, k)
