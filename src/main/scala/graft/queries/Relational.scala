@@ -275,6 +275,21 @@ object Relational {
         .orderBy("tier")
     }),
 
+    // unpivot (melt): wide per-status totals back to (status, total)
+    // rows — the inverse of q_pivot, via the native Unpivot plan.
+    "q_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec("o_totalprice")).cast("double"))
+      wide.unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")),
+          "status", "total")
+        .filter(col("total").isNotNull)
+        .orderBy("o_orderpriority", "status")
+    }),
+
     // t-digest sketch coverage: approx_percentile vs exact, validated
     // by bound (same pattern as q_distinct's approx_ok — a hash compare
     // can't check an approximation; a tolerance can).
@@ -475,6 +490,13 @@ object Relational {
     "q_approx_quantile" ->
       """SELECT l_returnflag, true AS median_ok, true AS p90_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_unpivot" ->
+      """SELECT o_orderpriority, o_orderstatus AS status,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+         GROUP BY o_orderpriority, o_orderstatus
+         ORDER BY o_orderpriority, status""",
 
     "q_json" ->
       """SELECT event_type,

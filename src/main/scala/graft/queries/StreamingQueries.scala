@@ -33,6 +33,16 @@ object StreamingQueries {
         .orderBy("user_id", "h")
     }),
 
+    // Sliding windows (1h every 30min): each event contributes to two
+    // overlapping windows; the oracle replicates events against both
+    // candidate window starts.
+    "st_sliding_agg" -> ((s, dir) => {
+      val name = synchronized { runId += 1; s"st_sliding_agg_$runId" }
+      val out = StreamingOps.runToMemory(
+        s, StreamingOps.slidingAgg(StreamingOps.eventsStream(s, dir)), name)
+      out.orderBy("wstart", "event_type")
+    }),
+
     // Streaming sessionization via flatMapGroupsWithState — the same
     // custom-state operator the MemoryStream ScalaTest drives, here run
     // over the file stream and oracle-checked against the batch
@@ -88,6 +98,16 @@ object StreamingQueries {
            AND e.user_id = p.user_id
            AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
          ORDER BY p_id, e_id""",
+
+    "st_sliding_agg" ->
+      """WITH w AS (
+           SELECT make_timestamp(
+               (epoch_us(ts) - epoch_us(ts) % 1800000000) - 1800000000 * i) AS wstart,
+             event_type, value
+           FROM events, unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS t(i))
+         SELECT wstart, event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM w GROUP BY 1, 2 ORDER BY wstart, event_type""",
 
     // same gaps-and-islands math as q_sessionize's oracle, with the
     // streaming operator's INT index/count types

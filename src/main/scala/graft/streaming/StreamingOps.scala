@@ -46,6 +46,18 @@ object StreamingOps {
       .select(col("window.start").as("wstart"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 30 minutes: each event lands in two
+    * overlapping windows (state = win/slide concurrent windows per key,
+    * still watermark-bounded). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Run a bounded stream to completion into a memory sink; returns the
     * materialized result. This is a REAL streaming execution (source →
     * state store → sink), just over a finite input. */
