@@ -239,6 +239,17 @@ object Relational {
         .agg(sum("k").as("sum_k"), count(lit(1)).as("n"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // Scalar subquery through the spark.sql surface: the subquery plans
+    // as a ScalarSubquery expression evaluated once and broadcast into
+    // the filter (max is exact — no order-dependent float aggregate).
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders_v
+               WHERE o_totalprice > 4 * (SELECT max(l_extendedprice) FROM lineitem_v)
+               ORDER BY o_orderkey""")
+    }),
+
     // Salted skew join: the hot-key mitigation AQE can't always apply
     // (shuffle-hash paths, downstream aggs on the hot key). Salting is
     // physical-plan-only, so the result equals the plain join.
@@ -472,6 +483,11 @@ object Relational {
          SELECT user_id, session_idx, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end
          FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > 4 * (SELECT max(l_extendedprice) FROM lineitem)
+         ORDER BY o_orderkey""",
 
     "q_skew_join" ->
       """SELECT s_name, count(*) AS n,
