@@ -77,6 +77,17 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("DotProduct equals the naive left-to-right IEEE accumulation bit-for-bit") {
+    val vec = Gen.listOfN(16, Gen.choose(-1.0, 1.0))
+    check("dot", Prop.forAll(vec, vec) { (a, b) =>
+      val got = graft.functions.DotProduct.dot(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      var acc = 0.0
+      a.zip(b).foreach { case (x, y) => acc += x * y }
+      java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(acc)
+    })
+  }
+
   test("jvmMd5Idx stays within [0, 16^k)") {
     check("md5idx", Prop.forAll(asciiStr, Gen.choose(1, 14)) { (s, k) =>
       val v = Determinism.jvmMd5Idx(s, k)
