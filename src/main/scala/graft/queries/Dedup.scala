@@ -99,6 +99,29 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }) }
 
+  private val exactCache =
+    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Memoized exact-dup pairs over the twin corpus (normalize → hash →
+    * window-min canonical) — shared by d_exact (reports them) and
+    * d_cluster (uses them as edges). */
+  private def exactPairs(s: SparkSession, dir: String): DataFrame =
+    synchronized { exactCache.getOrElseUpdate((s, dir), {
+      val d = docs(s, dir)
+      val corpus = d.select(col("doc_id"), col("text"))
+        .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" ")).as("text")))
+      val hashed = corpus.select(col("doc_id"),
+        md5(trim(lower(regexp_replace(col("text"), "\\s+", " "))).cast("binary")).as("h"))
+      // canonical-per-group via a window: ONE shuffle on the hash, no
+      // groupBy + self-join (which scans and md5s the corpus twice)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      hashed.withColumn("dup_of", min("doc_id").over(w))
+        .filter(col("doc_id") =!= col("dup_of"))
+        .select("doc_id", "dup_of")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }) }
+
   private val sqlShingleSets =
     s"""SELECT doc_id, lang, n_chars // 100 AS lb,
         list_distinct(list_transform(${sqlShingles3("string_split(text, ' ')")},
@@ -128,20 +151,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: normalize -> hash -> group; emit (doc, canonical).
-    "d_exact" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val corpus = d.select(col("doc_id"), col("text"))
-        .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
-          concat(col("text"), lit(" ")).as("text")))
-      val hashed = corpus.select(col("doc_id"),
-        md5(trim(lower(regexp_replace(col("text"), "\\s+", " "))).cast("binary")).as("h"))
-      // canonical-per-group via a window: ONE shuffle on the hash, no
-      // groupBy + self-join (which scans and md5s the corpus twice)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
-      hashed.withColumn("dup_of", min("doc_id").over(w))
-        .filter(col("doc_id") =!= col("dup_of"))
-        .select("doc_id", "dup_of").orderBy("doc_id")
-    }),
+    "d_exact" -> ((s, dir) => exactPairs(s, dir).orderBy("doc_id")),
 
     // n-gram Jaccard near-dup, exact pairwise WITHIN (lang, length)
     // blocks. The intersect is computed ONCE per pair (staged projects;
@@ -236,18 +246,10 @@ object Dedup {
     // components via distributed min-label propagation
     // (graft.operators.ConnectedComponents). cluster = min doc_id.
     "d_cluster" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val corpus = d.select(col("doc_id"), col("text"))
-        .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
-          concat(col("text"), lit(" ")).as("text")))
-      val hashed = corpus.select(col("doc_id"),
-        md5(trim(lower(regexp_replace(col("text"), "\\s+", " "))).cast("binary")).as("h"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
-      val exactPairs = hashed.withColumn("dup_of", min("doc_id").over(w))
-        .filter(col("doc_id") =!= col("dup_of"))
+      val ePairs = exactPairs(s, dir)
         .select(col("dup_of").as("a"), col("doc_id").as("b"))
       val jacPairs = jaccardPairs(s, dir).select("a", "b")
-      val labels = ConnectedComponents.run(exactPairs.union(jacPairs))
+      val labels = ConnectedComponents.run(ePairs.union(jacPairs))
       val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("csize"))
       labels.join(sizes, "cluster")
         .select(col("id").as("doc_id"), col("cluster"), col("csize"))

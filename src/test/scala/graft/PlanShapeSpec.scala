@@ -1,0 +1,39 @@
+package graft
+
+/** Plan-shape invariants as tests: the scale posture PlanAudit prints
+  * (pushdown to the scan, broadcast dims, hash joins instead of
+  * nested loops, TakeOrdered instead of global sorts) must survive any
+  * refactor, not just be observed once. Planning only — nothing runs. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_filter_pushdown: filters and pruned columns reach the parquet scan") {
+    val p = planOf("q_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(400))
+    assert(!p.contains("l_extendedprice"), "untouched columns must not be read")
+  }
+
+  test("q5_join: every dimension joins as a broadcast hash join") {
+    val p = planOf("q5_join")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_range_join: bucketed range join is a hash join, not a nested loop") {
+    val p = planOf("q_range_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "range predicate must not planned as NL join")
+  }
+
+  test("q_topk: order+limit plans TakeOrderedAndProject, no global sort") {
+    assert(planOf("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_semijoin / q_antijoin plan as semi/anti joins, not row-count blowups") {
+    assert(planOf("q_semijoin").contains("LeftSemi"))
+    assert(planOf("q_antijoin").contains("LeftAnti"))
+  }
+}
