@@ -26,6 +26,21 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(256).collect()
       catch { case _: Throwable => () }
     }
+    // ... and the common codegen/JIT paths (hash, shuffle agg, window,
+    // sort) with a synthetic relation, so the first timed query measures
+    // its work, not Janino/JIT infrastructure start-up.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(org.apache.spark.sql.functions.col("g"))
+        .orderBy(org.apache.spark.sql.functions.col("id"))
+      spark.range(0, 4096)
+        .select(col("id"), (col("id") % 7).as("g"),
+          md5(concat(col("id").cast("string"), lit("w"))).as("h"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("g").agg(count(lit(1)), min("h"), sum("rn"))
+        .orderBy("g").collect()
+    }
     val only = args.toSet // optional query-name filter for local iteration
     val errors = collection.mutable.Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
