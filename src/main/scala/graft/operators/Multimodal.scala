@@ -55,6 +55,29 @@ object Multimodal {
     blobs.mapPartitions(_.grouped(BatchSize).flatMap(decodeBatch))
   }
 
+  /** Resize plan for a media blob (aspect-preserving thumbnail). */
+  final case class Resized(doc_id: Long, width: Int, height: Int,
+      out_w: Int, out_h: Int)
+
+  /** STUB resize: computes the aspect-preserving target shape from the
+    * decoded dimensions (integer math — exact in any engine); a real
+    * build would scale pixel data here. longest edge → `target`. */
+  private def resizeBatch(batch: Seq[Blob], target: Int): Seq[Resized] =
+    batch.map { b =>
+      val h = md5Hex(b.bytes)
+      val w0 = (16 + idx6(h) % 1024).toInt
+      val h0 = (16 + idx6(md5Hex((h + "h").getBytes("UTF-8"))) % 1024).toInt
+      val m = math.max(w0, h0)
+      Resized(b.doc_id, w0, h0,
+        math.max(1, w0 * target / m), math.max(1, h0 * target / m))
+    }
+
+  /** Batched resize stage, same partition shape as [[extractFeatures]]. */
+  def resize(blobs: Dataset[Blob], target: Int = 64): Dataset[Resized] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.grouped(BatchSize).flatMap(resizeBatch(_, target)))
+  }
+
   /** One sampled frame of a media blob. */
   final case class Frame(doc_id: Long, frame_idx: Int, brightness: Double)
 

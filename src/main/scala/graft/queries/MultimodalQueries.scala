@@ -29,6 +29,13 @@ object MultimodalQueries {
         Multimodal.blobs(s, Tables.load(s, dir, "documents")))
         .toDF().orderBy("doc_id")),
 
+    // aspect-preserving resize plan (longest edge -> 64), exact integer
+    // shape math over the batched pipeline; pixel scaling is the stub
+    "m_resize" -> ((s, dir) =>
+      Multimodal.resize(
+        Multimodal.blobs(s, Tables.load(s, dir, "documents")), target = 64)
+        .toDF().orderBy("doc_id")),
+
     // frame sampling: one row per stride-sampled frame (explode-shaped
     // stage a video pipeline feeds into per-frame embedding)
     "m_frames" -> ((s, dir) =>
@@ -55,6 +62,16 @@ object MultimodalQueries {
            CAST(1 + ${f("md5(text) || 'f'")} % 64 AS INT) AS n_frames,
            ((${f("md5(text) || 'i'")} % 256) / 255.0) AS mean_intensity
          FROM documents ORDER BY doc_id""",
+
+    "m_resize" ->
+      s"""WITH dims AS (SELECT doc_id,
+             CAST(16 + ${f("text")} % 1024 AS INT) AS width,
+             CAST(16 + ${f("md5(text) || 'h'")} % 1024 AS INT) AS height
+           FROM documents)
+         SELECT doc_id, width, height,
+           CAST(greatest(1, (width * 64) // greatest(width, height)) AS INT) AS out_w,
+           CAST(greatest(1, (height * 64) // greatest(width, height)) AS INT) AS out_h
+         FROM dims ORDER BY doc_id""",
 
     "m_frames" ->
       s"""WITH nf AS (SELECT doc_id, text,
