@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.plans.{Reference, SchemaGraph}
+import graft.plans.SchemaGraph
 
 /** Root of a slice: a table plus a SQL condition selecting its seed rows
   * (reference: `DumpRoot`, slice_db/formats/dump.py:57-63). */
@@ -21,16 +21,26 @@ final case class SliceRoot(table: String, condition: String)
   * as a DataFrame and advances the whole frontier one BFS round at a
   * time:
   *
-  *   frontier rows --forward ref--> parent keys   (child pulls parents)
-  *   frontier rows --reverse ref--> child keys    (parent pulls children)
-  *   new keys = candidates ANTI JOIN discovered   (the IntSet dedup)
+  *   frontier FK values --forward ref--> parent keys  (child pulls parents)
+  *   frontier keys --reverse ref--> child keys        (parent pulls children)
+  *   new keys = candidates ANTI JOIN discovered       (the IntSet dedup)
   *
   * Scale posture (100 TB): nothing is ever collected to the driver; each
   * round is a handful of semi/anti joins that shuffle on the FK columns.
-  * Frontiers are persisted and counted (the count doubles as the loop
-  * termination test), and a frontier known to be small is broadcast so
-  * the next round's joins skip the shuffle entirely. Rounds are bounded
-  * by the FK-graph diameter, not the data size.
+  * Rounds are bounded by the FK-graph diameter, not the data size, and a
+  * round costs exactly ONE Spark action (a fused count+max over every
+  * fresh frontier). Three things keep the per-round scan count minimal:
+  *
+  *   - frontier frames are AUGMENTED with the FK columns the next round
+  *     needs, so expansion never re-reads the rows behind the frontier
+  *     (the r03 BFS re-scanned the frontier's own table every round);
+  *   - FK values aimed at an already-discovered table are anti-joined
+  *     against the seen keys FIRST, so AQE collapses the re-discovery
+  *     semi-join to empty before it scans anything;
+  *   - when an FK targets the parent's primary key and the parent needs
+  *     no aux columns, the FK values ARE the discovered keys — the
+  *     parent table is not scanned at all during discovery (the same
+  *     FK-value semantics the reference's manifest counts).
   */
 final class Slicer(
     graph: SchemaGraph,
@@ -38,6 +48,14 @@ final class Slicer(
     broadcastKeyLimit: Long = 1000000L) {
 
   private def keyCols(t: String): Seq[String] = graph.table(t).key
+
+  /** FK columns a frontier frame of `t` carries so the NEXT round can
+    * expand straight off the cached frontier. */
+  private def auxCols(t: String): Seq[String] =
+    (graph.refsFrom(t).flatMap(_.columns) ++ graph.refsTo(t).flatMap(_.refColumns))
+      .distinct.filterNot(keyCols(t).contains)
+
+  private def augCols(t: String): Seq[String] = keyCols(t) ++ auxCols(t)
 
   /** BFS to fixpoint; returns the discovered key set per table. */
   def discoverKeys(roots: Seq[SliceRoot]): Map[String, DataFrame] =
@@ -53,8 +71,9 @@ final class Slicer(
     * this is the refresh path: nightly roots extend yesterday's slice
     * at the cost of the new data only. */
   def extend(prev: SliceResult, roots: Seq[SliceRoot]): SliceResult = {
-    val (keys, counts) = discover(roots, prev.keys, prev.keyCounts)
-    new SliceResult(graph, loadTable, keys, counts, broadcastKeyLimit)
+    val (keys, counts, maxes) =
+      discover(roots, prev.keys, prev.keyCounts, prev.keyMaxes)
+    new SliceResult(graph, loadTable, keys, counts, maxes, broadcastKeyLimit)
   }
 
   /** How many persisted key generations a table accumulates before they
@@ -62,125 +81,163 @@ final class Slicer(
     * individually cached, so anti-joins against their lazy union stay
     * cheap; compaction only exists to bound plan width on FK graphs far
     * deeper than any real schema. Between compactions a BFS round costs
-    * exactly ONE Spark action (the fused count), which is what keeps
-    * wall-clock low — per-round eager checkpoints measured 2-3x slower. */
+    * exactly ONE Spark action (the fused count+max) — per-round eager
+    * checkpoints measured 2-3x slower. */
   private val compactEvery = 8
 
-  /** Discovery plus the exact key count per table (the counts fall out
-    * of the per-round termination test for free, and gate whether row
-    * materialization may broadcast the key set).
+  /** Discovery plus the exact key count and max(key) per table. Both
+    * fall out of the per-round termination test for free: the count
+    * gates broadcasts and IS the manifest (keys are the declared primary
+    * key, so key count == row count), the max IS the sequence capture —
+    * so manifest/sequences consumers cost zero extra Spark jobs.
     *
-    * @param priorKeys / @param priorCounts a previous discovery's closed
-    *   key state to extend incrementally (empty = slice from scratch) */
+    * @param priorKeys / @param priorCounts / @param priorMaxes a previous
+    *   discovery's closed key state to extend incrementally */
   private def discover(
       roots: Seq[SliceRoot],
       priorKeys: Map[String, DataFrame] = Map.empty,
-      priorCounts: Map[String, Long] = Map.empty): (Map[String, DataFrame], Map[String, Long]) = {
-    // per-table persisted key GENERATIONS; the discovered set is their union
-    var gens: Map[String, Vector[DataFrame]] =
+      priorCounts: Map[String, Long] = Map.empty,
+      priorMaxes: Map[String, Long] = Map.empty)
+      : (Map[String, DataFrame], Map[String, Long], Map[String, Long]) = {
+    // per-table KEY-ONLY generations (anti-join state + final output) and
+    // the persisted aug frames backing them (unpersisted on compaction)
+    var genKeys: Map[String, Vector[DataFrame]] =
       priorKeys.map { case (t, k) => t -> Vector(k) }
+    var genBases = Map.empty[String, Vector[DataFrame]]
     var counts = Map.empty[String, Long].withDefaultValue(0L) ++ priorCounts
-    var frontier = Map.empty[String, (DataFrame, Long)]
-    def discoveredOf(t: String): Option[DataFrame] =
-      gens.get(t).map(_.reduce(_ union _))
+    var maxes = Map.empty[String, Long] ++ priorMaxes
+    var frontier = Map.empty[String, (DataFrame, Long)] // aug frame, count
+    def seenOf(t: String): Option[DataFrame] =
+      genKeys.get(t).map(_.reduce(_ union _))
+
+    /** Persist fresh frontiers, run the round's ONE fused action, fold
+      * the survivors into the discovered state. */
+    def ingest(fresh: Seq[(String, DataFrame)]): Unit = {
+      frontier = Map.empty
+      countMaxAll(fresh.map { case (t, df) =>
+        t -> df.persist(StorageLevel.MEMORY_AND_DISK)
+      }).foreach { case (t, (df, n, mx)) =>
+        if (n > 0) {
+          frontier += t -> (df, n)
+          counts += t -> (counts(t) + n)
+          mx.foreach(m => maxes += t -> math.max(maxes.getOrElse(t, Long.MinValue), m))
+          val bases = genBases.getOrElse(t, Vector.empty) :+ df
+          val keysV = genKeys.getOrElse(t, Vector.empty) :+
+            df.select(keyCols(t).map(col): _*)
+          if (keysV.size < compactEvery) {
+            genBases += t -> bases
+            genKeys += t -> keysV
+          } else {
+            // compact: one checkpointed frame replaces the generation
+            // stack, bounding plan width on very deep FK graphs. The
+            // live frontier frame stays persisted (the next round still
+            // expands it); it is released on the NEXT compaction.
+            val merged = keysV.reduce(_ union _).localCheckpoint(true)
+            bases.filterNot(_ eq df).foreach(_.unpersist())
+            genBases += t -> Vector(df)
+            genKeys += t -> Vector(merged)
+          }
+        } else df.unpersist()
+      }
+    }
 
     // seed: root conditions (multi-root unions on the same table dedup
     // through the same anti-join path as everything else); when
     // extending, seeds already covered by the prior slice drop out here
     val seeds = roots.groupBy(_.table).map { case (t, rs) =>
-      val table = loadTable(t)
       val cond = rs.map(r => s"(${r.condition})").mkString(" OR ")
-      val sel = table.filter(expr(cond)).select(keyCols(t).map(col): _*).distinct()
-      t -> (discoveredOf(t) match {
+      val sel = loadTable(t).filter(expr(cond))
+        .select(augCols(t).map(col): _*).distinct()
+      t -> (seenOf(t) match {
         case Some(seen) => sel.join(seen, keyCols(t), "left_anti")
         case None       => sel
       })
     }
-    // one Spark job materializes + counts ALL seed tables
-    countAll(seeds.toSeq.map { case (t, keys) =>
-      t -> keys.persist(StorageLevel.MEMORY_AND_DISK)
-    }).foreach { case (t, (k, n)) =>
-      if (n > 0) {
-        gens += t -> (gens.getOrElse(t, Vector.empty) :+ k)
-        counts += t -> (counts(t) + n)
-        frontier += t -> (k, n)
-      } else k.unpersist()
-    }
+    ingest(seeds.toSeq)
 
     while (frontier.nonEmpty) {
+      /** Candidate aug frame for target `tt` reached through join
+        * columns `jc` carrying the (distinct, null-free) FK value set
+        * `vals`; `small` = the source frontier fits a broadcast. */
+      def candidate(tt: String, jc: Seq[String], vals: DataFrame,
+          small: Boolean): DataFrame = {
+        val keyRef = jc == keyCols(tt) // FK aimed at the target's primary key
+        // keys already discovered can't be fresh: anti-join the value
+        // set against the seen keys FIRST, so a round that rediscovers
+        // only old keys feeds an empty build side into the table scan
+        // below and AQE eliminates the scan outright
+        val fresh = if (keyRef) seenOf(tt) match {
+          case Some(seen) if counts(tt) <= broadcastKeyLimit =>
+            vals.join(broadcast(seen), jc, "left_anti")
+          case Some(seen) => vals.join(seen, jc, "left_anti")
+          case None       => vals
+        } else vals
+        if (keyRef && auxCols(tt).isEmpty) fresh
+        else {
+          val build = if (small) broadcast(fresh) else fresh
+          loadTable(tt).join(build, jc, "left_semi")
+            .select(augCols(tt).map(col): _*)
+        }
+      }
+
       // gather candidate keys per adjacent table from every live frontier
       val candidates = collection.mutable.Map.empty[String, Vector[DataFrame]]
-      def addCandidate(t: String, df: DataFrame): Unit =
-        candidates(t) = candidates.getOrElse(t, Vector.empty) :+ df
-
-      frontier.foreach { case (t, (keys, n)) =>
-        val hinted = if (n <= broadcastKeyLimit) broadcast(keys) else keys
-        // rows behind the frontier keys (needed to read their FK columns)
-        val frontRows = loadTable(t).join(hinted, keyCols(t), "left_semi")
+      frontier.foreach { case (t, (aug, n)) =>
+        val small = n <= broadcastKeyLimit
+        def valsOf(cols: Seq[String], renameTo: Seq[String]): DataFrame =
+          aug.select(cols.map(col): _*).na.drop("any").distinct()
+            .toDF(renameTo: _*)
         graph.refsFrom(t).foreach { r => // forward: child -> parent
-          val vals = frontRows.select(r.columns.map(col): _*).distinct()
-            .toDF(r.refColumns: _*)
-          val parentKeys = loadTable(r.refTable)
-            .join(vals, r.refColumns, "left_semi")
-            .select(keyCols(r.refTable).map(col): _*)
-          addCandidate(r.refTable, parentKeys)
+          val c = candidate(r.refTable, r.refColumns,
+            valsOf(r.columns, r.refColumns), small)
+          candidates(r.refTable) = candidates.getOrElse(r.refTable, Vector.empty) :+ c
         }
         graph.refsTo(t).foreach { r => // reverse: parent -> children
-          val vals = frontRows.select(r.refColumns.map(col): _*).distinct()
-            .toDF(r.columns: _*)
-          val childKeys = loadTable(r.table)
-            .join(vals, r.columns, "left_semi")
-            .select(keyCols(r.table).map(col): _*)
-          addCandidate(r.table, childKeys)
+          val c = candidate(r.table, r.columns,
+            valsOf(r.refColumns, r.columns), small)
+          candidates(r.table) = candidates.getOrElse(r.table, Vector.empty) :+ c
         }
       }
 
-      frontier = Map.empty
-      // one job per ROUND (not per table): persist every fresh frontier
-      // and collect all their counts together
-      val freshByTable = candidates.toSeq.map { case (t, dfs) =>
-        val cand = dfs.reduce(_ union _).distinct()
-        val fresh = discoveredOf(t) match {
-          case Some(seen) => cand.join(seen, keyCols(t), "left_anti")
+      // one fused action per ROUND (not per table)
+      ingest(candidates.toSeq.map { case (tt, dfs) =>
+        val cand = dfs.map(_.select(augCols(tt).map(col): _*))
+          .reduce(_ union _).distinct()
+        tt -> (seenOf(tt) match {
+          case Some(seen) => cand.join(seen, keyCols(tt), "left_anti")
           case None       => cand
-        }
-        t -> fresh.persist(StorageLevel.MEMORY_AND_DISK)
-      }
-      countAll(freshByTable).foreach { case (t, (f, n)) =>
-        if (n > 0) {
-          frontier += t -> (f, n)
-          counts += t -> (counts(t) + n)
-          val v = gens.getOrElse(t, Vector.empty) :+ f
-          gens += t -> (if (v.size < compactEvery) v else {
-            // compact: one checkpointed frame replaces the generation
-            // stack, bounding plan width on very deep FK graphs
-            // (round-1 verdict #5 — no unbounded lineage/persist growth)
-            val merged = v.reduce(_ union _).localCheckpoint(true)
-            v.foreach(_.unpersist())
-            Vector(merged)
-          })
-        } else f.unpersist()
-      }
+        })
+      })
     }
-    (gens.map { case (t, v) => t -> v.reduce(_ union _) }, counts)
+    (genKeys.map { case (t, v) => t -> v.reduce(_ union _) }, counts, maxes)
   }
 
-  /** Count several (persisted) DataFrames in ONE Spark job: their
-    * grouped counts union into a single plan, so a BFS round costs one
-    * action regardless of how many tables its frontier touches. */
-  private def countAll(dfs: Seq[(String, DataFrame)]): Seq[(String, (DataFrame, Long))] = {
+  /** Count + max(first key, cast long) of several (persisted) DataFrames
+    * in ONE Spark job: their grouped stats union into a single plan, so
+    * a BFS round costs one action regardless of how many tables its
+    * frontier touches. A non-castable (e.g. string) key yields None. */
+  private def countMaxAll(dfs: Seq[(String, DataFrame)])
+      : Seq[(String, (DataFrame, Long, Option[Long]))] = {
     if (dfs.isEmpty) return Seq.empty
-    val counts = dfs.map { case (t, df) =>
-      df.groupBy().count().select(lit(t).as("t"), col("count").as("n"))
-    }.reduce(_ union _).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    dfs.map { case (t, df) => t -> (df, counts.getOrElse(t, 0L)) }
+    val stats = dfs.map { case (t, df) =>
+      df.groupBy().agg(
+          count(lit(1)).as("n"),
+          max(col(keyCols(t).head).cast("long")).as("mx"))
+        .select(lit(t).as("t"), col("n"), col("mx"))
+    }.reduce(_ union _).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }.toMap
+    dfs.map { case (t, df) =>
+      val (n, mx) = stats.getOrElse(t, (0L, None))
+      t -> (df, n, mx)
+    }
   }
 
   /** Run discovery ONCE; everything (rows, manifest, sequences) derives
-    * from the cached key sets (round-1 verdict #6 — no re-discovery). */
+    * from the cached key sets and their already-known counts/maxes. */
   def run(roots: Seq[SliceRoot]): SliceResult = {
-    val (keys, counts) = discover(roots)
-    new SliceResult(graph, loadTable, keys, counts, broadcastKeyLimit)
+    val (keys, counts, maxes) = discover(roots)
+    new SliceResult(graph, loadTable, keys, counts, maxes, broadcastKeyLimit)
   }
 
   /** Full slice: the actual rows of every discovered table. */
@@ -192,14 +249,18 @@ final class Slicer(
 }
 
 /** A completed discovery: per-table key sets (persisted/checkpointed small
-  * DataFrames of key columns only). Row materialization is a single
-  * semi-join per table against the full table — filter/column pushdown
-  * still reaches the scan because keys are a separate tiny relation. */
+  * DataFrames of key columns only) plus the key counts/maxes the BFS
+  * already measured. Row materialization is a single semi-join per table
+  * against the full table — filter/column pushdown still reaches the scan
+  * because keys are a separate tiny relation. Manifest and sequences are
+  * DRIVER-LOCAL metadata (zero Spark jobs) whenever discovery supplied
+  * complete counts/maxes. */
 final class SliceResult(
     graph: SchemaGraph,
     loadTable: String => DataFrame,
     val keys: Map[String, DataFrame],
     val keyCounts: Map[String, Long] = Map.empty,
+    val keyMaxes: Map[String, Long] = Map.empty,
     broadcastKeyLimit: Long = 1000000L) {
 
   private def keyCols(t: String): Seq[String] = graph.table(t).key
@@ -221,27 +282,42 @@ final class SliceResult(
   def allRows: Map[String, DataFrame] = keys.keys.map(t => t -> rows(t)).toMap
 
   /** Manifest analog (slice_db/formats/manifest.py): per-table row count
-    * of the slice (row count, not key count — key tuples may be shared by
-    * several physical rows). */
-  def manifest: DataFrame =
-    keys.keys.toSeq.sorted.map { t =>
-      rows(t).groupBy().count().select(lit(t).as("table_id"), col("count").as("row_count"))
-    }.reduceOption(_ union _).getOrElse(emptyMeta("row_count"))
+    * of the slice. For tables whose declared key is UNIQUE, key count ==
+    * row count and discovery already measured it — those entries are
+    * driver-local metadata, zero Spark jobs. Tables with a non-unique
+    * key (or a SliceResult built without counts) count their
+    * materialized rows: key-tuple count would under-report there. */
+  def manifest: DataFrame = {
+    val (exact, counted) = keys.keys.toSeq.sorted.partition(t =>
+      graph.table(t).unique && keyCounts.contains(t))
+    val local = metaFrame("row_count", exact.map(t => t -> keyCounts(t)))
+    val jobs = counted.map { t =>
+      rows(t).groupBy().count()
+        .select(lit(t).as("table_id"), col("count").as("row_count"))
+    }
+    (local +: jobs).reduce(_ union _)
+  }
 
   /** Sequence-capture analog (slice_db/dump.py:216-250): the reference
     * records `last_value` of each serial; graft records max(key) per
-    * sliced table so a restore can resume key generation. */
+    * sliced table so a restore can resume key generation. Discovery
+    * already folded the max into its per-round action — driver-local. */
   def sequences: DataFrame =
-    keys.toSeq.sortBy(_._1).map { case (t, k) =>
-      k.select(lit(t).as("table_id"),
-        max(col(keyCols(t).head).cast("long")).as("last_value"))
-    }.reduceOption(_ union _).getOrElse(emptyMeta("last_value"))
+    if (keys.nonEmpty && keys.keySet.subsetOf(keyMaxes.keySet))
+      metaFrame("last_value", keys.keys.toSeq.sorted.map(t => t -> keyMaxes(t)))
+    else
+      keys.toSeq.sortBy(_._1).map { case (t, k) =>
+        k.select(lit(t).as("table_id"),
+          max(col(keyCols(t).head).cast("long")).as("last_value"))
+      }.reduceOption(_ union _).getOrElse(metaFrame("last_value", Seq.empty))
 
-  /** Empty-slice metadata frame (a root condition can match nothing). */
-  private def emptyMeta(valueCol: String): DataFrame = {
+  /** Tiny driver-local metadata frame (table_id, <valueCol>). */
+  private def metaFrame(valueCol: String, data: Seq[(String, Long)]): DataFrame = {
     import org.apache.spark.sql.types._
-    org.apache.spark.sql.SparkSession.active.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](),
-      StructType(Seq(StructField("table_id", StringType), StructField(valueCol, LongType))))
+    import scala.jdk.CollectionConverters._
+    SparkSession.active.createDataFrame(
+      data.map { case (t, v) => Row(t, v) }.asJava,
+      StructType(Seq(StructField("table_id", StringType),
+        StructField(valueCol, LongType))))
   }
 }

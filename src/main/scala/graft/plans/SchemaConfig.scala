@@ -29,7 +29,8 @@ object SchemaConfig {
   def fromJson(json: String): SchemaGraph = {
     val root = mapper.readTree(json)
     val tables = root.get("tables").elements().asScala.map { t =>
-      TableDef(t.get("id").asText(), strings(t.get("key")))
+      TableDef(t.get("id").asText(), strings(t.get("key")),
+        unique = Option(t.get("unique")).forall(_.asBoolean(true)))
     }.toSeq
     val refs = Option(root.get("references")).map(_.elements().asScala.map { r =>
       Reference(
@@ -47,7 +48,8 @@ object SchemaConfig {
 
   def toJson(g: SchemaGraph): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ", ", "]")
-    val ts = g.tables.map(t => s"""    {"id": "${t.id}", "key": ${arr(t.key)}}""")
+    val ts = g.tables.map(t =>
+      s"""    {"id": "${t.id}", "key": ${arr(t.key)}, "unique": ${t.unique}}""")
     val rs = g.references.map(r =>
       s"""    {"id": "${r.id}", "table": "${r.table}", "columns": ${arr(r.columns)},
          |     "refTable": "${r.refTable}", "refColumns": ${arr(r.refColumns)},

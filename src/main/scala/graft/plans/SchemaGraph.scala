@@ -21,7 +21,12 @@ final case class Reference(
     reverse: Boolean = true,
     deferrable: Boolean = false)
 
-final case class TableDef(id: String, key: Seq[String])
+/** @param key the table's key column(s) — the identity a slice discovers
+  * @param unique whether `key` is genuinely UNIQUE (a primary key).
+  *   When true, discovery's key count doubles as the manifest row count
+  *   (zero extra jobs); when false (e.g. an event table keyed by a
+  *   non-unique tuple) the manifest counts the materialized rows. */
+final case class TableDef(id: String, key: Seq[String], unique: Boolean = true)
 
 final case class SchemaGraph(tables: Seq[TableDef], references: Seq[Reference]) {
   val tableIds: Seq[String] = tables.map(_.id)
@@ -96,7 +101,9 @@ object SchemaGraph {
       TableDef("supplier", Seq("s_suppkey")),
       TableDef("part", Seq("p_partkey")),
       TableDef("orders", Seq("o_orderkey")),
-      TableDef("lineitem", Seq("l_orderkey", "l_linenumber"))),
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus
+      // — manifest must count rows, not key tuples
+      TableDef("lineitem", Seq("l_orderkey", "l_linenumber"), unique = false)),
     // Directions mirror how a slice-db config would set them
     // (slice_db/formats/dump.py:11-30): fact chains walk both ways
     // (a customer pulls its orders and lineitems), dimension refs are

@@ -85,6 +85,23 @@ class SlicerSpec extends SparkSpec {
     assert(m == Map("parent" -> 1L, "child" -> 1L, "grandchild" -> 1L))
   }
 
+  test("manifest counts rows, not key tuples, for non-unique keys") {
+    // ev's declared key (eid) is NOT unique: two rows share eid=7. The
+    // manifest must report materialized rows (3), not discovered key
+    // tuples (2) — the synthetic lineitem table has the same shape.
+    val g = SchemaGraph(
+      tables = Seq(TableDef("p", Seq("pid")),
+        TableDef("ev", Seq("eid"), unique = false)),
+      references = Seq(Reference("e_p", "ev", Seq("pid"), "p", Seq("pid"))))
+    val tbls: Map[String, DataFrame] = Map(
+      "p" -> Seq((1, "a"), (2, "b")).toDF("pid", "name"),
+      "ev" -> Seq((7, 1, "x"), (7, 1, "y"), (8, 1, "z"), (9, 2, "w"))
+        .toDF("eid", "pid", "v"))
+    val m = new Slicer(g, tbls(_)).run(Seq(SliceRoot("p", "pid = 1"))).manifest
+      .as[(String, Long)].collect().toMap
+    assert(m == Map("p" -> 1L, "ev" -> 3L))
+  }
+
   test("reachability closure honors reference directions") {
     assert(graph.reachableFrom("parent") == Set("parent", "child", "grandchild"))
     val fwd = graph.copy(references = graph.references.map(_.copy(reverse = false)))
