@@ -62,8 +62,15 @@ object VecOps {
   def sqlDotPlane(v: String, coefs: Seq[Double]): String =
     coefs.zipWithIndex.map { case (c, i) => s"$v[${i + 1}] * ($c)" }.mkString("(", " + ", ")")
 
-  /** Random-hyperplane LSH bucket: 8 sign bits packed into an int. */
-  val NPlanes = 8
+  /** Random-hyperplane LSH bucket: NPlanes sign bits packed into an int.
+    * Parametrized (GRAFT_LSH_PLANES, default 8) because the bucket space
+    * must scale with the corpus: expected bucket population is N/2^b, so
+    * b ≈ log2(N) + c keeps it constant — a FIXED 8-bit space goes
+    * quadratic within buckets at 100x data. Every consumer (d_embed_dup,
+    * s_lsh_ann, s_ann_recall) and its oracle SQL derive from this one
+    * value, so any setting stays oracle-exact; multi-probe generalizes
+    * (NPlanes+1 probe keys at hamming<=1). */
+  val NPlanes: Int = sys.env.getOrElse("GRAFT_LSH_PLANES", "8").toInt
   def lshBucket(v: Column): Column =
     (0 until NPlanes).map(p => when(dotPlane(v, plane(p)) > 0, lit(1 << p)).otherwise(lit(0)))
       .reduce(_ + _)

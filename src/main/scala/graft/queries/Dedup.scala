@@ -257,8 +257,9 @@ object Dedup {
     }),
 
     // embedding cosine near-dup, candidates blocked by (label, LSH
-    // bucket): cos>=0.99 pairs share all 8 hyperplane signs with high
-    // probability, so the join key prunes the quadratic term ~256x;
+    // bucket): cos>=0.99 pairs share all NPlanes hyperplane signs with
+    // high probability, so the join key prunes the quadratic term ~2^b;
+    // b scales with log2(corpus) via GRAFT_LSH_PLANES (see VecOps);
     // the exact-cosine verify keeps only true near-dups. Twin corpus
     // with a perturbed first component gives known cosine~0.999 pairs.
     "d_embed_dup" -> ((s, dir) => {

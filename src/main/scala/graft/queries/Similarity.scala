@@ -21,6 +21,7 @@ object Similarity {
   private val K = 5          // neighbors returned per query
   private val NQueries = 5   // queries = vec_id < NQueries
   private val NProbe = 2     // IVF probes
+  private val NCentroids = 24 // IVF cells — FIXED K, constant in corpus size
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -51,8 +52,8 @@ object Similarity {
     }),
 
     // random-hyperplane LSH with MULTI-PROBE: candidates live in any
-    // bucket within hamming distance 1 of the query's 8-bit bucket
-    // (the 1+8 most likely buckets). Probing stays a bucket EQUI-join —
+    // bucket within hamming distance 1 of the query's NPlanes-bit bucket
+    // (the 1+NPlanes most likely buckets). Probing stays a bucket EQUI-join —
     // each query explodes into 9 probe keys, so the quadratic term is
     // still bounded by bucket population, and recall jumps from the
     // single-probe ~0 on weakly-clustered corpora. Bucketed table
@@ -62,7 +63,7 @@ object Similarity {
       val e = vecs(s, dir).withColumn("bucket", VecOps.lshBucket(col("v")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val probeBuckets = array(
-        col("qbucket") +: (0 until 8).map(b =>
+        col("qbucket") +: (0 until VecOps.NPlanes).map(b =>
           col("qbucket").bitwiseXOR(lit(1 << b))): _*)
       val q = broadcast(e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn"),
@@ -105,12 +106,21 @@ object Similarity {
         .orderBy("q")
     }),
 
-    // IVF flavor: centroids are a deterministic sample; every vector is
-    // assigned to its nearest centroid; queries probe the NProbe nearest
-    // centroid cells and search only those.
+    // IVF flavor: centroids are a deterministic FIXED-K sample (the
+    // NCentroids lowest by md5(vec_id) — a hash-ordered draw both
+    // engines compute identically); every vector is assigned to its
+    // nearest centroid; queries probe the NProbe nearest centroid cells
+    // and search only those. K constant in N keeps assignment O(N*K)
+    // with a bounded broadcast — a modulo sample's centroid set grows
+    // linearly with the corpus and the assignment quadratically (the
+    // r03 scale defect). At cluster scale K would be ~sqrt(N) via the
+    // same hash-ordered draw (or k-means refined); the plan shape is
+    // unchanged.
     "s_ivf_ann" -> ((s, dir) => {
       val e = vecs(s, dir)
-      val cents = broadcast(e.filter(col("vec_id") % 97 === 0)
+      val cents = broadcast(e
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(NCentroids)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn")))
       val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
       val assigned = e.join(cents)
@@ -179,7 +189,8 @@ object Similarity {
 
     "s_ivf_ann" -> sqlTopk(
       s"""WITH e AS ($sqlVecs),
-         cents AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e WHERE vec_id % 97 = 0),
+         cents AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
          assigned AS (
            SELECT vec_id, v, n, cid FROM (
              SELECT e.vec_id, e.v, e.n, cents.cid,

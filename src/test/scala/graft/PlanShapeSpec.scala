@@ -36,4 +36,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(planOf("q_semijoin").contains("LeftSemi"))
     assert(planOf("q_antijoin").contains("LeftAnti"))
   }
+
+  test("s_ivf_ann: centroid set is a CONSTANT-K limited broadcast") {
+    // the assignment cross join is O(N*K) only while K is fixed: the
+    // centroid subtree must carry a global Limit (constant in corpus
+    // size) and feed the broadcast side of the join
+    val p = planOf("s_ivf_ann")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
+      "centroids must be a LIMIT-K sample")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "assignment must broadcast the K centroids, never shuffle N x K")
+  }
 }
