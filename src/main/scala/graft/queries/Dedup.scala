@@ -76,15 +76,38 @@ object Dedup {
   private val jacCache =
     collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
-  /** Memoized Jaccard>=0.2 near-dup pairs within (lang, length) blocks
-    * — shared verbatim by d_ngram_jaccard (reports them) and d_cluster
-    * (uses them as edges). Post-threshold the relation is tiny, so it
-    * persists whole. */
+  /** Cap on (lang, length-bucket) block population for the pairwise
+    * Jaccard verify (GRAFT_JACCARD_BLOCK_CAP). */
+  private val BlockCap = sys.env.getOrElse("GRAFT_JACCARD_BLOCK_CAP", "2000").toLong
+
+  /** Bound block population: a block larger than `cap` is split into
+    * ceil(n/cap) sub-blocks on doc_id, so the pairwise join's quadratic
+    * term is bounded by cap REGARDLESS of corpus size — without this,
+    * block population grows linearly with the corpus and within-block
+    * pairs quadratically (the r03 scale defect). A true near-dup pair in
+    * an oversized block lands in the same sub-block only ~1/nsub of the
+    * time; at that population the block key has stopped discriminating
+    * and candidates should come from MinHash banding instead
+    * (d_dedup_eval quantifies exactly that trade). At the gate scales
+    * every block sits far below the default cap (nsub=1 everywhere), so
+    * results — and the DuckDB oracles — are unchanged. */
+  def boundedBlocks(sh: DataFrame, cap: Long): DataFrame = {
+    val sizes = broadcast(sh.groupBy("lang", "lb").agg(count(lit(1)).as("bn")))
+    sh.join(sizes, Seq("lang", "lb"))
+      .withColumn("sub", pmod(col("doc_id"), expr(s"(bn + ${cap - 1}) div $cap")))
+      .drop("bn")
+  }
+
+  /** Memoized Jaccard>=0.2 near-dup pairs within (lang, length, sub)
+    * blocks — shared verbatim by d_ngram_jaccard (reports them) and
+    * d_cluster (uses them as edges). Post-threshold the relation is
+    * tiny, so it persists whole. */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     synchronized { jacCache.getOrElseUpdate((s, dir), {
-      val sh = shingleSets(s, dir)
+      val sh = boundedBlocks(shingleSets(s, dir), BlockCap)
       sh.as("x").join(sh.as("y"),
           col("x.lang") === col("y.lang") && col("x.lb") === col("y.lb")
+            && col("x.sub") === col("y.sub")
             && col("x.doc_id") < col("y.doc_id")
             // size-ratio prefilter IMPLIED by jac>=0.2 (jac <= min/max),
             // prunes pairs before the per-pair merge; results unchanged

@@ -163,7 +163,10 @@ object TextAnalysis {
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
         .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-      tf.join(df, "term")
+      // df is vocabulary-sized after aggregation — broadcast it: the
+      // term join key is Zipf-skewed, and a shuffled join would flood
+      // the reducers holding hot terms at corpus scale
+      tf.join(broadcast(df), "term")
         .withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= 3)
         .select("doc_id", "rank", "term", "tf", "df")

@@ -71,6 +71,9 @@ object StreamingOps {
     val prev = spark.conf.get(key)
     val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
     spark.conf.set(key, streamParts)
+    // short bounded runs: background state-store snapshot maintenance
+    // only adds IO here (a long-lived stream wants the default)
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
     try {
       val q = df.writeStream
         .format("memory")

@@ -48,6 +48,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) == 1)
   }
 
+  test("boundedBlocks splits oversized blocks and is a no-op under the cap") {
+    // one (lang, lb) block of 10 docs; cap=4 -> 3 sub-blocks of <=4
+    val sh = (0L until 10L).map(i => (i, "en", 1L)).toDF("doc_id", "lang", "lb")
+    val sub = graft.queries.Dedup.boundedBlocks(sh, cap = 4)
+      .groupBy("lang", "lb", "sub").count()
+      .select("count").as[Long].collect()
+    assert(sub.length == 3, "ceil(10/4) = 3 sub-blocks")
+    assert(sub.max <= 4, "every sub-block population bounded by the cap")
+    // under the cap: every doc lands in sub-block 0 (results unchanged)
+    val noop = graft.queries.Dedup.boundedBlocks(sh, cap = 2000)
+      .select("sub").as[Long].collect()
+    assert(noop.forall(_ == 0L))
+  }
+
   test("alphanum custom expression works under whole-stage codegen") {
     val out = Seq.tabulate(100)(i => s"User$i-secret$i").toDF("v")
       .select(graft.functions.Transforms.alphanum(col("v")).as("r"))
