@@ -55,11 +55,19 @@ object Bench {
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1F]", " ") + "\""
-    val qs = results.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    def sec(v: Double) = f"$v%.3f" // short numbers keep the line inside tail captures
+    val qs = results.map { case (k, v) => q(k) + ":" + sec(v) }.mkString("{", ",", "}")
     val es = errors.toSeq.sortBy(_._1).map { case (k, v) => q(k) + ":" + q(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    // a line-capture of stdout can truncate a long JSON line (BENCH_r03
+    // lost 9 queries + the total that way) — ALSO persist it to a file
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case _: Throwable => () } // stdout remains the contract
+    println(json)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
