@@ -166,6 +166,43 @@ object Transforms {
   def replaceDigits(v: Column): Column = regexp_replace(v, "[0-9]", "X")
   def sqlReplaceDigits(v: String): String = s"regexp_replace($v, '[0-9]', 'X', 'g')"
 
+  /** IncrementingConstTransform analog (common.py:66-85): each
+    * transformed value becomes `value + ' ' + N` with a counter that
+    * advances ONLY over transformed rows; null/empty values and values
+    * containing `exclude` pass through without consuming a number. The
+    * reference's counter is per-process row order; a distributed engine
+    * needs an explicit deterministic order (`orderCol`), and the counter
+    * is a running sum of the transform indicator over that order — an
+    * inherently sequential global numbering, so the window is
+    * single-reducer by construction (partition the scrub by a coarse key
+    * and include the partition id in `value` when one sequence per
+    * partition is acceptable at scale). */
+  def incConst(df: org.apache.spark.sql.DataFrame, column: String,
+      value: String, exclude: Option[String], orderCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val c = col(column)
+    val xf = c.isNotNull && c =!= "" &&
+      exclude.map(e => instr(c, e) === 0).getOrElse(lit(true))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__xf", xf)
+      .withColumn("__n", sum(when(col("__xf"), 1L).otherwise(0L)).over(w))
+      .withColumn(column,
+        when(col("__xf"), concat(lit(value), lit(" "), col("__n").cast("string")))
+          .otherwise(c))
+      .drop("__xf", "__n")
+  }
+  def sqlIncConst(column: String, value: String, exclude: String,
+      orderCol: String): String =
+    s"""CASE WHEN $column IS NOT NULL AND $column <> ''
+          AND instr($column, '$exclude') = 0
+        THEN '$value' || ' ' || CAST(sum(CASE WHEN $column IS NOT NULL
+          AND $column <> '' AND instr($column, '$exclude') = 0
+          THEN 1 ELSE 0 END) OVER (ORDER BY $orderCol
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+        ELSE $column END"""
+
   // --- json (slice_db/transforms/json.py:11-47) ---
 
   /** Scrub the numeric field `$.k` inside a JSON string column. */

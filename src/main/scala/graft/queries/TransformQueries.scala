@@ -79,6 +79,14 @@ object TransformQueries {
         alphanum(replaceDigits(col("c_name"))).as("scrubbed"))
         .orderBy("c_custkey")),
 
+    // incrementing-const scrub (common.py:66-85): 'member N' with the
+    // counter advancing only over transformed rows; names containing
+    // '9' are excluded and keep their value without consuming a number.
+    "t_inc_const" -> ((s, dir) =>
+      incConst(t(s, dir, "customer").select("c_custkey", "c_name"),
+        "c_name", "member", Some("9"), "c_custkey")
+        .orderBy("c_custkey")),
+
     "t_jsonpath" -> ((s, dir) =>
       t(s, dir, "events").select(col("event_id"), jsonK(col("props")).as("scrubbed"))
         .orderBy("event_id")),
@@ -128,6 +136,9 @@ object TransformQueries {
       s"""SELECT c_custkey, ${sqlAlphanum("masked")} AS scrubbed FROM
           (SELECT c_custkey, ${sqlReplaceDigits("c_name")} AS masked FROM customer)
           ORDER BY c_custkey""",
+    "t_inc_const" ->
+      s"""SELECT c_custkey, ${sqlIncConst("c_name", "member", "9", "c_custkey")} AS c_name
+          FROM customer ORDER BY c_custkey""",
     "t_jsonpath" ->
       s"SELECT event_id, ${sqlJsonK("props")} AS scrubbed FROM events ORDER BY event_id",
     "t_table_scrub" ->

@@ -70,4 +70,25 @@ object SliceWriter {
       }
     } finally out.close()
   }
+
+  /** Unpack a slice ZIP back into a directory — the read half of the
+    * archive round-trip (the reference restores from its own ZIP,
+    * slice_db/slice.py + restore.py:43). Driver-side like `zip`; the
+    * heavy data is read afterwards by executors from the extracted
+    * parquet segments. Entry paths are validated against zip-slip. */
+  def unzip(zipPath: String, destDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dest = Paths.get(destDir).normalize()
+    Files.createDirectories(dest)
+    val zf = new java.util.zip.ZipFile(zipPath)
+    try zf.entries().asScala.filterNot(_.isDirectory).foreach { e =>
+      val target = dest.resolve(e.getName).normalize()
+      require(target.startsWith(dest), s"zip entry escapes archive root: ${e.getName}")
+      Files.createDirectories(target.getParent)
+      val in = zf.getInputStream(e)
+      try Files.copy(in, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+    } finally zf.close()
+  }
 }

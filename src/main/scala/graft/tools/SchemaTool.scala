@@ -2,20 +2,26 @@ package graft.tools
 
 import graft.plans.{SchemaConfig, SchemaGraph}
 
-/** Schema CLI — analogs of `slicedb schema` (dump the FK graph as JSON;
-  * ours prints the configured graph, the reference infers it from
-  * pg_catalog) and `slicedb schema-filter children` (reachability
-  * closure from a root).
+/** Schema CLI — analogs of `slicedb schema` (dump the FK graph as JSON,
+  * either the configured graph or one introspected from a live
+  * PostgreSQL's pg_catalog, slice_db/schema.py) and
+  * `slicedb schema-filter children` (reachability closure from a root).
   *
   * Usage:
   *   SchemaTool print [graph.json]
+  *   SchemaTool print --jdbc <url> [user] [password]
   *   SchemaTool reachable <table> [graph.json]
   *   SchemaTool restore-order [graph.json]
   */
 object SchemaTool {
   def main(args: Array[String]): Unit = {
     val graph =
-      if (args.last.endsWith(".json"))
+      if (args.length > 1 && args(1) == "--jdbc") {
+        val spark = org.apache.spark.sql.SparkSession.builder()
+          .master("local[1]").config("spark.ui.enabled", "false").getOrCreate()
+        graft.sources.SchemaIntrospect.viaJdbc(spark, args(2),
+          args.lift(3).getOrElse(""), args.lift(4).getOrElse(""))
+      } else if (args.last.endsWith(".json"))
         SchemaConfig.fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(args.last)))
       else SchemaGraph.tpch
     args.head match {

@@ -5,17 +5,41 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.SparkSession
 
-/** Restore-side validation: read a SliceWriter output directory back,
-  * register each table as a temp view, and check the data against the
-  * manifest (count per table) — the parquet analog of the reference's
-  * restore + row-count accounting (slice_db/restore.py). Exits nonzero
-  * on any mismatch.
+/** Restore-side validation: read a SliceWriter output (a directory OR a
+  * `.zip` archive from SliceWriter.zip — the reference round-trips its
+  * own ZIP, slice_db/slice.py + restore.py:43), register each table as
+  * a temp view, and check the data against the manifest (count per
+  * table) — the parquet analog of the reference's restore + row-count
+  * accounting (slice_db/restore.py). Exits nonzero on any mismatch.
   *
-  * Usage: SliceRestore <sliceDir>
+  * Usage: SliceRestore <sliceDirOrZip>
   */
 object SliceRestore {
+
+  /** Resolve the input to a readable slice directory, unpacking a ZIP
+    * archive to a temp dir first. */
+  def resolve(path: String): String =
+    if (path.endsWith(".zip")) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-slice").toString
+      graft.sources.SliceWriter.unzip(path, tmp)
+      tmp
+    } else path
+
+  /** Per-table (id, manifestCount, actualCount); registers temp views. */
+  def validate(spark: SparkSession, sliceDir: String): Seq[(String, Long, Long)] = {
+    val manifest = new ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$sliceDir/manifest.json")))
+    manifest.get("tables").elements().asScala.map { t =>
+      val id = t.get("id").asText()
+      val df = spark.read.parquet(s"$sliceDir/data/$id")
+      df.createOrReplaceTempView(id)
+      (id, t.get("row_count").asLong(), df.count())
+    }.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
-    val sliceDir = args(0)
+    val sliceDir = resolve(args(0))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
@@ -23,15 +47,8 @@ object SliceRestore {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val manifest = new ObjectMapper()
-      .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(s"$sliceDir/manifest.json")))
     var failed = false
-    manifest.get("tables").elements().asScala.foreach { t =>
-      val id = t.get("id").asText()
-      val expected = t.get("row_count").asLong()
-      val df = spark.read.parquet(s"$sliceDir/data/$id")
-      df.createOrReplaceTempView(id)
-      val actual = df.count()
+    validate(spark, sliceDir).foreach { case (id, expected, actual) =>
       val ok = actual == expected
       if (!ok) failed = true
       println(s"[restore] $id: manifest=$expected data=$actual ${if (ok) "OK" else "MISMATCH"}")

@@ -68,6 +68,21 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("slice -> zip -> restore round-trip: manifest counts match the data") {
+    val dir = Files.createTempDirectory("slicezrt").toString
+    SliceWriter.write(result(), dir)
+    // archive OUTSIDE the slice dir so the walk can't see the zip itself
+    val zipPath = s"${Files.createTempDirectory("slicezip")}/slice.zip"
+    SliceWriter.zip(dir, zipPath)
+    val restored = graft.tools.SliceRestore.resolve(zipPath)
+    assert(restored != dir, "a .zip input must unpack to a fresh directory")
+    val checks = graft.tools.SliceRestore.validate(spark, restored)
+    assert(checks.nonEmpty)
+    checks.foreach { case (id, expected, actual) =>
+      assert(expected == actual, s"$id: manifest=$expected data=$actual")
+    }
+  }
+
   test("SliceWriter.zip packages segments + manifest, skipping markers") {
     val dir = Files.createTempDirectory("slicez").toString
     SliceWriter.write(result(), dir, format = "csv")

@@ -45,6 +45,16 @@ class TransformsSpec extends SparkSpec {
     assert(words(0).head.isUpper, "Title case preserved on first word")
   }
 
+  test("incConst numbers only transformed rows; exclude and empties pass through") {
+    val df = Seq(
+      (1L, "alpha"), (2L, "keep-me"), (3L, ""), (4L, "beta"), (5L, null))
+      .toDF("id", "v")
+    val out = Transforms.incConst(df, "v", "member", Some("keep"), "id")
+      .orderBy("id").select("v").as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("member 1"), Some("keep-me"), Some(""),
+      Some("member 2"), None))
+  }
+
   test("date_year jitters within the original year") {
     val df = Seq("1997-03-05", "2000-11-30").toDF("s")
       .select(col("s").cast("timestamp").as("d"))
