@@ -37,6 +37,20 @@ object ConnectedComponents {
     // in the first job and would both compute the upstream pipeline
     // before either populates the cache.
     val e = edges.toDF("src", "dst").localCheckpoint(true)
+    // scope shuffle width to the label table, not the session default:
+    // each round is a handful of joins over one row per NODE (already a
+    // reduction of the edge data), and the per-round fixed cost is task
+    // count x rounds. On a cluster this is the same knob sized to node
+    // count; AQE re-widens nothing here because the data really is small.
+    val spark = e.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_CC_PARTITIONS", "8")
+    spark.conf.set(key, parts)
+    try runLoop(e, maxIter) finally spark.conf.set(key, prev)
+  }
+
+  private def runLoop(e: DataFrame, maxIter: Int): DataFrame = {
     val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
