@@ -105,7 +105,7 @@ object Dedup {
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     synchronized { jacCache.getOrElseUpdate((s, dir), {
       val sh = boundedBlocks(shingleSets(s, dir), BlockCap)
-      sh.as("x").join(sh.as("y"),
+      val pairs = sh.as("x").join(sh.as("y"),
           col("x.lang") === col("y.lang") && col("x.lb") === col("y.lb")
             && col("x.sub") === col("y.sub")
             && col("x.doc_id") < col("y.doc_id")
@@ -120,6 +120,48 @@ object Dedup {
         .select(col("a"), col("b"),
           (col("inter") / (col("sa") + col("sb") - col("inter"))).as("jac"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize EAGERLY: d_dedup_eval unions three aggregates that
+      // each reference this relation — lazily cached, those branches
+      // race and compute the pairwise join several times
+      pairs.count()
+      pairs
+    }) }
+
+  private val mhCache =
+    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Memoized MinHash-LSH near-dup pairs (banding → candidate equi-join
+    * → exact-Jaccard verify) — shared by d_minhash_lsh (reports them)
+    * and d_dedup_eval (compares them against the blocked pass), so the
+    * signature aggregation runs once per (session, corpus). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    synchronized { mhCache.getOrElseUpdate((s, dir), {
+      val sh = shingleSets(s, dir)
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      def hj(j: Int): Column =
+        (lit(MinhashA(j)) * (col("s") % MinhashP) + MinhashB(j)) % MinhashP
+      val sig = ex.groupBy("doc_id").agg(
+        min(hj(0)).as("m0"),
+        (1 until 8).map(j => min(hj(j)).as(s"m$j")): _*)
+      val bands = (0 until 4).map { bi =>
+        sig.select(col("doc_id"), lit(bi).as("bi"),
+          concat_ws(":", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("bk"))
+      }.reduce(_ union _)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val sa = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
+      val sb = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
+      val pairs = cand.join(sa, "a").join(sb, "b")
+        .select(col("a"), col("b"), sortedInter(col("sha"), col("shb")).as("inter"),
+          size(col("sha")).as("sa"), size(col("shb")).as("sb"))
+        .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= 0.2)
+        .select(col("a"), col("b"),
+          (col("inter") / (col("sa") + col("sb") - col("inter"))).as("jac"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count() // eager: consumers fan out into racing union branches
+      pairs
     }) }
 
   private val exactCache =
@@ -187,32 +229,7 @@ object Dedup {
     // family is universal hashing over the ALREADY-HASHED shingles
     // (a_j*x + b_j mod p) — integer arithmetic both engines evaluate
     // identically, replacing 8 md5 calls per (doc, shingle) row.
-    "d_minhash_lsh" -> ((s, dir) => {
-      val sh = shingleSets(s, dir)
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      def hj(j: Int): Column =
-        (lit(MinhashA(j)) * (col("s") % MinhashP) + MinhashB(j)) % MinhashP
-      val sig = ex.groupBy("doc_id").agg(
-        min(hj(0)).as("m0"),
-        (1 until 8).map(j => min(hj(j)).as(s"m$j")): _*)
-      val bands = (0 until 4).map { bi =>
-        sig.select(col("doc_id"), lit(bi).as("bi"),
-          concat_ws(":", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("bk"))
-      }.reduce(_ union _)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val sa = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
-      val sb = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
-      cand.join(sa, "a").join(sb, "b")
-        .select(col("a"), col("b"), sortedInter(col("sha"), col("shb")).as("inter"),
-          size(col("sha")).as("sa"), size(col("shb")).as("sb"))
-        .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= 0.2)
-        .select(col("a"), col("b"),
-          (col("inter") / (col("sa") + col("sb") - col("inter"))).as("jac"))
-        .orderBy("a", "b")
-    }),
+    "d_minhash_lsh" -> ((s, dir) => minhashPairs(s, dir).orderBy("a", "b")),
 
     // SimHash 60-bit over the word set; candidates share one of 4
     // 15-bit chunks (pigeonhole covers hamming<=3); verify popcount.
@@ -252,8 +269,8 @@ object Dedup {
     // partition of the union into both/only_blocked/only_lsh — the
     // numbers that tell an operator which candidate generator to trust.
     "d_dedup_eval" -> ((s, dir) => {
-      val jac = Dedup.queries("d_ngram_jaccard")(s, dir).select("a", "b")
-      val mh = Dedup.queries("d_minhash_lsh")(s, dir).select("a", "b")
+      val jac = jaccardPairs(s, dir).select("a", "b")
+      val mh = minhashPairs(s, dir).select("a", "b")
       val both = jac.join(mh, Seq("a", "b"), "left_semi")
         .agg(count(lit(1)).as("n")).select(lit("both").as("part"), col("n"))
       val onlyBlocked = jac.join(mh, Seq("a", "b"), "left_anti")
