@@ -172,6 +172,11 @@ final class Slicer(
           case Some(seen) => vals.join(seen, jc, "left_anti")
           case None       => vals
         } else vals
+        // FK values onto an aux-free PK ARE the candidate keys — no scan.
+        // This leans on referential integrity (an FK value names an
+        // existing parent row), which the source database enforces; with
+        // integrity violated, a dangling FK would count a phantom key in
+        // the manifest while rows() correctly returns nothing for it.
         if (keyRef && auxCols(tt).isEmpty) fresh
         else {
           val build = if (small) broadcast(fresh) else fresh

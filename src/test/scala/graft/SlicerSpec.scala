@@ -85,6 +85,53 @@ class SlicerSpec extends SparkSpec {
     assert(m == Map("parent" -> 1L, "child" -> 1L, "grandchild" -> 1L))
   }
 
+  test("discovery equals a naive driver-side fixpoint on random FK-consistent data") {
+    // randomized equivalence: the distributed BFS (aug frontiers,
+    // pre-anti-joins, no-scan PK candidates, fused count+max) must
+    // reach exactly the closure a trivial in-memory fixpoint computes,
+    // with matching counts and maxes, on arbitrary FK-consistent data
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val nP = 2 + rnd.nextInt(4)
+      val nC = 3 + rnd.nextInt(6)
+      val nG = 3 + rnd.nextInt(8)
+      val parents = (1 to nP).map(i => (i, s"p$i"))
+      val children = (1 to nC).map(i => (10 + i, 1 + rnd.nextInt(nP)))
+      val grand = (1 to nG).map(i => (100 + i, 11 + rnd.nextInt(nC)))
+      val tbls: Map[String, DataFrame] = Map(
+        "parent" -> parents.toDF("pid", "name"),
+        "child" -> children.toDF("cid", "pid"),
+        "grandchild" -> grand.toDF("gid", "cid"))
+      val rootMax = 1 + rnd.nextInt(nP)
+      val r = new Slicer(graph, tbls(_))
+        .run(Seq(SliceRoot("parent", s"pid <= $rootMax")))
+
+      var keep = Map(
+        "parent" -> parents.map(_._1).filter(_ <= rootMax).toSet,
+        "child" -> Set.empty[Int], "grandchild" -> Set.empty[Int])
+      var changed = true
+      while (changed) {
+        val next = Map(
+          "parent" -> (keep("parent") ++
+            children.filter(c => keep("child")(c._1)).map(_._2)),
+          "child" -> (children.filter(c => keep("parent")(c._2)).map(_._1).toSet ++
+            grand.filter(g => keep("grandchild")(g._1)).map(_._2)),
+          "grandchild" -> grand.filter(g => keep("child")(g._2)).map(_._1).toSet)
+        changed = next != keep
+        keep = next
+      }
+
+      for ((t, keyCol) <- Seq("parent" -> "pid", "child" -> "cid", "grandchild" -> "gid")) {
+        val got = r.keys.get(t)
+          .map(_.select(keyCol).as[Int].collect().toSet).getOrElse(Set.empty[Int])
+        assert(got == keep(t), s"trial $trial: $t keys")
+        assert(r.keyCounts.getOrElse(t, 0L) == keep(t).size.toLong, s"trial $trial: $t count")
+        if (keep(t).nonEmpty)
+          assert(r.keyMaxes(t) == keep(t).max.toLong, s"trial $trial: $t max")
+      }
+    }
+  }
+
   test("manifest counts rows, not key tuples, for non-unique keys") {
     // ev's declared key (eid) is NOT unique: two rows share eid=7. The
     // manifest must report materialized rows (3), not discovered key
