@@ -128,8 +128,12 @@ object TextAnalysis {
       val grams = docs(s, dir)
         .select(col("doc_id"), explode(shingles(wordsCol, 8)).as("gs"))
         .select(col("doc_id"), Determinism.md5IdxK(col("gs"), 12).as("g"))
-      val bench = grams.filter(col("doc_id") < 10)
-        .select(col("g")).distinct()
+      // the benchmark gram set is 10 docs' worth — broadcast it
+      // EXPLICITLY: estimated stats on the derived distinct are too
+      // vague for the planner, and a sort-merge fallback would shuffle
+      // the full corpus gram relation (observed 3.5x run-to-run swing)
+      val bench = broadcast(grams.filter(col("doc_id") < 10)
+        .select(col("g")).distinct())
       grams.filter(col("doc_id") >= 10)
         .join(bench, "g")
         .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))
