@@ -85,6 +85,43 @@ class SlicerSpec extends SparkSpec {
     assert(m == Map("parent" -> 1L, "child" -> 1L, "grandchild" -> 1L))
   }
 
+  test("self-referencing FK (employee -> manager) walks chains and survives cycles") {
+    // the reference's pg schemas routinely self-reference; the walk must
+    // chain through the same table across rounds, drop NULL FK values,
+    // and terminate on a 2-cycle via the anti-join
+    val g = SchemaGraph(
+      tables = Seq(TableDef("emp", Seq("id"))),
+      references = Seq(
+        Reference("mgr", "emp", Seq("mgr_id"), "emp", Seq("id"), reverse = false)))
+    val emp = Seq(
+      (1, Option.empty[Int]), (2, Some(1)), (3, Some(2)), // chain 3 -> 2 -> 1
+      (4, Some(5)), (5, Some(4)),                         // 2-cycle 4 <-> 5
+      (6, Option.empty[Int]))
+      .toDF("id", "mgr_id")
+    val s = new Slicer(g, Map("emp" -> emp)(_))
+    val chain = s.run(Seq(SliceRoot("emp", "id = 3")))
+    assert(chain.rows("emp").select("id").as[Int].collect().toSet == Set(1, 2, 3))
+    assert(chain.keyCounts("emp") == 3L)
+    val cyc = s.run(Seq(SliceRoot("emp", "id = 4")))
+    assert(cyc.rows("emp").select("id").as[Int].collect().toSet == Set(4, 5))
+  }
+
+  test("two FKs between the same tables expand through both") {
+    // orders-style billing/shipping double reference: one frontier row
+    // must pull BOTH referenced parents (candidates union per round)
+    val g = SchemaGraph(
+      tables = Seq(TableDef("addr", Seq("aid")), TableDef("ord", Seq("oid"))),
+      references = Seq(
+        Reference("bill", "ord", Seq("bill_aid"), "addr", Seq("aid"), reverse = false),
+        Reference("ship", "ord", Seq("ship_aid"), "addr", Seq("aid"), reverse = false)))
+    val tbls: Map[String, DataFrame] = Map(
+      "addr" -> Seq((1, "x"), (2, "y"), (3, "z")).toDF("aid", "loc"),
+      "ord" -> Seq((10, 1, 2), (11, 3, 3)).toDF("oid", "bill_aid", "ship_aid"))
+    val r = new Slicer(g, tbls(_)).run(Seq(SliceRoot("ord", "oid = 10")))
+    assert(r.rows("addr").select("aid").as[Int].collect().toSet == Set(1, 2))
+    assert(r.keyCounts("addr") == 2L)
+  }
+
   test("discovery equals a naive driver-side fixpoint on random FK-consistent data") {
     // randomized equivalence: the distributed BFS (aug frontiers,
     // pre-anti-joins, no-scan PK candidates, fused count+max) must
