@@ -9,6 +9,10 @@ class ConnectedComponentsSpec extends SparkSpec {
     ConnectedComponents.run(edges.toDF("a", "b"))
       .as[(Long, Long)].collect().toMap
 
+  private def starLabelsOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.runStars(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+
   test("chain collapses to its minimum id") {
     // 1-2-3-4-5: worst case for propagation (diameter rounds)
     val m = labelsOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
@@ -52,5 +56,32 @@ class ConnectedComponentsSpec extends SparkSpec {
       }.toMap
       assert(labelsOf(edges) == expect, s"trial $trial, edges $edges")
     }
+  }
+
+  test("large-star/small-star agrees with min-label on every shape") {
+    // the O(log n)-round scale path must produce identical labels:
+    // chain (its winning case), cycle, star, pair, and random graphs
+    val cases: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L)),
+      Seq((10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L), (30L, 31L), (32L, 31L)),
+      Seq((5L, 1L), (1L, 3L)))
+    cases.foreach { edges =>
+      assert(starLabelsOf(edges) == labelsOf(edges), s"case $edges")
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val edges = Seq.fill(25)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+      assert(starLabelsOf(edges) == labelsOf(edges), s"trial $trial: $edges")
+    }
+  }
+
+  test("star contraction converges in logarithmic rounds on a long chain") {
+    // 64-node path: min-label needs ~diameter (63) rounds; star
+    // contraction must finish well inside maxIter = 12
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    val m = ConnectedComponents.runStars(chain.toDF("a", "b"), maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(m.size == 64 && m.values.forall(_ == 1L))
   }
 }
