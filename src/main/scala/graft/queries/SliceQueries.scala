@@ -78,6 +78,21 @@ object SliceQueries {
     "slice_manifest" -> ((s, dir) =>
       custSlice(s, dir).manifest.orderBy("table_id")),
 
+    // slice + scrub composed END-TO-END — the reference's core use case
+    // (dump a subset WITH transforms applied during COPY-out,
+    // slice_db/dump.py + transforms/*): the discovered customer rows
+    // flow through the deterministic name scrub and acctbal nulling in
+    // one declarative plan, oracle-verified as a whole.
+    "slice_scrub_customer" -> ((s, dir) => {
+      import graft.functions.Transforms._
+      custSlice(s, dir).rows("customer").select(
+          col("c_custkey"),
+          concat(givenName(col("c_name")), lit(" "), surname(col("c_name"))).as("name"),
+          nul.as("acctbal"),
+          const("SEGMENT").as("mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
     "slice_sequences" -> ((s, dir) =>
       custSlice(s, dir).sequences.orderBy("table_id")),
 
@@ -120,6 +135,14 @@ object SliceQueries {
       s"""SELECT * FROM orders WHERE o_custkey IN ($custSql)
          OR o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 19)
          ORDER BY o_orderkey""",
+
+    "slice_scrub_customer" -> {
+      import graft.functions.Transforms.{sqlGivenName, sqlSurname}
+      s"""SELECT c_custkey,
+          (${sqlGivenName("c_name")} || ' ' || ${sqlSurname("c_name")}) AS name,
+          CAST(NULL AS VARCHAR) AS acctbal, 'SEGMENT' AS mktsegment
+          FROM customer WHERE c_custkey IN ($custSql) ORDER BY c_custkey"""
+    },
 
     "slice_manifest" -> {
       val counts = Seq(

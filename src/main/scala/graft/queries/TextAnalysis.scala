@@ -155,6 +155,21 @@ object TextAnalysis {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Gopher-style repetition filter input: within-doc duplicate 3-gram
+    // fraction (1 - distinct/total). High dup_frac = boilerplate /
+    // degenerate text. Pure scalar pipeline — scales with the scan;
+    // the ratio uses the integer-micro-unit formula (one final
+    // division) so both engines produce the identical double.
+    "x_repetition" -> ((s, dir) => {
+      val g = shingles(wordsCol, 3)
+      docs(s, dir).select(col("doc_id"),
+          size(g).cast("int").as("n_grams"),
+          size(array_distinct(g)).cast("int").as("n_distinct"),
+          (floor((size(g) - size(array_distinct(g))).cast("long") * 1000000L
+            / size(g)) / 1000000.0).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF-style top terms: two-pass corpus computation (per-doc term
     // frequency + corpus document frequency) joined and ranked. Ranked
     // by the INTEGER key (tf DESC, df ASC, term) — "frequent in doc,
@@ -267,6 +282,15 @@ object TextAnalysis {
            CAST(len(string_split(
              array_to_string(w[CAST(i*40+1 AS INT):CAST(i*40+50 AS INT)], ' '), ' ')) AS INT) AS n_tokens
          FROM c ORDER BY doc_id, chunk_id""",
+
+    "x_repetition" ->
+      s"""SELECT doc_id,
+           CAST(len(g) AS INT) AS n_grams,
+           CAST(len(list_distinct(g)) AS INT) AS n_distinct,
+           (floor((len(g) - len(list_distinct(g))) * 1000000 / len(g))
+             / 1000000.0) AS dup_frac
+         FROM (SELECT doc_id, ${sqlShingles("string_split(text, ' ')", 3)} AS g
+               FROM documents) ORDER BY doc_id""",
 
     "x_top_terms" ->
       s"""WITH terms AS (
