@@ -42,6 +42,14 @@ object SliceWriter {
     Files.writeString(Paths.get(s"$outDir/manifest.json"), json)
   }
 
+  /** Schema sections alongside the data (reference: pg_dump pre/post
+    * sections embedded in the archive, slice_db/dump.py:112,174) so the
+    * slice restores into an EMPTY database. Pure metadata — DataFrame
+    * schemas plus the FK graph, no jobs. */
+  def writeSchema(result: SliceResult, graph: graft.plans.SchemaGraph,
+      outDir: String): Unit =
+    DdlWriter.write(graph, t => result.rows(t).schema, result.keys.keySet, outDir)
+
   /** Package an already-written slice directory into a single ZIP —
     * literal parity with the reference's ZIP-of-segments archive
     * (slice_db/slice.py:69-104). The data was written by executors;

@@ -68,6 +68,27 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("DdlWriter emits restorable pre/post-data schema sections") {
+    val r = result()
+    val pre = graft.sources.DdlWriter.preData(
+      graph, t => r.rows(t).schema, r.keys.keySet)
+    assert(pre.contains("CREATE TABLE p (\n  pid integer NOT NULL,\n  txt text\n);"), pre)
+    assert(pre.indexOf("CREATE TABLE p") < pre.indexOf("CREATE TABLE c"),
+      "parents created first")
+    val post = graft.sources.DdlWriter.postData(graph, r.keys.keySet)
+    assert(post.contains("ALTER TABLE p ADD PRIMARY KEY (pid);"))
+    assert(post.contains(
+      "ALTER TABLE c ADD CONSTRAINT cp FOREIGN KEY (pid) REFERENCES p (pid);"))
+    // FK cycles become DEFERRABLE constraints (restore defers them)
+    val cyclic = SchemaGraph(
+      tables = Seq(TableDef("a", Seq("id")), TableDef("b", Seq("id"))),
+      references = Seq(
+        Reference("ab", "a", Seq("bid"), "b", Seq("id")),
+        Reference("ba", "b", Seq("aid"), "a", Seq("id"))))
+    val cycPost = graft.sources.DdlWriter.postData(cyclic, Set("a", "b"))
+    assert(cycPost.contains("DEFERRABLE"), cycPost)
+  }
+
   test("slice -> zip -> restore round-trip: manifest counts match the data") {
     val dir = Files.createTempDirectory("slicezrt").toString
     SliceWriter.write(result(), dir)
