@@ -45,6 +45,9 @@ object SliceDump {
       .flatMap(r => if (r.isNullAt(1)) None else Some(r.getString(0) -> r.getLong(1))).toMap
     RestoreWriter.write(graph, outDir, seqs, s"$outDir/restore.sql",
       result.keys.keySet)
+    // schema sections (pre-data CREATE TABLEs, post-data constraints) so
+    // the archive restores into an empty database
+    SliceWriter.writeSchema(result, graph, outDir)
     // reference-parity single-archive output (slice_db ZIP-of-segments)
     if (sys.env.get("SPARK_GRAFT_SLICE_ZIP").contains("1"))
       SliceWriter.zip(outDir, s"$outDir.zip")
