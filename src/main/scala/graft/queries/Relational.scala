@@ -239,6 +239,31 @@ object Relational {
         .agg(sum("k").as("sum_k"), count(lit(1)).as("n"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // funnel analysis (view -> click -> purchase): per-user earliest
+    // qualifying event per stage, each stage gated on strictly-later
+    // event time than the previous one. Three aggregate-then-join
+    // stages keyed on user_id — the per-user relations shrink at every
+    // step, so each join's build side is the (smaller) prior stage.
+    // Times compare in integer MICROSECONDS on both engines.
+    "q_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("et"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("et").as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("et") > col("t1"))
+        .groupBy("user_id").agg(min("et").as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("et") > col("t2"))
+        .groupBy("user_id").agg(min("et").as("t3"))
+      v.agg(count(lit(1)).as("users")).select(lit("1_view").as("step"), col("users"))
+        .unionByName(c.agg(count(lit(1)).as("users"))
+          .select(lit("2_click").as("step"), col("users")))
+        .unionByName(p.agg(count(lit(1)).as("users"))
+          .select(lit("3_purchase").as("step"), col("users")))
+        .orderBy("step")
+    }),
+
     // Scalar subquery through the spark.sql surface: the subquery plans
     // as a ScalarSubquery expression evaluated once and broadcast into
     // the filter (max is exact — no order-dependent float aggregate).
@@ -467,6 +492,20 @@ object Relational {
               AND e.ts >= p.ts - INTERVAL 2 HOUR
             ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS prior_event_id
          FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""",
+
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+           JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.t1
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+           JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t2
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+         SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS users FROM v
+         UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+         UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+         ORDER BY step""",
 
     "q_sessionize" ->
       """WITH marked AS (

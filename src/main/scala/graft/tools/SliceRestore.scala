@@ -38,6 +38,28 @@ object SliceRestore {
     }.toSeq
   }
 
+  /** Per-reference orphan count over restored data: child FK values
+    * with no matching parent row (NULL FKs ignored). A slice discovered
+    * to fixpoint is FK-CLOSED along its forward references, so every
+    * count must be 0 — the restore-side proof that the discovery
+    * semantics held (the reference gets this for free from the target
+    * database's constraints; a lake restore has to check). */
+  def validateRefs(spark: SparkSession, graph: graft.plans.SchemaGraph,
+      sliceDir: String): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    def has(t: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$sliceDir/data/$t"))
+    graph.references
+      .filter(r => r.forward && has(r.table) && has(r.refTable))
+      .map { r =>
+        val vals = spark.read.parquet(s"$sliceDir/data/${r.table}")
+          .select(r.columns.map(col): _*).na.drop("any").toDF(r.refColumns: _*)
+        val parent = spark.read.parquet(s"$sliceDir/data/${r.refTable}")
+          .select(r.refColumns.map(col): _*)
+        r.id -> vals.join(parent, r.refColumns, "left_anti").count()
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val sliceDir = resolve(args(0))
     val spark = SparkSession.builder()
@@ -52,6 +74,15 @@ object SliceRestore {
       val ok = actual == expected
       if (!ok) failed = true
       println(s"[restore] $id: manifest=$expected data=$actual ${if (ok) "OK" else "MISMATCH"}")
+    }
+    // optional FK-closure audit: SliceRestore <dirOrZip> <graph.json>
+    if (args.length > 1) {
+      val graph = graft.plans.SchemaConfig.fromJson(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(args(1))))
+      validateRefs(spark, graph, sliceDir).foreach { case (id, orphans) =>
+        if (orphans > 0) failed = true
+        println(s"[restore] ref $id: orphans=$orphans ${if (orphans == 0) "OK" else "BROKEN"}")
+      }
     }
     spark.stop()
     if (failed) sys.exit(1)

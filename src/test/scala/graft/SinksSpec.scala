@@ -104,6 +104,14 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("restored slices are FK-closed: zero orphans along forward refs") {
+    val dir = Files.createTempDirectory("slicefk").toString
+    SliceWriter.write(result(), dir)
+    val orphans = graft.tools.SliceRestore.validateRefs(spark, graph, dir)
+    assert(orphans.nonEmpty)
+    orphans.foreach { case (id, n) => assert(n == 0L, s"ref $id has $n orphans") }
+  }
+
   test("SliceWriter.zip packages segments + manifest, skipping markers") {
     val dir = Files.createTempDirectory("slicez").toString
     SliceWriter.write(result(), dir, format = "csv")
