@@ -285,16 +285,14 @@ object Dedup {
     // Edges = exact-dup pairs (twin corpus) ∪ Jaccard>=0.2 pairs;
     // components via distributed min-label propagation
     // (graft.operators.ConnectedComponents). cluster = min doc_id.
-    "d_cluster" -> ((s, dir) => {
-      val ePairs = exactPairs(s, dir)
-        .select(col("dup_of").as("a"), col("doc_id").as("b"))
-      val jacPairs = jaccardPairs(s, dir).select("a", "b")
-      val labels = ConnectedComponents.run(ePairs.union(jacPairs))
-      val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("csize"))
-      labels.join(sizes, "cluster")
-        .select(col("id").as("doc_id"), col("cluster"), col("csize"))
-        .orderBy("doc_id")
-    }),
+    "d_cluster" -> ((s, dir) =>
+      clusterWith(s, dir, ConnectedComponents.run(_))),
+
+    // the SAME clustering through the O(log n)-round star-contraction
+    // strategy (the deep-graph scale path) — held to the identical
+    // recursive-CTE oracle, so both algorithms are driver-gate-verified
+    "d_cluster_stars" -> ((s, dir) =>
+      clusterWith(s, dir, ConnectedComponents.runStars(_))),
 
     // embedding cosine near-dup, candidates blocked by (label, LSH
     // bucket): cos>=0.99 pairs share all NPlanes hyperplane signs with
@@ -320,6 +318,21 @@ object Dedup {
         .orderBy("a", "b")
     })
   )
+
+  /** Shared clustering body: edges = exact-dup ∪ Jaccard pairs (both
+    * memoized), components via the given strategy, cluster = min
+    * doc_id plus component size. */
+  private def clusterWith(s: SparkSession, dir: String,
+      cc: DataFrame => DataFrame): DataFrame = {
+    val ePairs = exactPairs(s, dir)
+      .select(col("dup_of").as("a"), col("doc_id").as("b"))
+    val jacPairs = jaccardPairs(s, dir).select("a", "b")
+    val labels = cc(ePairs.union(jacPairs))
+    val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "cluster")
+      .select(col("id").as("doc_id"), col("cluster"), col("csize"))
+      .orderBy("doc_id")
+  }
 
   private val oracleBase: Map[String, String] = Map(
     "d_exact" ->
@@ -432,6 +445,8 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = oracleBase +
+    // both clustering strategies answer to the same transitive-closure SQL
+    ("d_cluster_stars" -> oracleBase("d_cluster")) +
     ("d_dedup_eval" ->
       s"""WITH jac_full AS (${oracleBase("d_ngram_jaccard")}),
          mh_full AS (${oracleBase("d_minhash_lsh")}),

@@ -225,6 +225,23 @@ object Relational {
     }),
 
     // Gaps-and-islands sessionization, 30-minute timeout.
+    // cohort retention: cohort = week index of a user's first event,
+    // retained at offset k if the user has any event in cohort+k.
+    // Weeks are INTEGER epoch-microsecond divisions — no calendar or
+    // timezone arithmetic enters the compare. Two shuffles (first-event
+    // agg, cohort-cell agg); the per-user relation broadcasts back.
+    "q_retention" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+      val first = e.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      e.join(first, "user_id")
+        .select(col("cohort_week"),
+          (col("wk") - col("cohort_week")).as("week_offset"), col("user_id"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset").agg(count(lit(1)).as("users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     "q_sessionize" -> ((s, dir) =>
       Sessionize(t(s, dir, "events"), "user_id", "ts", "event_id", gapSeconds = 1800)
         .groupBy("user_id", "session_idx")
@@ -492,6 +509,15 @@ object Relational {
               AND e.ts >= p.ts - INTERVAL 2 HOUR
             ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS prior_event_id
          FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""",
+
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+         f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id)
+         SELECT cohort_week, (wk - cohort_week) AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+         FROM e JOIN f USING (user_id)
+         GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
 
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
