@@ -8,24 +8,31 @@ import graft.plans.{SchemaConfig, SchemaGraph}
 import graft.sources.{RestoreWriter, SliceWriter, SqlWriter}
 
 /** CLI analog of `slicedb dump` (slice_db/cli/main.py): slice the corpus
-  * from a root condition and write every output format — parquet
-  * segments + manifest, INSERT scripts, and the ordered restore script.
+  * from one or more roots (the reference's repeatable `-r TABLE
+  * CONDITION`) and write every output format — parquet segments +
+  * manifest, INSERT scripts, schema sections, and the ordered restore
+  * script.
   *
   * Usage: SliceDump <sfDir> <outDir> <rootTable> <condition>
-  *                  [graph.json] [scrub.json]
+  *                  [rootTable2 condition2 ...] [graph.json] [scrub.json]
   */
 object SliceDump {
   private def readFile(p: String) =
     java.nio.file.Files.readString(java.nio.file.Paths.get(p))
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir, rootTable, condition) = args.take(4)
+    val Array(sfDir, outDir) = args.take(2)
+    // root pairs come first; trailing .json args are graph then scrub
+    val (pairArgs, jsonArgs) = args.drop(2).partition(!_.endsWith(".json"))
+    require(pairArgs.length >= 2 && pairArgs.length % 2 == 0,
+      "roots must be (table, condition) pairs")
+    val roots = pairArgs.grouped(2).map(p => SliceRoot(p(0), p(1))).toSeq
     val graph =
-      if (args.length > 4 && args(4).nonEmpty) SchemaConfig.fromJson(readFile(args(4)))
+      if (jsonArgs.nonEmpty) SchemaConfig.fromJson(readFile(jsonArgs(0)))
       else SchemaGraph.tpch
     val scrub: (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
-      if (args.length > 5)
-        graft.functions.ScrubConfig.fromJson(readFile(args(5))).apply
+      if (jsonArgs.length > 1)
+        graft.functions.ScrubConfig.fromJson(readFile(jsonArgs(1))).apply
       else (_, df) => df
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -37,7 +44,7 @@ object SliceDump {
     spark.sparkContext.setLogLevel("WARN")
 
     val result = new Slicer(graph, t => Tables.load(spark, sfDir, t))
-      .run(Seq(SliceRoot(rootTable, condition)))
+      .run(roots)
     SliceWriter.write(result, outDir, scrub,
       format = sys.env.getOrElse("SPARK_GRAFT_SLICE_FORMAT", "parquet"))
     SqlWriter.write(result, outDir, scrub)
