@@ -55,7 +55,10 @@ object Bench {
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1F]", " ") + "\""
-    def sec(v: Double) = f"$v%.3f" // short numbers keep the line inside tail captures
+    // short numbers keep the line inside tail captures; Locale.ROOT so a
+    // comma-decimal JVM locale can't corrupt the JSON
+    def sec(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      java.lang.Double.valueOf(v))
     val qs = results.map { case (k, v) => q(k) + ":" + sec(v) }.mkString("{", ",", "}")
     val es = errors.toSeq.sortBy(_._1).map { case (k, v) => q(k) + ":" + q(v) }
       .mkString("{", ",", "}")

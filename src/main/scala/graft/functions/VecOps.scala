@@ -70,7 +70,14 @@ object VecOps {
     * s_lsh_ann, s_ann_recall) and its oracle SQL derive from this one
     * value, so any setting stays oracle-exact; multi-probe generalizes
     * (NPlanes+1 probe keys at hamming<=1). */
-  val NPlanes: Int = sys.env.getOrElse("GRAFT_LSH_PLANES", "8").toInt
+  val NPlanes: Int = {
+    val n = sys.env.getOrElse("GRAFT_LSH_PLANES", "8").toInt
+    // bucket packs into a signed 32-bit int and the oracle XORs it
+    // sign-extended to 64 bits: bit 31 (sign) or shift-wraparound at 32+
+    // would silently corrupt bucketing / hamming distances
+    require(n >= 1 && n <= 30, s"GRAFT_LSH_PLANES must be in [1, 30], got $n")
+    n
+  }
   def lshBucket(v: Column): Column =
     (0 until NPlanes).map(p => when(dotPlane(v, plane(p)) > 0, lit(1 << p)).otherwise(lit(0)))
       .reduce(_ + _)

@@ -107,7 +107,13 @@ object ConnectedComponents {
   }
 
   private def runStarsLoop(edges: DataFrame, maxIter: Int): DataFrame = {
-    var e = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+    // materialize the caller's (possibly expensive) edge pipeline ONCE;
+    // node set is captured BEFORE dropping self-loops so a node whose
+    // only edge is (x, x) still gets a label, matching run()
+    val raw = edges.toDF("a", "b").localCheckpoint(true)
+    val nodes = raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id"))).distinct()
+    var e = raw.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
       .distinct().localCheckpoint(true)
     var iter = 0
@@ -138,8 +144,18 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
-    // star edges ARE the labels; centers label themselves
-    e.select(col("hi").as("id"), col("lo").as("cluster"))
-      .union(e.select(col("lo").as("id"), col("lo").as("cluster")).distinct())
+    // star edges ARE the labels; centers label themselves; nodes with no
+    // surviving edge (self-loop-only) label themselves. min() guards the
+    // one-row-per-node contract even if maxIter cut convergence short.
+    // Materialized EAGERLY so the shuffles run under the scoped
+    // partition width (the caller triggers lazy plans only after the
+    // conf is restored).
+    val starLabels = e.select(col("hi").as("id"), col("lo").as("cluster"))
+      .union(e.select(col("lo").as("id"), col("lo").as("cluster")))
+      .groupBy("id").agg(min("cluster").as("cluster"))
+    starLabels
+      .union(nodes.join(starLabels, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster")))
+      .localCheckpoint(true)
   }
 }

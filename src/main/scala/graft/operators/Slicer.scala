@@ -158,10 +158,11 @@ final class Slicer(
     while (frontier.nonEmpty) {
       /** Candidate aug frame for target `tt` reached through join
         * columns `jc` carrying the (distinct, null-free) FK value set
-        * `vals`; `small` = the source frontier fits a broadcast. */
+        * `vals`; `small` = the source frontier fits a broadcast;
+        * `forward` = a child frontier pulling its parents. */
       def candidate(tt: String, jc: Seq[String], vals: DataFrame,
-          small: Boolean): DataFrame = {
-        val keyRef = jc == keyCols(tt) // FK aimed at the target's primary key
+          small: Boolean, forward: Boolean): DataFrame = {
+        val keyRef = jc == keyCols(tt) // join lands on the target's primary key
         // keys already discovered can't be fresh: anti-join the value
         // set against the seen keys FIRST, so a round that rediscovers
         // only old keys feeds an empty build side into the table scan
@@ -172,12 +173,15 @@ final class Slicer(
           case Some(seen) => vals.join(seen, jc, "left_anti")
           case None       => vals
         } else vals
-        // FK values onto an aux-free PK ARE the candidate keys — no scan.
-        // This leans on referential integrity (an FK value names an
-        // existing parent row), which the source database enforces; with
-        // integrity violated, a dangling FK would count a phantom key in
-        // the manifest while rows() correctly returns nothing for it.
-        if (keyRef && auxCols(tt).isEmpty) fresh
+        // FORWARD only: FK values onto an aux-free PK ARE the candidate
+        // keys — no scan. This leans on referential integrity (an FK
+        // value names an existing parent row), which the source database
+        // enforces. The shortcut must NEVER fire on reverse traversal:
+        // integrity says nothing about a parent key existing in a child
+        // (a 1:1 extension table keyed by the parent's key may cover
+        // only some parents), so reverse candidates always validate
+        // against a real scan of the child.
+        if (forward && keyRef && auxCols(tt).isEmpty) fresh
         else {
           val build = if (small) broadcast(fresh) else fresh
           loadTable(tt).join(build, jc, "left_semi")
@@ -194,12 +198,12 @@ final class Slicer(
             .toDF(renameTo: _*)
         graph.refsFrom(t).foreach { r => // forward: child -> parent
           val c = candidate(r.refTable, r.refColumns,
-            valsOf(r.columns, r.refColumns), small)
+            valsOf(r.columns, r.refColumns), small, forward = true)
           candidates(r.refTable) = candidates.getOrElse(r.refTable, Vector.empty) :+ c
         }
         graph.refsTo(t).foreach { r => // reverse: parent -> children
           val c = candidate(r.table, r.columns,
-            valsOf(r.refColumns, r.columns), small)
+            valsOf(r.refColumns, r.columns), small, forward = false)
           candidates(r.table) = candidates.getOrElse(r.table, Vector.empty) :+ c
         }
       }

@@ -93,8 +93,12 @@ object Dedup {
     * results — and the DuckDB oracles — are unchanged. */
   def boundedBlocks(sh: DataFrame, cap: Long): DataFrame = {
     val sizes = broadcast(sh.groupBy("lang", "lb").agg(count(lit(1)).as("bn")))
+    // hash the id before the modulus: raw doc_id % nsub would break the
+    // population bound whenever ids correlate with the modulus (e.g.
+    // sharded ingest assigning even ids to one source)
     sh.join(sizes, Seq("lang", "lb"))
-      .withColumn("sub", pmod(col("doc_id"), expr(s"(bn + ${cap - 1}) div $cap")))
+      .withColumn("sub",
+        pmod(hash(col("doc_id")), expr(s"(bn + ${cap - 1}) div $cap")))
       .drop("bn")
   }
 

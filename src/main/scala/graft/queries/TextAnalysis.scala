@@ -182,10 +182,13 @@ object TextAnalysis {
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
         .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-      // df is vocabulary-sized after aggregation — broadcast it: the
-      // term join key is Zipf-skewed, and a shuffled join would flood
-      // the reducers holding hot terms at corpus scale
-      tf.join(broadcast(df), "term")
+      // the term join key is Zipf-skewed (a hot term has one tf row per
+      // containing doc), so the df lookup joins SALTED: each hot term
+      // spreads over 8 reducers and the vocabulary-sized df side
+      // replicates 8-fold — still shuffle-sized, never a broadcast
+      // (vocabulary grows with the corpus; broadcasting it is the same
+      // fixed-resource-vs-growing-data trap as a modulo centroid set)
+      graft.operators.SkewJoin.salted(tf, df, key = "term", uniqueCol = "doc_id")
         .withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= 3)
         .select("doc_id", "rank", "term", "tf", "df")

@@ -102,6 +102,10 @@ object SchemaIntrospect {
         TableDef(t, conCols.sortBy(ord).map(str(_, "column_name")).toSeq)
       }
 
+    // only references whose BOTH endpoints survived the key filter: a
+    // child with an FK but no PK/UNIQUE was dropped above, and a
+    // Reference naming a dropped table would crash the Slicer mid-walk
+    val known = tables.map(_.id).toSet
     val refs = fks.collect().groupBy(str(_, "ref_id")).toSeq.sortBy(_._1)
       .map { case (id, rows) =>
         val sorted = rows.sortBy(ord)
@@ -112,6 +116,7 @@ object SchemaIntrospect {
           refColumns = sorted.map(str(_, "ref_column_name")).toSeq,
           deferrable = sorted.head.getAs[Boolean]("deferrable"))
       }
+      .filter(r => known(r.table) && known(r.refTable))
     SchemaGraph(tables, refs)
   }
 }

@@ -68,12 +68,15 @@ object StreamingOps {
     // width (each store pays per-commit file IO every micro-batch). At
     // cluster scale this is the same knob, sized to stream throughput.
     val key = "spark.sql.shuffle.partitions"
+    val mKey = "spark.sql.streaming.stateStore.maintenanceInterval"
     val prev = spark.conf.get(key)
+    val prevM = spark.conf.getOption(mKey)
     val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
     spark.conf.set(key, streamParts)
     // short bounded runs: background state-store snapshot maintenance
-    // only adds IO here (a long-lived stream wants the default)
-    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+    // only adds IO here (a long-lived stream wants the default — both
+    // keys are restored below so later streams on this session get it)
+    spark.conf.set(mKey, "600s")
     try {
       val q = df.writeStream
         .format("memory")
@@ -82,7 +85,13 @@ object StreamingOps {
         .start()
       q.processAllAvailable()
       q.stop()
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      prevM match {
+        case Some(v) => spark.conf.set(mKey, v)
+        case None    => spark.conf.unset(mKey)
+      }
+    }
     spark.table(name)
   }
 

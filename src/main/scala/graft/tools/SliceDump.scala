@@ -14,7 +14,8 @@ import graft.sources.{RestoreWriter, SliceWriter, SqlWriter}
   * script.
   *
   * Usage: SliceDump <sfDir> <outDir> <rootTable> <condition>
-  *                  [rootTable2 condition2 ...] [graph.json] [scrub.json]
+  *                  [rootTable2 condition2 ...]
+  *                  [--graph graph.json] [--scrub scrub.json]
   */
 object SliceDump {
   private def readFile(p: String) =
@@ -22,18 +23,28 @@ object SliceDump {
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
-    // root pairs come first; trailing .json args are graph then scrub
-    val (pairArgs, jsonArgs) = args.drop(2).partition(!_.endsWith(".json"))
-    require(pairArgs.length >= 2 && pairArgs.length % 2 == 0,
+    // explicit flags — suffix-sniffing would misroute a scrub-only call
+    // or a root condition that happens to end in ".json"
+    val pairArgs = Vector.newBuilder[String]
+    var graphPath, scrubPath = Option.empty[String]
+    var rest = args.drop(2).toList
+    while (rest.nonEmpty) rest = rest match {
+      case "--graph" :: p :: tl => graphPath = Some(p); tl
+      case "--scrub" :: p :: tl => scrubPath = Some(p); tl
+      case a :: tl              => pairArgs += a; tl
+      case Nil                  => Nil
+    }
+    val pairs = pairArgs.result()
+    require(pairs.length >= 2 && pairs.length % 2 == 0,
       "roots must be (table, condition) pairs")
-    val roots = pairArgs.grouped(2).map(p => SliceRoot(p(0), p(1))).toSeq
-    val graph =
-      if (jsonArgs.nonEmpty) SchemaConfig.fromJson(readFile(jsonArgs(0)))
-      else SchemaGraph.tpch
+    val roots = pairs.grouped(2).map(p => SliceRoot(p(0), p(1))).toSeq
+    val graph = graphPath.map(p => SchemaConfig.fromJson(readFile(p)))
+      .getOrElse(SchemaGraph.tpch)
     val scrub: (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
-      if (jsonArgs.length > 1)
-        graft.functions.ScrubConfig.fromJson(readFile(jsonArgs(1))).apply
-      else (_, df) => df
+      scrubPath.map { p =>
+        val cfg = graft.functions.ScrubConfig.fromJson(readFile(p))
+        cfg.apply(_, _)
+      }.getOrElse((_, df) => df)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))

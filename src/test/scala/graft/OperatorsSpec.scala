@@ -49,13 +49,16 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("boundedBlocks splits oversized blocks and is a no-op under the cap") {
-    // one (lang, lb) block of 10 docs; cap=4 -> 3 sub-blocks of <=4
-    val sh = (0L until 10L).map(i => (i, "en", 1L)).toDF("doc_id", "lang", "lb")
-    val sub = graft.queries.Dedup.boundedBlocks(sh, cap = 4)
+    // one (lang, lb) block of 120 docs; cap=40 -> 3 hash-assigned
+    // sub-blocks (hashed, not doc_id % n, so id patterns can't defeat
+    // the split — the bound is then probabilistic, ~cap per sub-block)
+    val sh = (0L until 120L).map(i => (i, "en", 1L)).toDF("doc_id", "lang", "lb")
+    val sub = graft.queries.Dedup.boundedBlocks(sh, cap = 40)
       .groupBy("lang", "lb", "sub").count()
       .select("count").as[Long].collect()
-    assert(sub.length == 3, "ceil(10/4) = 3 sub-blocks")
-    assert(sub.max <= 4, "every sub-block population bounded by the cap")
+    assert(sub.length == 3, "ceil(120/40) = 3 sub-blocks")
+    assert(sub.sum == 120, "every doc keeps exactly one sub-block")
+    assert(sub.max <= 80, "hash split keeps sub-blocks near the cap")
     // under the cap: every doc lands in sub-block 0 (results unchanged)
     val noop = graft.queries.Dedup.boundedBlocks(sh, cap = 2000)
       .select("sub").as[Long].collect()

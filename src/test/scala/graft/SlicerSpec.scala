@@ -106,6 +106,24 @@ class SlicerSpec extends SparkSpec {
     assert(cyc.rows("emp").select("id").as[Int].collect().toSet == Set(4, 5))
   }
 
+  test("reverse refs onto a PK-keyed child NEVER take the no-scan shortcut") {
+    // 1:1 optional extension table keyed by the parent's key: integrity
+    // guarantees child FK -> parent, NOT that every parent row has an
+    // extension row. Reverse discovery must scan the child — the no-scan
+    // shortcut here would invent phantom keys for parents 2 and 3.
+    val g = SchemaGraph(
+      tables = Seq(TableDef("p", Seq("pid")), TableDef("ext", Seq("pid"))),
+      references = Seq(
+        Reference("ep", "ext", Seq("pid"), "p", Seq("pid")))) // forward+reverse
+    val tbls: Map[String, DataFrame] = Map(
+      "p" -> Seq((1, "a"), (2, "b"), (3, "c")).toDF("pid", "name"),
+      "ext" -> Seq((1, "only-parent-1-has-an-extension")).toDF("pid", "extra"))
+    val r = new Slicer(g, tbls(_)).run(Seq(SliceRoot("p", "pid >= 1")))
+    assert(r.keyCounts("ext") == 1L, "phantom extension keys invented")
+    assert(r.rows("ext").count() == 1L)
+    assert(r.manifest.as[(String, Long)].collect().toMap == Map("p" -> 3L, "ext" -> 1L))
+  }
+
   test("two FKs between the same tables expand through both") {
     // orders-style billing/shipping double reference: one frontier row
     // must pull BOTH referenced parents (candidates union per round)
