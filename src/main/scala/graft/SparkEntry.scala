@@ -14,6 +14,7 @@ object SparkEntry {
       (Relational.queries, Relational.oracleSql),
       (TransformQueries.queries, TransformQueries.oracleSql),
       (TextAnalysis.queries, TextAnalysis.oracleSql),
+      (Curation.queries, Curation.oracleSql),
       (Dedup.queries, Dedup.oracleSql),
       (Similarity.queries, Similarity.oracleSql),
       (MultimodalQueries.queries, MultimodalQueries.oracleSql),

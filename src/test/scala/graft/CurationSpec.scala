@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the curation/export pack (Pack I) that the value-exact
+  * gate can't express: packing capacity bounds, split totality,
+  * mixture amplification bounds. Runs on the sf0.001 fixture tables.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = graft.queries.Curation.queries(name)(spark, dir)
+
+  test("x_split is total, 3-valued, and ~90/5/5") {
+    val counts = q("x_split").groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    val n = counts.values.sum
+    assert(counts("train") > n * 8 / 10, "train holds the ~90% mass")
+    assert(counts("val") < n / 10 && counts("test") < n / 10)
+    // incremental-safety: assignment depends only on doc_id, so the
+    // same doc filtered from a subset corpus gets the same split
+    val sub = graft.queries.Curation.queries("x_split")(spark, dir)
+      .filter(col("doc_id") < 50).as[(Long, String, String)].collect()
+    val full = q("x_split").as[(Long, String, String)].collect()
+      .filter(_._1 < 50)
+    assert(sub.sorted.sameElements(full.sorted))
+  }
+
+  test("x_pack bins are contiguous per shard and overflow-bounded") {
+    val packed = q("x_pack").as[(Long, Int, Int, Int)].collect()
+    val byShard = packed.groupBy(_._2)
+    byShard.foreach { case (_, rows) =>
+      val bins = rows.map(_._3).distinct.sorted.toSeq
+      assert(bins == bins.indices.toSeq, "bins start at 0 and have no gaps")
+    }
+    // a bin holds docs whose EXCLUSIVE cumsum fell under the boundary,
+    // so fill exceeds the budget by at most its own largest document
+    val fills = packed.groupBy(r => (r._2, r._3)).map { case (_, rows) =>
+      (rows.map(_._4).sum, rows.map(_._4).max)
+    }
+    fills.foreach { case (fill, maxDoc) =>
+      assert(fill < 256 + maxDoc, s"bin fill $fill exceeds budget + largest doc $maxDoc")
+    }
+  }
+
+  test("x_mix amplification is per-lang bounded and epoch-contiguous") {
+    val copies = q("x_mix").groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n"), max("epoch").as("mx"))
+      .as[(Long, String, Long, Int)].collect()
+    copies.foreach { case (_, lang, n, mx) =>
+      assert(mx == n - 1, "epoch indices are 0..n-1")
+      val (lo, hi) = lang match {
+        case "en" => (2, 3) case "es" => (1, 2) case _ => (1, 1)
+      }
+      assert(n >= lo && n <= hi, s"$lang weight bounds violated: $n copies")
+    }
+  }
+}
