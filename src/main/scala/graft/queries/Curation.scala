@@ -23,24 +23,46 @@ object Curation {
     * whole corpus — a global ORDER BY row_number would serialize into
     * one task. Real pipelines pack per output shard anyway (a training
     * file per shard), so the shard IS the unit of parallelism. */
-  private val PackShards = 16
+  val PackShards = 16
   /** Context budget in whitespace tokens per packed bin. */
-  private val PackBudget = 256
+  val PackBudget = 256
+
+  // column builders shared by the gate queries and CuratePipeline's
+  // export stage (same hash contracts -> the pipeline's shards line up
+  // with the oracle-verified queries)
+
+  /** train/val/test assignment from the doc id alone (90/5/5). */
+  def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val gate = Determinism.md5Idx(concat(lit("spl#"), id.cast("string"))) % 100
+    when(gate < 90, "train").when(gate < 95, "val").otherwise("test")
+  }
+
+  /** Packing shard from the doc id alone. */
+  def shardOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (Determinism.md5Idx(concat(lit("pk#"), id.cast("string"))) % PackShards)
+      .cast("int")
+
+  /** Adds (shard, bin) to a frame carrying (idCol, tokensCol):
+    * contiguous fixed-budget packing from per-shard exclusive running
+    * sums. Overflow bounded by one document; fully shard-parallel. */
+  def packed(df: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("shard", shardOf(col(idCol)))
+      .withColumn("bin",
+        (coalesce(sum(tokensCol).over(w), lit(0L)) / PackBudget).cast("int"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic train/val/test assignment: hash-gated 90/5/5.
     // Membership depends only on (salt, doc_id) — adding documents
     // never reshuffles existing assignments (incremental-safe), and
     // the gate is the same md5 contract the scrub transforms use.
-    "x_split" -> ((s, dir) => {
-      val gate = Determinism.md5Idx(
-        concat(lit("spl#"), col("doc_id").cast("string"))) % 100
+    "x_split" -> ((s, dir) =>
       docs(s, dir).select(
-        col("doc_id"), col("lang"),
-        when(gate < 90, "train").when(gate < 95, "val")
-          .otherwise("test").as("split"))
-        .orderBy("doc_id")
-    }),
+        col("doc_id"), col("lang"), splitOf(col("doc_id")).as("split"))
+        .orderBy("doc_id")),
 
     // sequence packing: documents -> fixed-token-budget bins, the
     // tokenize-and-pack step before writing training shards. Exclusive
@@ -49,22 +71,13 @@ object Curation {
     // approximation is that a bin can overflow by at most one
     // document's tokens (greedy reset-packing needs sequential state;
     // this form is a per-shard window, embarrassingly parallel).
-    "x_pack" -> ((s, dir) => {
-      val shard = (Determinism.md5Idx(
-        concat(lit("pk#"), col("doc_id").cast("string"))) % PackShards)
-        .cast("int")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("shard").orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      docs(s, dir)
-        .select(col("doc_id"), shard.as("shard"),
-          size(split(col("text"), " ")).as("n_tokens"))
-        .withColumn("bin",
-          (coalesce(sum("n_tokens").over(w), lit(0L)) / PackBudget)
-            .cast("int"))
+    "x_pack" -> ((s, dir) =>
+      packed(
+        docs(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens")),
+        "doc_id", "n_tokens")
         .select("doc_id", "shard", "bin", "n_tokens")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // mixture-weight interleaving: per-source epoch counts (en 2.5x,
     // es 1.5x, rest 1x), the dataset-mixing step of a pretraining run.

@@ -89,6 +89,17 @@ object CuratePipeline {
     (curated, stages.toMap)
   }
 
+  /** 6. export stage: train/val/test assignment + per-shard sequence
+    * packing, both from the oracle-verified Curation contracts (same
+    * hash gates, so a doc's split/shard here matches x_split/x_pack on
+    * the same corpus). The output layout is the training-reader shape:
+    * one directory per (split, shard), bins contiguous within a shard.
+    */
+  def export(curated: DataFrame): DataFrame =
+    graft.queries.Curation.packed(
+      curated.withColumn("split", graft.queries.Curation.splitOf(col("doc_id"))),
+      "doc_id", "n_tokens")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val minQuality = if (args.length > 2) args(2).toDouble else 0.3
@@ -101,6 +112,11 @@ object CuratePipeline {
     spark.sparkContext.setLogLevel("WARN")
     val (curated, stages) = curate(spark, sfDir, minQuality)
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
+    // partition dirs are the unit a training reader consumes (and the
+    // unit of write parallelism — each (split, shard) is one task's
+    // sorted run; no global sort anywhere in the pipeline)
+    export(curated).write.mode("overwrite")
+      .partitionBy("split", "shard").parquet(s"$outDir/shards")
     // coalesce: sum over an empty curated set is NULL, not 0
     val toks = curated.agg(coalesce(sum("n_tokens"), lit(0L))).collect()(0).getLong(0)
     println(("input" :: "after_quality" :: "after_exact_dedup" :: "after_near_dedup" :: Nil)

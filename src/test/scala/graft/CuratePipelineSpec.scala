@@ -31,5 +31,15 @@ class CuratePipelineSpec extends SparkSpec {
     assert(stages("after_exact_dedup") == 3L, "doc 2 is an exact dup of 1")
     // near-dedup clusters {1,3} -> keep 1; 4 untouched
     assert(kept == Set(1L, 4L), s"got $kept")
+
+    // export stage: every curated doc gets a split + (shard, bin), and
+    // they agree with the oracle-verified x_split/x_pack hash contracts
+    val out = CuratePipeline.export(curated)
+      .select("doc_id", "split", "shard", "bin")
+      .as[(Long, String, Int, Int)].collect()
+    assert(out.map(_._1).toSet == kept, "export is total over the curated set")
+    assert(out.forall(r => Set("train", "val", "test")(r._2)))
+    assert(out.forall(r => r._3 >= 0 && r._3 < graft.queries.Curation.PackShards))
+    assert(out.forall(_._4 == 0), "tiny corpus: first bin of each shard")
   }
 }
