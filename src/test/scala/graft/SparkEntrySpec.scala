@@ -9,7 +9,8 @@ class SparkEntrySpec extends AnyFunSuite {
       graft.queries.SliceQueries.queries, graft.queries.Relational.queries,
       graft.queries.TransformQueries.queries, graft.queries.TextAnalysis.queries,
       graft.queries.Dedup.queries, graft.queries.Similarity.queries,
-      graft.queries.MultimodalQueries.queries, graft.queries.StreamingQueries.queries)
+      graft.queries.MultimodalQueries.queries, graft.queries.StreamingQueries.queries,
+      graft.queries.Curation.queries)
     val all = packs.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")
