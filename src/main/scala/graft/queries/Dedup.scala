@@ -140,33 +140,42 @@ object Dedup {
     * signature aggregation runs once per (session, corpus). */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     synchronized { mhCache.getOrElseUpdate((s, dir), {
-      val sh = shingleSets(s, dir)
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      def hj(j: Int): Column =
-        (lit(MinhashA(j)) * (col("s") % MinhashP) + MinhashB(j)) % MinhashP
-      val sig = ex.groupBy("doc_id").agg(
-        min(hj(0)).as("m0"),
-        (1 until 8).map(j => min(hj(j)).as(s"m$j")): _*)
-      val bands = (0 until 4).map { bi =>
-        sig.select(col("doc_id"), lit(bi).as("bi"),
-          concat_ws(":", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("bk"))
-      }.reduce(_ union _)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val sa = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
-      val sb = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
-      val pairs = cand.join(sa, "a").join(sb, "b")
-        .select(col("a"), col("b"), sortedInter(col("sha"), col("shb")).as("inter"),
-          size(col("sha")).as("sa"), size(col("shb")).as("sb"))
-        .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= 0.2)
-        .select(col("a"), col("b"),
-          (col("inter") / (col("sa") + col("sb") - col("inter"))).as("jac"))
+      val pairs = lshPairs(shingleSets(s, dir), minJac = 0.2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pairs.count() // eager: consumers fan out into racing union branches
       pairs
     }) }
+
+  /** MinHash-LSH near-dup pairs over any (doc_id, sh) frame where `sh`
+    * is a SORTED distinct shingle-hash array (ShingleHashSet output):
+    * 8 universal-hash signatures → 4x2 banding → candidate equi-join →
+    * exact-Jaccard verify at `minJac`. Shared by the gate queries
+    * (via the memoized corpus relation) and CuratePipeline's near-dedup
+    * stage, so there is exactly one LSH implementation to audit. */
+  def lshPairs(sh: DataFrame, minJac: Double): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    def hj(j: Int): Column =
+      (lit(MinhashA(j)) * (col("s") % MinhashP) + MinhashB(j)) % MinhashP
+    val sig = ex.groupBy("doc_id").agg(
+      min(hj(0)).as("m0"),
+      (1 until 8).map(j => min(hj(j)).as(s"m$j")): _*)
+    val bands = (0 until 4).map { bi =>
+      sig.select(col("doc_id"), lit(bi).as("bi"),
+        concat_ws(":", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("bk"))
+    }.reduce(_ union _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val sa = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val sb = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
+    cand.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"), sortedInter(col("sha"), col("shb")).as("inter"),
+        size(col("sha")).as("sa"), size(col("shb")).as("sb"))
+      .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= minJac)
+      .select(col("a"), col("b"),
+        (col("inter") / (col("sa") + col("sb") - col("inter"))).as("jac"))
+  }
 
   private val exactCache =
     collection.mutable.Map.empty[(SparkSession, String), DataFrame]

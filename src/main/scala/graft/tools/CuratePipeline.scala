@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Determinism
 
 /** End-to-end training-data curation — the composition the LLM-pipeline
   * packs exist for, as one CLI:
@@ -48,33 +47,16 @@ object CuratePipeline {
       .drop("h", "keep_id")
     stages += "after_exact_dedup" -> exact.count()
 
-    // 4. near-dedup: MinHash(8) 4x2 bands; drop the higher doc_id of any
-    // candidate pair with exact Jaccard >= 0.5
-    val sh = exact.select(col("doc_id"), array_distinct(transform(
-      transform(sequence(lit(0), greatest(size(w) - 3, lit(0))),
-        i => concat_ws(" ", slice(w, i + 1, lit(3)))),
-      x => Determinism.md5IdxK(x, 12))).as("sh"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sig = ex.groupBy("doc_id").agg(
-      min(Determinism.md5IdxK(concat(lit("0#"), col("s").cast("string")), 12)).as("m0"),
-      (1 until 8).map(j => min(Determinism.md5IdxK(
-        concat(lit(s"$j#"), col("s").cast("string")), 12)).as(s"m$j")): _*)
-    val bands = (0 until 4).map { bi =>
-      sig.select(col("doc_id"), lit(bi).as("bi"),
-        concat_ws(":", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("bk"))
-    }.reduce(_ union _)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    val sa = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
-    val sb = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
-    val pairs = cand.join(sa, "a").join(sb, "b")
-      .select(col("a"), col("b"),
-        (size(array_intersect(col("sha"), col("shb")))
-          / size(array_union(col("sha"), col("shb")))).as("jac"))
-      .filter(col("jac") >= 0.5)
-      .select("a", "b")
+    // 4. near-dedup: the ONE LSH implementation (Dedup.lshPairs —
+    // 8-signature universal-hash MinHash, 4x2 bands, exact-Jaccard
+    // verify) over ShingleHashSet's codegen'd sorted shingle arrays;
+    // drop the higher doc_id of any pair with Jaccard >= 0.5
+    val sh = exact.select(col("doc_id"),
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.ShingleHashSet(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(w), 3, 12))
+        .as("sh"))
+    val pairs = graft.queries.Dedup.lshPairs(sh, minJac = 0.5).select("a", "b")
     // transitive cluster-keep (standard corpus-dedup semantics: one
     // canonical doc per connected near-dup component, not per pair —
     // a chain a~b~c keeps only min(a,b,c) even if a!~c directly)
