@@ -37,6 +37,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(planOf("q_antijoin").contains("LeftAnti"))
   }
 
+  test("x_pack: shard-parallel packing — one exchange, pruned scan, no global window") {
+    val p = planOf("x_pack")
+    // the packing window must partition on shard (parallel) — a window
+    // over the whole corpus would plan SinglePartition and serialize
+    assert(p.contains("windowspecdefinition(shard"), p.take(600))
+    assert(!p.contains("SinglePartition"), "packing must never collapse to one partition")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to the two consumed columns")
+  }
+
   test("s_ivf_ann: centroid set is a CONSTANT-K limited broadcast") {
     // the assignment cross join is O(N*K) only while K is fixed: the
     // centroid subtree must carry a global Limit (constant in corpus
