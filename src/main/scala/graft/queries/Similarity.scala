@@ -106,6 +106,21 @@ object Similarity {
         .orderBy("q")
     }),
 
+    // recall@K of the IVF index vs the same brute-force baseline —
+    // together with s_ann_recall this prices BOTH scale paths' accuracy
+    // against their cost (probes vs multi-probe buckets) in one exact,
+    // oracle-checked number per query.
+    "s_ivf_recall" -> ((s, dir) => {
+      val bf = Similarity.queries("s_cosine_topk")(s, dir).select("q", "vec_id")
+      val ann = Similarity.queries("s_ivf_ann")(s, dir)
+        .select(col("q"), col("vec_id"), lit(1).as("hit"))
+      bf.join(ann, Seq("q", "vec_id"), "left")
+        .groupBy("q")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
+        .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
+        .orderBy("q")
+    }),
+
     // IVF flavor: centroids are a deterministic FIXED-K sample (the
     // NCentroids lowest by md5(vec_id) — a hash-ordered draw both
     // engines compute identically); every vector is assigned to its
@@ -211,12 +226,15 @@ object Similarity {
          WHERE assigned.vec_id <> probes.q""")
   )
 
+  private def sqlRecall(annName: String) =
+    s"""WITH bf AS (${oracleBase("s_cosine_topk")}),
+       ann AS (${oracleBase(annName)})
+       SELECT bf.q, CAST(count(ann.vec_id) AS INT) AS hits,
+         (count(ann.vec_id) / ${K}.0) AS recall
+       FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id
+       GROUP BY bf.q ORDER BY bf.q"""
+
   val oracleSql: Map[String, String] = oracleBase +
-    ("s_ann_recall" ->
-      s"""WITH bf AS (${oracleBase("s_cosine_topk")}),
-         ann AS (${oracleBase("s_lsh_ann")})
-         SELECT bf.q, CAST(count(ann.vec_id) AS INT) AS hits,
-           (count(ann.vec_id) / ${K}.0) AS recall
-         FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id
-         GROUP BY bf.q ORDER BY bf.q""")
+    ("s_ann_recall" -> sqlRecall("s_lsh_ann")) +
+    ("s_ivf_recall" -> sqlRecall("s_ivf_ann"))
 }
