@@ -79,6 +79,24 @@ object Curation {
         .select("doc_id", "shard", "bin", "n_tokens")
         .orderBy("doc_id")),
 
+    // reproducible training-order shuffle: within each pack shard the
+    // read order is the rank of a keyed hash — deterministic across
+    // retries, incremental-safe (a doc's key never changes), and
+    // shard-parallel (rank windows partition per shard; a global
+    // row_number would collapse to one task). The effective global
+    // order is (shard, rank): exactly how a sharded reader consumes it.
+    "x_shuffle" -> ((s, dir) => {
+      val key = Determinism.md5IdxK(
+        concat(lit("shf#"), col("doc_id").cast("string")), 12)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("k", "doc_id")
+      docs(s, dir)
+        .select(col("doc_id"), shardOf(col("doc_id")).as("shard"), key.as("k"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .select("doc_id", "shard", "rank")
+        .orderBy("doc_id")
+    }),
+
     // mixture-weight interleaving: per-source epoch counts (en 2.5x,
     // es 1.5x, rest 1x), the dataset-mixing step of a pretraining run.
     // Fractional weights resolve per document by hash gate — exactly
@@ -120,6 +138,16 @@ object Curation {
          FROM (SELECT doc_id,
              CAST(${Determinism.sqlMd5Idx("'pk#' || CAST(doc_id AS VARCHAR)")} % $PackShards AS INT) AS shard,
              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+           FROM documents)
+         ORDER BY doc_id""",
+
+    "x_shuffle" ->
+      s"""SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+             AS INT) AS rank
+         FROM (SELECT doc_id,
+             CAST(${Determinism.sqlMd5Idx("'pk#' || CAST(doc_id AS VARCHAR)")} % $PackShards AS INT) AS shard,
+             ${Determinism.sqlMd5IdxK("'shf#' || CAST(doc_id AS VARCHAR)", 12)} AS k
            FROM documents)
          ORDER BY doc_id""",
 

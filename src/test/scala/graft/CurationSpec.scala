@@ -45,6 +45,19 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("x_shuffle ranks are a permutation per shard, shards match x_pack") {
+    val shf = q("x_shuffle").as[(Long, Int, Int)].collect()
+    shf.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        "ranks must be contiguous 1..n within a shard")
+    }
+    // same shard contract as packing: the reader walks one shard's
+    // bins in this shard's shuffle order
+    val packShards = q("x_pack").select("doc_id", "shard")
+      .as[(Long, Int)].collect().toMap
+    assert(shf.forall(r => packShards(r._1) == r._2))
+  }
+
   test("x_mix amplification is per-lang bounded and epoch-contiguous") {
     val copies = q("x_mix").groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n"), max("epoch").as("mx"))
