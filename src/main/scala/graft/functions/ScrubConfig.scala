@@ -45,15 +45,18 @@ object ScrubConfig {
 
   def fromJson(json: String): ScrubConfig = {
     val root = mapper.readTree(json)
-    val tables = Option(root.get("tables")).map { t =>
-      t.fields().asScala.map { e =>
-        e.getKey -> e.getValue.fields().asScala.map { c =>
-          val name = c.getValue.asText()
-          resolve(name) // fail fast on unknown transforms
-          c.getKey -> name
-        }.toMap
+    // a config missing the "tables" key MUST fail, not parse as an
+    // empty scrub: the caller believes PII is being transformed, and a
+    // silent no-op here ships it raw
+    val t = Option(root.get("tables")).getOrElse(
+      sys.error("scrub config must have a top-level \"tables\" object"))
+    val tables = t.fields().asScala.map { e =>
+      e.getKey -> e.getValue.fields().asScala.map { c =>
+        val name = c.getValue.asText()
+        resolve(name) // fail fast on unknown transforms
+        c.getKey -> name
       }.toMap
-    }.getOrElse(Map.empty)
+    }.toMap
     ScrubConfig(tables)
   }
 }

@@ -25,4 +25,10 @@ class ScrubConfigSpec extends SparkSpec {
       ScrubConfig.fromJson("""{"tables": {"t": {"c": "not_a_transform"}}}""")
     }
   }
+
+  test("config without a tables key fails instead of silently not scrubbing") {
+    intercept[RuntimeException] {
+      ScrubConfig.fromJson("""{"customer": {"c_name": "given_name"}}""")
+    }
+  }
 }
