@@ -18,11 +18,11 @@ import org.apache.spark.storage.StorageLevel
   * distributed (shuffles key on node id; nothing collects to the
   * driver). Rounds are bounded by the component DIAMETER, which for
   * near-dup graphs is small (dup clusters are dense); the loop
-  * terminates via the same fused-count trick as the Slicer — one action
-  * per round. Labels persist per round and the superseded generation is
-  * unpersisted; a pathological chain-shaped graph is the known worst
-  * case (diameter rounds), where a large-star/small-star variant would
-  * halve rounds at the cost of two joins per round.
+  * terminates via an exact label-sum fixpoint check folded into the one
+  * materializing action per round. Labels checkpoint per round and the
+  * superseded generation is reclaimed; a pathological chain-shaped
+  * graph is the known worst case (diameter rounds), where the
+  * large-star/small-star variant below bounds rounds by O(log n).
   */
 object ConnectedComponents {
 
@@ -51,36 +51,50 @@ object ConnectedComponents {
   }
 
   private def runLoop(e: DataFrame, maxIter: Int): DataFrame = {
+    // closed neighborhood: a self-loop per node folds the node's OWN
+    // label into the per-round neighborhood min, so one join + one
+    // groupBy replaces the join + groupBy + second join of the naive
+    // formulation — per-round cost is dominated by fixed job/shuffle
+    // overhead at every scale where the label table fits the cluster,
+    // so fewer stages per round is the lever that matters.
     val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = bi.select(col("src").as("id")).distinct()
+    val nbhd = bi.union(nodes.select(col("id").as("src"), col("id").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = bi.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-
-    var changed = 1L
+    // lazy: the initial-sum action below materializes the checkpoint
+    var labels = nodes.withColumn("lbl", col("id")).localCheckpoint(false)
+    // convergence via the EXACT sum of labels: labels only ever
+    // decrease, so the sum strictly decreases until fixpoint — equal
+    // sums mean no label moved. DECIMAL(38,0) keeps the sum exact for
+    // billions of 64-bit ids (no float drift, no overflow), and folding
+    // the check into the materializing action makes each round ONE job:
+    // the lazy localCheckpoint's blocks are populated by the same
+    // action that computes the sum.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+    var prevSum = lblSum(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // neighbor labels: join edges to labels on the source endpoint,
-      // take min(own, neighbors) per node
-      val nbr = bi.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min("lbl").as("nlbl"))
-      // localCheckpoint (eager) rather than persist: `labels` appears
-      // twice per round, so a lazily-planned generation DOUBLES the
-      // logical plan every iteration (analysis time was the dominant
-      // cost before data size even mattered). Checkpointing pins each
-      // generation to its materialized blocks; superseded generations
-      // are reclaimed by the ContextCleaner once unreferenced.
-      val next = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          coalesce((col("nlbl") < col("lbl")).cast("long"), lit(0L)).as("chg"))
-        .localCheckpoint(true)
-      changed = next.agg(coalesce(sum("chg"), lit(0L))).collect()(0).getLong(0)
-      labels = next.select("id", "lbl")
+    while (changed && iter < maxIter) {
+      val next = nbhd.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("lbl").as("lbl"))
+        // lazy checkpoint: materialized by the sum action below, and it
+        // truncates the lineage so the plan doesn't grow round-over-round
+        // (analysis time was the dominant cost before data size even
+        // mattered); superseded generations are reclaimed by the
+        // ContextCleaner once unreferenced.
+        .localCheckpoint(false)
+      val s = lblSum(next)
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
+      labels = next
       iter += 1
     }
     val out = labels.select(col("id"), col("lbl").as("cluster"))
-    bi.unpersist()
+    nbhd.unpersist()
     out
   }
 
@@ -136,11 +150,15 @@ object ConnectedComponents {
         .union(smins.select(col("hi").as("v"), col("m")))
         .filter(col("v") =!= col("m"))
         .select(col("v").as("hi"), col("m").as("lo")).distinct()
-        .localCheckpoint(true)
-      // fixpoint = identical edge set (cheap: both sides are
-      // checkpointed star-sized frames)
-      converged = next.join(e, Seq("hi", "lo"), "left_anti").isEmpty &&
-        e.join(next, Seq("hi", "lo"), "left_anti").isEmpty
+        // lazy checkpoint: the symmetric-difference count below is the
+        // materializing action, so each round runs ONE job instead of
+        // checkpoint + two anti-join probes
+        .localCheckpoint(false)
+      // fixpoint = identical edge set, checked as a full-outer
+      // symmetric-difference count (both sides are star-sized frames)
+      converged = next.withColumn("r", lit(1))
+        .join(e.withColumn("l", lit(1)), Seq("hi", "lo"), "full_outer")
+        .filter(col("r").isNull || col("l").isNull).count() == 0L
       e = next
       iter += 1
     }

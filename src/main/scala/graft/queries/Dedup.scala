@@ -108,21 +108,57 @@ object Dedup {
     * tiny, so it persists whole. */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     synchronized { jacCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
       val sh = boundedBlocks(shingleSets(s, dir), BlockCap)
-      val pairs = sh.as("x").join(sh.as("y"),
-          col("x.lang") === col("y.lang") && col("x.lb") === col("y.lb")
-            && col("x.sub") === col("y.sub")
-            && col("x.doc_id") < col("y.doc_id")
-            // size-ratio prefilter IMPLIED by jac>=0.2 (jac <= min/max),
-            // prunes pairs before the per-pair merge; results unchanged
-            && least(size(col("x.sh")), size(col("y.sh"))) * 5
-              >= greatest(size(col("x.sh")), size(col("y.sh"))))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          sortedInter(col("x.sh"), col("y.sh")).as("inter"),
-          size(col("x.sh")).as("sa"), size(col("y.sh")).as("sb"))
-        .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= 0.2)
-        .select(col("a"), col("b"),
-          (col("inter") / (col("sa") + col("sb") - col("inter"))).as("jac"))
+      // Collect each (lang, lb, sub) block to ONE row and run the
+      // quadratic verify as a local two-pointer loop per block. A
+      // self-join verify materializes BOTH shingle arrays into every
+      // candidate pair row (~KBs of UnsafeRow copy per pair — measured
+      // 3x the merge cost itself at sf0.1); here each block
+      // deserializes once and the inner loop touches primitive arrays
+      // only. Parallelism is by block (plentiful at scale; population
+      // bounded by GRAFT_JACCARD_BLOCK_CAP, so a block row stays a few
+      // MB) and the output is only the passing pairs.
+      val blocks = sh.groupBy("lang", "lb", "sub")
+        .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ds"))
+      val pairs = blocks.select(col("ds")).flatMap { row =>
+        val ds = row.getSeq[org.apache.spark.sql.Row](0)
+        val n = ds.length
+        val ids = new Array[Long](n)
+        val shs = new Array[Array[Long]](n)
+        var i = 0
+        while (i < n) { ids(i) = ds(i).getLong(0); shs(i) = ds(i).getSeq[Long](1).toArray; i += 1 }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val sa = shs(i).length; val sb = shs(j).length
+            // size-ratio prefilter IMPLIED by jac>=0.2 (jac <= min/max)
+            if (math.min(sa, sb) * 5 >= math.max(sa, sb)) {
+              // jac >= 0.2 needs inter >= (sa+sb)/6; abandon the merge
+              // as soon as the remaining elements can't reach that
+              val need = (sa + sb + 5) / 6
+              var p = 0; var q = 0; var inter = 0
+              while (p < sa && q < sb
+                  && inter + math.min(sa - p, sb - q) >= need) {
+                val c = java.lang.Long.compare(shs(i)(p), shs(j)(q))
+                if (c == 0) { inter += 1; p += 1; q += 1 }
+                else if (c < 0) p += 1 else q += 1
+              }
+              // same double division both engines apply to int inputs
+              val jac = inter.toDouble / (sa + sb - inter)
+              if (jac >= 0.2) {
+                val a = math.min(ids(i), ids(j)); val b = math.max(ids(i), ids(j))
+                out += ((a, b, jac))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }.toDF("a", "b", "jac")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // materialize EAGERLY: d_dedup_eval unions three aggregates that
       // each reference this relation — lazily cached, those branches
@@ -332,15 +368,26 @@ object Dedup {
     })
   )
 
+  private val edgeCache =
+    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Memoized, materialized clustering edge list (exact-dup ∪ Jaccard
+    * pairs) — d_cluster and d_cluster_stars run different component
+    * algorithms over the SAME edges, so the union is checkpointed once
+    * per (session, corpus). */
+  private def clusterEdges(s: SparkSession, dir: String): DataFrame =
+    synchronized { edgeCache.getOrElseUpdate((s, dir), {
+      val ePairs = exactPairs(s, dir)
+        .select(col("dup_of").as("a"), col("doc_id").as("b"))
+      ePairs.union(jaccardPairs(s, dir).select("a", "b")).localCheckpoint(true)
+    }) }
+
   /** Shared clustering body: edges = exact-dup ∪ Jaccard pairs (both
     * memoized), components via the given strategy, cluster = min
     * doc_id plus component size. */
   private def clusterWith(s: SparkSession, dir: String,
       cc: DataFrame => DataFrame): DataFrame = {
-    val ePairs = exactPairs(s, dir)
-      .select(col("dup_of").as("a"), col("doc_id").as("b"))
-    val jacPairs = jaccardPairs(s, dir).select("a", "b")
-    val labels = cc(ePairs.union(jacPairs))
+    val labels = cc(clusterEdges(s, dir))
     val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("csize"))
     labels.join(sizes, "cluster")
       .select(col("id").as("doc_id"), col("cluster"), col("csize"))
