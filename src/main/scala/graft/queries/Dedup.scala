@@ -286,9 +286,15 @@ object Dedup {
       val d = docs(s, dir)
       // twin corpus: copy with last word dropped => tiny hamming distance
       val w = wordsOf(col("text"))
+      // redistribute BEFORE the signature projection: the single-row-
+      // group test files scan as one task, and the per-word md5 work
+      // rides on the scan — this is the one dedup pipeline where
+      // spreading the raw rows first measures faster (the others lose
+      // more to extra tasks/shuffle than they gain; A/B-measured)
       val corpus = d.select(col("doc_id"), col("text"))
         .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
           concat_ws(" ", slice(w, lit(1), size(w) - 1)).as("text")))
+        .repartition(d.sparkSession.sparkContext.defaultParallelism)
       // one custom codegen Expression computes the 60-bit signature per
       // row (SimHash; spec- and property-verified identical to the
       // explode → md5IdxK → 60-bit-sum vote formula): no explode, no
