@@ -99,6 +99,37 @@ final class Slicer(
       priorCounts: Map[String, Long] = Map.empty,
       priorMaxes: Map[String, Long] = Map.empty)
       : (Map[String, DataFrame], Map[String, Long], Map[String, Long]) = {
+    // scope shuffle width to the key traffic, not the session default:
+    // discovery shuffles key columns only (a reduction of the row data),
+    // and a BFS round chains several exchanges whose per-task overhead
+    // is the dominant cost once key sets are small relative to the
+    // cluster. Same knob pattern as ConnectedComponents; on a cluster
+    // size it to the expected key volume via the env var.
+    val spark = SparkSession.active
+    val widthKey = "spark.sql.shuffle.partitions"
+    val prevWidth = spark.conf.get(widthKey)
+    spark.conf.set(widthKey, sys.env.getOrElse("SPARK_GRAFT_SLICE_PARTITIONS", "8"))
+    // AQE's per-stage re-planning adds scheduling latency to every
+    // exchange in a round's join chain, and discovery already knows the
+    // things AQE would learn at runtime (key counts gate the broadcast
+    // hints explicitly); on key-only traffic the latency outweighs the
+    // re-planning value, so it is scoped OFF here (A/B-measured). At
+    // warehouse scale the trade reverses — AQE's empty-build-side
+    // propagation and skew handling pay for their latency — so
+    // SPARK_GRAFT_SLICE_AQE=true keeps it on for discovery.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, sys.env.getOrElse("SPARK_GRAFT_SLICE_AQE", "false"))
+    try discoverLoop(roots, priorKeys, priorCounts, priorMaxes)
+    finally { spark.conf.set(widthKey, prevWidth); spark.conf.set(aqeKey, prevAqe) }
+  }
+
+  private def discoverLoop(
+      roots: Seq[SliceRoot],
+      priorKeys: Map[String, DataFrame],
+      priorCounts: Map[String, Long],
+      priorMaxes: Map[String, Long])
+      : (Map[String, DataFrame], Map[String, Long], Map[String, Long]) = {
     // per-table KEY-ONLY generations (anti-join state + final output) and
     // the persisted aug frames backing them (unpersisted on compaction)
     var genKeys: Map[String, Vector[DataFrame]] =
@@ -113,6 +144,7 @@ final class Slicer(
     /** Persist fresh frontiers, run the round's ONE fused action, fold
       * the survivors into the discovered state. */
     def ingest(fresh: Seq[(String, DataFrame)]): Unit = {
+      val t0 = System.nanoTime()
       frontier = Map.empty
       countMaxAll(fresh.map { case (t, df) =>
         t -> df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -139,6 +171,10 @@ final class Slicer(
           }
         } else df.unpersist()
       }
+      // operational visibility only; no behavior change
+      if (sys.env.contains("GRAFT_SLICE_DEBUG"))
+        System.err.println(f"[slicer] round: ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+          s"fresh=${frontier.map { case (t, (_, n)) => s"$t:$n" }.mkString(",")}")
     }
 
     // seed: root conditions (multi-root unions on the same table dedup
