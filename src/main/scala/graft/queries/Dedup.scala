@@ -341,7 +341,32 @@ object Dedup {
     // components via distributed min-label propagation
     // (graft.operators.ConnectedComponents). cluster = min doc_id.
     "d_cluster" -> ((s, dir) =>
-      clusterWith(s, dir, ConnectedComponents.run(_))),
+      clusterWith(s, dir, _ => clusterLabels(s, dir))),
+
+    // canonical SELECTION — the step that turns dedup groups into a
+    // kept corpus: per cluster keep the highest-quality member (quality
+    // = the x_quality length-saturation + stopword-density score in
+    // integer micro-units; ties break to the smallest doc_id). This is
+    // what a curation pipeline actually ships: one representative per
+    // near-dup group, chosen by score rather than by id.
+    "x_canon" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.select(col("doc_id"), col("text"))
+        .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" ")).as("text")))
+      val w = wordsOf(col("text"))
+      val qm = (least(length(col("text")), lit(500)) * 1000L
+        + floor(size(filter(w, x => x.isInCollection(TextAnalysis.stopwords)))
+          * lit(500000L) / size(w))).cast("long")
+      val scored = corpus.select(col("doc_id"), qm.as("qm"))
+      clusterLabels(s, dir).join(scored, col("id") === scored("doc_id"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("csize"),
+          max(struct(col("qm"), (-col("doc_id")).as("nid"))).as("m"))
+        .select(col("cluster"), (-col("m.nid")).as("canon"),
+          col("csize"), (col("m.qm") / 1000000.0).as("quality"))
+        .orderBy("cluster")
+    }),
 
     // the SAME clustering through the O(log n)-round star-contraction
     // strategy (the deep-graph scale path) — held to the identical
@@ -387,6 +412,18 @@ object Dedup {
         .select(col("dup_of").as("a"), col("doc_id").as("b"))
       ePairs.union(jaccardPairs(s, dir).select("a", "b")).localCheckpoint(true)
     }) }
+
+  private val labelCache =
+    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Memoized min-label component labels over [[clusterEdges]] — shared
+    * by d_cluster (reports them) and x_canon (picks canonicals), so the
+    * propagation rounds run once per (session, corpus). The frame is a
+    * projection over the loop's final checkpoint, so reuse re-reads
+    * materialized blocks, not the loop. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    synchronized { labelCache.getOrElseUpdate((s, dir),
+      ConnectedComponents.run(clusterEdges(s, dir))) }
 
   /** Shared clustering body: edges = exact-dup ∪ Jaccard pairs (both
     * memoized), components via the given strategy, cluster = min
@@ -513,6 +550,23 @@ object Dedup {
   val oracleSql: Map[String, String] = oracleBase +
     // both clustering strategies answer to the same transitive-closure SQL
     ("d_cluster_stars" -> oracleBase("d_cluster")) +
+    // canonical pick = the d_cluster closure joined to the x_quality
+    // micro-unit score over the same twin corpus; winner per cluster by
+    // (quality desc, doc_id asc)
+    ("x_canon" ->
+      s"""WITH lbl AS (${oracleBase("d_cluster")}),
+         q AS (SELECT doc_id, CAST(least(length(text), 500) * 1000
+             + floor(len(list_filter(string_split(text, ' '),
+                 x -> x IN (${TextAnalysis.stopSqlList}))) * 500000
+               / len(string_split(text, ' '))) AS BIGINT) AS qm
+           FROM (SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + 100000, text || ' ' FROM documents)),
+         j AS (SELECT lbl.cluster, lbl.csize, q.doc_id, q.qm,
+             row_number() OVER (PARTITION BY lbl.cluster
+               ORDER BY q.qm DESC, q.doc_id ASC) AS rn
+           FROM lbl JOIN q USING (doc_id))
+         SELECT cluster, doc_id AS canon, csize, qm / 1000000.0 AS quality
+         FROM j WHERE rn = 1 ORDER BY cluster""") +
     ("d_dedup_eval" ->
       s"""WITH jac_full AS (${oracleBase("d_ngram_jaccard")}),
          mh_full AS (${oracleBase("d_minhash_lsh")}),

@@ -133,6 +133,21 @@ object Relational {
             + grouping(col("l_linestatus")).cast("int")).as("gid"))
         .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // arbitrary GROUPING SETS — the general form rollup/cube can't
+    // express: per-flag totals, per-status totals, and the grand total
+    // in ONE pass over the data (one shuffle, the expand operator
+    // replicates rows per set), not three scans unioned
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"), count(lit(1)).as("n"),
+          (grouping(col("l_returnflag")).cast("int") * 2
+            + grouping(col("l_linestatus")).cast("int")).as("gid"))
+        .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     "q_pivot" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy("o_orderpriority")
@@ -431,6 +446,14 @@ object Relational {
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n,
            CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 
     "q_pivot" ->

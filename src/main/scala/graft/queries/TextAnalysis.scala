@@ -19,8 +19,9 @@ object TextAnalysis {
 
   // shared pieces ------------------------------------------------------
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
-  private val stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+  // shared with Dedup's canonical-selection query (same score contract)
+  private[queries] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private[queries] val stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
 
   private def wordsCol: Column = split(col("text"), " ")
   private val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
