@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,6 +22,24 @@ object Similarity {
   private val NQueries = 5   // queries = vec_id < NQueries
   private val NProbe = 2     // IVF probes
   private val NCentroids = 24 // IVF cells — FIXED K, constant in corpus size
+  private val PqM = 8        // PQ subspaces (64-dim vectors -> 8x8)
+  private val PqSub = 8      // dims per subspace
+  private val PqKsub = 16    // codes per subspace codebook
+
+  /** Fixed left-to-right chains over 1-based sub-array positions —
+    * unrolled so Spark's codegen arithmetic and DuckDB's expression
+    * produce bit-identical doubles (same IEEE op order). */
+  private def subDot(a: Column, b: Column): Column =
+    (1 to PqSub).map(i => element_at(a, i) * element_at(b, i))
+      .reduceLeft(_ + _)
+  private def sqlSubDot(a: String, b: String): String =
+    (1 to PqSub).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+  private def subL2(a: Column, b: Column): Column =
+    (1 to PqSub).map { i =>
+      val d = element_at(a, i) - element_at(b, i); d * d
+    }.reduceLeft(_ + _)
+  private def sqlSubL2(a: String, b: String): String =
+    (1 to PqSub).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])").mkString(" + ")
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -157,6 +175,75 @@ object Similarity {
         .filter(col("vec_id") =!= col("q"))
         .select(col("q"), col("vec_id"),
           VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
+    }),
+
+    // Product quantization (ADC flavor): codebooks per 8-dim subspace
+    // from the same md5-ordered FIXED draw as IVF (k-means-refined at
+    // cluster scale; the plan shape is unchanged), every vector encoded
+    // to PqM codes by nearest sub-centroid (L2), queries score
+    // candidates through a broadcast lookup table of per-(subspace,
+    // code) dot contributions. The LUT dots are quantized to integer
+    // micro-units BEFORE summing — real PQ implementations quantize
+    // their LUTs, and integer sums are order-independent, which makes
+    // the score exact under any aggregation order (and vs the oracle).
+    // Encoding is O(N * M * Ksub) against a constant broadcast; scoring
+    // is a linear scan of the code table (compose with IVF cells for
+    // sub-linear search — this query prices the PQ term alone).
+    "s_pq_ann" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val wDraw = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      val trainers = e
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(PqKsub)
+        .withColumn("code", row_number().over(wDraw) - 1)
+      // codebook: (m, code, csub) — PqM * PqKsub rows, broadcast
+      val subStructs = (0 until PqM).map(m =>
+        struct(lit(m).as("m"), slice(col("v"), m * PqSub + 1, PqSub).as("csub")))
+      val cb = broadcast(trainers
+        .select(col("code"), explode(array(subStructs: _*)).as("x"))
+        .select(col("code"), col("x.m").as("m"), col("x.csub").as("csub")))
+      // encode: nearest sub-centroid per (vector, subspace)
+      val exSubs = (0 until PqM).map(m =>
+        struct(lit(m).as("m"), slice(col("v"), m * PqSub + 1, PqSub).as("xsub")))
+      val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("l2").asc, col("code").asc)
+      val codes = e.select(col("vec_id"), explode(array(exSubs: _*)).as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.xsub").as("xsub"))
+        .join(cb, "m")
+        .select(col("vec_id"), col("m"), col("code"),
+          subL2(col("xsub"), col("csub")).as("l2"))
+        .withColumn("ern", row_number().over(wEnc))
+        .filter(col("ern") === 1)
+        .select("vec_id", "m", "code")
+      // ADC lookup table: per (query, subspace, code) integer micro-dot
+      val lut = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), explode(array(exSubs: _*)).as("x"))
+        .select(col("q"), col("x.m").as("m"), col("x.xsub").as("qsub"))
+        .join(cb, "m")
+        .select(col("q"), col("m"), col("code"),
+          floor(subDot(col("qsub"), col("csub")) * 1000000.0).as("micro")))
+      val scored = codes.join(lut, Seq("m", "code"))
+        .filter(col("vec_id") =!= col("q"))
+        .groupBy("q", "vec_id")
+        .agg(sum(col("micro")).cast("double").as("adc"))
+      val w = Window.partitionBy("q").orderBy(col("adc").desc, col("vec_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .select("q", "vec_id", "adc", "rn")
+        .orderBy("q", "rn")
+    }),
+
+    // recall@K of the PQ index vs the same brute-force baseline — the
+    // third entry in the accuracy-vs-cost table (buckets / cells /
+    // codes), same exact-integer recall contract.
+    "s_pq_recall" -> ((s, dir) => {
+      val bf = Similarity.queries("s_cosine_topk")(s, dir).select("q", "vec_id")
+      val ann = Similarity.queries("s_pq_ann")(s, dir)
+        .select(col("q"), col("vec_id"), lit(1).as("hit"))
+      bf.join(ann, Seq("q", "vec_id"), "left")
+        .groupBy("q")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
+        .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
+        .orderBy("q")
     })
   )
 
@@ -223,7 +310,35 @@ object Similarity {
          SELECT probes.q, assigned.vec_id,
            (${VecOps.sqlDot("probes.qv", "assigned.v")} / (probes.qn * assigned.n)) AS cos
          FROM probes JOIN assigned USING (cid)
-         WHERE assigned.vec_id <> probes.q""")
+         WHERE assigned.vec_id <> probes.q"""),
+
+    "s_pq_ann" ->
+      s"""WITH e AS ($sqlVecs),
+         trainers AS (
+           SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+           FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqKsub),
+         ms AS (SELECT unnest(range(0, $PqM)) AS m),
+         cb AS (SELECT trainers.code, ms.m,
+             trainers.v[ms.m * $PqSub + 1 : ms.m * $PqSub + $PqSub] AS csub
+           FROM trainers, ms),
+         ex AS (SELECT e.vec_id, ms.m,
+             e.v[ms.m * $PqSub + 1 : ms.m * $PqSub + $PqSub] AS xsub
+           FROM e, ms),
+         codes AS (SELECT vec_id, m, code FROM (
+             SELECT ex.vec_id, ex.m, cb.code,
+               row_number() OVER (PARTITION BY ex.vec_id, ex.m
+                 ORDER BY ${sqlSubL2("ex.xsub", "cb.csub")} ASC, cb.code ASC) AS ern
+             FROM ex JOIN cb ON ex.m = cb.m) WHERE ern = 1),
+         lut AS (SELECT qs.vec_id AS q, qs.m, cb.code,
+             CAST(floor((${sqlSubDot("qs.xsub", "cb.csub")}) * 1000000.0) AS BIGINT) AS micro
+           FROM (SELECT * FROM ex WHERE vec_id < $NQueries) qs JOIN cb ON qs.m = cb.m),
+         scored AS (SELECT lut.q, codes.vec_id, CAST(sum(lut.micro) AS DOUBLE) AS adc
+           FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code
+           WHERE codes.vec_id <> lut.q GROUP BY lut.q, codes.vec_id)
+         SELECT q, vec_id, adc, rn FROM (
+           SELECT q, vec_id, adc,
+             CAST(row_number() OVER (PARTITION BY q ORDER BY adc DESC, vec_id) AS INT) AS rn
+           FROM scored) WHERE rn <= $K ORDER BY q, rn"""
   )
 
   private def sqlRecall(annName: String) =
@@ -236,5 +351,6 @@ object Similarity {
 
   val oracleSql: Map[String, String] = oracleBase +
     ("s_ann_recall" -> sqlRecall("s_lsh_ann")) +
-    ("s_ivf_recall" -> sqlRecall("s_ivf_ann"))
+    ("s_ivf_recall" -> sqlRecall("s_ivf_ann")) +
+    ("s_pq_recall" -> sqlRecall("s_pq_ann"))
 }

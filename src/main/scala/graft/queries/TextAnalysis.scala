@@ -126,7 +126,11 @@ object TextAnalysis {
       // md5 inside a transform() lambda evaluates interpreted per
       // element; as a plain column expression it stays in whole-stage
       // codegen. countDistinct downstream dedups, so no array_distinct.
+      // spread the raw rows first: the single-row-group test files scan
+      // as one task and the 8-gram md5 storm rides on the scan (same
+      // A/B-measured pattern as d_simhash)
       val grams = docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(shingles(wordsCol, 8)).as("gs"))
         .select(col("doc_id"), Determinism.md5IdxK(col("gs"), 12).as("g"))
       // the benchmark gram set is 10 docs' worth — broadcast it
