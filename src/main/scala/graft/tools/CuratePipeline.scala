@@ -16,7 +16,7 @@ import graft.Tables
   * collects to the driver except the final counts. At 100 TB the only
   * shuffles are the dedup group-bys/band-joins, all bucket-bounded.
   *
-  * Usage: CuratePipeline <sfDir> <outDir> [minQuality]
+  * Usage: CuratePipeline <sfDir> <outDir> [minQuality] [parquet|jsonl]
   */
 object CuratePipeline {
 
@@ -82,9 +82,25 @@ object CuratePipeline {
       curated.withColumn("split", graft.queries.Curation.splitOf(col("doc_id"))),
       "doc_id", "n_tokens")
 
+  /** Write the export frame in the training-reader layout (one
+    * directory per (split, shard), each a single task's sorted run).
+    * `jsonl` emits newline-delimited JSON — the LLM-corpus interchange
+    * format (Spark's json sink IS JSONL: one object per line);
+    * `parquet` stays the columnar default. */
+  def writeShards(exported: DataFrame, outDir: String, format: String = "parquet"): Unit = {
+    val w = exported.write.mode("overwrite").partitionBy("split", "shard")
+    format match {
+      case "parquet" => w.parquet(outDir)
+      case "jsonl"   => w.json(outDir)
+      case other => throw new IllegalArgumentException(
+        s"unknown shard format '$other' (expected parquet or jsonl)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val minQuality = if (args.length > 2) args(2).toDouble else 0.3
+    val format = if (args.length > 3) args(3) else "parquet"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
@@ -97,8 +113,7 @@ object CuratePipeline {
     // partition dirs are the unit a training reader consumes (and the
     // unit of write parallelism — each (split, shard) is one task's
     // sorted run; no global sort anywhere in the pipeline)
-    export(curated).write.mode("overwrite")
-      .partitionBy("split", "shard").parquet(s"$outDir/shards")
+    writeShards(export(curated), s"$outDir/shards", format)
     // coalesce: sum over an empty curated set is NULL, not 0
     val toks = curated.agg(coalesce(sum("n_tokens"), lit(0L))).collect()(0).getLong(0)
     println(("input" :: "after_quality" :: "after_exact_dedup" :: "after_near_dedup" :: Nil)

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.tools.CuratePipeline
 
 class CuratePipelineSpec extends SparkSpec {
@@ -41,5 +43,22 @@ class CuratePipelineSpec extends SparkSpec {
     assert(out.forall(r => Set("train", "val", "test")(r._2)))
     assert(out.forall(r => r._3 >= 0 && r._3 < graft.queries.Curation.PackShards))
     assert(out.forall(_._4 == 0), "tiny corpus: first bin of each shard")
+
+    // JSONL shard export round-trips: newline-delimited JSON under the
+    // same (split, shard) directory layout, readable back with the
+    // stock json reader and carrying the full curated set
+    val shardDir = Files.createTempDirectory("shards").toString
+    CuratePipeline.writeShards(CuratePipeline.export(curated), shardDir, "jsonl")
+    val back = spark.read.json(shardDir)
+    assert(back.select("doc_id").as[Long].collect().toSet == kept)
+    assert(back.columns.toSet.contains("split") && back.columns.toSet.contains("shard"),
+      "partition columns are recovered from the directory layout")
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(shardDir))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".json")).toList
+    assert(files.nonEmpty, "jsonl part files written")
+    assert(files.exists(_.contains("split=")), "hive-style split dirs")
+    intercept[IllegalArgumentException] {
+      CuratePipeline.writeShards(CuratePipeline.export(curated), shardDir, "csvish")
+    }
   }
 }
