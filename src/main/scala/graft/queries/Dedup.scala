@@ -416,14 +416,46 @@ object Dedup {
   private val labelCache =
     collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
-  /** Memoized min-label component labels over [[clusterEdges]] — shared
-    * by d_cluster (reports them) and x_canon (picks canonicals), so the
-    * propagation rounds run once per (session, corpus). The frame is a
-    * projection over the loop's final checkpoint, so reuse re-reads
-    * materialized blocks, not the loop. */
+  /** Memoized component labels over [[clusterEdges]] — shared by
+    * d_cluster (reports them) and x_canon (picks canonicals), so the
+    * work runs once per (session, corpus).
+    *
+    * Exact-dup groups are already KNOWN stars (exactPairs maps every
+    * member to its window-min canonical), so they are contracted before
+    * the iterative part: Jaccard edges map endpoints through their
+    * exact canonical, min-label propagation runs on that contracted
+    * graph only, and the full labeling expands back through the same
+    * map. Components of (exact ∪ jaccard) equal the expanded components
+    * of jaccard-on-canonicals because contraction merges exactly the
+    * nodes the exact edges would merge; cluster ids are unchanged (a
+    * component's min id is an original doc, which is its own exact
+    * canonical). At corpus scale the exact stars are the bulk of the
+    * edge volume, so the propagation loop runs on a graph orders of
+    * magnitude smaller — the standard production-dedup shape. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    synchronized { labelCache.getOrElseUpdate((s, dir),
-      ConnectedComponents.run(clusterEdges(s, dir))) }
+    synchronized { labelCache.getOrElseUpdate((s, dir), {
+      val ex = exactPairs(s, dir) // (doc_id, dup_of): non-canonical members only
+      val jac = jaccardPairs(s, dir).select("a", "b")
+      val canon = ex.select(col("doc_id").as("node"), col("dup_of").as("cn"))
+      def canonize(df: DataFrame, c: String): DataFrame =
+        df.join(canon, df(c) === canon("node"), "left")
+          .select((df.columns.filterNot(_ == c).map(df(_))
+            :+ coalesce(col("cn"), df(c)).as(c)): _*)
+      val contracted = canonize(canonize(jac, "a"), "b")
+      val small = ConnectedComponents.run(contracted.select("a", "b"))
+        .select(col("id").as("cn2"), col("cluster"))
+      // every node of any edge: exact members + canonicals + jac endpoints
+      val nodes = ex.select(col("doc_id").as("id"))
+        .union(ex.select(col("dup_of").as("id")))
+        .union(jac.select(col("a").as("id")))
+        .union(jac.select(col("b").as("id")))
+        .distinct()
+      nodes.join(canon, nodes("id") === canon("node"), "left")
+        .select(col("id"), coalesce(col("cn"), col("id")).as("cn"))
+        .join(small, col("cn") === col("cn2"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("cn")).as("cluster"))
+        .localCheckpoint(true)
+    }) }
 
   /** Shared clustering body: edges = exact-dup ∪ Jaccard pairs (both
     * memoized), components via the given strategy, cluster = min
