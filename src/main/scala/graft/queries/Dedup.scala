@@ -62,12 +62,22 @@ object Dedup {
       // scan. An explode → codegen-md5 → groupBy/collect_list rewrite
       // measured SLOWER (reassembly shuffle + re-sort), and the Column
       // formula evaluates its lambda interpreted per shingle.
-      val sh = docs(s, dir).select(col("doc_id"), col("lang"),
-        expr("n_chars div 100").as("lb"),
-        org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          graft.functions.ShingleHashSet(
-            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-              wordsOf(col("text"))), 3, 12)).as("sh"))
+      // spread the raw rows first (single-row-group scans arrive as one
+      // task and the per-shingle md5 work rides on the scan), then
+      // narrow the PERSISTED relation back down: every downstream
+      // consumer launches a stage per cached partition, and at gate
+      // scale the relation is small enough that fewer, fuller
+      // partitions beat wide ones (A/B-measured; the wide persist cost
+      // minhash/cluster consumers more than the parallel build saved)
+      val width = s.sparkContext.defaultParallelism
+      val sh = docs(s, dir).repartition(width)
+        .select(col("doc_id"), col("lang"),
+          expr("n_chars div 100").as("lb"),
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.functions.ShingleHashSet(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+                wordsOf(col("text"))), 3, 12)).as("sh"))
+        .repartition(math.max(width / 4, 1))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sh.count()
       sh
