@@ -133,6 +133,23 @@ object Relational {
             + grouping(col("l_linestatus")).cast("int")).as("gid"))
         .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // lead/lag/ntile windows: per-order neighbor shipdates + position
+    // quartiles. The window orders by (l_linenumber, l_shipdate) —
+    // (l_orderkey, l_linenumber) is NOT unique in the corpus, and a
+    // total order over the OUTPUT columns keeps tied rows
+    // interchangeable, so the result multiset is deterministic even
+    // though the engines may place ties differently.
+    "q_window_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_linenumber"), col("l_shipdate"))
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate").as("ship"),
+          lag(col("l_shipdate"), 1).over(w).as("prev_ship"),
+          lead(col("l_shipdate"), 1).over(w).as("next_ship"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship"))
+    }),
+
     // arbitrary GROUPING SETS — the general form rollup/cube can't
     // express: per-flag totals, per-status totals, and the grand total
     // in ONE pass over the data (one shuffle, the expand operator
@@ -447,6 +464,15 @@ object Relational {
            CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_window_lead_lag" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate AS ship,
+           lag(l_shipdate) OVER w AS prev_ship,
+           lead(l_shipdate) OVER w AS next_ship,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+         FROM lineitem WHERE l_orderkey % 100 = 0
+         WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_shipdate)
+         ORDER BY l_orderkey, l_linenumber, ship""",
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
