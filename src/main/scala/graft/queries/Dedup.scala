@@ -444,6 +444,15 @@ object Dedup {
     * magnitude smaller — the standard production-dedup shape. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
     synchronized { labelCache.getOrElseUpdate((s, dir), {
+      // key-only traffic: scope the shuffle width like the CC loop does
+      // (the eager checkpoint below materializes everything in-scope)
+      val widthKey = "spark.sql.shuffle.partitions"
+      val prevWidth = s.conf.get(widthKey)
+      s.conf.set(widthKey, sys.env.getOrElse("SPARK_GRAFT_CC_PARTITIONS", "8"))
+      try clusterLabelsBody(s, dir) finally s.conf.set(widthKey, prevWidth)
+    }) }
+
+  private def clusterLabelsBody(s: SparkSession, dir: String): DataFrame = {
       val ex = exactPairs(s, dir) // (doc_id, dup_of): non-canonical members only
       val jac = jaccardPairs(s, dir).select("a", "b")
       val canon = ex.select(col("doc_id").as("node"), col("dup_of").as("cn"))
@@ -465,7 +474,7 @@ object Dedup {
         .join(small, col("cn") === col("cn2"), "left")
         .select(col("id"), coalesce(col("cluster"), col("cn")).as("cluster"))
         .localCheckpoint(true)
-    }) }
+  }
 
   /** Shared clustering body: edges = exact-dup ∪ Jaccard pairs (both
     * memoized), components via the given strategy, cluster = min
