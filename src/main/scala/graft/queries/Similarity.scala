@@ -80,6 +80,8 @@ object Similarity {
     "s_lsh_ann" -> ((s, dir) => {
       val e = vecs(s, dir).withColumn("bucket", VecOps.lshBucket(col("v")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // per-call persist (probe + candidate sides) — family-scoped release
+      graft.CacheBook.register(s, "s")(() => { e.unpersist(false); () })
       val probeBuckets = array(
         col("qbucket") +: (0 until VecOps.NPlanes).map(b =>
           col("qbucket").bitwiseXOR(lit(1 << b))): _*)

@@ -29,7 +29,14 @@ object SliceQueries {
     collection.mutable.Map.empty[(SparkSession, String), graft.operators.SliceResult]
   private def custSlice(s: SparkSession, dir: String): graft.operators.SliceResult =
     custSlices.synchronized {
-      custSlices.getOrElseUpdate((s, dir), slicer(s, dir).run(custRoots))
+      custSlices.getOrElseUpdate((s, dir), {
+        // evicted together with the Slicer-registered key frames: after a
+        // "slice"-scope release the compacted checkpoints are gone, so a
+        // stale SliceResult handle must not survive the frames it wraps
+        graft.CacheBook.register(s, "slice")(() =>
+          { custSlices.synchronized { custSlices.remove((s, dir)) }; () })
+        slicer(s, dir).run(custRoots)
+      })
     }
   // DuckDB mirrors of each hop of the custRoots discovery
   private val custSql = "SELECT c_custkey FROM customer WHERE c_custkey % 50 = 7"
