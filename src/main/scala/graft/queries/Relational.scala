@@ -172,9 +172,15 @@ object Relational {
         .agg(sum(dec("o_totalprice")).cast("double"))
         .orderBy("o_orderpriority")),
 
+    // customers with no EARLY order — the date filter keeps the gate
+    // discriminating (every synthetic customer has SOME order, so an
+    // unfiltered anti-join returns empty and a broken anti-join would
+    // pass trivially; ~20% of customers survive this one)
     "q_antijoin" -> ((s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") < to_timestamp(lit("1996-01-01"))),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
@@ -491,7 +497,8 @@ object Relational {
 
     "q_antijoin" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_orderdate < TIMESTAMP '1996-01-01')
          ORDER BY c_custkey""",
 
     "q_semijoin" ->

@@ -98,11 +98,18 @@ object Similarity {
     // its max-abs and floors to integers — 4x smaller vectors, and the
     // integer dot products are EXACT in any summation order, so this is
     // the one similarity score with zero float-divergence surface.
+    // Quantization runs as ONE codegen projection (Int8Quantize) into a
+    // persisted relation consumed by both join sides — the r04 bench's
+    // worst non-anomalous entry was this query recomputing an
+    // interpreted transform() lambda on each side.
     "s_int8_topk" -> ((s, dir) => {
-      val mx = array_max(transform(col("v"), x => abs(x)))
-      val qv = transform(col("v"), x => floor(x * 127.0 / mx).cast("double"))
+      val qv = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.Int8Quantize(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v"))))
       val e = vecs(s, dir).select(col("vec_id"), qv.as("qv"))
         .withColumn("qn", sqrt(VecOps.dot(col("qv"), col("qv"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.register(s, "s")(() => { e.unpersist(false); () })
       val q = broadcast(e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q"), col("qv").as("qqv"), col("qn").as("qqn")))
       topk(q.join(e, col("vec_id") =!= col("q"))

@@ -129,19 +129,22 @@ object TextAnalysis {
       // spread the raw rows first: the single-row-group test files scan
       // as one task and the 8-gram md5 storm rides on the scan (same
       // A/B-measured pattern as d_simhash)
+      // 5-grams against a 50-doc benchmark set: wide enough that the
+      // gate has a multi-row, language-attributed answer (8-grams vs 10
+      // docs matched a single doc — a one-row gate is barely a gate)
       val grams = docs(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(shingles(wordsCol, 8)).as("gs"))
-        .select(col("doc_id"), Determinism.md5IdxK(col("gs"), 12).as("g"))
-      // the benchmark gram set is 10 docs' worth — broadcast it
+        .select(col("doc_id"), col("lang"), explode(shingles(wordsCol, 5)).as("gs"))
+        .select(col("doc_id"), col("lang"), Determinism.md5IdxK(col("gs"), 12).as("g"))
+      // the benchmark gram set is 50 docs' worth — broadcast it
       // EXPLICITLY: estimated stats on the derived distinct are too
       // vague for the planner, and a sort-merge fallback would shuffle
       // the full corpus gram relation (observed 3.5x run-to-run swing)
-      val bench = broadcast(grams.filter(col("doc_id") < 10)
+      val bench = broadcast(grams.filter(col("doc_id") < 50)
         .select(col("g")).distinct())
-      grams.filter(col("doc_id") >= 10)
+      grams.filter(col("doc_id") >= 50)
         .join(bench, "g")
-        .groupBy("doc_id").agg(countDistinct(col("g")).as("n_shared"))
+        .groupBy("doc_id", "lang").agg(countDistinct(col("g")).as("n_shared"))
         .orderBy("doc_id")
     }),
 
@@ -272,14 +275,14 @@ object TextAnalysis {
 
     "x_contamination" ->
       s"""WITH grams AS (
-           SELECT doc_id, unnest(list_distinct(list_transform(
-             ${sqlShingles("string_split(text, ' ')", 8)},
+           SELECT doc_id, lang, unnest(list_distinct(list_transform(
+             ${sqlShingles("string_split(text, ' ')", 5)},
              x -> ${Determinism.sqlMd5IdxK("x", 12)}))) AS g
            FROM documents),
-         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10)
-         SELECT doc_id, count(DISTINCT g) AS n_shared FROM grams
-         WHERE doc_id >= 10 AND g IN (SELECT g FROM bench)
-         GROUP BY doc_id ORDER BY doc_id""",
+         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50)
+         SELECT doc_id, lang, count(DISTINCT g) AS n_shared FROM grams
+         WHERE doc_id >= 50 AND g IN (SELECT g FROM bench)
+         GROUP BY doc_id, lang ORDER BY doc_id""",
 
     "x_chunk" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

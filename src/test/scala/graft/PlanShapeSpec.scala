@@ -47,6 +47,15 @@ class PlanShapeSpec extends SparkSpec {
       "scan must prune to the two consumed columns")
   }
 
+  test("s_int8_topk: one quantization projection, materialized and reused") {
+    // both join sides must read the SAME persisted quantized relation —
+    // the quantization expression shows up under an in-memory scan, not
+    // recomputed per side
+    val p = planOf("s_int8_topk")
+    assert(p.contains("InMemoryTableScan"), p.take(600))
+    graft.CacheBook.releaseAll(spark)
+  }
+
   test("s_ivf_ann: centroid set is a CONSTANT-K limited broadcast") {
     // the assignment cross join is O(N*K) only while K is fixed: the
     // centroid subtree must carry a global Limit (constant in corpus

@@ -88,6 +88,20 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("Int8Quantize matches the naive floor(x*127/maxabs) reference bit-for-bit") {
+    val vecGen = Gen.nonEmptyListOf(Gen.choose(-10.0, 10.0))
+    check("int8quantize", Prop.forAll(vecGen) { v =>
+      val got = graft.functions.Int8Quantize
+        .eval(new GenericArrayData(v.toArray)).toDoubleArray().toSeq
+      val mx = v.map(math.abs).max
+      val want = v.map(x => math.floor(x * 127.0 / mx))
+      got.length == want.length &&
+        got.zip(want).forall { case (a, b) =>
+          java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+        }
+    })
+  }
+
   test("jvmMd5Idx stays within [0, 16^k)") {
     check("md5idx", Prop.forAll(asciiStr, Gen.choose(1, 14)) { (s, k) =>
       val v = Determinism.jvmMd5Idx(s, k)
