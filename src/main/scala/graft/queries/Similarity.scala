@@ -25,6 +25,8 @@ object Similarity {
   private val PqM = 8        // PQ subspaces (64-dim vectors -> 8x8)
   private val PqSub = 8      // dims per subspace
   private val PqKsub = 16    // codes per subspace codebook
+  private val Dim = 64       // embedding dimensionality
+  private val LloydIters = 2 // k-means refinement rounds (IVF + PQ)
 
   /** Fixed left-to-right chains over 1-based sub-array positions —
     * unrolled so Spark's codegen arithmetic and DuckDB's expression
@@ -50,6 +52,79 @@ object Similarity {
     s"""SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
         ${VecOps.sqlNorm("CAST(embedding AS DOUBLE[])")} AS n FROM embeddings"""
 
+  /** Lloyd (k-means) refinement of the IVF centroid table: assign every
+    * vector to its nearest centroid by cosine, recompute each centroid
+    * as the mean of its cell. The mean is EXACT across engines: each
+    * component sums in integer micro-units (floor(x*1e6) — one
+    * deterministic double multiply + floor per element, BIGINT sums are
+    * order-independent) with ONE final double division, so the refined
+    * centroids — and every cosine against them — stay bit-identical to
+    * the DuckDB oracle, which replicates the same iteration count.
+    * Cost per round is the same O(N*K) broadcast-assignment the index
+    * build already pays; an empty cell simply drops out (both engines
+    * agree, K only ever shrinks). */
+  private def refineCentroids(e: DataFrame, cents0: DataFrame): DataFrame = {
+    var cents = cents0
+    for (_ <- 0 until LloydIters) {
+      val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+      val assigned = e.join(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cid"),
+          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("ccos"))
+        .withColumn("arn", row_number().over(wA))
+        .filter(col("arn") === 1)
+        .select("cid", "v")
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg((sum(floor(col("x") * lit(1000000.0))).cast("double")
+          / (count(lit(1)) * lit(1000000.0))).as("comp"))
+      cents = means.groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+          p => p.getField("comp")).as("cv"))
+        .withColumn("cn", VecOps.norm(col("cv")))
+    }
+    cents
+  }
+
+  /** The SQL mirror of [[refineCentroids]]: appends `iters` assignment +
+    * micro-unit-mean CTE pairs to a seed centroid CTE named `c0`
+    * (columns cid, cv, cn over corpus CTE `e`); the refined table is
+    * `c$iters`. */
+  private def sqlRefine(iters: Int): String =
+    (1 to iters).map { it =>
+      val prev = s"c${it - 1}"
+      s"""a$it AS (SELECT cid, vec_id, v FROM (
+           SELECT e.vec_id, e.v, $prev.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY (${VecOps.sqlDot("e.v", s"$prev.cv")} / (e.n * $prev.cn)) DESC,
+                 $prev.cid) AS rn
+           FROM e, $prev) WHERE rn = 1),
+         m$it AS (SELECT cid, i,
+             CAST(sum(CAST(floor(v[CAST(i AS INT)] * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1000000.0) AS comp
+           FROM a$it, unnest(range(1, ${Dim + 1})) AS t(i) GROUP BY cid, i),
+         cl$it AS (SELECT cid, list(comp ORDER BY i) AS cv FROM m$it GROUP BY cid),
+         c$it AS (SELECT cid, cv, ${VecOps.sqlNorm("cv")} AS cn FROM cl$it)"""
+    }.mkString(",\n", ",\n", "")
+
+  /** SQL mirror of the PQ codebook refinement loop: assignment +
+    * micro-unit-mean CTE pairs from seed `cb0` over sub-vector CTE `ex`
+    * (columns vec_id, m, xsub); refined codebook is `cb$iters`. */
+  private def sqlPqRefine(iters: Int): String =
+    (1 to iters).map { it =>
+      val prev = s"cb${it - 1}"
+      s"""pa$it AS (SELECT m, code, xsub FROM (
+           SELECT ex.vec_id, ex.m, $prev.code, ex.xsub,
+             row_number() OVER (PARTITION BY ex.vec_id, ex.m
+               ORDER BY ${sqlSubL2("ex.xsub", s"$prev.csub")} ASC, $prev.code ASC) AS ern
+           FROM ex JOIN $prev ON ex.m = $prev.m) WHERE ern = 1),
+         pm$it AS (SELECT m, code, i,
+             CAST(sum(CAST(floor(xsub[CAST(i AS INT)] * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1000000.0) AS comp
+           FROM pa$it, unnest(range(1, ${PqSub + 1})) AS t(i) GROUP BY m, code, i),
+         cb$it AS (SELECT m, code, list(comp ORDER BY i) AS csub FROM pm$it GROUP BY m, code)"""
+    }.mkString(",\n", ",\n", "")
+
   private def topk(joined: DataFrame): DataFrame = {
     val w = Window.partitionBy("q").orderBy(col("cos").desc, col("vec_id").asc)
     joined.withColumn("rn", row_number().over(w))
@@ -58,7 +133,8 @@ object Similarity {
       .orderBy("q", "rn")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+      Map[String, (SparkSession, String) => DataFrame](
     // exact brute-force top-k: queries broadcast against the full table.
     "s_cosine_topk" -> ((s, dir) => {
       val e = vecs(s, dir)
@@ -158,12 +234,54 @@ object Similarity {
     // r03 scale defect). At cluster scale K would be ~sqrt(N) via the
     // same hash-ordered draw (or k-means refined); the plan shape is
     // unchanged.
-    "s_ivf_ann" -> ((s, dir) => {
+    "s_ivf_ann" -> ((s, dir) => ivfAnn(s, dir, refine = false)),
+
+    // the SAME IVF index with the codebook Lloyd-refined — shipped as a
+    // sibling query because the choice is a measured TRADE, not an
+    // upgrade: on this corpus (near-uniform synthetic embeddings, no
+    // cluster structure) balancing the cells LOWERS recall@{NProbe}
+    // at equal candidate cost (10/25 -> 6/25 at sf0.01, numpy sweep over
+    // iters x nprobe), while on naturally-clustered data it is the
+    // standard production choice. Both variants answer to oracles; the
+    // two recall evals price them side by side.
+    "s_ivf_kmeans" -> ((s, dir) => ivfAnn(s, dir, refine = true)),
+
+    "s_ivf_kmeans_recall" -> ((s, dir) => {
+      val bf = Similarity.queries("s_cosine_topk")(s, dir).select("q", "vec_id")
+      val ann = Similarity.queries("s_ivf_kmeans")(s, dir)
+        .select(col("q"), col("vec_id"), lit(1).as("hit"))
+      bf.join(ann, Seq("q", "vec_id"), "left")
+        .groupBy("q")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
+        .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
+        .orderBy("q")
+    })
+  ) ++ Map[String, (SparkSession, String) => DataFrame](
+    // eta-expansion through a lambda: pqAnnBody is a val declared below
+    // this map (object init order would capture null otherwise)
+    "s_pq_ann" -> ((s, dir) => pqAnnBody(s, dir)),
+    "s_pq_recall" -> ((s, dir) => {
+      val bf = Similarity.queries("s_cosine_topk")(s, dir).select("q", "vec_id")
+      val ann = Similarity.queries("s_pq_ann")(s, dir)
+        .select(col("q"), col("vec_id"), lit(1).as("hit"))
+      bf.join(ann, Seq("q", "vec_id"), "left")
+        .groupBy("q")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
+        .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
+        .orderBy("q")
+    })
+  )
+
+  /** Shared IVF body: fixed-K hash-ordered centroid draw, optionally
+    * Lloyd-refined ([[refineCentroids]]); assignment, probing, and the
+    * in-cell exact search are identical either way. */
+  private def ivfAnn(s: SparkSession, dir: String, refine: Boolean): DataFrame = {
       val e = vecs(s, dir)
-      val cents = broadcast(e
+      val seed = e
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(NCentroids)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn")))
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn"))
+      val cents = broadcast(if (refine) refineCentroids(e, seed) else seed)
       val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
       val assigned = e.join(cents)
         .select(col("vec_id"), col("label"), col("v"), col("n"), col("cid"),
@@ -184,21 +302,23 @@ object Similarity {
         .filter(col("vec_id") =!= col("q"))
         .select(col("q"), col("vec_id"),
           VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
-    }),
+  }
 
-    // Product quantization (ADC flavor): codebooks per 8-dim subspace
-    // from the same md5-ordered FIXED draw as IVF (k-means-refined at
-    // cluster scale; the plan shape is unchanged), every vector encoded
-    // to PqM codes by nearest sub-centroid (L2), queries score
-    // candidates through a broadcast lookup table of per-(subspace,
-    // code) dot contributions. The LUT dots are quantized to integer
-    // micro-units BEFORE summing — real PQ implementations quantize
-    // their LUTs, and integer sums are order-independent, which makes
-    // the score exact under any aggregation order (and vs the oracle).
-    // Encoding is O(N * M * Ksub) against a constant broadcast; scoring
-    // is a linear scan of the code table (compose with IVF cells for
-    // sub-linear search — this query prices the PQ term alone).
-    "s_pq_ann" -> ((s, dir) => {
+  // Product quantization (ADC flavor): codebooks per 8-dim subspace
+  // seeded by the same md5-ordered FIXED draw as IVF, then
+  // Lloyd-refined (measured: refinement lifts PQ recall on the gate
+  // corpus — unlike IVF above, quantization error benefits from
+  // centered codebooks even on unclustered data). Every vector encodes
+  // to PqM codes by nearest sub-centroid (L2); queries score candidates
+  // through a broadcast lookup table of per-(subspace, code) dot
+  // contributions. The LUT dots are quantized to integer micro-units
+  // BEFORE summing — real PQ implementations quantize their LUTs, and
+  // integer sums are order-independent, which makes the score exact
+  // under any aggregation order (and vs the oracle). Encoding is
+  // O(N * M * Ksub) against a constant broadcast; scoring is a linear
+  // scan of the code table (compose with IVF cells for sub-linear
+  // search — this query prices the PQ term alone).
+  private val pqAnnBody: (SparkSession, String) => DataFrame = ((s, dir) => {
       val e = vecs(s, dir)
       val wDraw = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       val trainers = e
@@ -208,21 +328,37 @@ object Similarity {
       // codebook: (m, code, csub) — PqM * PqKsub rows, broadcast
       val subStructs = (0 until PqM).map(m =>
         struct(lit(m).as("m"), slice(col("v"), m * PqSub + 1, PqSub).as("csub")))
-      val cb = broadcast(trainers
+      var cb = broadcast(trainers
         .select(col("code"), explode(array(subStructs: _*)).as("x"))
         .select(col("code"), col("x.m").as("m"), col("x.csub").as("csub")))
-      // encode: nearest sub-centroid per (vector, subspace)
       val exSubs = (0 until PqM).map(m =>
         struct(lit(m).as("m"), slice(col("v"), m * PqSub + 1, PqSub).as("xsub")))
-      val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("l2").asc, col("code").asc)
-      val codes = e.select(col("vec_id"), explode(array(exSubs: _*)).as("x"))
+      val ex = e.select(col("vec_id"), explode(array(exSubs: _*)).as("x"))
         .select(col("vec_id"), col("x.m").as("m"), col("x.xsub").as("xsub"))
-        .join(cb, "m")
-        .select(col("vec_id"), col("m"), col("code"),
-          subL2(col("xsub"), col("csub")).as("l2"))
-        .withColumn("ern", row_number().over(wEnc))
-        .filter(col("ern") === 1)
-        .select("vec_id", "m", "code")
+      val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("l2").asc, col("code").asc)
+      def encodeWith(codebook: DataFrame): DataFrame =
+        ex.join(codebook, "m")
+          .select(col("vec_id"), col("m"), col("code"), col("xsub"),
+            subL2(col("xsub"), col("csub")).as("l2"))
+          .withColumn("ern", row_number().over(wEnc))
+          .filter(col("ern") === 1)
+      // Lloyd refinement per subspace, same exact-mean contract as the
+      // IVF path (micro-unit BIGINT sums, one double division): assign
+      // every sub-vector to its nearest code by L2, recompute each
+      // sub-centroid as its cell's mean. The hash-draw seed gives the
+      // plan shape; these rounds give it the actual data distribution.
+      for (_ <- 0 until LloydIters) {
+        val means = encodeWith(cb)
+          .select(col("m"), col("code"), posexplode(col("xsub")).as(Seq("pos", "x")))
+          .groupBy("m", "code", "pos")
+          .agg((sum(floor(col("x") * lit(1000000.0))).cast("double")
+            / (count(lit(1)) * lit(1000000.0))).as("comp"))
+        cb = broadcast(means.groupBy("m", "code")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+            p => p.getField("comp")).as("csub")))
+      }
+      // encode: nearest sub-centroid per (vector, subspace)
+      val codes = encodeWith(cb).select("vec_id", "m", "code")
       // ADC lookup table: per (query, subspace, code) integer micro-dot
       val lut = broadcast(e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q"), explode(array(exSubs: _*)).as("x"))
@@ -239,22 +375,38 @@ object Similarity {
         .filter(col("rn") <= K)
         .select("q", "vec_id", "adc", "rn")
         .orderBy("q", "rn")
-    }),
-
-    // recall@K of the PQ index vs the same brute-force baseline — the
-    // third entry in the accuracy-vs-cost table (buckets / cells /
-    // codes), same exact-integer recall contract.
-    "s_pq_recall" -> ((s, dir) => {
-      val bf = Similarity.queries("s_cosine_topk")(s, dir).select("q", "vec_id")
-      val ann = Similarity.queries("s_pq_ann")(s, dir)
-        .select(col("q"), col("vec_id"), lit(1).as("hit"))
-      bf.join(ann, Seq("q", "vec_id"), "left")
-        .groupBy("q")
-        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
-        .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
-        .orderBy("q")
     })
-  )
+
+  /** SQL mirror of [[ivfAnn]]: seed draw named `c0`, optionally chained
+    * through [[sqlRefine]], then assignment/probe/search. */
+  private def sqlIvf(refine: Boolean): String = {
+    val chain = if (refine) s"${sqlRefine(LloydIters)}," else ","
+    val last = if (refine) s"c$LloydIters" else "c0"
+    sqlTopk(
+      s"""WITH e AS ($sqlVecs),
+         c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids)
+         $chain
+         cents AS (SELECT cid, cv, cn FROM $last),
+         assigned AS (
+           SELECT vec_id, v, n, cid FROM (
+             SELECT e.vec_id, e.v, e.n, cents.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "cents.cv")} / (e.n * cents.cn)) DESC,
+                   cents.cid) AS arn
+             FROM e, cents) WHERE arn = 1),
+         probes AS (
+           SELECT q, qv, qn, cid FROM (
+             SELECT e.vec_id AS q, e.v AS qv, e.n AS qn, cents.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "cents.cv")} / (e.n * cents.cn)) DESC,
+                   cents.cid) AS prn
+             FROM e, cents WHERE e.vec_id < $NQueries) WHERE prn <= $NProbe)
+         SELECT probes.q, assigned.vec_id,
+           (${VecOps.sqlDot("probes.qv", "assigned.v")} / (probes.qn * assigned.n)) AS cos
+         FROM probes JOIN assigned USING (cid)
+         WHERE assigned.vec_id <> probes.q""")
+  }
 
   private val sqlTopk = (from: String) =>
     s"""SELECT q, vec_id, cos, rn FROM (
@@ -298,28 +450,8 @@ object Similarity {
            ON e.vec_id <> qs.vec_id
          WHERE qs.vec_id < $NQueries"""),
 
-    "s_ivf_ann" -> sqlTopk(
-      s"""WITH e AS ($sqlVecs),
-         cents AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
-         assigned AS (
-           SELECT vec_id, v, n, cid FROM (
-             SELECT e.vec_id, e.v, e.n, cents.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY (${VecOps.sqlDot("e.v", "cents.cv")} / (e.n * cents.cn)) DESC,
-                   cents.cid) AS arn
-             FROM e, cents) WHERE arn = 1),
-         probes AS (
-           SELECT q, qv, qn, cid FROM (
-             SELECT e.vec_id AS q, e.v AS qv, e.n AS qn, cents.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY (${VecOps.sqlDot("e.v", "cents.cv")} / (e.n * cents.cn)) DESC,
-                   cents.cid) AS prn
-             FROM e, cents WHERE e.vec_id < $NQueries) WHERE prn <= $NProbe)
-         SELECT probes.q, assigned.vec_id,
-           (${VecOps.sqlDot("probes.qv", "assigned.v")} / (probes.qn * assigned.n)) AS cos
-         FROM probes JOIN assigned USING (cid)
-         WHERE assigned.vec_id <> probes.q"""),
+    "s_ivf_ann" -> sqlIvf(refine = false),
+    "s_ivf_kmeans" -> sqlIvf(refine = true),
 
     "s_pq_ann" ->
       s"""WITH e AS ($sqlVecs),
@@ -327,12 +459,14 @@ object Similarity {
            SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
            FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqKsub),
          ms AS (SELECT unnest(range(0, $PqM)) AS m),
-         cb AS (SELECT trainers.code, ms.m,
+         cb0 AS (SELECT trainers.code, ms.m,
              trainers.v[ms.m * $PqSub + 1 : ms.m * $PqSub + $PqSub] AS csub
            FROM trainers, ms),
          ex AS (SELECT e.vec_id, ms.m,
              e.v[ms.m * $PqSub + 1 : ms.m * $PqSub + $PqSub] AS xsub
-           FROM e, ms),
+           FROM e, ms)
+         ${sqlPqRefine(LloydIters)},
+         cb AS (SELECT m, code, csub FROM cb$LloydIters),
          codes AS (SELECT vec_id, m, code FROM (
              SELECT ex.vec_id, ex.m, cb.code,
                row_number() OVER (PARTITION BY ex.vec_id, ex.m
@@ -361,5 +495,6 @@ object Similarity {
   val oracleSql: Map[String, String] = oracleBase +
     ("s_ann_recall" -> sqlRecall("s_lsh_ann")) +
     ("s_ivf_recall" -> sqlRecall("s_ivf_ann")) +
+    ("s_ivf_kmeans_recall" -> sqlRecall("s_ivf_kmeans")) +
     ("s_pq_recall" -> sqlRecall("s_pq_ann"))
 }
