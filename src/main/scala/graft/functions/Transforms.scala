@@ -23,12 +23,25 @@ import Determinism._
   */
 object Transforms {
   /** Secret pepper keying every scrub (the reference takes it per dump;
-    * slice_db derives per-instance peppers from it). Overridable via
-    * GRAFT_PEPPER; read once at class init, so the Column expressions
-    * and the generated oracle SQL always agree. Per-transform salts
+    * slice_db derives per-instance peppers from it). Sources, highest
+    * precedence first: a per-invocation [[setPepper]] (the CLI --pepper
+    * flag, reference cli/main.py parity), the GRAFT_PEPPER env var, the
+    * default. Resolved when a transform Column is BUILT, so set the
+    * override before constructing expressions; the generated oracle SQL
+    * reads the same value and always agrees. Per-transform salts
     * (the `salt` argument below) play the reference's instance-name
     * role: two transform types never share a seed stream. */
-  val Pepper: String = sys.env.getOrElse("GRAFT_PEPPER", "graft")
+  def Pepper: String =
+    pepperOverride.getOrElse(sys.env.getOrElse("GRAFT_PEPPER", "graft"))
+
+  @volatile private var pepperOverride: Option[String] = None
+
+  /** Per-invocation pepper override (CLI `--pepper`); call before any
+    * transform expression is built. */
+  def setPepper(p: String): Unit = pepperOverride = Some(p)
+
+  /** Drop the override, falling back to GRAFT_PEPPER / default. */
+  def resetPepper(): Unit = pepperOverride = None
 
   /** Name→transform registry (the analog of the reference's transform
     * module registry, slice_db/transform.py `TransformerProvider`).

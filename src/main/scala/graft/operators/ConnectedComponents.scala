@@ -95,6 +95,13 @@ object ConnectedComponents {
     }
     val out = labels.select(col("id"), col("lbl").as("cluster"))
     nbhd.unpersist()
+    // changed == true here means the loop exited on maxIter with labels
+    // still moving — the one-row-per-node contract holds but components
+    // may be split. Callers on adversarial graphs should raise maxIter
+    // or use runStars (O(log n) rounds).
+    if (changed)
+      System.err.println(s"[graft] ConnectedComponents.run: maxIter=$maxIter " +
+        "exhausted before fixpoint; labels are PARTIAL (components may be split)")
     out
   }
 
@@ -162,6 +169,9 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] ConnectedComponents.runStars: maxIter=$maxIter " +
+        "exhausted before fixpoint; labels are PARTIAL (components may be split)")
     // star edges ARE the labels; centers label themselves; nodes with no
     // surviving edge (self-loop-only) label themselves. min() guards the
     // one-row-per-node contract even if maxIter cut convergence short.

@@ -10,6 +10,18 @@ import graft.plans.SchemaGraph
   * (reference: `DumpRoot`, slice_db/formats/dump.py:57-63). */
 final case class SliceRoot(table: String, condition: String)
 
+object Slicer {
+  /** Whether forward FK values may be taken as discovered parent keys
+    * without a validating scan (see the class-doc INTEGRITY CAVEAT).
+    * Default true — matches the reference's enforced-FK source
+    * assumption; set SPARK_GRAFT_SLICE_TRUST_FK=false for lake data of
+    * unknown integrity. Read per call so tests and long-lived sessions
+    * can flip it. */
+  def trustForwardKeys: Boolean =
+    !sys.env.get("SPARK_GRAFT_SLICE_TRUST_FK").exists(_.equalsIgnoreCase("false")) &&
+      !java.lang.Boolean.getBoolean("graft.slice.distrustForwardKeys")
+}
+
 /** Graph-guided subsetting — the Spark-native re-expression of the
   * reference's dump discovery loop (slice_db/dump_memory.py,
   * slice_db/dump.py:330-370).
@@ -35,12 +47,26 @@ final case class SliceRoot(table: String, condition: String)
   *     needs, so expansion never re-reads the rows behind the frontier
   *     (the r03 BFS re-scanned the frontier's own table every round);
   *   - FK values aimed at an already-discovered table are anti-joined
-  *     against the seen keys FIRST, so AQE collapses the re-discovery
-  *     semi-join to empty before it scans anything;
+  *     against the seen keys FIRST, shrinking the re-discovery
+  *     semi-join's build side (under SPARK_GRAFT_SLICE_AQE=true, AQE
+  *     can then eliminate the scan at runtime; discovery disables AQE
+  *     by default, where the win is the smaller build side);
   *   - when an FK targets the parent's primary key and the parent needs
   *     no aux columns, the FK values ARE the discovered keys — the
   *     parent table is not scanned at all during discovery (the same
   *     FK-value semantics the reference's manifest counts).
+  *
+  * INTEGRITY CAVEAT (the forward no-scan shortcut): treating FK values
+  * as discovered parent keys assumes referential integrity — true for
+  * the reference's PostgreSQL source, where the database enforces FKs,
+  * but nothing enforces it in parquet/lake data. A dangling FK value
+  * becomes a phantom key there: the manifest and sequences over-report
+  * (key count / max over keys), while rows() silently returns fewer
+  * rows than the manifest claims and restore-side validation fails
+  * after the fact. Set SPARK_GRAFT_SLICE_TRUST_FK=false for sources of
+  * unknown integrity: every forward candidate then validates through
+  * the same semi-join scan the reverse path always uses (one extra
+  * scan per parent table per round — correctness over speed).
   */
 final class Slicer(
     graph: SchemaGraph,
@@ -208,24 +234,30 @@ final class Slicer(
           small: Boolean, forward: Boolean): DataFrame = {
         val keyRef = jc == keyCols(tt) // join lands on the target's primary key
         // keys already discovered can't be fresh: anti-join the value
-        // set against the seen keys FIRST, so a round that rediscovers
-        // only old keys feeds an empty build side into the table scan
-        // below and AQE eliminates the scan outright
+        // set against the seen keys FIRST — on the default path (AQE
+        // off, see discover()) this shrinks the semi-join's build side
+        // (often to empty, making the probe a hash-lookup no-op); only
+        // under SPARK_GRAFT_SLICE_AQE=true can AQE go further and
+        // eliminate the re-discovery scan outright at runtime
         val fresh = if (keyRef) seenOf(tt) match {
           case Some(seen) if counts(tt) <= broadcastKeyLimit =>
             vals.join(broadcast(seen), jc, "left_anti")
           case Some(seen) => vals.join(seen, jc, "left_anti")
           case None       => vals
         } else vals
-        // FORWARD only: FK values onto an aux-free PK ARE the candidate
-        // keys — no scan. This leans on referential integrity (an FK
-        // value names an existing parent row), which the source database
-        // enforces. The shortcut must NEVER fire on reverse traversal:
-        // integrity says nothing about a parent key existing in a child
-        // (a 1:1 extension table keyed by the parent's key may cover
-        // only some parents), so reverse candidates always validate
-        // against a real scan of the child.
-        if (forward && keyRef && auxCols(tt).isEmpty) fresh
+        // FORWARD only, and only while FK values can be TRUSTED
+        // (Slicer.trustForwardKeys): FK values onto an aux-free PK ARE
+        // the candidate keys — no scan. This leans on referential
+        // integrity (an FK value names an existing parent row), which
+        // holds for an enforced-constraint source but NOT necessarily
+        // for lake data — see the class doc for the failure mode and
+        // the SPARK_GRAFT_SLICE_TRUST_FK opt-out. The shortcut must
+        // NEVER fire on reverse traversal regardless: integrity says
+        // nothing about a parent key existing in a child (a 1:1
+        // extension table keyed by the parent's key may cover only some
+        // parents), so reverse candidates always validate against a
+        // real scan of the child.
+        if (forward && keyRef && auxCols(tt).isEmpty && Slicer.trustForwardKeys) fresh
         else {
           val build = if (small) broadcast(fresh) else fresh
           loadTable(tt).join(build, jc, "left_semi")

@@ -58,6 +58,26 @@ final case class SchemaGraph(tables: Seq[TableDef], references: Seq[Reference]) 
     seen.toSet
   }
 
+  /** The `schema-filter children` CONFIG REWRITE (not just the printed
+    * closure): compute the child closure of `roots` along
+    * reverse-enabled references, then strip the reverse direction off
+    * every reference whose parent sits OUTSIDE the closure but whose
+    * child sits inside — so a dump over the filtered config can reach
+    * the subtree's children yet no outside parent pulls them back in.
+    * Mirrors slice_db/cli/schema_filter.py:19-44 (visit over
+    * reverse_references; directions.remove(REVERSE) on the rest). */
+  def filterChildren(roots: Seq[String]): SchemaGraph = {
+    val closure = collection.mutable.Set.empty[String]
+    def visit(t: String): Unit = if (closure.add(t))
+      references.foreach(r => if (r.refTable == t && r.reverse) visit(r.table))
+    roots.foreach { r => table(r); visit(r) } // table() validates the id
+    copy(references = references.map { r =>
+      if (r.reverse && !closure(r.refTable) && closure(r.table))
+        r.copy(reverse = false)
+      else r
+    })
+  }
+
   /** Restore order: parents before children (Kahn). Cycle members are
     * emitted last, flagged so a restore would defer those constraints —
     * the reference handles this with deferrable FKs (slice_db/restore.py).

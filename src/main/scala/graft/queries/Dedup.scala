@@ -216,20 +216,51 @@ object Dedup {
     * (via the memoized corpus relation) and CuratePipeline's near-dedup
     * stage, so there is exactly one LSH implementation to audit. */
   def lshPairs(sh: DataFrame, minJac: Double): DataFrame = {
+    val bands = bandsOf(sh)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    verifyPairs(sh, cand, minJac)
+  }
+
+  /** INCREMENTAL LSH near-dedup — the nightly-ingest path: only the NEW
+    * batch (doc_id >= tNew) probes the band table, so candidates are
+    * exactly the pairs touching a new doc (new-old and new-new);
+    * standing old-old pairs are never regenerated or re-verified. The
+    * result set provably equals the from-scratch [[lshPairs]] filtered
+    * to pairs with a new endpoint (equivalence ScalaTest). At 100 TB
+    * this is the difference between re-banding the corpus and banding
+    * the delta: the old band table is a standing, bucketed relation the
+    * batch equi-joins into. */
+  def lshPairsIncremental(sh: DataFrame, minJac: Double, tNew: Long): DataFrame = {
+    val bands = bandsOf(sh)
+    val probe = bands.filter(col("doc_id") >= tNew)
+    val cand = probe.as("x").join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
+          && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b")).distinct()
+    verifyPairs(sh, cand, minJac)
+  }
+
+  /** 8 minhash signatures → 4 bands x 2 rows per doc. */
+  private def bandsOf(sh: DataFrame): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     def hj(j: Int): Column =
       (lit(MinhashA(j)) * (col("s") % MinhashP) + MinhashB(j)) % MinhashP
     val sig = ex.groupBy("doc_id").agg(
       min(hj(0)).as("m0"),
       (1 until 8).map(j => min(hj(j)).as(s"m$j")): _*)
-    val bands = (0 until 4).map { bi =>
+    (0 until 4).map { bi =>
       sig.select(col("doc_id"), lit(bi).as("bi"),
         concat_ws(":", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("bk"))
     }.reduce(_ union _)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+  }
+
+  /** Exact-Jaccard verify of candidate (a, b) pairs against the shingle
+    * relation. */
+  private def verifyPairs(sh: DataFrame, cand: DataFrame, minJac: Double): DataFrame = {
     val sa = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
     val sb = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
     cand.join(sa, "a").join(sb, "b")
@@ -270,6 +301,28 @@ object Dedup {
           x -> ${Determinism.sqlMd5IdxK("x", 12)})) AS sh
         FROM documents"""
 
+  /** Full MinHash-LSH oracle pipeline with an optional extra predicate
+    * over the verified (a, b) pairs — shared by d_minhash_lsh (no
+    * filter) and d_incremental (new-endpoint filter). */
+  private def sqlMinhash(extraWhere: String): String = {
+    val mins = (0 until 8).map(j =>
+      s"CAST(min((${MinhashA(j)} * (s % $MinhashP) + ${MinhashB(j)}) % $MinhashP) AS BIGINT) AS m$j").mkString(", ")
+    val bandSelects = (0 until 4).map(bi =>
+      s"""SELECT doc_id, $bi AS bi,
+          (CAST(m${2 * bi} AS VARCHAR) || ':' || CAST(m${2 * bi + 1} AS VARCHAR)) AS bk
+          FROM sig""").mkString(" UNION ALL ")
+    s"""WITH sh AS ($sqlShingleSets),
+       ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       sig AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+       bands AS ($bandSelects),
+       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+         ON x.bi = y.bi AND x.bk = y.bk AND x.doc_id < y.doc_id)
+       SELECT a, b, ${sqlJaccard("sa.sh", "sb.sh")} AS jac
+       FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+       WHERE ${sqlJaccard("sa.sh", "sb.sh")} >= 0.2$extraWhere ORDER BY a, b"""
+  }
+
   private def sqlJaccard(a: String, b: String): String =
     s"(len(list_intersect($a, $b)) / len(list_distinct($a || $b)))"
 
@@ -307,6 +360,18 @@ object Dedup {
     // (a_j*x + b_j mod p) — integer arithmetic both engines evaluate
     // identically, replacing 8 md5 calls per (doc, shingle) row.
     "d_minhash_lsh" -> ((s, dir) => minhashPairs(s, dir).orderBy("a", "b")),
+
+    // INCREMENTAL dedup — what a nightly 100-TB ingest actually runs:
+    // the last 20% of doc ids play the "new batch"; only their
+    // signatures probe the standing band table, producing exactly the
+    // new/changed pairs (never re-verifying old-old). Oracle = the
+    // from-scratch pipeline filtered to pairs with a new endpoint, so
+    // the gate itself proves incremental == scratch-on-delta.
+    "d_incremental" -> ((s, dir) => {
+      val t = docs(s, dir).agg(max("doc_id")).head().getLong(0) * 4 / 5
+      lshPairsIncremental(shingleSets(s, dir), minJac = 0.2, tNew = t)
+        .orderBy("a", "b")
+    }),
 
     // SimHash 60-bit over the word set; candidates share one of 4
     // 15-bit chunks (pigeonhole covers hamming<=3); verify popcount.
@@ -533,24 +598,13 @@ object Dedup {
          SELECT a, b, (inter / (sa + sb - inter)) AS jac FROM pairs
          WHERE (inter / (sa + sb - inter)) >= 0.2 ORDER BY a, b""",
 
-    "d_minhash_lsh" -> {
-      val mins = (0 until 8).map(j =>
-        s"CAST(min((${MinhashA(j)} * (s % $MinhashP) + ${MinhashB(j)}) % $MinhashP) AS BIGINT) AS m$j").mkString(", ")
-      val bandSelects = (0 until 4).map(bi =>
-        s"""SELECT doc_id, $bi AS bi,
-            (CAST(m${2 * bi} AS VARCHAR) || ':' || CAST(m${2 * bi + 1} AS VARCHAR)) AS bk
-            FROM sig""").mkString(" UNION ALL ")
-      s"""WITH sh AS ($sqlShingleSets),
-         ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-         sig AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
-         bands AS ($bandSelects),
-         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-           FROM bands x JOIN bands y
-           ON x.bi = y.bi AND x.bk = y.bk AND x.doc_id < y.doc_id)
-         SELECT a, b, ${sqlJaccard("sa.sh", "sb.sh")} AS jac
-         FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
-         WHERE ${sqlJaccard("sa.sh", "sb.sh")} >= 0.2 ORDER BY a, b"""
-    },
+    "d_minhash_lsh" -> sqlMinhash(""),
+
+    // from-scratch pipeline restricted to pairs touching the new batch
+    // (the incremental path's result contract)
+    "d_incremental" -> sqlMinhash(
+      " AND (a >= (SELECT max(doc_id) * 4 // 5 FROM documents)" +
+        " OR b >= (SELECT max(doc_id) * 4 // 5 FROM documents))"),
 
     "d_simhash" ->
       s"""WITH corpus AS (

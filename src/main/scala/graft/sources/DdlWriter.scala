@@ -31,7 +31,10 @@ object DdlWriter {
     case BinaryType             => "bytea"
     case d: DecimalType         => s"numeric(${d.precision}, ${d.scale})"
     case DateType               => "date"
-    case TimestampType          => "timestamp"
+    // TimestampType has INSTANT (UTC-normalized) semantics -> timestamptz;
+    // only TimestampNTZType maps to pg's zoneless 'timestamp' (conflating
+    // them would silently discard instant semantics on restore)
+    case TimestampType          => "timestamptz"
     case TimestampNTZType       => "timestamp"
     case ArrayType(e, _)        => pgType(e) + "[]"
     case _                      => "text"

@@ -114,6 +114,13 @@ object SchemaIntrospect {
           columns = sorted.map(str(_, "column_name")).toSeq,
           refTable = str(sorted.head, "ref_table_id"),
           refColumns = sorted.map(str(_, "ref_column_name")).toSeq,
+          // introspection cannot know INTENT: reverse=true would make
+          // every parent pull ALL of its children (a nation root
+          // snowballs into the whole database). The reference requires
+          // directions to be configured per dump; likewise, introspected
+          // graphs start forward-only and the operator opts reverse in
+          // per reference (edit the printed JSON, or flip in code).
+          reverse = false,
           deferrable = sorted.head.getAs[Boolean]("deferrable"))
       }
       .filter(r => known(r.table) && known(r.refTable))

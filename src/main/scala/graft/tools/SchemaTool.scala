@@ -11,6 +11,7 @@ import graft.plans.{SchemaConfig, SchemaGraph}
   *   SchemaTool print [graph.json]
   *   SchemaTool print --jdbc <url> [user] [password]
   *   SchemaTool reachable <table> [graph.json]
+  *   SchemaTool filter-children <table>[,<table>...] [graph.json]
   *   SchemaTool restore-order [graph.json]
   */
 object SchemaTool {
@@ -29,11 +30,18 @@ object SchemaTool {
         println(SchemaConfig.toJson(graph))
       case "reachable" =>
         println(graph.reachableFrom(args(1)).toSeq.sorted.mkString("\n"))
+      case "filter-children" =>
+        // comma-separated roots; emits the REWRITTEN config (reverse
+        // directions stripped outside the child closure), reference
+        // `slicedb schema-filter children` parity — pipe to a file and
+        // feed it back to SliceDump
+        println(SchemaConfig.toJson(graph.filterChildren(args(1).split(',').toSeq)))
       case "restore-order" =>
         graph.restoreOrder.foreach { case (t, deferred) =>
           println(if (deferred) s"$t (deferred)" else t)
         }
-      case other => sys.error(s"unknown subcommand '$other' (print | reachable | restore-order)")
+      case other => sys.error(
+        s"unknown subcommand '$other' (print | reachable | filter-children | restore-order)")
     }
   }
 }

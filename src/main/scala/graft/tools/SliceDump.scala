@@ -16,6 +16,7 @@ import graft.sources.{RestoreWriter, SliceWriter, SqlWriter}
   * Usage: SliceDump <sfDir> <outDir> <rootTable> <condition>
   *                  [rootTable2 condition2 ...]
   *                  [--graph graph.json] [--scrub scrub.json]
+  *                  [--pepper <secret>]
   */
 object SliceDump {
   private def readFile(p: String) =
@@ -31,6 +32,9 @@ object SliceDump {
     while (rest.nonEmpty) rest = rest match {
       case "--graph" :: p :: tl => graphPath = Some(p); tl
       case "--scrub" :: p :: tl => scrubPath = Some(p); tl
+      // per-invocation pepper (reference cli/main.py parity); must land
+      // before the scrub config builds its transform Columns below
+      case "--pepper" :: p :: tl => graft.functions.Transforms.setPepper(p); tl
       case a :: tl              => pairArgs += a; tl
       case Nil                  => Nil
     }

@@ -9,7 +9,7 @@ import graft.functions.Transforms
   * `slicedb transform-field` (slice_db/cli/transform_field.py): apply a
   * named transform to one value from the command line.
   *
-  * Usage: TransformField <transform> <value>
+  * Usage: TransformField <transform> <value> [--pepper <secret>]
   */
 object TransformField {
   /** The shared registry, with string-typed input handling for the CLI
@@ -19,14 +19,26 @@ object TransformField {
       ((c: Column) => Transforms.dateYear(c.cast("timestamp")).cast("string")))
 
   def main(args: Array[String]): Unit = {
-    val Array(name, value) = args.take(2)
+    // flag first: the pepper must be in place before the transform
+    // Column is built (reference parity: pepper is a dump argument,
+    // cli/main.py, not only an environment fact)
+    val pi = args.indexOf("--pepper")
+    val rest = if (pi >= 0) {
+      Transforms.setPepper(args(pi + 1))
+      args.take(pi) ++ args.drop(pi + 2)
+    } else args
+    val Array(name, value) = rest.take(2)
     val f = transforms.getOrElse(name,
       sys.error(s"unknown transform '$name'; one of ${transforms.keys.toSeq.sorted.mkString(", ")}"))
+    // reuse a live session (tests, notebooks) and leave it running;
+    // stop only a session this invocation created
+    val hadActive = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder().master("local[1]")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     println(Seq(value).toDF("v").select(f(col("v")).cast("string")).as[String].head())
-    spark.stop()
+    if (!hadActive) spark.stop()
   }
 }

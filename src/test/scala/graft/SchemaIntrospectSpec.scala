@@ -47,13 +47,19 @@ class SchemaIntrospectSpec extends SparkSpec {
     val li = g.references.find(_.id == "public.lineitem.lineitem_ord_fkey").get
     assert(li == Reference("public.lineitem.lineitem_ord_fkey",
       "public.lineitem", Seq("l_orderkey", "l_linenumber"),
-      "public.orders", Seq("o_orderkey", "o_linenumber"), deferrable = true))
+      "public.orders", Seq("o_orderkey", "o_linenumber"),
+      reverse = false, deferrable = true))
   }
 
   test("introspected graph drives graph algorithms directly") {
     val g = SchemaIntrospect.fromFrames(keyFixture, fkFixture)
-    assert(g.reachableFrom("public.customer")
-      .contains("public.lineitem"), "customer reaches lineitem via orders")
+    // introspected references are FORWARD-ONLY by default (reverse
+    // directions are per-dump intent, opted in by the operator): a
+    // child reaches its ancestors, a parent pulls in no children
+    assert(g.reachableFrom("public.lineitem")
+      .contains("public.customer"), "lineitem reaches customer via orders")
+    assert(!g.reachableFrom("public.customer").contains("public.lineitem"),
+      "a customer root must not snowball into all orders/lineitems")
     val order = g.restoreOrder.map(_._1)
     assert(order.indexOf("public.customer") < order.indexOf("public.orders"))
     assert(order.indexOf("public.orders") < order.indexOf("public.lineitem"))

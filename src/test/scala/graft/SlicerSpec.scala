@@ -106,6 +106,23 @@ class SlicerSpec extends SparkSpec {
     assert(cyc.rows("emp").select("id").as[Int].collect().toSet == Set(4, 5))
   }
 
+  test("SPARK_GRAFT_SLICE_TRUST_FK=false validates forward FKs against the scan") {
+    // dangling FK: child row points at parent 99, which does not exist.
+    // Trust mode (default, enforced-FK sources) takes the FK value as a
+    // discovered key — manifest over-reports; validate mode scans and
+    // drops the phantom.
+    val fwd = graph.copy(references = graph.references.map(_.copy(reverse = false)))
+    val broken = tables + ("child" ->
+      Seq((10, 1), (11, 99)).toDF("cid", "pid"))
+    def keysOf(): Set[Int] =
+      new Slicer(fwd, broken(_)).run(Seq(SliceRoot("child", "cid >= 0")))
+        .keys("parent").select("pid").as[Int].collect().toSet
+    assert(keysOf() == Set(1, 99), "trust mode reports the phantom key")
+    System.setProperty("graft.slice.distrustForwardKeys", "true")
+    try assert(keysOf() == Set(1), "validate mode drops the phantom key")
+    finally System.clearProperty("graft.slice.distrustForwardKeys")
+  }
+
   test("reverse refs onto a PK-keyed child NEVER take the no-scan shortcut") {
     // 1:1 optional extension table keyed by the parent's key: integrity
     // guarantees child FK -> parent, NOT that every parent row has an
