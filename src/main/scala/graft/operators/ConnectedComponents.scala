@@ -105,6 +105,52 @@ object ConnectedComponents {
     out
   }
 
+  /** Incremental components — extend a STANDING labeling with a batch
+    * of new edges. This is the clustering half of the nightly-ingest
+    * dedup path: `Dedup.lshPairsIncremental` emits exactly the pairs
+    * with a new endpoint, and this folds them into the previous run's
+    * labels without re-walking the old graph.
+    *
+    * Contract: if `oldLabels` = run(oldEdges) and `newEdges` contains
+    * every edge of the full graph that is not among oldEdges (all edges
+    * with a new endpoint, plus any newly-discovered old-old edges), the
+    * result equals run(oldEdges ∪ newEdges) — randomized equivalence
+    * ScalaTest, and the d_cluster_inc gate holds it to the from-scratch
+    * recursive-CTE oracle.
+    *
+    * Shape: old components are CONTRACTED through their labels before
+    * anything iterates. A component's label is its minimum member id,
+    * so contraction preserves the final min-id labels; the propagation
+    * loop then runs on the contracted delta graph only — batch-sized,
+    * not corpus-sized — and old labels are remapped with one join at
+    * the end. Old components untouched by any new edge are never read
+    * past the remap join's probe side. */
+  def runIncremental(oldLabels: DataFrame, newEdges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    // materialize both inputs once: labels feed two contraction joins +
+    // the remap; the edge batch feeds contraction + the new-node scan
+    val old = oldLabels.toDF("id", "cluster").localCheckpoint(true)
+    val e = newEdges.toDF("a", "b").localCheckpoint(true)
+    val lbl = old.select(col("id").as("n"), col("cluster").as("cl"))
+    def contract(df: DataFrame, c: String): DataFrame =
+      df.join(lbl, df(c) === lbl("n"), "left")
+        .select((df.columns.filterNot(_ == c).map(df(_))
+          :+ coalesce(col("cl"), df(c)).as(c)): _*)
+    val contracted = contract(contract(e, "a"), "b").select("a", "b")
+    val small = run(contracted, maxIter)
+      .select(col("id").as("c0"), col("cluster").as("c1"))
+    // old nodes ride their old label through the delta components; a
+    // label absent from the delta graph is already final
+    val oldOut = old.join(small, old("cluster") === col("c0"), "left")
+      .select(old("id"), coalesce(col("c1"), old("cluster")).as("cluster"))
+    val newNodes = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id"))).distinct()
+      .join(old, Seq("id"), "left_anti")
+    val newOut = newNodes.join(small, newNodes("id") === col("c0"), "left")
+      .select(newNodes("id"), coalesce(col("c1"), newNodes("id")).as("cluster"))
+    oldOut.unionByName(newOut)
+  }
+
   /** Alternating large-star/small-star contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond"): rounds are
     * O(log n) in the component size REGARDLESS of diameter, vs the

@@ -373,6 +373,28 @@ object Dedup {
         .orderBy("a", "b")
     }),
 
+    // INCREMENTAL clustering — the other half of the nightly-ingest
+    // path: standing labels over the old corpus's LSH pairs, extended
+    // with d_incremental's delta pairs via runIncremental, which
+    // contracts old components through their labels and iterates only
+    // on the batch-sized delta graph. The oracle recomputes the FULL
+    // from-scratch transitive closure over the complete LSH pair set,
+    // so the gate itself proves incremental == scratch.
+    "d_cluster_inc" -> ((s, dir) => {
+      val t = docs(s, dir).agg(max("doc_id")).head().getLong(0) * 4 / 5
+      val all = minhashPairs(s, dir)
+      // a < b on every pair, so "both endpoints old" is just b < t
+      val oldLabels = ConnectedComponents.run(
+        all.filter(col("b") < t).select("a", "b"))
+      val newEdges = lshPairsIncremental(shingleSets(s, dir),
+        minJac = 0.2, tNew = t).select("a", "b")
+      val labels = ConnectedComponents.runIncremental(oldLabels, newEdges)
+      val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("csize"))
+      labels.join(sizes, "cluster")
+        .select(col("id").as("doc_id"), col("cluster"), col("csize"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash 60-bit over the word set; candidates share one of 4
     // 15-bit chunks (pigeonhole covers hamming<=3); verify popcount.
     "d_simhash" -> ((s, dir) => {
@@ -605,6 +627,20 @@ object Dedup {
     "d_incremental" -> sqlMinhash(
       " AND (a >= (SELECT max(doc_id) * 4 // 5 FROM documents)" +
         " OR b >= (SELECT max(doc_id) * 4 // 5 FROM documents))"),
+
+    // incremental clustering answers to the FROM-SCRATCH transitive
+    // closure over the complete LSH pair set — the oracle IS the
+    // incremental == scratch equivalence contract
+    "d_cluster_inc" ->
+      s"""WITH RECURSIVE e AS (SELECT a, b FROM (${sqlMinhash("")})),
+         bi AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+         r AS (SELECT src, dst FROM bi
+           UNION SELECT r.src, bi.dst FROM r JOIN bi ON r.dst = bi.src),
+         reach AS (SELECT src, dst FROM r UNION SELECT DISTINCT src, src FROM bi),
+         lbl AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src),
+         sz AS (SELECT cluster, count(*) AS csize FROM lbl GROUP BY cluster)
+         SELECT id AS doc_id, cluster, csize FROM lbl JOIN sz USING (cluster)
+         ORDER BY doc_id""",
 
     "d_simhash" ->
       s"""WITH corpus AS (

@@ -178,6 +178,52 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // corpus card: the per-source summary a curation run reports before
+    // and after filtering — volume, token mass, vocabulary size,
+    // character mass, language spread. One scan feeds a per-source
+    // rollup plus an exact vocabulary count (explode → distinct); at
+    // 100 TB the vocab column is the expensive one — swap its
+    // countDistinct for approx_count_distinct when a ±2% estimate is
+    // acceptable, the rest is map-side-combined aggregation.
+    "x_corpus_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(wordsCol)).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      val vocab = d.select(col("source"), explode(wordsCol).as("w"))
+        .groupBy("source").agg(countDistinct(col("w")).as("n_vocab"))
+      base.join(vocab, "source")
+        .select("source", "n_docs", "n_tokens", "n_vocab", "n_chars",
+          "avg_chars", "n_langs")
+        .orderBy("source")
+    }),
+
+    // bigram-LM quality score — the CCNet/KenLM perplexity-filter role
+    // expressed hash-exact: pass 1 counts every bigram occurrence in
+    // the corpus; pass 2 scores each doc by the mean INVERSE corpus
+    // frequency of its bigrams, in integer micro-units (1e6 div count,
+    // summed, one floor division) so no log/float enters the compare.
+    // Rare-bigram-heavy docs score high (unusual text), boilerplate
+    // scores near zero — same ranking, monotone in place of log. The
+    // bigram lookup key is Zipf-skewed, so the count join is SALTED
+    // exactly like the x_top_terms df join (count side replicates
+    // 8-fold; never broadcast — the bigram table grows with the corpus).
+    "x_lm_score" -> ((s, dir) => {
+      val grams = docs(s, dir)
+        .select(col("doc_id"), explode(shingles(wordsCol, 2)).as("bg"))
+      val cnt = grams.groupBy("bg").agg(count(lit(1)).as("c"))
+      graft.operators.SkewJoin.salted(grams, cnt, key = "bg", uniqueCol = "doc_id")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr("1000000 div c")).as("s"))
+        .select(col("doc_id"), col("n_bigrams").cast("int").as("n_bigrams"),
+          (expr("s div n_bigrams") / 1000000.0).as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF-style top terms: two-pass corpus computation (per-doc term
     // frequency + corpus document frequency) joined and ranked. Ranked
     // by the INTEGER key (tf DESC, df ASC, term) — "frequent in doc,
@@ -302,6 +348,30 @@ object TextAnalysis {
              / 1000000.0) AS dup_frac
          FROM (SELECT doc_id, ${sqlShingles("string_split(text, ' ')", 3)} AS g
                FROM documents) ORDER BY doc_id""",
+
+    "x_corpus_stats" ->
+      """WITH d AS (SELECT *, string_split(text, ' ') AS w FROM documents),
+         base AS (SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+             count(DISTINCT lang) AS n_langs
+           FROM d GROUP BY source),
+         vocab AS (SELECT source, count(DISTINCT wd) AS n_vocab
+           FROM (SELECT source, unnest(w) AS wd FROM d) GROUP BY source)
+         SELECT source, n_docs, n_tokens, n_vocab, n_chars, avg_chars, n_langs
+         FROM base JOIN vocab USING (source) ORDER BY source""",
+
+    "x_lm_score" ->
+      s"""WITH grams AS (
+           SELECT doc_id, unnest(${sqlShingles("string_split(text, ' ')", 2)}) AS bg
+           FROM documents),
+         cnt AS (SELECT bg, count(*) AS c FROM grams GROUP BY bg)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+           ((CAST(sum(1000000 // c) AS BIGINT) // count(*)) / 1000000.0) AS lm_score
+         FROM grams JOIN cnt USING (bg)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "x_top_terms" ->
       s"""WITH terms AS (

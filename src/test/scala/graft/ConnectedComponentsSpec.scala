@@ -76,6 +76,36 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("incremental labels equal from-scratch labels on random graphs") {
+    // nightly-ingest contract: nodes >= t are the "new batch"; old
+    // labels come from the both-old edge set, the delta is every edge
+    // with a new endpoint, and the extended labeling must equal a
+    // from-scratch run over the full edge set — including the hard
+    // cases (new edge bridging two old components; old components
+    // untouched by the batch; components made entirely of new nodes)
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { trial =>
+      val edges = Seq.fill(40)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val t = 35L
+      val oldEdges = edges.filter { case (a, b) => a < t && b < t }
+      val newEdges = edges.filter { case (a, b) => a >= t || b >= t }
+      val oldLabels = ConnectedComponents.run(oldEdges.toDF("a", "b"))
+      val inc = ConnectedComponents
+        .runIncremental(oldLabels, newEdges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(inc == labelsOf(edges), s"trial $trial, edges $edges")
+    }
+  }
+
+  test("incremental with an empty batch returns the old labels unchanged") {
+    val oldLabels = ConnectedComponents.run(Seq((1L, 2L), (4L, 5L)).toDF("a", "b"))
+    val inc = ConnectedComponents
+      .runIncremental(oldLabels, Seq.empty[(Long, Long)].toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("star contraction converges in logarithmic rounds on a long chain") {
     // 64-node path: min-label needs ~diameter (63) rounds; star
     // contraction must finish well inside maxIter = 12
