@@ -216,7 +216,7 @@ object Dedup {
     * (via the memoized corpus relation) and CuratePipeline's near-dedup
     * stage, so there is exactly one LSH implementation to audit. */
   def lshPairs(sh: DataFrame, minJac: Double): DataFrame = {
-    val bands = bandsOf(sh)
+    val bands = bandsMemo(sh)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
           && col("x.doc_id") < col("y.doc_id"))
@@ -234,7 +234,7 @@ object Dedup {
     * the delta: the old band table is a standing, bucketed relation the
     * batch equi-joins into. */
   def lshPairsIncremental(sh: DataFrame, minJac: Double, tNew: Long): DataFrame = {
-    val bands = bandsOf(sh)
+    val bands = bandsMemo(sh)
     val probe = bands.filter(col("doc_id") >= tNew)
     val cand = probe.as("x").join(bands.as("y"),
         col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
@@ -242,6 +242,32 @@ object Dedup {
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b")).distinct()
     verifyPairs(sh, cand, minJac)
+  }
+
+  private val bandCache =
+    collection.mutable.Map.empty[(SparkSession, java.lang.Integer), DataFrame]
+
+  /** Memoized band table per (session, shingle-relation identity):
+    * the signature aggregation (explode → 8-way min) is the expensive
+    * half of the LSH build, and THREE consumers walk it — lshPairs
+    * (self-join: both sides), lshPairsIncremental (probe + standing
+    * sides), and the d_* family runs several of them per session.
+    * Keyed on the shingle frame's semantic hash; released with the "d"
+    * family scope. */
+  private def bandsMemo(sh: DataFrame): DataFrame = synchronized {
+    val s = sh.sparkSession
+    val key = (s, Integer.valueOf(sh.semanticHash()))
+    bandCache.getOrElseUpdate(key, {
+      val b = bandsOf(sh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      b.count()
+      graft.CacheBook.register(s, "d") { () =>
+        Dedup.synchronized { bandCache.remove(key) }
+        b.unpersist(false)
+        ()
+      }
+      b
+    })
   }
 
   /** 8 minhash signatures → 4 bands x 2 rows per doc. */

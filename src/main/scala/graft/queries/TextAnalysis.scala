@@ -212,8 +212,15 @@ object TextAnalysis {
     // exactly like the x_top_terms df join (count side replicates
     // 8-fold; never broadcast — the bigram table grows with the corpus).
     "x_lm_score" -> ((s, dir) => {
+      // spread the scan before the interpreted shingle lambda (the
+      // x_contamination pattern), and PERSIST the occurrence relation:
+      // both the count side and the probe side of the join consume it,
+      // and without the persist the explode pipeline runs twice
       val grams = docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(shingles(wordsCol, 2)).as("bg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.register(s, "x")(() => { grams.unpersist(false); () })
       val cnt = grams.groupBy("bg").agg(count(lit(1)).as("c"))
       graft.operators.SkewJoin.salted(grams, cnt, key = "bg", uniqueCol = "doc_id")
         .groupBy("doc_id")
@@ -222,6 +229,22 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_bigrams").cast("int").as("n_bigrams"),
           (expr("s div n_bigrams") / 1000000.0).as("lm_score"))
         .orderBy("doc_id")
+    }),
+
+    // BPE merge learning — tokenizer training on the corpus the model
+    // will train on: top-10 merges by frequency-weighted adjacent-pair
+    // count over the word-frequency table (corpus collapses to distinct
+    // words + counts first; all iterations run vocab-sized). k iterated
+    // argmax + greedy re-merge steps are not expressible as one SQL
+    // query, so there is no DuckDB oracle — correctness is held by
+    // BpeVocabSpec's naive-reference equivalence (ties, overlap rule,
+    // weighting); the driver records the weaker rows-only check.
+    "x_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.BpeVocab.learn(docs(s, dir), "text", 10)
+        .zipWithIndex
+        .map { case ((l, r, c), i) => (i + 1, l, r, c) }
+        .toDF("rank", "left", "right", "cnt")
     }),
 
     // TF-IDF-style top terms: two-pass corpus computation (per-doc term
