@@ -329,8 +329,9 @@ object Dedup {
 
   /** Full MinHash-LSH oracle pipeline with an optional extra predicate
     * over the verified (a, b) pairs — shared by d_minhash_lsh (no
-    * filter) and d_incremental (new-endpoint filter). */
-  private def sqlMinhash(extraWhere: String): String = {
+    * filter), d_incremental (new-endpoint filter) and st_ingest_dedup
+    * (old-a / new-b filter). */
+  private[queries] def sqlMinhash(extraWhere: String): String = {
     val mins = (0 until 8).map(j =>
       s"CAST(min((${MinhashA(j)} * (s % $MinhashP) + ${MinhashB(j)}) % $MinhashP) AS BIGINT) AS m$j").mkString(", ")
     val bandSelects = (0 until 4).map(bi =>
@@ -363,8 +364,48 @@ object Dedup {
   private val MinhashB: IndexedSeq[Long] =
     (0 until 8).map(j => Determinism.jvmMd5Idx(s"mh-b#$j", 12) % MinhashP)
 
+  /** Per-row shingle-hash-set column (the ShingleHashSet codegen
+    * Expression) — usable on a STREAM, where the batch build's
+    * repartition/persist staging doesn't apply. */
+  def shingleHashCol(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ShingleHashSet(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          wordsOf(text)), 3, 12))
+
+  /** Stateless per-row band keys over a frame with an `sh` column —
+    * the SAME (bi, bk) domain as [[bandsOf]], but computed as a scalar
+    * projection (array_min over the already-hashed shingles) instead of
+    * explode + groupBy-min. On a stream the groupBy would be a stateful
+    * aggregation; this keeps the ingest probe pipeline stateless. The
+    * higher-order array_min/transform evaluates interpreted per
+    * shingle, which is acceptable on the DELTA-sized stream side — the
+    * corpus-sized standing side keeps the codegen groupBy path. */
+  def streamBands(df: DataFrame): DataFrame = {
+    def mj(j: Int): Column = array_min(transform(col("sh"),
+      x => (lit(MinhashA(j)) * (x % MinhashP) + MinhashB(j)) % MinhashP))
+    val bandArr = array((0 until 4).map(bi =>
+      struct(lit(bi).as("bi"),
+        concat_ws(":", mj(2 * bi), mj(2 * bi + 1)).as("bk"))): _*)
+    df.withColumn("band", explode(bandArr))
+      .select(df.columns.map(col) :+ col("band.bi").as("bi")
+        :+ col("band.bk").as("bk"): _*)
+  }
+
+  /** Standing near-dup index for stream-static ingest dedup: band keys
+    * + shingle sets of the corpus below `tNew`, both from the memoized
+    * family relations (built codegen-side, persisted, released with the
+    * "d" scope). Columns (old_id, bi, bk, old_sh). */
+  def standingIndex(s: SparkSession, dir: String, tNew: Long): DataFrame = {
+    val sh = shingleSets(s, dir).select(col("doc_id"), col("sh"))
+    bandsMemo(shingleSets(s, dir)).filter(col("doc_id") < tNew)
+      .join(sh, "doc_id")
+      .select(col("doc_id").as("old_id"), col("bi"), col("bk"),
+        col("sh").as("old_sh"))
+  }
+
   /** |A∩B| via the custom two-pointer Expression (arrays pre-sorted). */
-  private def sortedInter(a: Column, b: Column): Column =
+  private[queries] def sortedInter(a: Column, b: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.SortedIntersectCount(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),

@@ -394,7 +394,35 @@ object Relational {
           (abs(expr("approx_percentile(l_extendedprice, 0.9, 1000)")
             - expr("percentile(l_extendedprice, 0.9)"))
             / expr("percentile(l_extendedprice, 0.9)") < 0.01).as("p90_ok"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // data-quality PROFILE — the pre-flight check a pipeline runs before
+    // trusting a source: per-column row/null/distinct counts and
+    // min/max in ONE scan (a single aggregation row with map-side
+    // combine; the per-column output rows come from exploding a struct
+    // array over that row — no per-column re-scan). min/max render as
+    // strings so one schema covers long, string and timestamp columns;
+    // the timestamp renders as its date so both engines serialize
+    // identically.
+    "q_dq_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_orderdate")
+      def render(c: String, v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        if (c == "o_orderdate") date_format(v, "yyyy-MM-dd") else v.cast("string")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        render(c, min(col(c))).as(s"mn_$c"),
+        render(c, max(col(c))).as(s"mx_$c")) }
+      o.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"), col("n_rows"),
+          col(s"nn_$c").as("n_nulls"), col(s"nd_$c").as("n_distinct"),
+          col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"))): _*)).as("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    })
   )
 
   private val rev = "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))"
@@ -640,6 +668,22 @@ object Relational {
            CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            count(*) AS n,
            CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_dq_profile" -> {
+      def one(c: String, mn: String, mx: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+            CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+            count(DISTINCT $c) AS n_distinct, $mn AS min_v, $mx AS max_v
+            FROM orders"""
+      def num(c: String) =
+        one(c, s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+      def str(c: String) = one(c, s"min($c)", s"max($c)")
+      def ts(c: String) =
+        one(c, s"strftime(min($c), '%Y-%m-%d')", s"strftime(max($c), '%Y-%m-%d')")
+      Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+        str("o_orderpriority"), ts("o_orderdate"))
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    }
   )
 }

@@ -70,6 +70,45 @@ object StreamingQueries {
         .orderBy("user_id", "session_idx")
     }),
 
+    // STREAM-STATIC ingest dedup — the real-time half of the ingest
+    // story (d_incremental is the nightly batch half): new documents
+    // arrive as a stream, are shingled + banded STATELESSLY per row
+    // (scalar ShingleHashSet + array_min minhash — no streaming
+    // aggregation), probe the standing corpus's band index, and each
+    // band hit is exact-Jaccard-verified against the standing shingle
+    // set. Entirely stateless except the final pair dropDuplicates, so
+    // state is O(emitted dups), not O(stream). The oracle is the
+    // from-scratch batch LSH pipeline filtered to old-a/new-b pairs —
+    // the gate proves the streaming path equals the batch path.
+    "st_ingest_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val name = synchronized { runId += 1; s"st_ingest_dedup_$runId" }
+      val t = graft.Tables.load(s, dir, "documents")
+        .agg(max("doc_id")).head().getLong(0) * 4 / 5
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val newDocs = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") >= t)
+        .select(col("doc_id"), Dedup.shingleHashCol(col("text")).as("sh"))
+      val probes = Dedup.streamBands(newDocs)
+      val standing = Dedup.standingIndex(s, dir, t)
+      val verified = probes.join(standing, Seq("bi", "bk"))
+        .select(col("old_id").as("a"), col("doc_id").as("b"),
+          Dedup.sortedInter(col("old_sh"), col("sh")).as("inter"),
+          size(col("old_sh")).as("sa"), size(col("sh")).as("sb"))
+        .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= 0.2)
+        .select(col("a"), col("b"),
+          (col("inter") / (col("sa") + col("sb") - col("inter"))).as("jac"))
+        .dropDuplicates("a", "b")
+      StreamingOps.runToMemory(s, verified, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("a", "b")
+    }),
+
     // Stream-stream interval join (purchase ↔ same-user error within
     // the prior hour); the batch oracle is the equivalent interval join.
     "st_join" -> ((s, dir) => {
@@ -90,6 +129,12 @@ object StreamingQueries {
     "st_dedup" ->
       """SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
          FROM events ORDER BY user_id, h""",
+
+    // the batch LSH pipeline restricted to standing-a / new-b pairs:
+    // streaming probe == batch from-scratch on exactly those pairs
+    "st_ingest_dedup" -> Dedup.sqlMinhash(
+      " AND a < (SELECT max(doc_id) * 4 // 5 FROM documents)" +
+        " AND b >= (SELECT max(doc_id) * 4 // 5 FROM documents)"),
 
     "st_join" ->
       """SELECT p.event_id AS p_id, p.user_id, e.event_id AS e_id
