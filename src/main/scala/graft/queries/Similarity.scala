@@ -272,10 +272,14 @@ object Similarity {
     })
   )
 
-  /** Shared IVF body: fixed-K hash-ordered centroid draw, optionally
-    * Lloyd-refined ([[refineCentroids]]); assignment, probing, and the
-    * in-cell exact search are identical either way. */
-  private def ivfAnn(s: SparkSession, dir: String, refine: Boolean): DataFrame = {
+  /** Build-once half of the IVF index: (centroid table (cid, cv, cn),
+    * cell-assigned vector table (vec_id, v, n, cid)). Persist both with
+    * [[graft.sources.AnnIndexStore]] and the index becomes a standing
+    * artifact — the nightly build runs once, every query session
+    * reloads the cells (cid-partitioned on storage, so a probe reads
+    * only its cells' directories) and calls [[queryIvf]]. */
+  def buildIvfIndex(s: SparkSession, dir: String,
+      refine: Boolean = false): (DataFrame, DataFrame) = {
       val e = vecs(s, dir)
       val seed = e
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -289,6 +293,17 @@ object Similarity {
         .withColumn("arn", row_number().over(wAssign))
         .filter(col("arn") === 1)
         .select("vec_id", "v", "n", "cid")
+      (cents, assigned)
+  }
+
+  /** Query-many half: probe the NProbe nearest cells per query, exact
+    * search within. `cents`/`assigned` may be freshly built or reloaded
+    * from [[graft.sources.AnnIndexStore]] — results are identical
+    * (round-trip ScalaTest). */
+  def queryIvf(s: SparkSession, dir: String, cents0: DataFrame,
+      assigned: DataFrame): DataFrame = {
+      val e = vecs(s, dir)
+      val cents = broadcast(cents0)
       val qRaw = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn"))
       val wProbe = Window.partitionBy("q").orderBy(col("pcos").desc, col("cid").asc)
@@ -302,6 +317,14 @@ object Similarity {
         .filter(col("vec_id") =!= col("q"))
         .select(col("q"), col("vec_id"),
           VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
+  }
+
+  /** Shared IVF body: fixed-K hash-ordered centroid draw, optionally
+    * Lloyd-refined ([[refineCentroids]]); assignment, probing, and the
+    * in-cell exact search are identical either way. */
+  private def ivfAnn(s: SparkSession, dir: String, refine: Boolean): DataFrame = {
+      val (cents, assigned) = buildIvfIndex(s, dir, refine)
+      queryIvf(s, dir, cents, assigned)
   }
 
   // Product quantization (ADC flavor): codebooks per 8-dim subspace

@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Parquet persistence for an IVF-style ANN index — the build-once /
+  * query-many split: `Similarity.buildIvfIndex` runs with the nightly
+  * corpus job, this writes the result as a standing artifact, and query
+  * sessions reload it without touching the build path.
+  *
+  * Layout: `path/centroids` (K rows, read whole + broadcast) and
+  * `path/cells` PARTITIONED BY cid — each cell is its own directory, so
+  * a probe of NProbe cells prunes the scan to NProbe directories
+  * (partition pruning, asserted by plan-shape spec). At 100 TB the cell
+  * files are the index; rewriting one cell after a batch ingest is a
+  * directory-sized operation, not an index rebuild. */
+object AnnIndexStore {
+
+  def write(path: String, centroids: DataFrame, cells: DataFrame): Unit = {
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cells.write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+  }
+
+  /** (centroids, cells) with the build-side schema restored: partition
+    * columns come back type-inferred and appended, so cid is re-cast
+    * and the column order re-established. */
+  def read(s: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val cents = s.read.parquet(s"$path/centroids").select("cid", "cv", "cn")
+    val cells = s.read.parquet(s"$path/cells")
+      .withColumn("cid", col("cid").cast("long"))
+      .select("vec_id", "v", "n", "cid")
+    (cents, cells)
+  }
+}
