@@ -56,6 +56,20 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheBook.releaseAll(spark)
   }
 
+  test("q_dq_profile: one scan, one aggregation — per-column rows via Generate") {
+    val p = planOf("q_dq_profile")
+    // all 21 per-column aggregates ride ONE pass; profiling must never
+    // plan a scan per column
+    assert(p.split("Scan parquet").length - 1 == 1, p.take(600))
+    assert(p.contains("Generate explode"), "per-column rows must come from explode")
+  }
+
+  test("x_lm_score: the Zipf-skewed bigram count join is salted") {
+    val p = planOf("x_lm_score")
+    assert(p.contains("__salt"), "count join must carry the salt key")
+    graft.CacheBook.releaseAll(spark)
+  }
+
   test("s_ivf_ann: centroid set is a CONSTANT-K limited broadcast") {
     // the assignment cross join is O(N*K) only while K is fixed: the
     // centroid subtree must carry a global Limit (constant in corpus

@@ -58,6 +58,47 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("stream-static ingest dedup finds dups batch-by-batch, stateless") {
+    // new docs arriving in SEPARATE micro-batches must each probe the
+    // standing index independently (the pipeline holds no per-doc
+    // state; only emitted pairs are deduplicated)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different document about spark and shuffles here"),
+      (3L, "numbers one two three four five six seven eight nine"))
+    val standingDocs = corpus.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.queries.Dedup.shingleHashCol(col("text")).as("sh"))
+    val standing = graft.queries.Dedup.streamBands(standingDocs)
+      .select(col("doc_id").as("old_id"), col("bi"), col("bk"),
+        col("sh").as("old_sh"))
+    val input = MemoryStream[(Long, String)]
+    val newDocs = input.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.queries.Dedup.shingleHashCol(col("text")).as("sh"))
+    val verified = graft.queries.Dedup.streamBands(newDocs)
+      .join(standing, Seq("bi", "bk"))
+      .filter(col("old_id") =!= col("doc_id"))
+      .select(col("old_id").as("a"), col("doc_id").as("b"))
+      .dropDuplicates("a", "b")
+    val q = verified.writeStream.format("memory")
+      .queryName("ingest_test").outputMode(OutputMode.Append()).start()
+    // batch 1: near-copy of doc 1 (one word changed); batch 2: a
+    // near-copy of doc 3 and an unrelated doc — found independently
+    input.addData((10L, "the quick brown fox jumps over the lazy dog tonight"))
+    q.processAllAvailable()
+    input.addData((11L, "numbers one two three four five six seven eight ten"),
+      (12L, "nothing in common with anything stored so far at all"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ingest_test").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 10L)), s"batch-1 dup missed: $pairs")
+    assert(pairs.contains((3L, 11L)), s"batch-2 dup missed: $pairs")
+    assert(!pairs.exists(_._2 == 12L), s"unrelated doc flagged: $pairs")
+  }
+
   test("windowed aggregation over a bounded stream equals batch") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingOps.runToMemory(spark,
