@@ -196,33 +196,15 @@ object Similarity {
     // ANN evaluation: recall@K of the LSH index vs the brute-force
     // baseline, per query. Both rankings are bit-exact deterministic, so
     // recall is an exact integer ratio — the oracle recomputes BOTH
-    // pipelines in SQL and must agree exactly. (Lambdas resolve the
+    // pipelines in SQL and must agree exactly. (recallOf resolves the
     // sibling queries lazily, after this Map is constructed.)
-    "s_ann_recall" -> ((s, dir) => {
-      val bf = Similarity.queries("s_cosine_topk")(s, dir).select("q", "vec_id")
-      val ann = Similarity.queries("s_lsh_ann")(s, dir)
-        .select(col("q"), col("vec_id"), lit(1).as("hit"))
-      bf.join(ann, Seq("q", "vec_id"), "left")
-        .groupBy("q")
-        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
-        .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
-        .orderBy("q")
-    }),
+    "s_ann_recall" -> recallOf("s_lsh_ann"),
 
     // recall@K of the IVF index vs the same brute-force baseline —
     // together with s_ann_recall this prices BOTH scale paths' accuracy
     // against their cost (probes vs multi-probe buckets) in one exact,
     // oracle-checked number per query.
-    "s_ivf_recall" -> ((s, dir) => {
-      val bf = Similarity.queries("s_cosine_topk")(s, dir).select("q", "vec_id")
-      val ann = Similarity.queries("s_ivf_ann")(s, dir)
-        .select(col("q"), col("vec_id"), lit(1).as("hit"))
-      bf.join(ann, Seq("q", "vec_id"), "left")
-        .groupBy("q")
-        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
-        .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
-        .orderBy("q")
-    }),
+    "s_ivf_recall" -> recallOf("s_ivf_ann"),
 
     // IVF flavor: centroids are a deterministic FIXED-K sample (the
     // NCentroids lowest by md5(vec_id) — a hash-ordered draw both
@@ -246,31 +228,39 @@ object Similarity {
     // two recall evals price them side by side.
     "s_ivf_kmeans" -> ((s, dir) => ivfAnn(s, dir, refine = true)),
 
-    "s_ivf_kmeans_recall" -> ((s, dir) => {
-      val bf = Similarity.queries("s_cosine_topk")(s, dir).select("q", "vec_id")
-      val ann = Similarity.queries("s_ivf_kmeans")(s, dir)
-        .select(col("q"), col("vec_id"), lit(1).as("hit"))
-      bf.join(ann, Seq("q", "vec_id"), "left")
-        .groupBy("q")
-        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
-        .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
-        .orderBy("q")
-    })
+    "s_ivf_kmeans_recall" -> recallOf("s_ivf_kmeans")
   ) ++ Map[String, (SparkSession, String) => DataFrame](
-    // eta-expansion through a lambda: pqAnnBody is a val declared below
-    // this map (object init order would capture null otherwise)
+    // eta-expansion through a lambda: pqAnnBody/ivfpqAnnBody are vals
+    // declared below this map (object init order would capture null
+    // otherwise)
     "s_pq_ann" -> ((s, dir) => pqAnnBody(s, dir)),
-    "s_pq_recall" -> ((s, dir) => {
+    "s_pq_recall" -> recallOf("s_pq_ann"),
+
+    // IVF-PQ composition — the full production ANN shape: the IVF
+    // probe bounds the CANDIDATE SET (sub-linear: only the probed
+    // cells' vectors are scored) and PQ bounds the SCORING COST (8
+    // codes + a broadcast integer LUT per candidate instead of a
+    // 64-dim float dot). Candidates come from the same unrefined IVF
+    // index s_ivf_ann prices; scores from the same Lloyd-refined
+    // codebook s_pq_ann prices; the recall query prices the composed
+    // loss against brute force.
+    "s_ivfpq_ann" -> ((s, dir) => ivfpqAnnBody(s, dir)),
+    "s_ivfpq_recall" -> recallOf("s_ivfpq_ann")
+  )
+
+  /** recall@K of a sibling ANN query vs the brute-force baseline —
+    * exact integer ratio, both rankings deterministic. */
+  private def recallOf(annName: String): (SparkSession, String) => DataFrame =
+    (s, dir) => {
       val bf = Similarity.queries("s_cosine_topk")(s, dir).select("q", "vec_id")
-      val ann = Similarity.queries("s_pq_ann")(s, dir)
+      val ann = Similarity.queries(annName)(s, dir)
         .select(col("q"), col("vec_id"), lit(1).as("hit"))
       bf.join(ann, Seq("q", "vec_id"), "left")
         .groupBy("q")
         .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
         .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
         .orderBy("q")
-    })
-  )
+    }
 
   /** Build-once half of the IVF index: (centroid table (cid, cv, cn),
     * cell-assigned vector table (vec_id, v, n, cid)). Persist both with
@@ -341,7 +331,10 @@ object Similarity {
   // O(N * M * Ksub) against a constant broadcast; scoring is a linear
   // scan of the code table (compose with IVF cells for sub-linear
   // search — this query prices the PQ term alone).
-  private val pqAnnBody: (SparkSession, String) => DataFrame = ((s, dir) => {
+  /** PQ model pieces — (per-vector codes, per-query integer micro
+    * LUT) — shared by s_pq_ann (full code-table scan) and s_ivfpq_ann
+    * (scoring restricted to the IVF-probed cells). */
+  private def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
       val e = vecs(s, dir)
       val wDraw = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       val trainers = e
@@ -389,15 +382,49 @@ object Similarity {
         .join(cb, "m")
         .select(col("q"), col("m"), col("code"),
           floor(subDot(col("qsub"), col("csub")) * 1000000.0).as("micro")))
-      val scored = codes.join(lut, Seq("m", "code"))
-        .filter(col("vec_id") =!= col("q"))
-        .groupBy("q", "vec_id")
-        .agg(sum(col("micro")).cast("double").as("adc"))
+      (codes, lut)
+  }
+
+  /** top-K per query by the integer-exact ADC score. */
+  private def adcTopk(scored: DataFrame): DataFrame = {
       val w = Window.partitionBy("q").orderBy(col("adc").desc, col("vec_id").asc)
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= K)
         .select("q", "vec_id", "adc", "rn")
         .orderBy("q", "rn")
+  }
+
+  private val pqAnnBody: (SparkSession, String) => DataFrame = ((s, dir) => {
+      val (codes, lut) = pqModel(s, dir)
+      adcTopk(codes.join(lut, Seq("m", "code"))
+        .filter(col("vec_id") =!= col("q"))
+        .groupBy("q", "vec_id")
+        .agg(sum(col("micro")).cast("double").as("adc")))
+    })
+
+  /** IVF-PQ: candidates from the probed IVF cells, scores from the PQ
+    * codes — candidate volume bounded by the probe, per-candidate cost
+    * bounded by the code length. */
+  private val ivfpqAnnBody: (SparkSession, String) => DataFrame = ((s, dir) => {
+      val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
+      val e = vecs(s, dir)
+      val qRaw = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn"))
+      val wProbe = Window.partitionBy("q").orderBy(col("pcos").desc, col("cid").asc)
+      val cand = broadcast(qRaw.join(cents)
+        .select(col("q"), col("cid"),
+          VecOps.cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("pcos"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= NProbe)
+        .select("q", "cid"))
+        .join(assigned.select("vec_id", "cid"), "cid")
+        .filter(col("vec_id") =!= col("q"))
+        .select("q", "vec_id")
+      val (codes, lut) = pqModel(s, dir)
+      adcTopk(cand.join(codes, "vec_id")
+        .join(lut, Seq("q", "m", "code"))
+        .groupBy("q", "vec_id")
+        .agg(sum(col("micro")).cast("double").as("adc")))
     })
 
   /** SQL mirror of [[ivfAnn]]: seed draw named `c0`, optionally chained
@@ -437,6 +464,37 @@ object Similarity {
             CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, vec_id) AS INT) AS rn
           FROM ($from))
         WHERE rn <= $K ORDER BY q, rn"""
+
+  /** The PQ oracle CTE block (trainers → refined codebook → codes →
+    * query LUT) over a corpus CTE named `e` — shared verbatim by
+    * s_pq_ann and s_ivfpq_ann. */
+  private val sqlPqCtes =
+    s"""trainers AS (
+           SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+           FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqKsub),
+         ms AS (SELECT unnest(range(0, $PqM)) AS m),
+         cb0 AS (SELECT trainers.code, ms.m,
+             trainers.v[ms.m * $PqSub + 1 : ms.m * $PqSub + $PqSub] AS csub
+           FROM trainers, ms),
+         ex AS (SELECT e.vec_id, ms.m,
+             e.v[ms.m * $PqSub + 1 : ms.m * $PqSub + $PqSub] AS xsub
+           FROM e, ms)
+         ${sqlPqRefine(LloydIters)},
+         cb AS (SELECT m, code, csub FROM cb$LloydIters),
+         codes AS (SELECT vec_id, m, code FROM (
+             SELECT ex.vec_id, ex.m, cb.code,
+               row_number() OVER (PARTITION BY ex.vec_id, ex.m
+                 ORDER BY ${sqlSubL2("ex.xsub", "cb.csub")} ASC, cb.code ASC) AS ern
+             FROM ex JOIN cb ON ex.m = cb.m) WHERE ern = 1),
+         lut AS (SELECT qs.vec_id AS q, qs.m, cb.code,
+             CAST(floor((${sqlSubDot("qs.xsub", "cb.csub")}) * 1000000.0) AS BIGINT) AS micro
+           FROM (SELECT * FROM ex WHERE vec_id < $NQueries) qs JOIN cb ON qs.m = cb.m)"""
+
+  private val sqlAdcTopk =
+    s"""SELECT q, vec_id, adc, rn FROM (
+           SELECT q, vec_id, adc,
+             CAST(row_number() OVER (PARTITION BY q ORDER BY adc DESC, vec_id) AS INT) AS rn
+           FROM scored) WHERE rn <= $K ORDER BY q, rn"""
 
   private val oracleBase: Map[String, String] = Map(
     "s_cosine_topk" -> sqlTopk(
@@ -478,33 +536,41 @@ object Similarity {
 
     "s_pq_ann" ->
       s"""WITH e AS ($sqlVecs),
-         trainers AS (
-           SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
-           FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqKsub),
-         ms AS (SELECT unnest(range(0, $PqM)) AS m),
-         cb0 AS (SELECT trainers.code, ms.m,
-             trainers.v[ms.m * $PqSub + 1 : ms.m * $PqSub + $PqSub] AS csub
-           FROM trainers, ms),
-         ex AS (SELECT e.vec_id, ms.m,
-             e.v[ms.m * $PqSub + 1 : ms.m * $PqSub + $PqSub] AS xsub
-           FROM e, ms)
-         ${sqlPqRefine(LloydIters)},
-         cb AS (SELECT m, code, csub FROM cb$LloydIters),
-         codes AS (SELECT vec_id, m, code FROM (
-             SELECT ex.vec_id, ex.m, cb.code,
-               row_number() OVER (PARTITION BY ex.vec_id, ex.m
-                 ORDER BY ${sqlSubL2("ex.xsub", "cb.csub")} ASC, cb.code ASC) AS ern
-             FROM ex JOIN cb ON ex.m = cb.m) WHERE ern = 1),
-         lut AS (SELECT qs.vec_id AS q, qs.m, cb.code,
-             CAST(floor((${sqlSubDot("qs.xsub", "cb.csub")}) * 1000000.0) AS BIGINT) AS micro
-           FROM (SELECT * FROM ex WHERE vec_id < $NQueries) qs JOIN cb ON qs.m = cb.m),
+         $sqlPqCtes,
          scored AS (SELECT lut.q, codes.vec_id, CAST(sum(lut.micro) AS DOUBLE) AS adc
            FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.code
            WHERE codes.vec_id <> lut.q GROUP BY lut.q, codes.vec_id)
-         SELECT q, vec_id, adc, rn FROM (
-           SELECT q, vec_id, adc,
-             CAST(row_number() OVER (PARTITION BY q ORDER BY adc DESC, vec_id) AS INT) AS rn
-           FROM scored) WHERE rn <= $K ORDER BY q, rn"""
+         $sqlAdcTopk""",
+
+    // IVF-PQ: the probe/assignment CTEs of s_ivf_ann (unrefined seed)
+    // generate the candidate set; the PQ CTEs of s_pq_ann score it
+    "s_ivfpq_ann" ->
+      s"""WITH e AS ($sqlVecs),
+         c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
+         assigned AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS arn
+             FROM e, c0) WHERE arn = 1),
+         probes AS (
+           SELECT q, cid FROM (
+             SELECT e.vec_id AS q, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS prn
+             FROM e, c0 WHERE e.vec_id < $NQueries) WHERE prn <= $NProbe),
+         cand AS (SELECT probes.q, assigned.vec_id
+           FROM probes JOIN assigned USING (cid)
+           WHERE assigned.vec_id <> probes.q),
+         $sqlPqCtes,
+         scored AS (SELECT cand.q, cand.vec_id, CAST(sum(lut.micro) AS DOUBLE) AS adc
+           FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+           JOIN lut ON lut.q = cand.q AND lut.m = codes.m AND lut.code = codes.code
+           GROUP BY cand.q, cand.vec_id)
+         $sqlAdcTopk"""
   )
 
   private def sqlRecall(annName: String) =
@@ -519,5 +585,6 @@ object Similarity {
     ("s_ann_recall" -> sqlRecall("s_lsh_ann")) +
     ("s_ivf_recall" -> sqlRecall("s_ivf_ann")) +
     ("s_ivf_kmeans_recall" -> sqlRecall("s_ivf_kmeans")) +
-    ("s_pq_recall" -> sqlRecall("s_pq_ann"))
+    ("s_pq_recall" -> sqlRecall("s_pq_ann")) +
+    ("s_ivfpq_recall" -> sqlRecall("s_ivfpq_ann"))
 }
