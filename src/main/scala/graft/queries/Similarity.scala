@@ -262,14 +262,23 @@ object Similarity {
         .orderBy("q")
     }
 
+  private val ivfCache = collection.mutable
+    .Map.empty[(SparkSession, String, Boolean), (DataFrame, DataFrame)]
+
   /** Build-once half of the IVF index: (centroid table (cid, cv, cn),
     * cell-assigned vector table (vec_id, v, n, cid)). Persist both with
     * [[graft.sources.AnnIndexStore]] and the index becomes a standing
     * artifact — the nightly build runs once, every query session
     * reloads the cells (cid-partitioned on storage, so a probe reads
-    * only its cells' directories) and calls [[queryIvf]]. */
+    * only its cells' directories) and calls [[queryIvf]].
+    *
+    * Memoized per (session, corpus, refine) and released with the "s"
+    * family scope: s_ivf_ann, s_ivf_recall and s_ivfpq_ann all consume
+    * the same assignment — in one session the O(N*K) build runs once,
+    * not three times. */
   def buildIvfIndex(s: SparkSession, dir: String,
-      refine: Boolean = false): (DataFrame, DataFrame) = {
+      refine: Boolean = false): (DataFrame, DataFrame) = synchronized {
+    ivfCache.getOrElseUpdate((s, dir, refine), {
       val e = vecs(s, dir)
       val seed = e
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -283,7 +292,15 @@ object Similarity {
         .withColumn("arn", row_number().over(wAssign))
         .filter(col("arn") === 1)
         .select("vec_id", "v", "n", "cid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assigned.count()
+      graft.CacheBook.register(s, "s") { () =>
+        Similarity.synchronized { ivfCache.remove((s, dir, refine)) }
+        assigned.unpersist(false)
+        ()
+      }
       (cents, assigned)
+    })
   }
 
   /** Query-many half: probe the NProbe nearest cells per query, exact
@@ -331,10 +348,29 @@ object Similarity {
   // O(N * M * Ksub) against a constant broadcast; scoring is a linear
   // scan of the code table (compose with IVF cells for sub-linear
   // search — this query prices the PQ term alone).
+  private val pqCache = collection.mutable
+    .Map.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
   /** PQ model pieces — (per-vector codes, per-query integer micro
     * LUT) — shared by s_pq_ann (full code-table scan) and s_ivfpq_ann
-    * (scoring restricted to the IVF-probed cells). */
-  private def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    * (scoring restricted to the IVF-probed cells). Memoized per
+    * (session, corpus), released with the "s" family scope: the Lloyd
+    * loop + encoding is the expensive half of every PQ query. */
+  private def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    synchronized { pqCache.getOrElseUpdate((s, dir), {
+      val (codes, lut) = pqModelBody(s, dir)
+      val codesP = codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lutP = lut.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codesP.count(); lutP.count()
+      graft.CacheBook.register(s, "s") { () =>
+        Similarity.synchronized { pqCache.remove((s, dir)) }
+        codesP.unpersist(false); lutP.unpersist(false)
+        ()
+      }
+      (codesP, lutP)
+    }) }
+
+  private def pqModelBody(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
       val e = vecs(s, dir)
       val wDraw = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       val trainers = e

@@ -59,10 +59,18 @@ object CuratePipeline {
     val pairs = graft.queries.Dedup.lshPairs(sh, minJac = 0.5).select("a", "b")
     // transitive cluster-keep (standard corpus-dedup semantics: one
     // canonical doc per connected near-dup component, not per pair —
-    // a chain a~b~c keeps only min(a,b,c) even if a!~c directly)
+    // a chain a~b~c keeps one of {a,b,c} even if a!~c directly).
+    // Canonical = the highest-QUALITY member (the x_canon contract:
+    // quality desc, ties to min doc_id) — selection by score, not by
+    // id; the score is stage 1's quality column, already on every row.
     val labels = graft.operators.ConnectedComponents.run(pairs)
-    val dupIds = labels.filter(col("id") =!= col("cluster"))
-      .select(col("id").as("doc_id"))
+    val withQ = labels.join(
+      exact.select(col("doc_id").as("id"), col("quality")), "id")
+    val keepIds = withQ.groupBy("cluster")
+      .agg(max(struct(col("quality"), (-col("id")).as("nid"))).as("m"))
+      .select((-col("m.nid")).as("doc_id"))
+    val dupIds = labels.select(col("id").as("doc_id"))
+      .join(keepIds, Seq("doc_id"), "left_anti")
     val near = exact.join(dupIds, Seq("doc_id"), "left_anti")
     stages += "after_near_dedup" -> near.count()
 

@@ -31,8 +31,10 @@ class CuratePipelineSpec extends SparkSpec {
     assert(stages("input") == 5L)
     assert(stages("after_quality") == 4L, "doc 5 fails quality")
     assert(stages("after_exact_dedup") == 3L, "doc 2 is an exact dup of 1")
-    // near-dedup clusters {1,3} -> keep 1; 4 untouched
-    assert(kept == Set(1L, 4L), s"got $kept")
+    // near-dedup clusters {1,3} -> canonical selection keeps the
+    // higher-QUALITY member (doc 3: one extra word = higher length
+    // score), not the min id; 4 untouched
+    assert(kept == Set(3L, 4L), s"got $kept")
 
     // export stage: every curated doc gets a split + (shard, bin), and
     // they agree with the oracle-verified x_split/x_pack hash contracts
