@@ -46,7 +46,12 @@ object Int8Quantize {
     var i = 0
     while (i < n) {
       val a = math.abs(v.getDouble(i))
-      if (a > mx) mx = a
+      // NaN must PROPAGATE to the max (Spark's array_max and DuckDB's
+      // list max both order NaN above every value) — a bare `a > mx`
+      // is false for NaN and would silently quantize the finite
+      // components while the documented-equivalent formulas return an
+      // all-NaN vector
+      if (a > mx || java.lang.Double.isNaN(a)) mx = a
       i += 1
     }
     val out = new Array[Double](n)

@@ -245,18 +245,23 @@ object Dedup {
   }
 
   private val bandCache =
-    collection.mutable.Map.empty[(SparkSession, java.lang.Integer), DataFrame]
+    collection.mutable.Map.empty[(SparkSession, Int, Int), DataFrame]
 
   /** Memoized band table per (session, shingle-relation identity):
     * the signature aggregation (explode → 8-way min) is the expensive
     * half of the LSH build, and THREE consumers walk it — lshPairs
     * (self-join: both sides), lshPairsIncremental (probe + standing
     * sides), and the d_* family runs several of them per session.
-    * Keyed on the shingle frame's semantic hash; released with the "d"
-    * family scope. */
+    * Keyed on the shingle frame's PLAN IDENTITY and semantic hash
+    * together — the memoized shingleSets relation is one object per
+    * (session, corpus), so identity alone discriminates the gate
+    * consumers, and requiring both to collide makes a silent
+    * wrong-table reuse (the failure mode of a bare int hash)
+    * practically impossible. Released with the "d" family scope. */
   private def bandsMemo(sh: DataFrame): DataFrame = synchronized {
     val s = sh.sparkSession
-    val key = (s, Integer.valueOf(sh.semanticHash()))
+    val key = (s, System.identityHashCode(sh.queryExecution.logical),
+      sh.semanticHash())
     bandCache.getOrElseUpdate(key, {
       val b = bandsOf(sh)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

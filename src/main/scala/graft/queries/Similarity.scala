@@ -284,7 +284,13 @@ object Similarity {
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(NCentroids)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn"))
-      val cents = broadcast(if (refine) refineCentroids(e, seed) else seed)
+      // persist the K-row centroid table too: for refine=true its
+      // lineage is the whole Lloyd loop over the corpus, and every
+      // consumer that broadcasts cents would otherwise re-run it
+      val cents0 = (if (refine) refineCentroids(e, seed) else seed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cents0.count()
+      val cents = broadcast(cents0)
       val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
       val assigned = e.join(cents)
         .select(col("vec_id"), col("label"), col("v"), col("n"), col("cid"),
@@ -296,7 +302,7 @@ object Similarity {
       assigned.count()
       graft.CacheBook.register(s, "s") { () =>
         Similarity.synchronized { ivfCache.remove((s, dir, refine)) }
-        assigned.unpersist(false)
+        assigned.unpersist(false); cents0.unpersist(false)
         ()
       }
       (cents, assigned)

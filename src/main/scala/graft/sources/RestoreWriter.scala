@@ -28,6 +28,13 @@ object RestoreWriter {
     val deferred = order.collect { case (t, true) => t }
     val sb = new StringBuilder
     sb ++= "BEGIN;\n"
+    // SqlWriter renders timestamps as ZONELESS literals in the dump
+    // session's zone (graft sessions pin UTC); DdlWriter maps Spark
+    // TimestampType to timestamptz, where PostgreSQL interprets a
+    // zoneless literal in the CLIENT's TimeZone — without pinning it,
+    // a restore from a non-UTC client shifts every instant by the
+    // client's offset.
+    sb ++= "SET TIME ZONE 'UTC';\n"
     if (deferred.nonEmpty)
       sb ++= s"SET CONSTRAINTS ALL DEFERRED; -- cycle tables: ${deferred.mkString(", ")}\n"
     order.foreach { case (t, isDeferred) =>

@@ -36,16 +36,25 @@ object CorpusReport {
           c -> (if (r.isNullAt(i)) "null" else r.get(i).toString)
         }.toMap)
     }
+    // control chars must be escaped too (a raw newline inside a string
+    // value is invalid JSON — same rule Bench's serializer applies)
+    def jstr(v: String): String =
+      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1F]", " ") + "\""
     def jsonRows(rows: Seq[Map[String, String]]): String =
       rows.map(_.toSeq.sortBy(_._1).map { case (k, v) =>
-        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        jstr(k) + ":" + jstr(v)
       }.mkString("{", ",", "}")).mkString("[", ",", "]")
 
+    // pair sets are corpus-sized relations: COUNT them distributed,
+    // never collect the rows to the driver just to take .size
+    def countOf(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).count().toString
     val sections = Seq(
       "sources" -> jsonRows(rowsOf("x_corpus_stats")),
       "near_dup_pairs" -> jsonRows(Seq(Map(
-        "minhash_lsh" -> rowsOf("d_minhash_lsh").size.toString,
-        "blocked_jaccard" -> rowsOf("d_ngram_jaccard").size.toString))),
+        "minhash_lsh" -> countOf("d_minhash_lsh"),
+        "blocked_jaccard" -> countOf("d_ngram_jaccard")))),
       "dq_profile" -> jsonRows(rowsOf("q_dq_profile")))
     val json = sections.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -74,8 +74,16 @@ object CuratePipeline {
     val near = exact.join(dupIds, Seq("doc_id"), "left_anti")
     stages += "after_near_dedup" -> near.count()
 
-    // 5. token stats on the curated set
+    // 5. token stats on the curated set. MATERIALIZE the survivors and
+    // release the build-side caches: lshPairs memoizes a persisted band
+    // table per shingle frame (scope "d"), and a long-lived session
+    // running curate() nightly would otherwise grow the block store by
+    // one band table per run — the monotonic-growth mode CacheBook
+    // exists to prevent. The checkpoint cuts the curated frame's
+    // lineage first, so the release can't force a rebuild downstream.
     val curated = near.withColumn("n_tokens", size(split(col("text"), " ")))
+      .localCheckpoint(true)
+    graft.CacheBook.release(spark, "d")
     (curated, stages.toMap)
   }
 

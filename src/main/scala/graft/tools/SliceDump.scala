@@ -35,6 +35,10 @@ object SliceDump {
       // per-invocation pepper (reference cli/main.py parity); must land
       // before the scrub config builds its transform Columns below
       case "--pepper" :: p :: tl => graft.functions.Transforms.setPepper(p); tl
+      // a trailing valueless flag must fail loudly, not be swallowed
+      // into the (table, condition) pair list
+      case flag :: Nil if flag.startsWith("--") =>
+        sys.error(s"$flag requires a value"); Nil
       case a :: tl              => pairArgs += a; tl
       case Nil                  => Nil
     }

@@ -24,6 +24,7 @@ object TransformField {
     // cli/main.py, not only an environment fact)
     val pi = args.indexOf("--pepper")
     val rest = if (pi >= 0) {
+      require(pi + 1 < args.length, "--pepper requires a value")
       Transforms.setPepper(args(pi + 1))
       args.take(pi) ++ args.drop(pi + 2)
     } else args

@@ -14,7 +14,11 @@ class DedupIncrementalSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val full = queries.Dedup.queries("d_minhash_lsh")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val t = full.flatMap(p => Seq(p._1, p._2)).max * 4 / 5
+    // the SAME threshold derivation as the d_incremental query (max
+    // doc_id over the corpus, not over pair endpoints — those differ
+    // whenever the highest doc_id is in no pair)
+    val t = Tables.load(spark, dir, "documents")
+      .agg(max("doc_id")).head().getLong(0) * 4 / 5
     val expected = full.filter(p => p._1 >= t || p._2 >= t).toSet
     val inc = queries.Dedup.queries("d_incremental")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

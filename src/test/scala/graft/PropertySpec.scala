@@ -100,6 +100,12 @@ class PropertySpec extends AnyFunSuite {
           java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
         }
     })
+    // NaN poisons the max in the reference formulas (array_max /
+    // list max order NaN above everything) → all-NaN output; the tight
+    // loop must agree, not quantize the finite components
+    val got = graft.functions.Int8Quantize
+      .eval(new GenericArrayData(Array(1.0, Double.NaN, -3.0))).toDoubleArray()
+    assert(got.forall(_.isNaN), got.toSeq.toString)
   }
 
   test("jvmMd5Idx stays within [0, 16^k)") {
