@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.Dedup
+import graft.sources.LshIndexStore
+
+/** The standing LSH index round-trips through parquet: reloaded bands
+  * produce the same probe candidates as the in-session build, and an
+  * appended batch is visible to the next probe. */
+class LshIndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def index(texts: Seq[(Long, String)]): (DataFrame, DataFrame) = {
+    val sh = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingleHashCol(col("text")).as("sh"))
+    (sh, Dedup.streamBands(sh).select("doc_id", "bi", "bk"))
+  }
+
+  test("standing index round-trips; probes and appends stay consistent") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different document about spark and shuffles here"),
+      (3L, "numbers one two three four five six seven eight nine"))
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "nothing in common with anything stored so far at all"))
+    val (sh, bands) = index(corpus)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    LshIndexStore.write(tmp, sh, bands)
+    val (sh2, bands2) = LshIndexStore.read(spark, tmp)
+    assert(sh2.as[(Long, Seq[Long])].collect().toSet
+      == sh.as[(Long, Seq[Long])].collect().toSet)
+
+    val (bsh, bbands) = index(batch)
+    def candidates(standing: DataFrame): Set[(Long, Long)] =
+      bbands.as("x").join(standing.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk"))
+        .select(col("y.doc_id").as("a"), col("x.doc_id").as("b"))
+        .as[(Long, Long)].collect().toSet
+    val fresh = candidates(bands)
+    assert(candidates(bands2) == fresh)
+    assert(fresh.contains((1L, 10L)), s"near-dup probe must hit: $fresh")
+
+    // the post-ingest append: next probe sees the landed batch
+    LshIndexStore.append(tmp, bsh, bbands)
+    val (_, bands3) = LshIndexStore.read(spark, tmp)
+    assert(bands3.count() == bands.count() + bbands.count())
+  }
+}
