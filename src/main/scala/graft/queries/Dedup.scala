@@ -294,13 +294,23 @@ object Dedup {
   private def verifyPairs(sh: DataFrame, cand: DataFrame, minJac: Double): DataFrame = {
     val sa = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
     val sb = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
-    cand.join(sa, "a").join(sb, "b")
-      .select(col("a"), col("b"), sortedInter(col("sha"), col("shb")).as("inter"),
-        size(col("sha")).as("sa"), size(col("shb")).as("sb"))
+    jaccardVerified(cand.join(sa, "a").join(sb, "b"),
+      col("sha"), col("shb"), minJac)
+  }
+
+  /** The verify column chain itself — staged (inter, |A|, |B|)
+    * projection (the intersect computes ONCE per pair), threshold
+    * filter, then (a, b, jac). Shared by the batch [[verifyPairs]] and
+    * the streaming ingest probe (st_ingest_dedup), so there is exactly
+    * one Jaccard formula to hold to the oracles. */
+  private[queries] def jaccardVerified(joined: DataFrame, shA: Column,
+      shB: Column, minJac: Double): DataFrame =
+    joined
+      .select(col("a"), col("b"), sortedInter(shA, shB).as("inter"),
+        size(shA).as("sa"), size(shB).as("sb"))
       .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= minJac)
       .select(col("a"), col("b"),
         (col("inter") / (col("sa") + col("sb") - col("inter"))).as("jac"))
-  }
 
   private val exactCache =
     collection.mutable.Map.empty[(SparkSession, String), DataFrame]

@@ -316,20 +316,26 @@ object Similarity {
   def queryIvf(s: SparkSession, dir: String, cents0: DataFrame,
       assigned: DataFrame): DataFrame = {
       val e = vecs(s, dir)
-      val cents = broadcast(cents0)
+      val probes = probeCells(e, broadcast(cents0))
+      topk(probes.join(assigned, "cid")
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
+  }
+
+  /** NProbe nearest cells per query, with the query vector along for
+    * the ride — the probe half shared by [[queryIvf]] (in-cell exact
+    * cosine needs qv/qn) and the IVF-PQ body (cell ids only). */
+  private def probeCells(e: DataFrame, cents: DataFrame): DataFrame = {
       val qRaw = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn"))
       val wProbe = Window.partitionBy("q").orderBy(col("pcos").desc, col("cid").asc)
-      val probes = broadcast(qRaw.join(cents)
+      broadcast(qRaw.join(cents)
         .select(col("q"), col("qv"), col("qn"), col("cid"),
           VecOps.cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("pcos"))
         .withColumn("prn", row_number().over(wProbe))
         .filter(col("prn") <= NProbe)
         .select("q", "qv", "qn", "cid"))
-      topk(probes.join(assigned, "cid")
-        .filter(col("vec_id") =!= col("q"))
-        .select(col("q"), col("vec_id"),
-          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
   }
 
   /** Shared IVF body: fixed-K hash-ordered centroid draw, optionally
@@ -449,16 +455,7 @@ object Similarity {
     * bounded by the code length. */
   private val ivfpqAnnBody: (SparkSession, String) => DataFrame = ((s, dir) => {
       val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
-      val e = vecs(s, dir)
-      val qRaw = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn"))
-      val wProbe = Window.partitionBy("q").orderBy(col("pcos").desc, col("cid").asc)
-      val cand = broadcast(qRaw.join(cents)
-        .select(col("q"), col("cid"),
-          VecOps.cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("pcos"))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= NProbe)
-        .select("q", "cid"))
+      val cand = probeCells(vecs(s, dir), cents).select("q", "cid")
         .join(assigned.select("vec_id", "cid"), "cid")
         .filter(col("vec_id") =!= col("q"))
         .select("q", "vec_id")

@@ -86,23 +86,17 @@ object StreamingQueries {
       val name = synchronized { runId += 1; s"st_ingest_dedup_$runId" }
       val t = graft.Tables.load(s, dir, "documents")
         .agg(max("doc_id")).head().getLong(0) * 4 / 5
-      val docsSchema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
-      val newDocs = s.readStream.schema(docsSchema)
+      val newDocs = s.readStream.schema(StreamingOps.docsRawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(col("doc_id") >= t)
         .select(col("doc_id"), Dedup.shingleHashCol(col("text")).as("sh"))
       val probes = Dedup.streamBands(newDocs)
       val standing = Dedup.standingIndex(s, dir, t)
-      val verified = probes.join(standing, Seq("bi", "bk"))
-        .select(col("old_id").as("a"), col("doc_id").as("b"),
-          Dedup.sortedInter(col("old_sh"), col("sh")).as("inter"),
-          size(col("old_sh")).as("sa"), size(col("sh")).as("sb"))
-        .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= 0.2)
-        .select(col("a"), col("b"),
-          (col("inter") / (col("sa") + col("sb") - col("inter"))).as("jac"))
+      val verified = Dedup.jaccardVerified(
+          probes.join(standing, Seq("bi", "bk"))
+            .select(col("old_id").as("a"), col("doc_id").as("b"),
+              col("old_sh"), col("sh")),
+          col("old_sh"), col("sh"), minJac = 0.2)
         .dropDuplicates("a", "b")
       StreamingOps.runToMemory(s, verified, name,
           org.apache.spark.sql.streaming.OutputMode.Append())

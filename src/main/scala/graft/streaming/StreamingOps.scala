@@ -26,6 +26,14 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** documents schema as stored — the ingest-dedup stream's source. */
+  val docsRawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   /** File-source stream over the events parquet with proper timestamps. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
