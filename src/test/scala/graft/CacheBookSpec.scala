@@ -35,6 +35,22 @@ class CacheBookSpec extends SparkSpec {
     CacheBook.releaseAll(spark)
   }
 
+  test("released similarity memos (IVF index + PQ model) rebuild identically") {
+    // guards the round-5 ivfCache/pqCache release path: after release
+    // the memo maps must be empty (not holding dead persisted handles)
+    // and a re-run rebuilds to the same answer
+    val ivf = queries.Similarity.queries("s_ivfpq_ann")
+    val before = ivf(spark, dir).collect().map(_.toSeq).toSeq
+    assert(before.nonEmpty)
+    assert(CacheBook.liveScopes(spark).contains("s"))
+    CacheBook.release(spark, "s")
+    assert(!CacheBook.liveScopes(spark).contains("s"))
+    val after = ivf(spark, dir).collect().map(_.toSeq).toSeq
+    assert(after == before)
+    assert(CacheBook.liveScopes(spark).contains("s"))
+    CacheBook.releaseAll(spark)
+  }
+
   test("release tolerates unknown scopes and double release") {
     CacheBook.release(spark, "no-such-scope")
     CacheBook.releaseAll(spark)
