@@ -26,10 +26,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Serializes the session-wide shuffle-width override across
+    * concurrent component runs (Verify executes queries on a thread
+    * pool): without it two overlapping runs can capture each other's
+    * temporary value as `prev` and leave the session pinned at the CC
+    * width for every later query. Re-entrant, so callers that scope the
+    * width around a run() (Dedup.clusterLabels) can hold it too. */
+  private[graft] val confLock = new Object
+
   /** @param edges two-column DataFrame of undirected edges (a, b).
     * @return (id, cluster) for every node that appears in an edge;
     *   cluster = min node id of the component. */
-  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = confLock.synchronized {
     // EAGERLY materialize the directed input first: callers hand in
     // expensive pipelines (e.g. blocked pairwise similarity joins), and
     // the forward ∪ reversed union below references it twice. A lazy
@@ -165,7 +173,7 @@ object ConnectedComponents {
     * dense, tiny-diameter graphs near-dup clustering produces (fewer
     * joins per round); this is the scale path for chain-shaped or
     * adversarial graphs — pick per workload. */
-  def runStars(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def runStars(edges: DataFrame, maxIter: Int = 50): DataFrame = confLock.synchronized {
     val spark = edges.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)

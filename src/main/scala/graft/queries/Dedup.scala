@@ -275,7 +275,10 @@ object Dedup {
     })
   }
 
-  /** 8 minhash signatures → 4 bands x 2 rows per doc. */
+  /** 8 minhash signatures → 4 bands x 2 rows per doc. The 4 band rows
+    * come off ONE pass over the signature aggregate (explode of a
+    * 4-struct array) — a 4-way union of selects would re-walk the
+    * aggregation per branch unless exchange reuse happens to fire. */
   private def bandsOf(sh: DataFrame): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     def hj(j: Int): Column =
@@ -283,10 +286,12 @@ object Dedup {
     val sig = ex.groupBy("doc_id").agg(
       min(hj(0)).as("m0"),
       (1 until 8).map(j => min(hj(j)).as(s"m$j")): _*)
-    (0 until 4).map { bi =>
-      sig.select(col("doc_id"), lit(bi).as("bi"),
+    val bandArr = array((0 until 4).map { bi =>
+      struct(lit(bi).as("bi"),
         concat_ws(":", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("bk"))
-    }.reduce(_ union _)
+    }: _*)
+    sig.select(col("doc_id"), explode(bandArr).as("band"))
+      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bk").as("bk"))
   }
 
   /** Exact-Jaccard verify of candidate (a, b) pairs against the shingle
@@ -427,6 +432,25 @@ object Dedup {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXPLICIT family build — materializes every memoized relation the
+    // d_* queries share (shingle sets, band table, Jaccard pairs,
+    // exact pairs, the clustering edge union) as its own priced entry,
+    // so the queries that follow measure their OWN work instead of
+    // absorbing whichever build they happen to touch first. At 100 TB
+    // these are standing artifacts (LshIndexStore), not query latency.
+    // Returns build-size counts the oracle recomputes exactly.
+    "d_build" -> ((s, dir) => {
+      import s.implicits._
+      val nSh = shingleSets(s, dir).count()
+      val nBand = bandsMemo(shingleSets(s, dir)).count()
+      val nJac = jaccardPairs(s, dir).count()
+      val nEx = exactPairs(s, dir).count()
+      clusterEdges(s, dir)
+      Seq(("band_rows", nBand), ("exact_pairs", nEx),
+        ("jaccard_pairs", nJac), ("shingle_docs", nSh))
+        .toDF("item", "n").orderBy("item")
+    }),
+
     // exact dedup: normalize -> hash -> group; emit (doc, canonical).
     "d_exact" -> ((s, dir) => exactPairs(s, dir).orderBy("doc_id")),
 
@@ -636,12 +660,16 @@ object Dedup {
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
     synchronized { labelCache.getOrElseUpdate((s, dir), {
       // key-only traffic: scope the shuffle width like the CC loop does
-      // (the eager checkpoint below materializes everything in-scope)
-      val widthKey = "spark.sql.shuffle.partitions"
-      val prevWidth = s.conf.get(widthKey)
-      s.conf.set(widthKey, sys.env.getOrElse("SPARK_GRAFT_CC_PARTITIONS", "8"))
-      try book(s, dir, "x", labelCache, clusterLabelsBody(s, dir), checkpointed = true)
-      finally s.conf.set(widthKey, prevWidth)
+      // (the eager checkpoint below materializes everything in-scope);
+      // confLock serializes the override with concurrent CC runs —
+      // re-entrant, so the run() inside the body locks again safely
+      ConnectedComponents.confLock.synchronized {
+        val widthKey = "spark.sql.shuffle.partitions"
+        val prevWidth = s.conf.get(widthKey)
+        s.conf.set(widthKey, sys.env.getOrElse("SPARK_GRAFT_CC_PARTITIONS", "8"))
+        try book(s, dir, "x", labelCache, clusterLabelsBody(s, dir), checkpointed = true)
+        finally s.conf.set(widthKey, prevWidth)
+      }
     }) }
 
   private def clusterLabelsBody(s: SparkSession, dir: String): DataFrame = {
@@ -794,6 +822,20 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = oracleBase +
+    // build-size counts: band rows = 4 per doc with a non-empty shingle
+    // set; pair counts re-derive from the same pipelines the pair
+    // queries answer to
+    ("d_build" ->
+      s"""SELECT 'band_rows' AS item,
+           (SELECT CAST(4 * count(DISTINCT doc_id) AS BIGINT)
+            FROM (SELECT doc_id, unnest(sh) AS s FROM ($sqlShingleSets))) AS n
+         UNION ALL SELECT 'exact_pairs',
+           (SELECT CAST(count(*) AS BIGINT) FROM (${oracleBase("d_exact")}))
+         UNION ALL SELECT 'jaccard_pairs',
+           (SELECT CAST(count(*) AS BIGINT) FROM (${oracleBase("d_ngram_jaccard")}))
+         UNION ALL SELECT 'shingle_docs',
+           (SELECT CAST(count(*) AS BIGINT) FROM ($sqlShingleSets))
+         ORDER BY item""") +
     // both clustering strategies answer to the same transitive-closure SQL
     ("d_cluster_stars" -> oracleBase("d_cluster")) +
     // canonical pick = the d_cluster closure joined to the x_quality
