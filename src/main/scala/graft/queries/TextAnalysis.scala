@@ -234,11 +234,11 @@ object TextAnalysis {
     // BPE merge learning — tokenizer training on the corpus the model
     // will train on: top-10 merges by frequency-weighted adjacent-pair
     // count over the word-frequency table (corpus collapses to distinct
-    // words + counts first; all iterations run vocab-sized). k iterated
-    // argmax + greedy re-merge steps are not expressible as one SQL
-    // query, so there is no DuckDB oracle — correctness is held by
-    // BpeVocabSpec's naive-reference equivalence (ties, overlap rule,
-    // weighting); the driver records the weaker rows-only check.
+    // words + counts first; all iterations run vocab-sized). The k
+    // iterated argmax + greedy re-merge steps unroll into k chained
+    // CTE stages ([[sqlBpeMerges]]) for the DuckDB oracle;
+    // BpeVocabSpec's naive-reference equivalence additionally holds
+    // ties, the overlap rule, and weighting.
     "x_bpe_merges" -> ((s, dir) => {
       import s.implicits._
       graft.operators.BpeVocab.learn(docs(s, dir), "text", 10)
@@ -411,6 +411,46 @@ object TextAnalysis {
                ORDER BY tf DESC, df ASC, term ASC) AS INT) AS rank
            FROM tf JOIN df USING (term))
          SELECT doc_id, rank, term, tf, df FROM ranked
-         WHERE rank <= 3 ORDER BY doc_id, rank"""
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "x_bpe_merges" -> sqlBpeMerges(10)
   )
+
+  /** Generated k-stage BPE oracle mirroring [[graft.operators.BpeVocab]]:
+    * stage i counts adjacent pairs over the stage-(i-1) vocab (weighted
+    * by word frequency), argmaxes with the (cnt DESC, l, r) tie-break,
+    * and greedily re-merges. The greedy LEFT-TO-RIGHT NON-OVERLAPPING
+    * re-merge is the part SQL can't express over arrays directly, so
+    * each word rides as a STRING with every symbol wrapped in a
+    * separator char (chr(31), absent from the corpus): the wrapped form
+    * of the pair, 'lr', can only match at whole-symbol
+    * boundaries, and SQL replace() — which scans left to right and
+    * resumes after each replacement — IS the greedy non-overlapping
+    * rule (verified against mergePair on the 'aaa'/'aaaa' overlap
+    * cases). */
+  private def sqlBpeMerges(k: Int): String = {
+    val US = "chr(31)"
+    val v0 =
+      s"""v0 AS (SELECT $US || array_to_string(
+             list_transform(range(1, length(w) + 1), i -> w[CAST(i AS INT)]),
+             $US || $US) || $US AS s, n
+           FROM (SELECT w, count(*) AS n
+             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             WHERE length(w) > 0 GROUP BY w))"""
+    val stages = (1 to k).map { i =>
+      s"""a$i AS (SELECT string_split(trim(s, $US), $US || $US) AS syms, s, n
+           FROM v${i - 1}),
+         pc$i AS (SELECT syms[CAST(t.i AS INT)] AS l, syms[CAST(t.i + 1 AS INT)] AS r,
+             CAST(sum(n) AS BIGINT) AS cnt
+           FROM a$i, unnest(range(1, len(syms))) AS t(i) GROUP BY l, r),
+         m$i AS (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         v$i AS (SELECT replace(a.s, $US || m.l || $US || $US || m.r || $US,
+             $US || m.l || m.r || $US) AS s, a.n
+           FROM a$i a, m$i m)"""
+    }.mkString(",\n")
+    val ranks = (1 to k).map(i =>
+      s"""SELECT $i AS rank, l AS "left", r AS "right", cnt FROM m$i""")
+      .mkString(" UNION ALL ")
+    s"WITH $v0,\n$stages\nSELECT * FROM ($ranks) ORDER BY rank"
+  }
 }

@@ -18,13 +18,8 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("every registered query has an oracle") {
-    // rows-only exceptions need a reason here, not just an omission:
-    // x_bpe_merges is k iterated argmax+re-merge steps — not one SQL
-    // query; its correctness gate is BpeVocabSpec's naive-reference
-    // equivalence, and the driver records the weaker rows-only check
-    val rowsOnly = Set("x_bpe_merges")
     val missing =
-      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
