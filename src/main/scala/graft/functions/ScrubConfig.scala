@@ -11,13 +11,21 @@ import org.apache.spark.sql.functions.col
   * column→transform mapping) applied during a dump
   * (slice_db/transform.py). JSON:
   * {{{
-  * { "tables": { "customer": { "c_name": "given_name",
+  * { "transforms": { "member_name": "given_name" },
+  *   "tables": { "customer": { "c_name": "member_name",
   *                             "c_acctbal": "null" } } }
   * }}}
-  * Transform names resolve from [[Transforms.byName]]; unknown names
-  * fail fast at parse time, like the reference's registry lookup.
+  * A column maps to a transform INSTANCE: either a name declared in the
+  * optional "transforms" section (instance name → transform type) or a
+  * bare type name, which is its own instance. The instance name scopes
+  * the pepper — the effective pepper is `pepper + instanceName`, the
+  * reference's per-instance derivation (slice_db/transform.py:43-44) —
+  * so two instances of the same type scrub the same value differently,
+  * and renaming an instance re-keys its output. Unknown names fail fast
+  * at parse time, like the reference's registry lookup.
   */
-final case class ScrubConfig(tables: Map[String, Map[String, String]]) {
+final case class ScrubConfig(tables: Map[String, Map[String, String]],
+    transforms: Map[String, String] = Map.empty) {
 
   /** Scrub one table's rows: configured columns are transformed in
     * place (cast back to their original type where the transform is
@@ -28,7 +36,7 @@ final case class ScrubConfig(tables: Map[String, Map[String, String]]) {
       case Some(cols) =>
         val out = df.schema.fields.map { f =>
           cols.get(f.name) match {
-            case Some(name) => ScrubConfig.resolve(name)(col(f.name)).as(f.name)
+            case Some(inst) => ScrubConfig.resolve(transforms, inst)(col(f.name)).as(f.name)
             case None       => col(f.name)
           }
         }
@@ -39,9 +47,16 @@ final case class ScrubConfig(tables: Map[String, Map[String, String]]) {
 object ScrubConfig {
   private val mapper = new ObjectMapper()
 
-  private[functions] def resolve(name: String): Column => Column =
-    Transforms.byName.getOrElse(name,
-      sys.error(s"unknown transform '$name'; one of ${Transforms.byName.keys.toSeq.sorted.mkString(", ")}"))
+  /** Instance reference → transform Column builder, pepper scoped to
+    * the instance name (reference parity: `pepper + name`). Pepper is
+    * read when the Column is BUILT, so a setPepper override applies. */
+  private[functions] def resolve(transforms: Map[String, String],
+      inst: String): Column => Column = {
+    val tpe = transforms.getOrElse(inst, inst)
+    val builder = Transforms.byNameWith.getOrElse(tpe,
+      sys.error(s"unknown transform '$tpe'; one of ${Transforms.byNameWith.keys.toSeq.sorted.mkString(", ")}"))
+    c => builder(c, Transforms.Pepper + inst)
+  }
 
   def fromJson(json: String): ScrubConfig = {
     val root = mapper.readTree(json)
@@ -50,13 +65,16 @@ object ScrubConfig {
     // silent no-op here ships it raw
     val t = Option(root.get("tables")).getOrElse(
       sys.error("scrub config must have a top-level \"tables\" object"))
+    val transforms = Option(root.get("transforms")).map { tr =>
+      tr.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     val tables = t.fields().asScala.map { e =>
       e.getKey -> e.getValue.fields().asScala.map { c =>
-        val name = c.getValue.asText()
-        resolve(name) // fail fast on unknown transforms
-        c.getKey -> name
+        val inst = c.getValue.asText()
+        resolve(transforms, inst) // fail fast on unknown transforms
+        c.getKey -> inst
       }.toMap
     }.toMap
-    ScrubConfig(tables)
+    ScrubConfig(tables, transforms)
   }
 }

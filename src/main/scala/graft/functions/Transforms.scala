@@ -43,28 +43,36 @@ object Transforms {
   /** Drop the override, falling back to GRAFT_PEPPER / default. */
   def resetPepper(): Unit = pepperOverride = None
 
-  /** Name→transform registry (the analog of the reference's transform
-    * module registry, slice_db/transform.py `TransformerProvider`).
-    * Used by [[ScrubConfig]] and the TransformField CLI. */
-  lazy val byName: Map[String, Column => Column] = Map(
-    "given_name" -> givenName,
-    "surname" -> surname,
-    "city" -> city,
-    "us_state" -> usState,
-    "geozip" -> geozip,
-    "address1" -> address1,
-    "address2" -> address2,
-    "alphanum" -> alphanum,
-    "words" -> words,
-    "date_year" -> (c => dateYear(c)),
-    "null" -> (_ => nul),
-    "replace" -> replaceDigits,
-    "const" -> (_ => const("REDACTED")))
+  /** Name→transform registry parameterized by the EFFECTIVE pepper
+    * (the analog of the reference's transform module registry,
+    * slice_db/transform.py `TransformerProvider`, which derives a
+    * per-instance pepper as `pepper + name`, transform.py:43-44).
+    * [[ScrubConfig]] passes `Pepper + instanceName`; pepper-free
+    * transforms ignore the argument. */
+  lazy val byNameWith: Map[String, (Column, String) => Column] = Map(
+    "given_name" -> ((c, p) => givenName(c, p)),
+    "surname" -> ((c, p) => surname(c, p)),
+    "city" -> ((c, p) => city(c, p)),
+    "us_state" -> ((c, p) => usState(c, p)),
+    "geozip" -> ((c, p) => geozip(c, p)),
+    "address1" -> ((c, p) => address1(c, p)),
+    "address2" -> ((c, p) => address2(c, p)),
+    "alphanum" -> ((c, p) => alphanum(c, p)),
+    "words" -> ((c, p) => words(c, p)),
+    "date_year" -> ((c, p) => dateYear(c, p)),
+    "null" -> ((_, _) => nul),
+    "replace" -> ((c, _) => replaceDigits(c)),
+    "const" -> ((_, _) => const("REDACTED")))
 
-  private def seed(v: Column, salt: String = ""): Column =
-    concat(upper(v), lit(salt + Pepper))
-  private def sqlSeed(v: String, salt: String = ""): String =
-    s"(upper($v) || '$salt$Pepper')"
+  /** The registry with the plain session pepper — direct (non-config)
+    * callers like the TransformField CLI. */
+  lazy val byName: Map[String, Column => Column] =
+    byNameWith.map { case (k, f) => k -> ((c: Column) => f(c, Pepper)) }
+
+  private def seed(v: Column, salt: String, pepper: String): Column =
+    concat(upper(v), lit(salt + pepper))
+  private def sqlSeed(v: String, salt: String, pepper: String): String =
+    s"(upper($v) || '$salt$pepper')"
 
   /** Re-apply the original's case pattern: ALLCAPS / alllower /
     * Title-case (leading capital) / as-picked. */
@@ -83,51 +91,64 @@ object Transforms {
 
   // --- person (slice_db/transforms/person.py:9-37) ---
 
-  def givenName(v: Column): Column = caseApply(v, pick(seed(v), Vocab.givenNames))
-  def sqlGivenName(v: String): String = sqlCaseApply(v, sqlPick(sqlSeed(v), Vocab.givenNames))
+  def givenName(v: Column, pepper: String = Pepper): Column =
+    caseApply(v, pick(seed(v, "", pepper), Vocab.givenNames))
+  def sqlGivenName(v: String, pepper: String = Pepper): String =
+    sqlCaseApply(v, sqlPick(sqlSeed(v, "", pepper), Vocab.givenNames))
 
-  def surname(v: Column): Column = caseApply(v, pick(seed(v), Vocab.surnames))
-  def sqlSurname(v: String): String = sqlCaseApply(v, sqlPick(sqlSeed(v), Vocab.surnames))
+  def surname(v: Column, pepper: String = Pepper): Column =
+    caseApply(v, pick(seed(v, "", pepper), Vocab.surnames))
+  def sqlSurname(v: String, pepper: String = Pepper): String =
+    sqlCaseApply(v, sqlPick(sqlSeed(v, "", pepper), Vocab.surnames))
 
   // --- address (slice_db/transforms/address.py:10-146) ---
 
-  def city(v: Column): Column = pick(seed(v), Vocab.cities)
-  def sqlCity(v: String): String = sqlPick(sqlSeed(v), Vocab.cities)
+  def city(v: Column, pepper: String = Pepper): Column =
+    pick(seed(v, "", pepper), Vocab.cities)
+  def sqlCity(v: String, pepper: String = Pepper): String =
+    sqlPick(sqlSeed(v, "", pepper), Vocab.cities)
 
   /** Deterministic (state, abbreviation) pair sharing one index. */
-  def usState(v: Column): Column = pick(seed(v), Vocab.usStates)
-  def usStateAbbr(v: Column): Column = pick(seed(v), Vocab.usStateAbbrs)
-  def sqlUsState(v: String): String = sqlPick(sqlSeed(v), Vocab.usStates)
-  def sqlUsStateAbbr(v: String): String = sqlPick(sqlSeed(v), Vocab.usStateAbbrs)
+  def usState(v: Column, pepper: String = Pepper): Column =
+    pick(seed(v, "", pepper), Vocab.usStates)
+  def usStateAbbr(v: Column, pepper: String = Pepper): Column =
+    pick(seed(v, "", pepper), Vocab.usStateAbbrs)
+  def sqlUsState(v: String, pepper: String = Pepper): String =
+    sqlPick(sqlSeed(v, "", pepper), Vocab.usStates)
+  def sqlUsStateAbbr(v: String, pepper: String = Pepper): String =
+    sqlPick(sqlSeed(v, "", pepper), Vocab.usStateAbbrs)
 
   /** Zip scramble preserving the 3-digit geo prefix (address.py:81-114). */
-  def geozip(v: Column): Column =
-    concat(substring(v, 1, 3), lpad((choice(seed(v), 100)).cast("string"), 2, "0"))
-  def sqlGeozip(v: String): String =
-    s"(substr($v, 1, 3) || lpad(CAST(${sqlChoice(sqlSeed(v), 100)} AS VARCHAR), 2, '0'))"
+  def geozip(v: Column, pepper: String = Pepper): Column =
+    concat(substring(v, 1, 3),
+      lpad((choice(seed(v, "", pepper), 100)).cast("string"), 2, "0"))
+  def sqlGeozip(v: String, pepper: String = Pepper): String =
+    s"(substr($v, 1, 3) || lpad(CAST(${sqlChoice(sqlSeed(v, "", pepper), 100)} AS VARCHAR), 2, '0'))"
 
-  def address1(v: Column): Column =
-    concat((choice(seed(v), 9999) + 1).cast("string"), lit(" "), pick(seed(v, "st#"), Vocab.streets))
-  def sqlAddress1(v: String): String =
-    s"(CAST(${sqlChoice(sqlSeed(v), 9999)} + 1 AS VARCHAR) || ' ' || ${sqlPick(sqlSeed(v, "st#"), Vocab.streets)})"
+  def address1(v: Column, pepper: String = Pepper): Column =
+    concat((choice(seed(v, "", pepper), 9999) + 1).cast("string"), lit(" "),
+      pick(seed(v, "st#", pepper), Vocab.streets))
+  def sqlAddress1(v: String, pepper: String = Pepper): String =
+    s"(CAST(${sqlChoice(sqlSeed(v, "", pepper), 9999)} + 1 AS VARCHAR) || ' ' || ${sqlPick(sqlSeed(v, "st#", pepper), Vocab.streets)})"
 
   private val unitKinds = Seq("Apt", "Suite", "Unit")
-  def address2(v: Column): Column =
-    concat(pick(seed(v, "u#"), unitKinds), lit(" "), (choice(seed(v, "n#"), 999) + 1).cast("string"))
-  def sqlAddress2(v: String): String =
-    s"(${sqlPick(sqlSeed(v, "u#"), unitKinds)} || ' ' || CAST(${sqlChoice(sqlSeed(v, "n#"), 999)} + 1 AS VARCHAR))"
+  def address2(v: Column, pepper: String = Pepper): Column =
+    concat(pick(seed(v, "u#", pepper), unitKinds), lit(" "),
+      (choice(seed(v, "n#", pepper), 999) + 1).cast("string"))
+  def sqlAddress2(v: String, pepper: String = Pepper): String =
+    s"(${sqlPick(sqlSeed(v, "u#", pepper), unitKinds)} || ' ' || CAST(${sqlChoice(sqlSeed(v, "n#", pepper), 999)} + 1 AS VARCHAR))"
 
   // --- text (slice_db/transforms/text.py) ---
 
   /** Char-class-preserving scramble — the custom codegen Expression. */
-  def alphanum(v: Column): Column =
+  def alphanum(v: Column, pepper: String = Pepper): Column =
     ColumnBridge.column(AlphanumScramble(
-      ColumnBridge.expression(v.cast("string")), ColumnBridge.expression(lit(Pepper))))
+      ColumnBridge.expression(v.cast("string")), ColumnBridge.expression(lit(pepper))))
 
   /** DuckDB mirror of [[AlphanumScramble]]. `v` must be a simple column
     * reference (it is spliced several times). */
-  def sqlAlphanum(v: String): String = {
-    def draw = sqlMd5Idx(s"md5($v || '$Pepper') || CAST(i AS VARCHAR)")
+  def sqlAlphanum(v: String, pepper: String = Pepper): String = {
+    def draw = sqlMd5Idx(s"md5($v || '$pepper') || CAST(i AS VARCHAR)")
     s"""list_aggregate(list_transform(range(1, length($v) + 1), i ->
         CASE
           WHEN substr($v, CAST(i AS INT), 1) BETWEEN 'a' AND 'z' THEN chr(CAST(97 + $draw % 26 AS INT))
@@ -140,18 +161,19 @@ object Transforms {
   /** Per-word replacement preserving length bucket + case
     * (text.py:141-192): each word maps to a vocab word of the same
     * length (clamped to 12), case pattern re-applied. */
-  def words(v: Column): Column =
-    array_join(transform(split(v, " "), w => wordPick(w)), " ")
-  private def wordPick(w: Column): Column = {
+  def words(v: Column, pepper: String = Pepper): Column =
+    array_join(transform(split(v, " "), w => wordPick(w, pepper)), " ")
+  private def wordPick(w: Column, pepper: String): Column = {
     val bucketed = Vocab.wordsByLen.zipWithIndex.foldLeft(lit(null).cast("string")) {
       case (acc, (bucket, i)) =>
-        when(least(length(w), lit(12)) === (i + 1), caseApply(w, pick(seed(w), bucket))).otherwise(acc)
+        when(least(length(w), lit(12)) === (i + 1),
+          caseApply(w, pick(seed(w, "", pepper), bucket))).otherwise(acc)
     }
     when(length(w) === 0, w).otherwise(bucketed)
   }
-  def sqlWords(v: String): String = {
+  def sqlWords(v: String, pepper: String = Pepper): String = {
     val cases = Vocab.wordsByLen.zipWithIndex.map { case (bucket, i) =>
-      s"WHEN least(length(w), 12) = ${i + 1} THEN ${sqlCaseApply("w", sqlPick(sqlSeed("w"), bucket))}"
+      s"WHEN least(length(w), 12) = ${i + 1} THEN ${sqlCaseApply("w", sqlPick(sqlSeed("w", "", pepper), bucket))}"
     }.mkString("\n")
     s"""list_aggregate(list_transform(string_split($v, ' '), w ->
         CASE WHEN length(w) = 0 THEN w $cases END), 'string_agg', ' ')"""
@@ -159,16 +181,16 @@ object Transforms {
 
   // --- date (slice_db/transforms/date.py:14-28): jitter within year ---
 
-  def dateYear(v: Column): Column = {
+  def dateYear(v: Column, pepper: String = Pepper): Column = {
     val start = trunc(v, "year")
     val days = datediff(add_months(start, 12), start)
-    val s = seed(date_format(v, "yyyy-MM-dd"), "d#")
+    val s = seed(date_format(v, "yyyy-MM-dd"), "d#", pepper)
     date_add(start, (md5Idx(s) % days).cast("int"))
   }
-  def sqlDateYear(v: String): String = {
+  def sqlDateYear(v: String, pepper: String = Pepper): String = {
     val start = s"date_trunc('year', $v)"
     val days = s"date_diff('day', $start, $start + INTERVAL 1 YEAR)"
-    val s = sqlSeed(s"strftime($v, '%Y-%m-%d')", "d#")
+    val s = sqlSeed(s"strftime($v, '%Y-%m-%d')", "d#", pepper)
     s"CAST($start + INTERVAL 1 DAY * (${sqlMd5Idx(s)} % $days) AS DATE)"
   }
 
@@ -219,12 +241,12 @@ object Transforms {
   // --- json (slice_db/transforms/json.py:11-47) ---
 
   /** Scrub the numeric field `$.k` inside a JSON string column. */
-  def jsonK(v: Column): Column = {
+  def jsonK(v: Column, pepper: String = Pepper): Column = {
     val k = get_json_object(v, "$.k")
-    concat(lit("{\"k\": "), choice(seed(k, "j#"), 100).cast("string"), lit("}"))
+    concat(lit("{\"k\": "), choice(seed(k, "j#", pepper), 100).cast("string"), lit("}"))
   }
-  def sqlJsonK(v: String): String = {
+  def sqlJsonK(v: String, pepper: String = Pepper): String = {
     val k = s"json_extract_string($v, '$$.k')"
-    s"""('{"k": ' || CAST(${sqlChoice(sqlSeed(k, "j#"), 100)} AS VARCHAR) || '}')"""
+    s"""('{"k": ' || CAST(${sqlChoice(sqlSeed(k, "j#", pepper), 100)} AS VARCHAR) || '}')"""
   }
 }

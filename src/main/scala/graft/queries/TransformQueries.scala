@@ -91,6 +91,19 @@ object TransformQueries {
       t(s, dir, "events").select(col("event_id"), jsonK(col("props")).as("scrubbed"))
         .orderBy("event_id")),
 
+    // per-instance pepper scoping (slice_db/transform.py:43-44): two
+    // config-declared instances of the SAME transform type applied to
+    // the SAME value scrub differently, because the config layer
+    // derives the effective pepper as pepper + instance name.
+    "t_scoped_pepper" -> ((s, dir) => {
+      val cfg = graft.functions.ScrubConfig.fromJson(
+        """{"transforms": {"member_name": "given_name", "contact_name": "given_name"},
+           "tables": {"customer": {"name_a": "member_name", "name_b": "contact_name"}}}""")
+      cfg("customer", t(s, dir, "customer").select(col("c_custkey"),
+          col("c_name").as("name_a"), col("c_name").as("name_b")))
+        .orderBy("c_custkey")
+    }),
+
     // table-level scrub: several transformed columns in one pass.
     "t_table_scrub" -> ((s, dir) =>
       t(s, dir, "customer").select(
@@ -141,6 +154,11 @@ object TransformQueries {
           FROM customer ORDER BY c_custkey""",
     "t_jsonpath" ->
       s"SELECT event_id, ${sqlJsonK("props")} AS scrubbed FROM events ORDER BY event_id",
+    "t_scoped_pepper" ->
+      s"""SELECT c_custkey,
+          ${sqlGivenName("c_name", Pepper + "member_name")} AS name_a,
+          ${sqlGivenName("c_name", Pepper + "contact_name")} AS name_b
+          FROM customer ORDER BY c_custkey""",
     "t_table_scrub" ->
       s"""SELECT c_custkey,
           (${sqlGivenName("c_name")} || ' ' || ${sqlSurname("c_name")}) AS name,

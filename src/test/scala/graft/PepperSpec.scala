@@ -27,6 +27,21 @@ class PepperSpec extends SparkSpec {
     } finally Transforms.resetPepper()
   }
 
+  test("same transform type under two instance names scrubs differently") {
+    val cfg = graft.functions.ScrubConfig.fromJson(
+      """{"transforms": {"inst_a": "given_name", "inst_b": "given_name"},
+         "tables": {"t": {"a": "inst_a", "b": "inst_b", "c": "given_name"}}}""")
+    val df = Seq(("Margaret", "Margaret", "Margaret")).toDF("a", "b", "c")
+    val (a, b, c) = cfg("t", df).as[(String, String, String)].head()
+    assert(a != b, "instance name must scope the pepper (transform.py:43-44)")
+    // a bare type reference is its own instance named by the type, so
+    // it diverges from a differently-named instance of the same type
+    assert(c != a && c != b)
+    // deterministic: the same instance name reproduces its output
+    val (a2, _, _) = cfg("t", df).as[(String, String, String)].head()
+    assert(a2 == a)
+  }
+
   test("TransformField --pepper flag routes through the override") {
     try {
       Transforms.setPepper("cli-pepper")

@@ -11,21 +11,21 @@ class TransformsSpec extends SparkSpec {
     Seq(v).toDF("v").select(f(col("v")).as("r")).as[String].head()
 
   test("transforms are deterministic (pepper-keyed, not random)") {
-    assert(one("Johnson", Transforms.givenName) == one("Johnson", Transforms.givenName))
-    assert(one("abc123", Transforms.alphanum) == one("abc123", Transforms.alphanum))
+    assert(one("Johnson", Transforms.givenName(_)) == one("Johnson", Transforms.givenName(_)))
+    assert(one("abc123", Transforms.alphanum(_)) == one("abc123", Transforms.alphanum(_)))
   }
 
   test("given_name preserves case pattern") {
-    val titled = one("Margaret", Transforms.givenName)
+    val titled = one("Margaret", Transforms.givenName(_))
     assert(titled.head.isUpper && titled.tail.forall(_.isLower))
-    val upper = one("MARGARET", Transforms.givenName)
+    val upper = one("MARGARET", Transforms.givenName(_))
     assert(upper == upper.toUpperCase)
     // same name, different case -> same underlying pick (seed uppercased)
     assert(upper.toLowerCase == titled.toLowerCase)
   }
 
   test("alphanum preserves character classes and length") {
-    val out = one("Ab3-x9", Transforms.alphanum)
+    val out = one("Ab3-x9", Transforms.alphanum(_))
     assert(out.length == 6)
     assert(out(0).isUpper && out(1).isLower && out(2).isDigit)
     assert(out(3) == '-')
@@ -34,12 +34,12 @@ class TransformsSpec extends SparkSpec {
   }
 
   test("geozip keeps the 3-digit geo prefix") {
-    val out = one("90210", Transforms.geozip)
+    val out = one("90210", Transforms.geozip(_))
     assert(out.startsWith("902") && out.length == 5 && out.forall(_.isDigit))
   }
 
   test("words preserves word count and approximate shape") {
-    val out = one("The quick brown fox", Transforms.words)
+    val out = one("The quick brown fox", Transforms.words(_))
     val words = out.split(" ")
     assert(words.length == 4)
     assert(words(0).head.isUpper, "Title case preserved on first word")
