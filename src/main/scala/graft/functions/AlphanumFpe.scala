@@ -1,0 +1,138 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Collision-free alphanumeric scramble — the Spark-native analog of the
+  * reference's `alphanumeric unique=true` mode
+  * (slice_db/transforms/text.py:45-60): format-preserving encryption
+  * over the alphabet of character categories the input actually uses,
+  * so DISTINCT inputs map to DISTINCT outputs — what a scrub needs when
+  * the column is a key. The reference reaches for pyffx; this is an
+  * original Feistel construction with the same contract, chosen so the
+  * whole cipher is reproducible in DuckDB SQL (see
+  * [[Transforms.sqlAlphanumUnique]]).
+  *
+  * Construction, mirrored bit-for-bit by the oracle SQL:
+  *  1. alphabet = UPPER? + lower? + digits? by categories present
+  *     (all three when the input has none — text.py:48-54);
+  *  2. chars outside the alphabet fold in by code point
+  *     (`alphabet[ord(c) % n]`, text.py:57-59) — injectivity holds for
+  *     inputs already inside their alphabet (same caveat as the
+  *     reference);
+  *  3. a 4-round Feistel over the two halves: each round replaces the
+  *     left half by `alphabet[(idx(L_i) + k_i) % n]` per position,
+  *     where the keystream `k_i = idx6(md5(md5(pepper|fpe|round|R) ||
+  *     i))` is keyed on the OTHER half, then swaps. Digit-wise modular
+  *     addition keyed on R is invertible given R, so every round — and
+  *     the whole cipher — is a bijection on strings of one (length,
+  *     alphabet) class (AlphanumFpeSpec holds injectivity by
+  *     property).
+  *
+  * Scope is ASCII, like [[AlphanumScramble]] (the reference detects
+  * unicode categories; multi-byte inputs fold via step 2).
+  */
+case class AlphanumFpe(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "alphanum_fpe"
+
+  override protected def nullSafeEval(value: Any, pepper: Any): Any =
+    AlphanumFpe.encrypt(
+      value.asInstanceOf[UTF8String], pepper.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, p) =>
+      s"graft.functions.AlphanumFpe$$.MODULE$$.encrypt($v, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AlphanumFpe =
+    copy(left = newLeft, right = newRight)
+}
+
+object AlphanumFpe {
+  val Rounds = 4
+  private val Upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Digits = "0123456789"
+
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): String = {
+    val md = digest.get()
+    md.reset()
+    val bytes = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private def idx6(hex: String): Long =
+    java.lang.Long.parseLong(hex.substring(0, 6), 16)
+
+  /** The category alphabet of `v` (text.py:48-54). */
+  def alphabetOf(v: String): String = {
+    var hasU = false; var hasL = false; var hasD = false
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c >= 'A' && c <= 'Z') hasU = true
+      else if (c >= 'a' && c <= 'z') hasL = true
+      else if (c >= '0' && c <= '9') hasD = true
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(62)
+    if (hasU) sb.append(Upper)
+    if (hasL) sb.append(Lower)
+    if (hasD) sb.append(Digits)
+    if (sb.length == 0) Upper + Lower + Digits else sb.toString
+  }
+
+  def encrypt(value: UTF8String, pepper: UTF8String): UTF8String = {
+    val v = value.toString
+    if (v.isEmpty) return value
+    val p = pepper.toString
+    val alphabet = alphabetOf(v)
+    val n = alphabet.length
+    // fold non-alphabet chars in by code point (text.py:57-59)
+    val m = new Array[Char](v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      m(i) = if (alphabet.indexOf(c.toInt) >= 0) c else alphabet.charAt(c.toInt % n)
+      i += 1
+    }
+    val half = m.length / 2
+    var l = java.util.Arrays.copyOfRange(m, 0, half)
+    var r = java.util.Arrays.copyOfRange(m, half, m.length)
+    var round = 0
+    while (round < Rounds) {
+      val ks = md5Hex(p + "|fpe|" + round + "|" + new String(r))
+      val next = new Array[Char](l.length)
+      var j = 0
+      while (j < l.length) {
+        val d = idx6(md5Hex(ks + (j + 1)))
+        next(j) = alphabet.charAt(((alphabet.indexOf(l(j).toInt) + d) % n).toInt)
+        j += 1
+      }
+      // Feistel swap: (L, R) -> (R, L + F(R))
+      l = r
+      r = next
+      round += 1
+    }
+    UTF8String.fromString(new String(l) + new String(r))
+  }
+}

@@ -58,6 +58,7 @@ object Transforms {
     "address1" -> ((c, p) => address1(c, p)),
     "address2" -> ((c, p) => address2(c, p)),
     "alphanum" -> ((c, p) => alphanum(c, p)),
+    "alphanum_unique" -> ((c, p) => alphanumUnique(c, p)),
     "words" -> ((c, p) => words(c, p)),
     "date_year" -> ((c, p) => dateYear(c, p)),
     "null" -> ((_, _) => nul),
@@ -156,6 +157,50 @@ object Transforms {
           WHEN substr($v, CAST(i AS INT), 1) BETWEEN '0' AND '9' THEN chr(CAST(48 + $draw % 10 AS INT))
           ELSE substr($v, CAST(i AS INT), 1) END),
       'string_agg', '')"""
+  }
+
+  /** Collision-free scramble (text.py:45-60 `unique=true`):
+    * format-preserving encryption over the detected category alphabet —
+    * distinct inputs map to distinct outputs, for scrubbing key
+    * columns. See [[AlphanumFpe]] for the cipher contract. */
+  def alphanumUnique(v: Column, pepper: String = Pepper): Column =
+    ColumnBridge.column(AlphanumFpe(
+      ColumnBridge.expression(v.cast("string")), ColumnBridge.expression(lit(pepper))))
+
+  /** DuckDB mirror of [[alphanumUnique]] — a full SELECT (the Feistel
+    * rounds chain as CTEs): projects `key` plus the encrypted `v` as
+    * `scrubbed` from `table`, ordered by `key`. */
+  def sqlAlphanumUnique(key: String, v: String, table: String,
+      pepper: String = Pepper): String = {
+    val all = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    def feistel(r: Int): String = {
+      val draw = sqlMd5Idx(s"md5('$pepper|fpe|$r|' || h$r.R) || CAST(i AS VARCHAR)")
+      s"""coalesce(list_aggregate(list_transform(range(1, length(h$r.L) + 1), i ->
+          ab[CAST((strpos(ab, h$r.L[CAST(i AS INT)]) - 1 + $draw) % length(ab) AS INT) + 1]),
+          'string_agg', ''), '')"""
+    }
+    val rounds = (0 until AlphanumFpe.Rounds).map { r =>
+      s"h${r + 1} AS (SELECT $key, ab, h$r.R AS L, ${feistel(r)} AS R FROM h$r)"
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT $key, $v AS v FROM $table),
+       ab AS (SELECT $key, v,
+           CASE WHEN a0 = '' THEN '$all' ELSE a0 END AS ab
+         FROM (SELECT *,
+             (CASE WHEN regexp_matches(v, '[A-Z]') THEN 'ABCDEFGHIJKLMNOPQRSTUVWXYZ' ELSE '' END
+              || CASE WHEN regexp_matches(v, '[a-z]') THEN 'abcdefghijklmnopqrstuvwxyz' ELSE '' END
+              || CASE WHEN regexp_matches(v, '[0-9]') THEN '0123456789' ELSE '' END) AS a0
+           FROM base)),
+       m AS (SELECT $key, ab,
+           coalesce(list_aggregate(list_transform(range(1, length(v) + 1), i ->
+             CASE WHEN strpos(ab, v[CAST(i AS INT)]) > 0 THEN v[CAST(i AS INT)]
+                  ELSE ab[CAST(ord(v[CAST(i AS INT)]) % length(ab) AS INT) + 1] END),
+             'string_agg', ''), '') AS s
+         FROM ab),
+       h0 AS (SELECT $key, ab, substr(s, 1, length(s) // 2) AS L,
+           substr(s, length(s) // 2 + 1) AS R FROM m),
+       $rounds
+       SELECT $key, (L || R) AS scrubbed FROM h${AlphanumFpe.Rounds}
+       ORDER BY $key"""
   }
 
   /** Per-word replacement preserving length bucket + case

@@ -49,6 +49,14 @@ object TransformQueries {
       t(s, dir, "customer").select(col("c_custkey"), alphanum(col("c_name")).as("scrubbed"))
         .orderBy("c_custkey")),
 
+    // collision-free scramble (FPE) — the unique=true mode for key
+    // columns: distinct names stay distinct (AlphanumFpeSpec holds the
+    // injectivity property; the oracle reproduces the whole cipher).
+    "t_alphanum_unique" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        alphanumUnique(col("c_name")).as("scrubbed"))
+        .orderBy("c_custkey")),
+
     "t_words" -> ((s, dir) =>
       t(s, dir, "part").select(col("p_partkey"), words(col("p_name")).as("scrubbed"))
         .orderBy("p_partkey")),
@@ -135,6 +143,8 @@ object TransformQueries {
       s"SELECT c_custkey, ${sqlAddress2("c_name")} AS scrubbed FROM customer ORDER BY c_custkey",
     "t_alphanum" ->
       s"SELECT c_custkey, ${sqlAlphanum("c_name")} AS scrubbed FROM customer ORDER BY c_custkey",
+    "t_alphanum_unique" ->
+      sqlAlphanumUnique("c_custkey", "c_name", "customer"),
     "t_words" ->
       s"SELECT p_partkey, ${sqlWords("p_name")} AS scrubbed FROM part ORDER BY p_partkey",
     "t_date_year" ->

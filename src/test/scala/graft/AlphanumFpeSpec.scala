@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.AlphanumFpe
+
+/** The unique-mode contract (text.py:45-60): format preservation and
+  * INJECTIVITY per (length, alphabet) class — distinct inputs inside
+  * their category alphabet never collide, which is what lets the
+  * transform scrub key columns. */
+class AlphanumFpeSpec extends AnyFunSuite {
+
+  private def enc(s: String, pepper: String = "graft"): String =
+    AlphanumFpe.encrypt(UTF8String.fromString(s), UTF8String.fromString(pepper)).toString
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private def pairOf(alpha: String): Gen[(String, String)] = for {
+    n <- Gen.choose(1, 12)
+    a <- Gen.listOfN(n, Gen.oneOf(alpha.toSeq)).map(_.mkString)
+    b <- Gen.listOfN(n, Gen.oneOf(alpha.toSeq)).map(_.mkString)
+  } yield (a, b)
+
+  test("injective per (length, alphabet) class: lowercase and digits") {
+    check("lower", Prop.forAll(pairOf("abcdefghijklmnopqrstuvwxyz")) {
+      case (a, b) => (a == b) == (enc(a) == enc(b))
+    })
+    check("digits", Prop.forAll(pairOf("0123456789")) {
+      case (a, b) => (a == b) == (enc(a) == enc(b))
+    })
+  }
+
+  test("exhaustive: 3-digit strings permute (1000 in, 1000 distinct out)") {
+    val outs = (0 until 1000).map(i => enc(f"$i%03d"))
+    assert(outs.distinct.size == 1000)
+    assert(outs.forall(o => o.length == 3 && o.forall(c => c >= '0' && c <= '9')),
+      "format preserved: digit alphabet, same length")
+  }
+
+  test("non-alphabet chars fold into the detected alphabet") {
+    val out = enc("ab-cd")
+    assert(out.length == 5 && out.forall(c => c >= 'a' && c <= 'z'),
+      s"'-' must fold into the lowercase alphabet, got '$out'")
+  }
+
+  test("deterministic per pepper; pepper changes output") {
+    assert(enc("Customer42") == enc("Customer42"))
+    assert(enc("Customer42", "other") != enc("Customer42"))
+  }
+
+  test("length 1 and length 2 degenerate halves stay bijective") {
+    assert(('a' to 'z').map(c => enc(c.toString)).distinct.size == 26)
+    val twos = for (a <- 'a' to 'c'; b <- 'a' to 'c') yield enc(s"$a$b")
+    assert(twos.distinct.size == 9)
+  }
+}
