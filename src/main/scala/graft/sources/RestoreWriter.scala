@@ -19,15 +19,36 @@ object RestoreWriter {
     * @param slicedTables tables the slice actually reached (e.g.
     *   `result.keys.keySet`): SqlWriter only dumps sql/<table> for
     *   those, so the script must not reference the others. Empty set =
-    *   include every table in the graph. */
+    *   include every table in the graph.
+    * @param transaction wrap the whole restore in BEGIN/COMMIT (the
+    *   reference's `--transaction`, default on, restore.py:34-38).
+    * @param disableTriggers bracket the data load with `ALTER TABLE ...
+    *   DISABLE/ENABLE TRIGGER ALL` (the reference's
+    *   `--disable-triggers`, cli/main.py:158-163) — FK and trigger
+    *   enforcement off for the load, so cycles need no deferral.
+    * @param jobs declared restore parallelism; >1 is incompatible with
+    *   a single transaction (the reference's guard, restore.py:44-45).
+    *   Script emission is identical for any jobs value — the flag
+    *   exists to validate the combination at plan time. */
   def restoreScript(graph: SchemaGraph, sliceDir: String,
       sequences: Map[String, Long],
-      slicedTables: Set[String] = Set.empty): String = {
+      slicedTables: Set[String] = Set.empty,
+      transaction: Boolean = true,
+      disableTriggers: Boolean = false,
+      jobs: Int = 1): String = {
+    require(!(jobs > 1 && transaction),
+      s"a single transaction must be disabled for jobs=$jobs > 1 (use --no-transaction)")
     val order = graph.restoreOrder
       .filter { case (t, _) => slicedTables.isEmpty || slicedTables(t) }
     val deferred = order.collect { case (t, true) => t }
+    // SET CONSTRAINTS is transaction-scoped; without one, FK cycles can
+    // only load with enforcement disabled (reference restore.py:134-138
+    // raises the same way)
+    require(transaction || disableTriggers || deferred.isEmpty,
+      s"transaction required to defer FK-cycle constraints (${deferred.mkString(", ")}); " +
+        "use --disable-triggers to load without enforcement")
     val sb = new StringBuilder
-    sb ++= "BEGIN;\n"
+    if (transaction) sb ++= "BEGIN;\n"
     // SqlWriter renders timestamps as ZONELESS literals in the dump
     // session's zone (graft sessions pin UTC); DdlWriter maps Spark
     // TimestampType to timestamptz, where PostgreSQL interprets a
@@ -35,26 +56,34 @@ object RestoreWriter {
     // a restore from a non-UTC client shifts every instant by the
     // client's offset.
     sb ++= "SET TIME ZONE 'UTC';\n"
-    if (deferred.nonEmpty)
+    if (disableTriggers)
+      order.foreach { case (t, _) => sb ++= s"ALTER TABLE $t DISABLE TRIGGER ALL;\n" }
+    if (deferred.nonEmpty && !disableTriggers)
       sb ++= s"SET CONSTRAINTS ALL DEFERRED; -- cycle tables: ${deferred.mkString(", ")}\n"
     order.foreach { case (t, isDeferred) =>
       // cycle note on its own line: anything after the \i path would be
       // parsed as extra psql meta-command arguments, not a comment
-      if (isDeferred) sb ++= s"-- $t: constraints deferred (FK cycle)\n"
+      if (isDeferred && !disableTriggers)
+        sb ++= s"-- $t: constraints deferred (FK cycle)\n"
       sb ++= s"\\i $sliceDir/sql/$t\n"
     }
+    if (disableTriggers)
+      order.foreach { case (t, _) => sb ++= s"ALTER TABLE $t ENABLE TRIGGER ALL;\n" }
     sequences.toSeq.sortBy(_._1).foreach { case (t, maxKey) =>
       val key = graph.table(t).key.head
       sb ++= s"SELECT setval(pg_get_serial_sequence('$t', '$key'), ${maxKey + 1}, false);\n"
     }
-    sb ++= "COMMIT;\n"
+    if (transaction) sb ++= "COMMIT;\n"
     sb.result()
   }
 
   def write(graph: SchemaGraph, sliceDir: String, sequences: Map[String, Long],
-      outPath: String, slicedTables: Set[String] = Set.empty): Unit = {
+      outPath: String, slicedTables: Set[String] = Set.empty,
+      transaction: Boolean = true, disableTriggers: Boolean = false,
+      jobs: Int = 1): Unit = {
     Files.createDirectories(Paths.get(outPath).getParent)
     Files.writeString(Paths.get(outPath),
-      restoreScript(graph, sliceDir, sequences, slicedTables))
+      restoreScript(graph, sliceDir, sequences, slicedTables,
+        transaction, disableTriggers, jobs))
   }
 }

@@ -17,6 +17,7 @@ import graft.sources.{RestoreWriter, SliceWriter, SqlWriter}
   *                  [rootTable2 condition2 ...]
   *                  [--graph graph.json] [--scrub scrub.json]
   *                  [--pepper <secret>]
+  *                  [--no-transaction] [--disable-triggers] [--jobs N]
   */
 object SliceDump {
   private def readFile(p: String) =
@@ -28,6 +29,10 @@ object SliceDump {
     // or a root condition that happens to end in ".json"
     val pairArgs = Vector.newBuilder[String]
     var graphPath, scrubPath = Option.empty[String]
+    // restore-script execution options (reference cli/main.py:158-192)
+    var transaction = true
+    var disableTriggers = false
+    var jobs = 1
     var rest = args.drop(2).toList
     while (rest.nonEmpty) rest = rest match {
       case "--graph" :: p :: tl => graphPath = Some(p); tl
@@ -35,10 +40,14 @@ object SliceDump {
       // per-invocation pepper (reference cli/main.py parity); must land
       // before the scrub config builds its transform Columns below
       case "--pepper" :: p :: tl => graft.functions.Transforms.setPepper(p); tl
-      // a trailing valueless flag must fail loudly, not be swallowed
-      // into the (table, condition) pair list
-      case flag :: Nil if flag.startsWith("--") =>
-        sys.error(s"$flag requires a value"); Nil
+      case "--no-transaction" :: tl => transaction = false; tl
+      case "--disable-triggers" :: tl => disableTriggers = true; tl
+      case "--jobs" :: n :: tl => jobs = n.toInt; tl
+      // any unrecognized flag must fail loudly WHEREVER it appears —
+      // a typo'd flag and its value would otherwise be swallowed into
+      // the (table, condition) pair list and "work"
+      case flag :: _ if flag.startsWith("--") =>
+        sys.error(s"unknown flag $flag"); Nil
       case a :: tl              => pairArgs += a; tl
       case Nil                  => Nil
     }
@@ -70,7 +79,7 @@ object SliceDump {
     val seqs = result.sequences.collect()
       .flatMap(r => if (r.isNullAt(1)) None else Some(r.getString(0) -> r.getLong(1))).toMap
     RestoreWriter.write(graph, outDir, seqs, s"$outDir/restore.sql",
-      result.keys.keySet)
+      result.keys.keySet, transaction, disableTriggers, jobs)
     // schema sections (pre-data CREATE TABLEs, post-data constraints) so
     // the archive restores into an empty database
     SliceWriter.writeSchema(result, graph, outDir)

@@ -68,6 +68,39 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("RestoreWriter execution options: no-transaction, disable-triggers, jobs guard") {
+    // --no-transaction: no BEGIN/COMMIT wrapper
+    val noTx = RestoreWriter.restoreScript(graph, "/s", Map.empty,
+      transaction = false)
+    assert(!noTx.contains("BEGIN;") && !noTx.contains("COMMIT;"))
+    // --disable-triggers: load bracketed by DISABLE/ENABLE TRIGGER ALL
+    val noTrig = RestoreWriter.restoreScript(graph, "/s", Map.empty,
+      disableTriggers = true)
+    val dis = noTrig.indexOf("ALTER TABLE p DISABLE TRIGGER ALL;")
+    val load = noTrig.indexOf("\\i /s/sql/p")
+    val en = noTrig.indexOf("ALTER TABLE p ENABLE TRIGGER ALL;")
+    assert(dis >= 0 && dis < load && load < en, "triggers off around the load")
+    // jobs > 1 requires --no-transaction (reference restore.py:44-45)
+    intercept[IllegalArgumentException] {
+      RestoreWriter.restoreScript(graph, "/s", Map.empty, jobs = 4)
+    }
+    RestoreWriter.restoreScript(graph, "/s", Map.empty,
+      transaction = false, jobs = 4) // valid combination
+    // FK cycles can't defer without a transaction unless enforcement is off
+    val cyclic = SchemaGraph(
+      tables = Seq(TableDef("p", Seq("pid")), TableDef("c", Seq("cid"))),
+      references = Seq(
+        Reference("cp", "c", Seq("pid"), "p", Seq("pid")),
+        Reference("pc", "p", Seq("pid"), "c", Seq("cid"))))
+    intercept[IllegalArgumentException] {
+      RestoreWriter.restoreScript(cyclic, "/s", Map.empty, transaction = false)
+    }
+    val cycNoTrig = RestoreWriter.restoreScript(cyclic, "/s", Map.empty,
+      transaction = false, disableTriggers = true)
+    assert(!cycNoTrig.contains("SET CONSTRAINTS"),
+      "no deferral needed with enforcement disabled")
+  }
+
   test("DdlWriter emits restorable pre/post-data schema sections") {
     val r = result()
     val pre = graft.sources.DdlWriter.preData(
