@@ -48,4 +48,49 @@ class LshIndexStoreSpec extends SparkSpec {
     val (_, bands3) = LshIndexStore.read(spark, tmp)
     assert(bands3.count() == bands.count() + bbands.count())
   }
+
+  test("compaction: probe-equivalent, dups collapsed, retired docs dropped") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different document about spark and shuffles here"),
+      (3L, "numbers one two three four five six seven eight nine"))
+    val probe = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "numbers one two three four five six seven eight ten"))
+    val (sh, bands) = index(corpus)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lsh-c").toString
+    LshIndexStore.write(tmp, sh, bands)
+    // several appends: files accumulate, one batch lands TWICE (retry)
+    val (bsh, bbands) = index(probe)
+    LshIndexStore.append(tmp, bsh, bbands)
+    LshIndexStore.append(tmp, bsh, bbands)
+    val filesBefore = new java.io.File(s"$tmp/bands").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+
+    val (qsh, qbands) = index(Seq(
+      (20L, "the quick brown fox jumps over the lazy dog forever")))
+    def candidates(): Set[(Long, Long)] = {
+      val (_, standing) = LshIndexStore.read(spark, tmp)
+      qbands.as("x").join(standing.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk"))
+        .select(col("y.doc_id").as("a"), col("x.doc_id").as("b"))
+        .as[(Long, Long)].collect().toSet
+    }
+    val before = candidates()
+    assert(before.exists(_._1 == 1L), s"probe must hit the near-dup: $before")
+
+    LshIndexStore.compact(spark, tmp, Seq(3L).toDF("doc_id"), targetFiles = 1)
+    assert(candidates() == before.filterNot(_._1 == 3L),
+      "compaction must not change probe results beyond dropping retired docs")
+    val (sh2, bands2) = LshIndexStore.read(spark, tmp)
+    assert(sh2.groupBy("doc_id").count().filter(col("count") > 1).isEmpty,
+      "re-ingested duplicate rows collapse")
+    assert(bands2.select("doc_id").distinct().as[Long].collect().toSet
+      == Set(1L, 2L, 10L, 11L), "retired doc gone, everything else kept")
+    val filesAfter = new java.io.File(s"$tmp/bands").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter < filesBefore && filesAfter == 1,
+      s"size-tiered rewrite: $filesBefore -> $filesAfter files")
+    assert(!new java.io.File(s"$tmp/.compact").exists(), "stage dir cleaned up")
+  }
 }
