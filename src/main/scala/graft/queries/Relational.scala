@@ -27,6 +27,28 @@ object Relational {
 
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 
+  private val bloomSessions =
+    collection.mutable.Map.empty[SparkSession, SparkSession]
+
+  /** Child session with runtime bloom-filter injection tuned for the
+    * gate data (thresholds default to cluster scale). A CHILD session —
+    * isolated SQL conf over the shared SparkContext/block manager — is
+    * the no-race way to scope planner conf to one query: concurrent
+    * queries plan against the parent session untouched. */
+  private def bloomSession(s: SparkSession): SparkSession = synchronized {
+    bloomSessions.getOrElseUpdate(s, {
+      val bs = s.newSession()
+      bs.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // default 10GB application-side scan size — sized for clusters;
+      // 0 lets the gate-scale fact scan qualify (plan SHAPE is the test)
+      bs.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // force the shuffle-join shape the runtime filter exists for
+      bs.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      bs
+    })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Filter + 2-column project: both must reach the parquet scan
     // (PushedFilters / pruned ReadSchema in .explain).
@@ -48,6 +70,27 @@ object Relational {
           (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
+
+    // Runtime bloom-filter pruning under the oracle: a selective dim
+    // predicate (1/5 of orders) turns into a bloom probe on the FACT
+    // scan before the join shuffle — at 100 TB the shuffle of
+    // non-matching fact rows IS the cost, and the probe drops them at
+    // the scan. Runs in a child session ([[bloomSession]]) whose confs
+    // lower the injection thresholds to gate-data scale (production
+    // defaults target 10 GB scans) and disable the broadcast fallback
+    // so the shuffle-join shape — the one the filter exists for — is
+    // what's priced; session isolation means no conf races with
+    // concurrently-planned queries. RuntimeFilterSpec asserts the
+    // might_contain probe is in THIS query's optimized plan.
+    "q_bloom_join" -> ((s, dir) => {
+      val bs = bloomSession(s)
+      val o = t(bs, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      t(bs, dir, "lineitem").join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
 
     // Q3 flavor: 3-way join, group, top-10 by revenue.
     "q3_join" -> ((s, dir) => {
@@ -442,6 +485,15 @@ object Relational {
            count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    // plain-join oracle: the bloom probe is a pruning aid and must not
+    // change results
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q3_join" ->
       s"""SELECT l_orderkey, o_orderdate, CAST($rev AS DOUBLE) AS revenue

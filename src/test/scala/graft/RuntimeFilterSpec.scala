@@ -41,4 +41,15 @@ class RuntimeFilterSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q_bloom_join ships with the probe in ITS plan (gate query, not just the mechanism)") {
+    val df = graft.queries.Relational.queries("q_bloom_join")(
+      spark, "/root/testdata/sf0.001")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("might_contain"),
+      s"expected the injected bloom probe in q_bloom_join's plan:\n$opt")
+    // and the child-session conf scoping leaves the parent untouched
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      != "0")
+  }
 }
