@@ -48,9 +48,16 @@ object BpeVocab {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
+    // initial symbols are CODE POINTS, not UTF-16 units: a
+    // supplementary-plane char must be one symbol, not two surrogate
+    // halves (which would be invalid strings AND disagree with the
+    // oracle's per-character split). Tie-breaks downstream compare as
+    // UTF8String — unsigned UTF-8 bytes — which is also DuckDB's
+    // collation, so all three layers agree on any input.
     var vocab: Dataset[(Array[String], Long)] =
-      words.map { case (w, n) => (w.map(_.toString).toArray, n) }
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      words.map { case (w, n) =>
+        (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), n)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = ArrayBuffer.empty[(String, String, Long)]
     // ONE job per iteration: the argmax action below is also what
     // materializes the current generation's lazy persist, and the

@@ -84,6 +84,14 @@ object CuratePipeline {
     val curated = near.withColumn("n_tokens", size(split(col("text"), " ")))
       .localCheckpoint(true)
     graft.CacheBook.release(spark, "d")
+    // the curated frame's own checkpoint blocks are the caller's to
+    // release: register them under the "curate" scope so a long-lived
+    // session running curate() nightly frees each run's blocks with
+    // CacheBook.release(spark, "curate") once the export lands —
+    // otherwise one checkpoint RDD accumulates per run (the same
+    // monotonic-growth mode the release above exists to prevent)
+    graft.CacheBook.register(spark, "curate")(
+      () => graft.CacheBook.unpersistCheckpoint(curated))
     (curated, stages.toMap)
   }
 
