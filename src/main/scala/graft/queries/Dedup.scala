@@ -46,21 +46,23 @@ object Dedup {
     * intersections then compare longs, not strings — the pairwise
     * verify is the quadratic hot loop, so this is where the time goes. */
   private val shCache =
-    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+    collection.mutable.Map.empty[(SparkSession, String), graft.Once[DataFrame]]
 
   /** Memoized per (session, corpus): three queries (ngram/minhash/
     * cluster) consume the same shingle relation — in one session the
     * 1.5M-md5 build runs once, not three times. Materialized EAGERLY:
     * every consumer is a self-join, and a lazy persist lets the join
     * branches race and compute the build twice before either populates
-    * the cache. */
+    * the cache. All memos here hold a [[graft.Once]] cell, so
+    * INDEPENDENT builds overlap across threads while each key builds
+    * exactly once. */
   /** Register eviction for a persisted memo entry: unpersist the blocks
     * and drop the map entry so a later call rebuilds from source. All
     * build-side dedup memos live in bench scope "d" (released after the
     * d_* family); the final label table lives in scope "x" (x_canon, the
     * alphabetically-late consumer, still needs it). */
   private def book(s: SparkSession, dir: String, scope: String,
-      cache: collection.mutable.Map[(SparkSession, String), DataFrame],
+      cache: collection.mutable.Map[(SparkSession, String), graft.Once[DataFrame]],
       df: DataFrame, checkpointed: Boolean = false): DataFrame = {
     graft.CacheBook.register(s, scope) { () =>
       Dedup.synchronized { cache.remove((s, dir)) }
@@ -72,7 +74,7 @@ object Dedup {
   }
 
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    synchronized { shCache.getOrElseUpdate((s, dir), {
+    synchronized { shCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       // One custom codegen Expression builds the sorted distinct hash
       // array per doc (ShingleHashSet; spec-verified identical to the
       // transform+md5IdxK Column formula). No shuffle — scales with the
@@ -98,10 +100,10 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sh.count()
       book(s, dir, "d", shCache, sh)
-    }) }
+    })) }.value
 
   private val jacCache =
-    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+    collection.mutable.Map.empty[(SparkSession, String), graft.Once[DataFrame]]
 
   /** Cap on (lang, length-bucket) block population for the pairwise
     * Jaccard verify (GRAFT_JACCARD_BLOCK_CAP). */
@@ -134,7 +136,7 @@ object Dedup {
     * d_cluster (uses them as edges). Post-threshold the relation is
     * tiny, so it persists whole. */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    synchronized { jacCache.getOrElseUpdate((s, dir), {
+    synchronized { jacCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       import s.implicits._
       val sh = boundedBlocks(shingleSets(s, dir), BlockCap)
       // Collect each (lang, lb, sub) block to ONE row and run the
@@ -192,22 +194,22 @@ object Dedup {
       // race and compute the pairwise join several times
       pairs.count()
       book(s, dir, "d", jacCache, pairs)
-    }) }
+    })) }.value
 
   private val mhCache =
-    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+    collection.mutable.Map.empty[(SparkSession, String), graft.Once[DataFrame]]
 
   /** Memoized MinHash-LSH near-dup pairs (banding → candidate equi-join
     * → exact-Jaccard verify) — shared by d_minhash_lsh (reports them)
     * and d_dedup_eval (compares them against the blocked pass), so the
     * signature aggregation runs once per (session, corpus). */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    synchronized { mhCache.getOrElseUpdate((s, dir), {
+    synchronized { mhCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val pairs = lshPairs(shingleSets(s, dir), minJac = 0.2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pairs.count() // eager: consumers fan out into racing union branches
       book(s, dir, "d", mhCache, pairs)
-    }) }
+    })) }.value
 
   /** MinHash-LSH near-dup pairs over any (doc_id, sh) frame where `sh`
     * is a SORTED distinct shingle-hash array (ShingleHashSet output):
@@ -245,7 +247,7 @@ object Dedup {
   }
 
   private val bandCache =
-    collection.mutable.Map.empty[(SparkSession, Int, Int), DataFrame]
+    collection.mutable.Map.empty[(SparkSession, Int, Int), graft.Once[DataFrame]]
 
   /** Memoized band table per (session, shingle-relation identity):
     * the signature aggregation (explode → 8-way min) is the expensive
@@ -258,21 +260,23 @@ object Dedup {
     * consumers, and requiring both to collide makes a silent
     * wrong-table reuse (the failure mode of a bare int hash)
     * practically impossible. Released with the "d" family scope. */
-  private def bandsMemo(sh: DataFrame): DataFrame = synchronized {
+  private def bandsMemo(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
     val key = (s, System.identityHashCode(sh.queryExecution.logical),
       sh.semanticHash())
-    bandCache.getOrElseUpdate(key, {
-      val b = bandsOf(sh)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      b.count()
-      graft.CacheBook.register(s, "d") { () =>
-        Dedup.synchronized { bandCache.remove(key) }
-        b.unpersist(false)
-        ()
-      }
-      b
-    })
+    synchronized {
+      bandCache.getOrElseUpdate(key, new graft.Once(() => {
+        val b = bandsOf(sh)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        b.count()
+        graft.CacheBook.register(s, "d") { () =>
+          Dedup.synchronized { bandCache.remove(key) }
+          b.unpersist(false)
+          ()
+        }
+        b
+      }))
+    }.value
   }
 
   /** 8 minhash signatures → 4 bands x 2 rows per doc. The 4 band rows
@@ -318,13 +322,13 @@ object Dedup {
         (col("inter") / (col("sa") + col("sb") - col("inter"))).as("jac"))
 
   private val exactCache =
-    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+    collection.mutable.Map.empty[(SparkSession, String), graft.Once[DataFrame]]
 
   /** Memoized exact-dup pairs over the twin corpus (normalize → hash →
     * window-min canonical) — shared by d_exact (reports them) and
     * d_cluster (uses them as edges). */
   private def exactPairs(s: SparkSession, dir: String): DataFrame =
-    synchronized { exactCache.getOrElseUpdate((s, dir), {
+    synchronized { exactCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val d = docs(s, dir)
       val corpus = d.select(col("doc_id"), col("text"))
         .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
@@ -339,7 +343,7 @@ object Dedup {
           .filter(col("doc_id") =!= col("dup_of"))
           .select("doc_id", "dup_of")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }) }
+    })) }.value
 
   private val sqlShingleSets =
     s"""SELECT doc_id, lang, n_chars // 100 AS lb,
@@ -441,10 +445,19 @@ object Dedup {
     // Returns build-size counts the oracle recomputes exactly.
     "d_build" -> ((s, dir) => {
       import s.implicits._
-      val nSh = shingleSets(s, dir).count()
-      val nBand = bandsMemo(shingleSets(s, dir)).count()
-      val nJac = jaccardPairs(s, dir).count()
-      val nEx = exactPairs(s, dir).count()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      // fan out along the dependency DAG (each memo is a Once cell, so
+      // independent builds overlap): exact pairs don't touch shingles;
+      // bands and Jaccard both branch off the shared shingle relation
+      val shF = Future(shingleSets(s, dir))
+      val exF = Future(exactPairs(s, dir).count())
+      val bandF = shF.map(sh => bandsMemo(sh).count())
+      val jacF = shF.map(_ => jaccardPairs(s, dir).count())
+      val nSh = Await.result(shF, Duration.Inf).count()
+      val (nBand, nJac, nEx) = (Await.result(bandF, Duration.Inf),
+        Await.result(jacF, Duration.Inf), Await.result(exF, Duration.Inf))
       clusterEdges(s, dir)
       Seq(("band_rows", nBand), ("exact_pairs", nEx),
         ("jaccard_pairs", nJac), ("shingle_docs", nSh))
@@ -623,23 +636,23 @@ object Dedup {
   )
 
   private val edgeCache =
-    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+    collection.mutable.Map.empty[(SparkSession, String), graft.Once[DataFrame]]
 
   /** Memoized, materialized clustering edge list (exact-dup ∪ Jaccard
     * pairs) — d_cluster and d_cluster_stars run different component
     * algorithms over the SAME edges, so the union is checkpointed once
     * per (session, corpus). */
   private def clusterEdges(s: SparkSession, dir: String): DataFrame =
-    synchronized { edgeCache.getOrElseUpdate((s, dir), {
+    synchronized { edgeCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val ePairs = exactPairs(s, dir)
         .select(col("dup_of").as("a"), col("doc_id").as("b"))
       book(s, dir, "d", edgeCache,
         ePairs.union(jaccardPairs(s, dir).select("a", "b")).localCheckpoint(true),
         checkpointed = true)
-    }) }
+    })) }.value
 
   private val labelCache =
-    collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+    collection.mutable.Map.empty[(SparkSession, String), graft.Once[DataFrame]]
 
   /** Memoized component labels over [[clusterEdges]] — shared by
     * d_cluster (reports them) and x_canon (picks canonicals), so the
@@ -658,7 +671,7 @@ object Dedup {
     * edge volume, so the propagation loop runs on a graph orders of
     * magnitude smaller — the standard production-dedup shape. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    synchronized { labelCache.getOrElseUpdate((s, dir), {
+    synchronized { labelCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       // key-only traffic: scope the shuffle width like the CC loop does
       // (the eager checkpoint below materializes everything in-scope);
       // confLock serializes the override with concurrent CC runs —
@@ -670,7 +683,7 @@ object Dedup {
         try book(s, dir, "x", labelCache, clusterLabelsBody(s, dir), checkpointed = true)
         finally s.conf.set(widthKey, prevWidth)
       }
-    }) }
+    })) }.value
 
   private def clusterLabelsBody(s: SparkSession, dir: String): DataFrame = {
       val ex = exactPairs(s, dir) // (doc_id, dup_of): non-canonical members only

@@ -134,7 +134,7 @@ object Similarity {
   }
 
   private val bfCache = collection.mutable
-    .Map.empty[(SparkSession, String), DataFrame]
+    .Map.empty[(SparkSession, String), graft.Once[DataFrame]]
 
   /** Memoized brute-force cosine top-k — the ground-truth ranking. Five
     * recall queries compare an ANN path against this same baseline, so
@@ -142,7 +142,7 @@ object Similarity {
     * once and reusing it across evals is the standard ANN-benchmark
     * shape); released with the "s" family scope. */
   private def bfTopk(s: SparkSession, dir: String): DataFrame =
-    synchronized { bfCache.getOrElseUpdate((s, dir), {
+    synchronized { bfCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val e = vecs(s, dir)
       val q = broadcast(e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn")))
@@ -157,7 +157,7 @@ object Similarity {
         ()
       }
       r
-    }) }
+    })) }.value
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
       Map[String, (SparkSession, String) => DataFrame](
@@ -173,10 +173,19 @@ object Similarity {
     // for the persisted artifact this stands for). Returns the IVF
     // cell histogram, which the oracle recomputes exactly.
     "s_index_build" -> ((s, dir) => {
+      // the four builds are independent and each memoizes under its own
+      // Once cell — fan them out so the build entry's wall-clock is the
+      // slowest build, not the sum
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val builds = Seq(
+        Future(buildIvfIndex(s, dir, refine = false)),
+        Future(buildIvfIndex(s, dir, refine = true)),
+        Future { pqModel(s, dir); () },
+        Future(bfTopk(s, dir)))
+      builds.foreach(Await.result(_, Duration.Inf))
       val (_, assigned) = buildIvfIndex(s, dir, refine = false)
-      buildIvfIndex(s, dir, refine = true)
-      pqModel(s, dir)
-      bfTopk(s, dir)
       assigned.groupBy("cid").agg(count(lit(1)).as("n_vecs")).orderBy("cid")
     }),
 
@@ -298,7 +307,7 @@ object Similarity {
     }
 
   private val ivfCache = collection.mutable
-    .Map.empty[(SparkSession, String, Boolean), (DataFrame, DataFrame)]
+    .Map.empty[(SparkSession, String, Boolean), graft.Once[(DataFrame, DataFrame)]]
 
   /** Build-once half of the IVF index: (centroid table (cid, cv, cn),
     * cell-assigned vector table (vec_id, v, n, cid)). Persist both with
@@ -313,7 +322,7 @@ object Similarity {
     * not three times. */
   def buildIvfIndex(s: SparkSession, dir: String,
       refine: Boolean = false): (DataFrame, DataFrame) = synchronized {
-    ivfCache.getOrElseUpdate((s, dir, refine), {
+    ivfCache.getOrElseUpdate((s, dir, refine), new graft.Once(() => {
       val e = vecs(s, dir)
       val seed = e
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -341,8 +350,8 @@ object Similarity {
         ()
       }
       (cents, assigned)
-    })
-  }
+    }))
+  }.value
 
   /** Query-many half: probe the NProbe nearest cells per query, exact
     * search within. `cents`/`assigned` may be freshly built or reloaded
@@ -396,7 +405,7 @@ object Similarity {
   // scan of the code table (compose with IVF cells for sub-linear
   // search — this query prices the PQ term alone).
   private val pqCache = collection.mutable
-    .Map.empty[(SparkSession, String), (DataFrame, DataFrame)]
+    .Map.empty[(SparkSession, String), graft.Once[(DataFrame, DataFrame)]]
 
   /** PQ model pieces — (per-vector codes, per-query integer micro
     * LUT) — shared by s_pq_ann (full code-table scan) and s_ivfpq_ann
@@ -404,7 +413,7 @@ object Similarity {
     * (session, corpus), released with the "s" family scope: the Lloyd
     * loop + encoding is the expensive half of every PQ query. */
   private def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    synchronized { pqCache.getOrElseUpdate((s, dir), {
+    synchronized { pqCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val (codes, lut) = pqModelBody(s, dir)
       val codesP = codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lutP = lut.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -415,7 +424,7 @@ object Similarity {
         ()
       }
       (codesP, lutP)
-    }) }
+    })) }.value
 
   private def pqModelBody(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
       val e = vecs(s, dir)
