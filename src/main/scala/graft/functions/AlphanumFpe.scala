@@ -33,8 +33,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     alphabet) class (AlphanumFpeSpec holds injectivity by
   *     property).
   *
-  * Scope is ASCII, like [[AlphanumScramble]] (the reference detects
-  * unicode categories; multi-byte inputs fold via step 2).
+  * Category detection is ASCII (the reference uses unicode categories);
+  * non-ASCII input folds into the alphabet via step 2 by CODE POINT,
+  * matching the oracle's ord()/length() semantics on any input.
   */
 case class AlphanumFpe(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -107,12 +108,19 @@ object AlphanumFpe {
     val p = pepper.toString
     val alphabet = alphabetOf(v)
     val n = alphabet.length
-    // fold non-alphabet chars in by code point (text.py:57-59)
-    val m = new Array[Char](v.length)
+    // fold non-alphabet chars in by CODE POINT (text.py:57-59) —
+    // iterating UTF-16 units would count a supplementary char as two
+    // positions and fold surrogate halves, diverging from the oracle's
+    // per-character ord()/length() (same fix as BpeVocab's symbols).
+    // Every kept char is in the ASCII alphabet, so the mapped string is
+    // one Char per position.
+    val cps = v.codePoints().toArray
+    val m = new Array[Char](cps.length)
     var i = 0
-    while (i < v.length) {
-      val c = v.charAt(i)
-      m(i) = if (alphabet.indexOf(c.toInt) >= 0) c else alphabet.charAt(c.toInt % n)
+    while (i < cps.length) {
+      val cp = cps(i)
+      m(i) = if (cp < 128 && alphabet.indexOf(cp) >= 0) cp.toChar
+        else alphabet.charAt(cp % n)
       i += 1
     }
     val half = m.length / 2

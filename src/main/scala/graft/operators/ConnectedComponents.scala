@@ -37,25 +37,28 @@ object ConnectedComponents {
   /** @param edges two-column DataFrame of undirected edges (a, b).
     * @return (id, cluster) for every node that appears in an edge;
     *   cluster = min node id of the component. */
-  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = confLock.synchronized {
-    // EAGERLY materialize the directed input first: callers hand in
-    // expensive pipelines (e.g. blocked pairwise similarity joins), and
-    // the forward ∪ reversed union below references it twice. A lazy
-    // persist is not enough — the union's branches execute concurrently
-    // in the first job and would both compute the upstream pipeline
-    // before either populates the cache.
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // EAGERLY materialize the directed input first — OUTSIDE the lock:
+    // callers hand in expensive pipelines (e.g. blocked pairwise
+    // similarity joins), and serializing THAT behind the conf lock
+    // would undo the concurrent-build win elsewhere. (Eager because the
+    // forward ∪ reversed union below references it twice; a lazy
+    // persist lets the union's branches race and compute the upstream
+    // pipeline twice.)
     val e = edges.toDF("src", "dst").localCheckpoint(true)
-    // scope shuffle width to the label table, not the session default:
-    // each round is a handful of joins over one row per NODE (already a
-    // reduction of the edge data), and the per-round fixed cost is task
-    // count x rounds. On a cluster this is the same knob sized to node
-    // count; AQE re-widens nothing here because the data really is small.
-    val spark = e.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    val parts = sys.env.getOrElse("SPARK_GRAFT_CC_PARTITIONS", "8")
-    spark.conf.set(key, parts)
-    try runLoop(e, maxIter) finally spark.conf.set(key, prev)
+    confLock.synchronized {
+      // scope shuffle width to the label table, not the session default:
+      // each round is a handful of joins over one row per NODE (already a
+      // reduction of the edge data), and the per-round fixed cost is task
+      // count x rounds. On a cluster this is the same knob sized to node
+      // count; AQE re-widens nothing here because the data really is small.
+      val spark = e.sparkSession
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      val parts = sys.env.getOrElse("SPARK_GRAFT_CC_PARTITIONS", "8")
+      spark.conf.set(key, parts)
+      try runLoop(e, maxIter) finally spark.conf.set(key, prev)
+    }
   }
 
   private def runLoop(e: DataFrame, maxIter: Int): DataFrame = {
@@ -173,19 +176,22 @@ object ConnectedComponents {
     * dense, tiny-diameter graphs near-dup clustering produces (fewer
     * joins per round); this is the scale path for chain-shaped or
     * adversarial graphs — pick per workload. */
-  def runStars(edges: DataFrame, maxIter: Int = 50): DataFrame = confLock.synchronized {
-    val spark = edges.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_CC_PARTITIONS", "8"))
-    try runStarsLoop(edges, maxIter) finally spark.conf.set(key, prev)
+  def runStars(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // caller's (possibly expensive) edge pipeline materializes OUTSIDE
+    // the conf lock, like run()
+    val raw = edges.toDF("a", "b").localCheckpoint(true)
+    confLock.synchronized {
+      val spark = raw.sparkSession
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_CC_PARTITIONS", "8"))
+      try runStarsLoop(raw, maxIter) finally spark.conf.set(key, prev)
+    }
   }
 
-  private def runStarsLoop(edges: DataFrame, maxIter: Int): DataFrame = {
-    // materialize the caller's (possibly expensive) edge pipeline ONCE;
+  private def runStarsLoop(raw: DataFrame, maxIter: Int): DataFrame = {
     // node set is captured BEFORE dropping self-loops so a node whose
     // only edge is (x, x) still gets a label, matching run()
-    val raw = edges.toDF("a", "b").localCheckpoint(true)
     val nodes = raw.select(col("a").as("id"))
       .union(raw.select(col("b").as("id"))).distinct()
     var e = raw.filter(col("a") =!= col("b"))

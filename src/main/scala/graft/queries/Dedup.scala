@@ -672,6 +672,10 @@ object Dedup {
     * magnitude smaller — the standard production-dedup shape. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
     synchronized { labelCache.getOrElseUpdate((s, dir), new graft.Once(() => {
+      // prefetch the heavy memoized inputs BEFORE taking the conf lock:
+      // holding confLock through a shingle/Jaccard build would block
+      // every concurrent CC run on an unrelated expensive stage
+      exactPairs(s, dir); jaccardPairs(s, dir)
       // key-only traffic: scope the shuffle width like the CC loop does
       // (the eager checkpoint below materializes everything in-scope);
       // confLock serializes the override with concurrent CC runs —

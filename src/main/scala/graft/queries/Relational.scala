@@ -37,6 +37,13 @@ object Relational {
     * queries plan against the parent session untouched. */
   private def bloomSession(s: SparkSession): SparkSession = synchronized {
     bloomSessions.getOrElseUpdate(s, {
+      // evict with the "q" family scope: a long-lived JVM cycling
+      // parent sessions must not pin each one's child SessionState in
+      // this static map forever (rebuilding the child later is cheap)
+      graft.CacheBook.register(s, "q") { () =>
+        Relational.synchronized { bloomSessions.remove(s) }
+        ()
+      }
       val bs = s.newSession()
       bs.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // default 10GB application-side scan size — sized for clusters;

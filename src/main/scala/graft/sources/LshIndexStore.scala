@@ -38,14 +38,20 @@ object LshIndexStore {
   /** Nightly maintenance for the standing index: [[append]] grows it
     * by one parquet file set per batch forever (small-file pathology)
     * and never forgets documents the corpus has dropped. Compaction
-    * rewrites both relations as `targetFiles` files each, deduplicates
-    * re-ingested rows, and removes `retired` doc ids; probe results
-    * over the compacted index equal the uncompacted index minus the
-    * retired docs (LshIndexStoreSpec holds the equivalence).
+    * keeps ONE shingle row per doc (a re-ingested doc's version choice
+    * is arbitrary but CONSISTENT: the kept bands are recomputed from
+    * the kept shingles, never unioned across versions), rewrites both
+    * relations as `targetFiles` files each, and removes `retired` doc
+    * ids; probe results over the compacted index equal an index built
+    * fresh from the kept shingle rows (LshIndexStoreSpec holds the
+    * equivalence, including the modified-re-ingest case).
     *
     * Crash-safe by staging: the compacted relations land in
-    * `path/.compact` first and swap in with two renames — a compaction
-    * killed mid-write leaves the live index untouched.
+    * `path/.compact` first, then swap in via rename pairs whose
+    * results are CHECKED — a failure at any point leaves at least one
+    * complete copy on disk (a crash between the two renames parks the
+    * previous live relation at `path/.old-<name>`; recover by renaming
+    * it back or re-running compact after completing the swap by hand).
     *
     * @param retired doc_ids to drop (e.g. dedup losers, deleted docs);
     *   joined anti, so it scales past a broadcastable set. */
@@ -53,21 +59,34 @@ object LshIndexStore {
       targetFiles: Int = 8): Unit = {
     import org.apache.hadoop.fs.Path
     val r = retired.select("doc_id")
-    val (sh, bands) = read(s, path)
+    val (sh, _) = read(s, path)
     val stage = s"$path/.compact"
-    sh.join(r, Seq("doc_id"), "left_anti")
+    val kept = sh.join(r, Seq("doc_id"), "left_anti")
       .dropDuplicates("doc_id")
-      .coalesce(targetFiles)
+    kept.coalesce(targetFiles)
       .write.mode("overwrite").parquet(s"$stage/shingles")
-    bands.join(r, Seq("doc_id"), "left_anti")
-      .dropDuplicates("doc_id", "bi", "bk")
+    // bands derive from the KEPT shingle rows (same stateless per-row
+    // projection the ingest stream uses) — deduplicating the two
+    // relations independently could keep one version's shingles and
+    // BOTH versions' band keys for a doc re-ingested with changed text
+    graft.queries.Dedup.streamBands(
+        s.read.parquet(s"$stage/shingles").select("doc_id", "sh"))
+      .select("doc_id", "bi", "bk")
       .coalesce(targetFiles)
       .write.mode("overwrite").parquet(s"$stage/bands")
-    // both stage writes are materialized; now swap
+    // both stage writes are materialized; now swap, checking every
+    // rename (HDFS-style filesystems return false instead of throwing)
     val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+    def move(from: Path, to: Path): Unit =
+      require(fs.rename(from, to), s"compact: rename $from -> $to failed; " +
+        "live data is intact, re-run after clearing the target")
     Seq("shingles", "bands").foreach { d =>
-      fs.delete(new Path(s"$path/$d"), true)
-      fs.rename(new Path(s"$stage/$d"), new Path(s"$path/$d"))
+      val live = new Path(s"$path/$d")
+      val old = new Path(s"$path/.old-$d")
+      fs.delete(old, true)
+      move(live, old)
+      move(new Path(s"$stage/$d"), live)
+      fs.delete(old, true)
     }
     fs.delete(new Path(stage), true)
   }

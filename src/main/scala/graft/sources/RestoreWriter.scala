@@ -29,7 +29,8 @@ object RestoreWriter {
     * @param jobs declared restore parallelism; >1 is incompatible with
     *   a single transaction (the reference's guard, restore.py:44-45).
     *   Script emission is identical for any jobs value — the flag
-    *   exists to validate the combination at plan time. */
+    *   exists to validate the combination (SliceDump also validates it
+    *   up front, before the slice runs). */
   def restoreScript(graph: SchemaGraph, sliceDir: String,
       sequences: Map[String, Long],
       slicedTables: Set[String] = Set.empty,

@@ -43,6 +43,10 @@ object SliceDump {
       case "--no-transaction" :: tl => transaction = false; tl
       case "--disable-triggers" :: tl => disableTriggers = true; tl
       case "--jobs" :: n :: tl => jobs = n.toInt; tl
+      // a known value-taking flag with its value forgotten must say so
+      // (the catch-all below would misreport it as unknown)
+      case flag :: Nil if Set("--graph", "--scrub", "--pepper", "--jobs")(flag) =>
+        sys.error(s"$flag requires a value"); Nil
       // any unrecognized flag must fail loudly WHEREVER it appears —
       // a typo'd flag and its value would otherwise be swallowed into
       // the (table, condition) pair list and "work"
@@ -51,6 +55,12 @@ object SliceDump {
       case a :: tl              => pairArgs += a; tl
       case Nil                  => Nil
     }
+    // fail BEFORE the (possibly hours-long) slice runs, not in the
+    // final restore-script write: the jobs/transaction combination
+    // needs no graph to validate (the FK-cycle/transaction rule stays
+    // late — it depends on which tables the slice actually reaches)
+    require(!(jobs > 1 && transaction),
+      s"a single transaction must be disabled for jobs=$jobs > 1 (use --no-transaction)")
     val pairs = pairArgs.result()
     require(pairs.length >= 2 && pairs.length % 2 == 0,
       "roots must be (table, condition) pairs")

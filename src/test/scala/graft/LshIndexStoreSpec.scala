@@ -60,10 +60,14 @@ class LshIndexStoreSpec extends SparkSpec {
     val (sh, bands) = index(corpus)
     val tmp = java.nio.file.Files.createTempDirectory("graft-lsh-c").toString
     LshIndexStore.write(tmp, sh, bands)
-    // several appends: files accumulate, one batch lands TWICE (retry)
+    // several appends: files accumulate, one batch lands TWICE (retry),
+    // and doc 11 is later re-ingested with CHANGED text (new band keys)
     val (bsh, bbands) = index(probe)
     LshIndexStore.append(tmp, bsh, bbands)
     LshIndexStore.append(tmp, bsh, bbands)
+    val (msh, mbands) = index(Seq(
+      (11L, "totally rewritten text with entirely new words replacing everything")))
+    LshIndexStore.append(tmp, msh, mbands)
     val filesBefore = new java.io.File(s"$tmp/bands").listFiles()
       .count(_.getName.endsWith(".parquet"))
 
@@ -80,13 +84,25 @@ class LshIndexStoreSpec extends SparkSpec {
     assert(before.exists(_._1 == 1L), s"probe must hit the near-dup: $before")
 
     LshIndexStore.compact(spark, tmp, Seq(3L).toDF("doc_id"), targetFiles = 1)
-    assert(candidates() == before.filterNot(_._1 == 3L),
+    // doc 11's version choice is arbitrary; everything else must probe
+    // identically to the uncompacted index minus the retired doc
+    assert(candidates().filterNot(_._1 == 11L)
+        == before.filterNot(p => p._1 == 3L || p._1 == 11L),
       "compaction must not change probe results beyond dropping retired docs")
     val (sh2, bands2) = LshIndexStore.read(spark, tmp)
     assert(sh2.groupBy("doc_id").count().filter(col("count") > 1).isEmpty,
       "re-ingested duplicate rows collapse")
     assert(bands2.select("doc_id").distinct().as[Long].collect().toSet
       == Set(1L, 2L, 10L, 11L), "retired doc gone, everything else kept")
+    // whichever version won, bands must be CONSISTENT with the kept
+    // shingles (a per-relation dedup could keep one version's shingles
+    // and both versions' band keys)
+    val rebanded = Dedup.streamBands(sh2).select("doc_id", "bi", "bk")
+      .as[(Long, Int, String)].collect().toSet
+    assert(bands2.as[(Long, Int, String)].collect().toSet == rebanded,
+      "band rows re-derive exactly from the kept shingle rows")
+    assert(bands2.filter(col("doc_id") === 11L).count() == 4,
+      "one version's 4 band rows for the modified re-ingest, not a union")
     val filesAfter = new java.io.File(s"$tmp/bands").listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(filesAfter < filesBefore && filesAfter == 1,
