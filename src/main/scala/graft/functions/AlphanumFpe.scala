@@ -143,4 +143,41 @@ object AlphanumFpe {
     }
     UTF8String.fromString(new String(l) + new String(r))
   }
+
+  /** Inverse cipher — the audit path. Each encryption round is
+    * (L, R) → (R, L ⊞ F_r(R)) with ⊞ digit-wise modular addition, so
+    * decryption peels rounds in reverse: R_r = L_{r+1},
+    * L_r = R_{r+1} ⊟ F_r(R_r). The ALPHABET must be supplied: it was
+    * derived from the plaintext's category profile, which the
+    * ciphertext does not necessarily exhibit (the same contract as the
+    * reference's pyffx.String, which is constructed with an explicit
+    * alphabet). Returns the FOLDED plaintext — identical to the
+    * original whenever the original was inside its alphabet (the
+    * collision-free contract's domain). */
+  def decrypt(cipher: String, pepper: String, alphabet: String): String = {
+    if (cipher.isEmpty) return cipher
+    val n = alphabet.length
+    val m = cipher.toCharArray
+    // final sizes equal the initial (floor, ceil) split for even Rounds
+    val half = m.length / 2
+    var l = java.util.Arrays.copyOfRange(m, 0, half)
+    var r = java.util.Arrays.copyOfRange(m, half, m.length)
+    var round = Rounds - 1
+    while (round >= 0) {
+      val prevR = l
+      val ks = md5Hex(pepper + "|fpe|" + round + "|" + new String(prevR))
+      val prevL = new Array[Char](r.length)
+      var j = 0
+      while (j < r.length) {
+        val d = idx6(md5Hex(ks + (j + 1)))
+        val idx = ((alphabet.indexOf(r(j).toInt) - (d % n) + n) % n).toInt
+        prevL(j) = alphabet.charAt(idx)
+        j += 1
+      }
+      l = prevL
+      r = prevR
+      round -= 1
+    }
+    new String(l) + new String(r)
+  }
 }

@@ -53,6 +53,24 @@ class AlphanumFpeSpec extends AnyFunSuite {
     assert(enc("Customer42", "other") != enc("Customer42"))
   }
 
+  test("decrypt inverts encrypt for in-alphabet inputs (property)") {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    def roundTrips(alpha: String): Prop = Prop.forAll(
+      Gen.choose(1, 16).flatMap(n => Gen.listOfN(n, Gen.oneOf(alpha.toSeq)).map(_.mkString))) {
+      v => AlphanumFpe.decrypt(enc(v), "graft", alpha) == v
+    }
+    check("lower-roundtrip", roundTrips(lower))
+    check("digit-roundtrip", roundTrips(digits))
+    // mixed-category input: decrypt with the full category alphabet
+    val v = "Cust42x"
+    val alpha = AlphanumFpe.alphabetOf(v)
+    assert(AlphanumFpe.decrypt(enc(v), "graft", alpha) == v)
+    // wrong pepper does NOT round-trip
+    assert(AlphanumFpe.decrypt(enc("secret7"), "other",
+      AlphanumFpe.alphabetOf("secret7")) != "secret7")
+  }
+
   test("length 1 and length 2 degenerate halves stay bijective") {
     assert(('a' to 'z').map(c => enc(c.toString)).distinct.size == 26)
     val twos = for (a <- 'a' to 'c'; b <- 'a' to 'c') yield enc(s"$a$b")
