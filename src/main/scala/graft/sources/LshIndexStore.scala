@@ -94,4 +94,18 @@ object LshIndexStore {
   /** Compaction with nothing retired — pure file/dup hygiene. */
   def compact(s: SparkSession, path: String): Unit =
     compact(s, path, s.range(0).selectExpr("id AS doc_id"))
+
+  /** Persist the nightly run's component labels (id, cluster) — the
+    * OTHER standing half of incremental dedup:
+    * `ConnectedComponents.runIncremental` extends exactly this
+    * labeling with the delta pairs, so the nightly job is
+    * read-labels → incremental CC → write-labels, never a from-scratch
+    * closure. Overwrite, not append: labels supersede wholesale (an
+    * old label may be remapped by a new edge). */
+  def writeLabels(path: String, labels: DataFrame): Unit =
+    labels.select("id", "cluster").write.mode("overwrite")
+      .parquet(s"$path/labels")
+
+  def readLabels(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/labels").select("id", "cluster")
 }

@@ -49,6 +49,26 @@ class LshIndexStoreSpec extends SparkSpec {
     assert(bands3.count() == bands.count() + bbands.count())
   }
 
+  test("standing labels round-trip; incremental CC over reloaded labels == from-scratch") {
+    import graft.operators.ConnectedComponents
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lbl").toString
+    // nightly N: label, persist
+    LshIndexStore.writeLabels(tmp, ConnectedComponents.run(oldEdges))
+    // nightly N+1: a delta batch arrives (new doc 20 bridges 3 and 11)
+    val delta = Seq((3L, 20L), (20L, 11L)).toDF("a", "b")
+    val inc = ConnectedComponents.runIncremental(
+      LshIndexStore.readLabels(spark, tmp), delta)
+    val scratch = ConnectedComponents.run(oldEdges.union(delta))
+    assert(inc.as[(Long, Long)].collect().toSet
+      == scratch.as[(Long, Long)].collect().toSet,
+      "reloaded standing labels must extend exactly like in-session labels")
+    // and the superseding write: next session reads the N+1 labels
+    LshIndexStore.writeLabels(tmp, inc)
+    assert(LshIndexStore.readLabels(spark, tmp).as[(Long, Long)].collect().toSet
+      == inc.as[(Long, Long)].collect().toSet)
+  }
+
   test("compaction: probe-equivalent, dups collapsed, retired docs dropped") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
