@@ -53,6 +53,13 @@ object LshIndexStore {
     * previous live relation at `path/.old-<name>`; recover by renaming
     * it back or re-running compact after completing the swap by hand).
     *
+    * Caller contract: compaction REWRITES the files under `path` —
+    * materialize (collect/checkpoint) any live DataFrame still lazily
+    * referencing the store before calling, or its next action fails on
+    * the moved files (IngestLoopSpec demonstrates the ordering). The
+    * `retired` frame itself is evaluated during the stage writes,
+    * before any swap, so it may safely derive from the store.
+    *
     * @param retired doc_ids to drop (e.g. dedup losers, deleted docs);
     *   joined anti, so it scales past a broadcastable set. */
   def compact(s: SparkSession, path: String, retired: DataFrame,

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.ConnectedComponents
+import graft.queries.Dedup
+import graft.sources.LshIndexStore
+
+/** The DEPLOY.md nightly-ingest recipe, end to end through the
+  * persisted store: night 0 builds the standing index + labels; night
+  * 1's batch probes the RELOADED bands, exact-verifies, extends the
+  * RELOADED labels incrementally, appends, retires dedup losers, and
+  * compacts — and the resulting state equals the from-scratch
+  * computation over everything. */
+class IngestLoopSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shOf(texts: Seq[(Long, String)]): DataFrame =
+    texts.toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingleHashCol(col("text")).as("sh"))
+
+  /** Exact-Jaccard verify of band-key candidates (public-surface form
+    * of the ingest probe: candidates from a band equi-join, verified
+    * against the shingle sets). */
+  private def probe(batch: DataFrame, standingBands: DataFrame,
+      standingSh: DataFrame): DataFrame = {
+    val b = Dedup.streamBands(batch)
+    val cand = b.as("x").join(standingBands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk"))
+      .select(col("y.doc_id").as("a"), col("x.doc_id").as("b")).distinct()
+    cand.join(standingSh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(batch.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("jac", size(array_intersect(col("sha"), col("shb")))
+        / (size(col("sha")) + size(col("shb"))
+          - size(array_intersect(col("sha"), col("shb")))))
+      .filter(col("jac") >= 0.2)
+      .select("a", "b")
+  }
+
+  test("two nights of ingest through the store equal from-scratch") {
+    val night0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today and sleeps"),
+      (2L, "the quick brown fox jumps over the lazy dog today and eats"),
+      (3L, "an entirely different document about spark shuffles and joins here"))
+    val batch1 = Seq(
+      (10L, "an entirely different document about spark shuffles and joins there"),
+      (11L, "nothing shares any shingle with anything else stored so far"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+
+    // night 0: build + persist index and labels
+    val sh0 = shOf(night0)
+    LshIndexStore.write(tmp, sh0, Dedup.streamBands(sh0).select("doc_id", "bi", "bk"))
+    val pairs0 = Dedup.lshPairs(sh0, minJac = 0.2).select("a", "b")
+    LshIndexStore.writeLabels(tmp, ConnectedComponents.run(pairs0))
+
+    // night 1: probe the RELOADED store with the batch, extend the
+    // RELOADED labels, append the batch, retire losers, compact
+    val (shStored, bandsStored) = LshIndexStore.read(spark, tmp)
+    val shB = shOf(batch1)
+    val newPairs = probe(shB, bandsStored, shStored)
+    val labels1 = ConnectedComponents.runIncremental(
+      LshIndexStore.readLabels(spark, tmp), newPairs)
+    LshIndexStore.writeLabels(tmp, labels1)
+    LshIndexStore.append(tmp, shB, Dedup.streamBands(shB).select("doc_id", "bi", "bk"))
+    // MATERIALIZE everything still referencing the store before
+    // compaction rewrites it (the compact() contract): a lazy frame
+    // over the old files fails after the swap
+    val newPairSet = newPairs.as[(Long, Long)].collect().toSet
+    val labelSet = labels1.as[(Long, Long)].collect().toSet
+    // retire the non-canonical member of every dup pair (keep min id)
+    val retired = labels1.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id")).localCheckpoint(true)
+    LshIndexStore.compact(spark, tmp, retired, targetFiles = 1)
+
+    // labels equal the from-scratch closure over all pairs
+    val shAll = shOf(night0 ++ batch1)
+    val scratchPairs = Dedup.lshPairs(shAll, minJac = 0.2).select("a", "b")
+    val scratch = ConnectedComponents.run(scratchPairs)
+      .as[(Long, Long)].collect().toSet
+    assert(labelSet == scratch,
+      "incremental-through-the-store labels == from-scratch closure")
+    assert(newPairSet.contains((3L, 10L)),
+      "the near-dup batch doc must have probed its standing partner")
+
+    // the compacted index: retired docs gone, a night-2 probe of a doc
+    // near a RETIRED one hits nothing (its canonical twin differs more)
+    val (sh2, bands2) = LshIndexStore.read(spark, tmp)
+    val retiredIds = retired.as[Long].collect().toSet
+    assert(sh2.select("doc_id").as[Long].collect().toSet
+      .intersect(retiredIds).isEmpty, "retired docs out of the index")
+    val probe2 = probe(shOf(Seq(
+      (20L, "an entirely different document about spark shuffles and joins here"))),
+      bands2, sh2)
+    assert(probe2.as[(Long, Long)].collect().toSet.map((p: (Long, Long)) => p._1)
+      .subsetOf(Set(3L, 10L) -- retiredIds),
+      "a night-2 probe only sees surviving canonicals")
+  }
+}
