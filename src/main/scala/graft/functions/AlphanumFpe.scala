@@ -156,6 +156,12 @@ object AlphanumFpe {
     * collision-free contract's domain). */
   def decrypt(cipher: String, pepper: String, alphabet: String): String = {
     if (cipher.isEmpty) return cipher
+    require(alphabet.nonEmpty, "decrypt: empty alphabet")
+    // an out-of-alphabet cipher char means the WRONG alphabet was
+    // supplied — indexOf's -1 would otherwise decode to plausible
+    // garbage, exactly where an audit needs a loud failure
+    cipher.foreach(c => require(alphabet.indexOf(c.toInt) >= 0,
+      s"decrypt: cipher char '$c' not in the supplied alphabet"))
     val n = alphabet.length
     val m = cipher.toCharArray
     // final sizes equal the initial (floor, ceil) split for even Rounds

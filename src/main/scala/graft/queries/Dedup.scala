@@ -312,7 +312,7 @@ object Dedup {
     * filter, then (a, b, jac). Shared by the batch [[verifyPairs]] and
     * the streaming ingest probe (st_ingest_dedup), so there is exactly
     * one Jaccard formula to hold to the oracles. */
-  private[queries] def jaccardVerified(joined: DataFrame, shA: Column,
+  private[graft] def jaccardVerified(joined: DataFrame, shA: Column,
       shB: Column, minJac: Double): DataFrame =
     joined
       .select(col("a"), col("b"), sortedInter(shA, shB).as("inter"),
@@ -493,13 +493,15 @@ object Dedup {
       val exF = Future(exactPairs(s, dir).count())
       val bandF = shF.map(sh => bandsMemo(sh).count())
       val jacF = shF.map(_ => jaccardPairs(s, dir).count())
-      // standing labels chain off the band table (minhashPairs);
-      // they're the nightly labeling artifact d_cluster_inc extends
-      val lblF = bandF.map(_ => standingLabels(s, dir).count())
       val nSh = Await.result(shF, Duration.Inf).count()
       val (nBand, nJac, nEx) = (Await.result(bandF, Duration.Inf),
         Await.result(jacF, Duration.Inf), Await.result(exF, Duration.Inf))
-      Await.result(lblF, Duration.Inf)
+      // the standing labels (the nightly labeling artifact
+      // d_cluster_inc extends) build LAST, alone: their CC run scopes
+      // the session shuffle width down, which must not capture the
+      // corpus-scale Jaccard/exact builds still planning on other
+      // threads
+      standingLabels(s, dir)
       clusterEdges(s, dir)
       Seq(("band_rows", nBand), ("exact_pairs", nEx),
         ("jaccard_pairs", nJac), ("shingle_docs", nSh))

@@ -20,21 +20,25 @@ class IngestLoopSpec extends SparkSpec {
     texts.toDF("doc_id", "text")
       .select(col("doc_id"), Dedup.shingleHashCol(col("text")).as("sh"))
 
-  /** Exact-Jaccard verify of band-key candidates (public-surface form
-    * of the ingest probe: candidates from a band equi-join, verified
-    * against the shingle sets). */
+  /** The ingest probe with lshPairsIncremental's semantics: the batch
+    * bands probe the standing ∪ batch band set, so intra-batch
+    * (new-new) pairs are found too — runIncremental's contract needs
+    * EVERY edge with a new endpoint. The verify is the one shared
+    * Jaccard chain ([[Dedup.jaccardVerified]]). */
   private def probe(batch: DataFrame, standingBands: DataFrame,
       standingSh: DataFrame): DataFrame = {
     val b = Dedup.streamBands(batch)
-    val cand = b.as("x").join(standingBands.as("y"),
-        col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk"))
-      .select(col("y.doc_id").as("a"), col("x.doc_id").as("b")).distinct()
-    cand.join(standingSh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-      .join(batch.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-      .withColumn("jac", size(array_intersect(col("sha"), col("shb")))
-        / (size(col("sha")) + size(col("shb"))
-          - size(array_intersect(col("sha"), col("shb")))))
-      .filter(col("jac") >= 0.2)
+    val all = standingBands.union(b.select("doc_id", "bi", "bk"))
+    val cand = b.as("x").join(all.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
+          && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b")).distinct()
+    val sh = standingSh.unionByName(batch.select("doc_id", "sh"))
+    Dedup.jaccardVerified(
+      cand.join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b"),
+      col("sha"), col("shb"), minJac = 0.2)
       .select("a", "b")
   }
 
@@ -45,7 +49,8 @@ class IngestLoopSpec extends SparkSpec {
       (3L, "an entirely different document about spark shuffles and joins here"))
     val batch1 = Seq(
       (10L, "an entirely different document about spark shuffles and joins there"),
-      (11L, "nothing shares any shingle with anything else stored so far"))
+      (11L, "nothing shares any shingle with anything else stored so far"),
+      (12L, "an entirely different document about spark shuffles and joins maybe"))
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
 
     // night 0: build + persist index and labels
@@ -82,6 +87,8 @@ class IngestLoopSpec extends SparkSpec {
       "incremental-through-the-store labels == from-scratch closure")
     assert(newPairSet.contains((3L, 10L)),
       "the near-dup batch doc must have probed its standing partner")
+    assert(newPairSet.contains((10L, 12L)),
+      "intra-batch (new-new) pairs must be found too")
 
     // the compacted index: retired docs gone, a night-2 probe of a doc
     // near a RETIRED one hits nothing (its canonical twin differs more)
@@ -93,7 +100,7 @@ class IngestLoopSpec extends SparkSpec {
       (20L, "an entirely different document about spark shuffles and joins here"))),
       bands2, sh2)
     assert(probe2.as[(Long, Long)].collect().toSet.map((p: (Long, Long)) => p._1)
-      .subsetOf(Set(3L, 10L) -- retiredIds),
+      .subsetOf(Set(3L, 10L, 12L) -- retiredIds),
       "a night-2 probe only sees surviving canonicals")
   }
 }

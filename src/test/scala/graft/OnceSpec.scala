@@ -25,10 +25,15 @@ class OnceSpec extends AnyFunSuite {
     // timeout; with per-cell locks both proceed
     def mk() = new Once(() => { gate.await(5, java.util.concurrent.TimeUnit.SECONDS); 1 })
     val (a, b) = (mk(), mk())
-    val ta = new Thread(() => { a.value; () })
-    val tb = new Thread(() => { b.value; () })
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ta = new Thread(() => { a.value; done.incrementAndGet(); () })
+    val tb = new Thread(() => { b.value; done.incrementAndGet(); () })
     ta.start(); tb.start(); ta.join(8000); tb.join(8000)
     assert(!ta.isAlive && !tb.isAlive, "independent cells must not serialize")
+    // liveness alone passes when both builds DIE on the broken barrier —
+    // assert both actually completed (and thus overlapped)
+    assert(done.get() == 2 && a.value == 1 && b.value == 1,
+      "both builds must have completed through the barrier")
   }
 
   test("a failed build retries instead of caching the exception") {
