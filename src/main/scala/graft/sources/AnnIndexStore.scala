@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions.col
   * directory-sized operation, not an index rebuild. */
 object AnnIndexStore {
 
-  def write(path: String, centroids: DataFrame, cells: DataFrame): Unit = {
-    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    cells.write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
-  }
+  /** Staged + rename-swapped ([[StagedWrite]]): a nightly rebuild
+    * killed mid-write must not take the live index with it. */
+  def write(path: String, centroids: DataFrame, cells: DataFrame): Unit =
+    StagedWrite.swapIn(centroids.sparkSession, path, Seq("centroids", "cells")) { st =>
+      centroids.coalesce(1).write.mode("overwrite").parquet(s"$st/centroids")
+      cells.write.mode("overwrite").partitionBy("cid").parquet(s"$st/cells")
+    }
 
   /** (centroids, cells) with the build-side schema restored: partition
     * columns come back type-inferred and appended, so cid is re-cast

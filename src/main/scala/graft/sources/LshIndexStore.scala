@@ -18,10 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LshIndexStore {
 
-  def write(path: String, shingles: DataFrame, bands: DataFrame): Unit = {
-    shingles.write.mode("overwrite").parquet(s"$path/shingles")
-    bands.write.mode("overwrite").parquet(s"$path/bands")
-  }
+  /** Staged + rename-swapped ([[StagedWrite]]): a rebuild killed
+    * mid-write must not take the live index with it. */
+  def write(path: String, shingles: DataFrame, bands: DataFrame): Unit =
+    StagedWrite.swapIn(shingles.sparkSession, path, Seq("shingles", "bands")) { st =>
+      shingles.write.mode("overwrite").parquet(s"$st/shingles")
+      bands.write.mode("overwrite").parquet(s"$st/bands")
+    }
 
   /** Append one ingested batch's rows — the post-run bookkeeping that
     * keeps the standing index current. */
@@ -46,12 +49,9 @@ object LshIndexStore {
     * fresh from the kept shingle rows (LshIndexStoreSpec holds the
     * equivalence, including the modified-re-ingest case).
     *
-    * Crash-safe by staging: the compacted relations land in
-    * `path/.compact` first, then swap in via rename pairs whose
-    * results are CHECKED — a failure at any point leaves at least one
-    * complete copy on disk (a crash between the two renames parks the
-    * previous live relation at `path/.old-<name>`; recover by renaming
-    * it back or re-running compact after completing the swap by hand).
+    * Crash-safe via [[StagedWrite]]: the compacted relations land in
+    * `path/.stage` first and swap in with checked renames — a failure
+    * at any point leaves at least one complete copy on disk.
     *
     * Caller contract: compaction REWRITES the files under `path` —
     * materialize (collect/checkpoint) any live DataFrame still lazily
@@ -64,38 +64,23 @@ object LshIndexStore {
     *   joined anti, so it scales past a broadcastable set. */
   def compact(s: SparkSession, path: String, retired: DataFrame,
       targetFiles: Int = 8): Unit = {
-    import org.apache.hadoop.fs.Path
     val r = retired.select("doc_id")
     val (sh, _) = read(s, path)
-    val stage = s"$path/.compact"
     val kept = sh.join(r, Seq("doc_id"), "left_anti")
       .dropDuplicates("doc_id")
-    kept.coalesce(targetFiles)
-      .write.mode("overwrite").parquet(s"$stage/shingles")
-    // bands derive from the KEPT shingle rows (same stateless per-row
-    // projection the ingest stream uses) — deduplicating the two
-    // relations independently could keep one version's shingles and
-    // BOTH versions' band keys for a doc re-ingested with changed text
-    graft.queries.Dedup.streamBands(
-        s.read.parquet(s"$stage/shingles").select("doc_id", "sh"))
-      .select("doc_id", "bi", "bk")
-      .coalesce(targetFiles)
-      .write.mode("overwrite").parquet(s"$stage/bands")
-    // both stage writes are materialized; now swap, checking every
-    // rename (HDFS-style filesystems return false instead of throwing)
-    val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
-    def move(from: Path, to: Path): Unit =
-      require(fs.rename(from, to), s"compact: rename $from -> $to failed; " +
-        "live data is intact, re-run after clearing the target")
-    Seq("shingles", "bands").foreach { d =>
-      val live = new Path(s"$path/$d")
-      val old = new Path(s"$path/.old-$d")
-      fs.delete(old, true)
-      move(live, old)
-      move(new Path(s"$stage/$d"), live)
-      fs.delete(old, true)
+    StagedWrite.swapIn(s, path, Seq("shingles", "bands")) { st =>
+      kept.coalesce(targetFiles)
+        .write.mode("overwrite").parquet(s"$st/shingles")
+      // bands derive from the KEPT shingle rows (same stateless per-row
+      // projection the ingest stream uses) — deduplicating the two
+      // relations independently could keep one version's shingles and
+      // BOTH versions' band keys for a doc re-ingested with changed text
+      graft.queries.Dedup.streamBands(
+          s.read.parquet(s"$st/shingles").select("doc_id", "sh"))
+        .select("doc_id", "bi", "bk")
+        .coalesce(targetFiles)
+        .write.mode("overwrite").parquet(s"$st/bands")
     }
-    fs.delete(new Path(stage), true)
   }
 
   /** Compaction with nothing retired — pure file/dup hygiene. */
@@ -110,8 +95,10 @@ object LshIndexStore {
     * closure. Overwrite, not append: labels supersede wholesale (an
     * old label may be remapped by a new edge). */
   def writeLabels(path: String, labels: DataFrame): Unit =
-    labels.select("id", "cluster").write.mode("overwrite")
-      .parquet(s"$path/labels")
+    StagedWrite.swapIn(labels.sparkSession, path, Seq("labels")) { st =>
+      labels.select("id", "cluster").write.mode("overwrite")
+        .parquet(s"$st/labels")
+    }
 
   def readLabels(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"$path/labels").select("id", "cluster")

@@ -127,6 +127,7 @@ class LshIndexStoreSpec extends SparkSpec {
       .count(_.getName.endsWith(".parquet"))
     assert(filesAfter < filesBefore && filesAfter == 1,
       s"size-tiered rewrite: $filesBefore -> $filesAfter files")
-    assert(!new java.io.File(s"$tmp/.compact").exists(), "stage dir cleaned up")
+    assert(!new java.io.File(s"$tmp/.stage").exists(), "stage dir cleaned up")
+    assert(!new java.io.File(s"$tmp/.old-bands").exists(), "parked copy cleaned up")
   }
 }
