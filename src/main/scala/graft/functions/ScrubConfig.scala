@@ -66,10 +66,10 @@ object ScrubConfig {
     val t = Option(root.get("tables")).getOrElse(
       sys.error("scrub config must have a top-level \"tables\" object"))
     val transforms = Option(root.get("transforms")).map { tr =>
-      tr.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      tr.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
-    val tables = t.fields().asScala.map { e =>
-      e.getKey -> e.getValue.fields().asScala.map { c =>
+    val tables = t.properties().asScala.map { e =>
+      e.getKey -> e.getValue.properties().asScala.map { c =>
         val inst = c.getValue.asText()
         resolve(transforms, inst) // fail fast on unknown transforms
         c.getKey -> inst

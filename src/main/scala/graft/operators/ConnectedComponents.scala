@@ -145,7 +145,7 @@ object ConnectedComponents {
     val lbl = old.select(col("id").as("n"), col("cluster").as("cl"))
     def contract(df: DataFrame, c: String): DataFrame =
       df.join(lbl, df(c) === lbl("n"), "left")
-        .select((df.columns.filterNot(_ == c).map(df(_))
+        .select((df.columns.filterNot(_ == c).toIndexedSeq.map(df(_))
           :+ coalesce(col("cl"), df(c)).as(c)): _*)
     val contracted = contract(contract(e, "a"), "b").select("a", "b")
     val small = run(contracted, maxIter)

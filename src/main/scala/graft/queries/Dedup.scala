@@ -450,7 +450,7 @@ object Dedup {
       struct(lit(bi).as("bi"),
         concat_ws(":", mj(2 * bi), mj(2 * bi + 1)).as("bk"))): _*)
     df.withColumn("band", explode(bandArr))
-      .select(df.columns.map(col) :+ col("band.bi").as("bi")
+      .select(df.columns.toIndexedSeq.map(col) :+ col("band.bi").as("bi")
         :+ col("band.bk").as("bk"): _*)
   }
 
@@ -737,7 +737,7 @@ object Dedup {
       val canon = ex.select(col("doc_id").as("node"), col("dup_of").as("cn"))
       def canonize(df: DataFrame, c: String): DataFrame =
         df.join(canon, df(c) === canon("node"), "left")
-          .select((df.columns.filterNot(_ == c).map(df(_))
+          .select((df.columns.filterNot(_ == c).toIndexedSeq.map(df(_))
             :+ coalesce(col("cn"), df(c)).as(c)): _*)
       val contracted = canonize(canonize(jac, "a"), "b")
       val small = ConnectedComponents.run(contracted.select("a", "b"))
