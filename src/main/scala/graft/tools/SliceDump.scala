@@ -23,23 +23,34 @@ object SliceDump {
   private def readFile(p: String) =
     java.nio.file.Files.readString(java.nio.file.Paths.get(p))
 
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args.take(2)
+  /** Parsed invocation — extraction makes the flag grammar (and its
+    * loud-failure rules) unit-testable without running a slice. */
+  final case class Parsed(roots: Seq[SliceRoot],
+      graphPath: Option[String], scrubPath: Option[String],
+      pepper: Option[String], transaction: Boolean,
+      disableTriggers: Boolean, jobs: Int)
+
+  /** Parse everything after (sfDir, outDir). Fails loudly on: an
+    * unknown --flag anywhere, a known value flag missing its value, a
+    * jobs/transaction conflict (before the hours-long slice runs, not
+    * in the final restore-script write — the FK-cycle/transaction rule
+    * stays late, it depends on which tables the slice reaches), and
+    * non-paired roots. */
+  def parse(args: Seq[String]): Parsed = {
     // explicit flags — suffix-sniffing would misroute a scrub-only call
     // or a root condition that happens to end in ".json"
     val pairArgs = Vector.newBuilder[String]
-    var graphPath, scrubPath = Option.empty[String]
+    var graphPath, scrubPath, pepper = Option.empty[String]
     // restore-script execution options (reference cli/main.py:158-192)
     var transaction = true
     var disableTriggers = false
     var jobs = 1
-    var rest = args.drop(2).toList
+    var rest = args.toList
     while (rest.nonEmpty) rest = rest match {
       case "--graph" :: p :: tl => graphPath = Some(p); tl
       case "--scrub" :: p :: tl => scrubPath = Some(p); tl
-      // per-invocation pepper (reference cli/main.py parity); must land
-      // before the scrub config builds its transform Columns below
-      case "--pepper" :: p :: tl => graft.functions.Transforms.setPepper(p); tl
+      // per-invocation pepper (reference cli/main.py parity)
+      case "--pepper" :: p :: tl => pepper = Some(p); tl
       case "--no-transaction" :: tl => transaction = false; tl
       case "--disable-triggers" :: tl => disableTriggers = true; tl
       case "--jobs" :: n :: tl => jobs = n.toInt; tl
@@ -55,16 +66,21 @@ object SliceDump {
       case a :: tl              => pairArgs += a; tl
       case Nil                  => Nil
     }
-    // fail BEFORE the (possibly hours-long) slice runs, not in the
-    // final restore-script write: the jobs/transaction combination
-    // needs no graph to validate (the FK-cycle/transaction rule stays
-    // late — it depends on which tables the slice actually reaches)
     require(!(jobs > 1 && transaction),
       s"a single transaction must be disabled for jobs=$jobs > 1 (use --no-transaction)")
     val pairs = pairArgs.result()
     require(pairs.length >= 2 && pairs.length % 2 == 0,
       "roots must be (table, condition) pairs")
-    val roots = pairs.grouped(2).map(p => SliceRoot(p(0), p(1))).toSeq
+    Parsed(pairs.grouped(2).map(p => SliceRoot(p(0), p(1))).toSeq,
+      graphPath, scrubPath, pepper, transaction, disableTriggers, jobs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val p = parse(args.drop(2).toSeq)
+    // must land before the scrub config builds its transform Columns
+    p.pepper.foreach(graft.functions.Transforms.setPepper)
+    val Parsed(roots, graphPath, scrubPath, _, transaction, disableTriggers, jobs) = p
     val graph = graphPath.map(p => SchemaConfig.fromJson(readFile(p)))
       .getOrElse(SchemaGraph.tpch)
     val scrub: (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
