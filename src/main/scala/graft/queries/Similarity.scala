@@ -136,6 +136,32 @@ object Similarity {
   private val bfCache = collection.mutable
     .Map.empty[(SparkSession, String), graft.Once[DataFrame]]
 
+  private val annCache = collection.mutable
+    .Map.empty[(SparkSession, String, String), graft.Once[DataFrame]]
+
+  /** Memoize an ANN query's K*NQueries-row result per (session, corpus,
+    * name), released with the "s" family scope. The recall evals each
+    * re-ran their sibling probe pipeline end-to-end (locally ~0.2 s of
+    * redundancy, but in a contended window every extra multi-job
+    * pipeline multiplies) — with the result memoized, s_*_recall is one
+    * join of two cached 25-row frames, and each probe pipeline runs
+    * exactly once per session however many entries consume it. */
+  private def memoAnn(name: String)(
+      body: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => synchronized {
+      annCache.getOrElseUpdate((s, dir, name), new graft.Once(() => {
+        val r = body(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.count()
+        graft.CacheBook.register(s, "s") { () =>
+          Similarity.synchronized { annCache.remove((s, dir, name)) }
+          r.unpersist(false)
+          ()
+        }
+        r
+      }))
+    }.value
+
   /** Memoized brute-force cosine top-k — the ground-truth ranking. Five
     * recall queries compare an ANN path against this same baseline, so
     * it materializes once per (session, corpus) (computing ground truth
@@ -197,7 +223,7 @@ object Similarity {
     // single-probe ~0 on weakly-clustered corpora. Bucketed table
     // persisted: the 8x64-term signature projection runs once per row,
     // not once per join side.
-    "s_lsh_ann" -> ((s, dir) => {
+    "s_lsh_ann" -> memoAnn("s_lsh_ann")((s, dir) => {
       val e = vecs(s, dir).withColumn("bucket", VecOps.lshBucket(col("v")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // per-call persist (probe + candidate sides) — family-scoped release
@@ -260,7 +286,7 @@ object Similarity {
     // r03 scale defect). At cluster scale K would be ~sqrt(N) via the
     // same hash-ordered draw (or k-means refined); the plan shape is
     // unchanged.
-    "s_ivf_ann" -> ((s, dir) => ivfAnn(s, dir, refine = false)),
+    "s_ivf_ann" -> memoAnn("s_ivf_ann")((s, dir) => ivfAnn(s, dir, refine = false)),
 
     // the SAME IVF index with the codebook Lloyd-refined — shipped as a
     // sibling query because the choice is a measured TRADE, not an
@@ -270,14 +296,14 @@ object Similarity {
     // iters x nprobe), while on naturally-clustered data it is the
     // standard production choice. Both variants answer to oracles; the
     // two recall evals price them side by side.
-    "s_ivf_kmeans" -> ((s, dir) => ivfAnn(s, dir, refine = true)),
+    "s_ivf_kmeans" -> memoAnn("s_ivf_kmeans")((s, dir) => ivfAnn(s, dir, refine = true)),
 
     "s_ivf_kmeans_recall" -> recallOf("s_ivf_kmeans")
   ) ++ Map[String, (SparkSession, String) => DataFrame](
     // eta-expansion through a lambda: pqAnnBody/ivfpqAnnBody are vals
     // declared below this map (object init order would capture null
     // otherwise)
-    "s_pq_ann" -> ((s, dir) => pqAnnBody(s, dir)),
+    "s_pq_ann" -> memoAnn("s_pq_ann")((s, dir) => pqAnnBody(s, dir)),
     "s_pq_recall" -> recallOf("s_pq_ann"),
 
     // IVF-PQ composition — the full production ANN shape: the IVF
@@ -288,8 +314,29 @@ object Similarity {
     // index s_ivf_ann prices; scores from the same Lloyd-refined
     // codebook s_pq_ann prices; the recall query prices the composed
     // loss against brute force.
-    "s_ivfpq_ann" -> ((s, dir) => ivfpqAnnBody(s, dir)),
-    "s_ivfpq_recall" -> recallOf("s_ivfpq_ann")
+    "s_ivfpq_ann" -> memoAnn("s_ivfpq_ann")((s, dir) => ivfpqAnnBody(s, dir)),
+    "s_ivfpq_recall" -> recallOf("s_ivfpq_ann"),
+
+    // the persisted-artifact probe — what a 100 TB query session
+    // actually runs: the index is a standing parquet artifact
+    // (AnnIndexStore, cells PARTITIONED BY cid), the probe computes its
+    // NProbe cells from the K-row centroid file, and the cell scan is
+    // PRUNED to those directories (static partition filter from the
+    // <= NProbe*NQueries collected cell ids — a scalar pull, same class
+    // as the centroid broadcast). Writes the index once per session
+    // (memoized tmp-dir artifact); results identical to s_ivf_ann
+    // (doubles round-trip parquet bit-exactly).
+    "s_ivf_store_probe" -> ((s, dir) => {
+      val path = ivfStorePath(s, dir)
+      val (cents, _) = graft.sources.AnnIndexStore.read(s, path)
+      val probes = probeCells(vecs(s, dir), broadcast(cents))
+      val cids = probes.select("cid").distinct().collect().map(_.getLong(0))
+      val pruned = graft.sources.AnnIndexStore.readCells(s, path, cids.toSeq)
+      topk(probes.join(pruned, "cid")
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
+    })
   )
 
   /** recall@K of a sibling ANN query vs the brute-force baseline —
@@ -305,6 +352,32 @@ object Similarity {
         .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
         .orderBy("q")
     }
+
+  private val storeCache = collection.mutable
+    .Map.empty[(SparkSession, String), graft.Once[String]]
+
+  /** Write the (unrefined) IVF index as a standing AnnIndexStore
+    * artifact once per (session, corpus) — the temp-dir stand-in for
+    * the nightly build's output location. Released with the "s" scope
+    * (artifact deleted, next call rewrites). */
+  private def ivfStorePath(s: SparkSession, dir: String): String = synchronized {
+    storeCache.getOrElseUpdate((s, dir), new graft.Once(() => {
+      val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString
+      graft.sources.AnnIndexStore.write(path, cents, assigned)
+      graft.CacheBook.register(s, "s") { () =>
+        Similarity.synchronized { storeCache.remove((s, dir)) }
+        deleteRecursively(new java.io.File(path))
+        ()
+      }
+      path
+    }))
+  }.value
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
 
   private val ivfCache = collection.mutable
     .Map.empty[(SparkSession, String, Boolean), graft.Once[(DataFrame, DataFrame)]]
@@ -616,6 +689,11 @@ object Similarity {
 
     "s_ivf_ann" -> sqlIvf(refine = false),
     "s_ivf_kmeans" -> sqlIvf(refine = true),
+
+    // the store probe round-trips the same unrefined index through
+    // parquet (doubles are bit-exact through parquet), so its oracle is
+    // the s_ivf_ann pipeline verbatim
+    "s_ivf_store_probe" -> sqlIvf(refine = false),
 
     // the build entry answers for the unrefined IVF assignment's cell
     // histogram (the refined variant and the PQ model it also builds

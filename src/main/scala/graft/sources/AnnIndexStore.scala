@@ -34,4 +34,15 @@ object AnnIndexStore {
       .select("vec_id", "v", "n", "cid")
     (cents, cells)
   }
+
+  /** Cell scan PRUNED to the probed cell ids: the `isin` lands on the
+    * raw partition column BEFORE any cast, so it becomes a
+    * PartitionFilters entry and the scan reads only those cells'
+    * directories — the probe-side contract that makes the standing
+    * index sub-linear at 100 TB (plan-asserted in AnnIndexStoreSpec). */
+  def readCells(s: SparkSession, path: String, cids: Seq[Long]): DataFrame =
+    s.read.parquet(s"$path/cells")
+      .filter(col("cid").isin(cids: _*))
+      .withColumn("cid", col("cid").cast("long"))
+      .select("vec_id", "v", "n", "cid")
 }

@@ -23,6 +23,44 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(reloaded == fresh)
   }
 
+  test("s_ivf_store_probe scans the artifact with a cid PartitionFilter " +
+      "and matches s_ivf_ann") {
+    val probe = Similarity.queries("s_ivf_store_probe")(spark, dir)
+    val plan = probe.queryExecution.executedPlan.toString
+    // the cells scan must carry the probe's cid set as a PARTITION
+    // filter (directory pruning), not a post-scan data filter
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"expected cid PartitionFilters in:\n$plan")
+    val viaStore = probe.collect().toSeq
+    val inSession = Similarity.queries("s_ivf_ann")(spark, dir).collect().toSeq
+    assert(viaStore == inSession)
+  }
+
+  test("readCells prunes to exactly the requested cell ids") {
+    val (cents, cells) = Similarity.buildIvfIndex(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-rc").toString
+    AnnIndexStore.write(tmp, cents, cells)
+    val cids = cents.select("cid").orderBy("cid").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    val pruned = AnnIndexStore.readCells(spark, tmp, cids)
+    assert(pruned.select("cid").distinct().collect().map(_.getLong(0)).toSet
+      == cids.toSet)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"expected cid PartitionFilters in:\n$plan")
+  }
+
+  test("ANN query results memoize per (session, corpus): same instance " +
+      "on re-call, so recall evals join cached frames") {
+    val a = Similarity.queries("s_lsh_ann")(spark, dir)
+    val b = Similarity.queries("s_lsh_ann")(spark, dir)
+    assert(a eq b, "memoAnn must return the same persisted frame")
+    CacheBook.release(spark, "s")
+    val c = Similarity.queries("s_lsh_ann")(spark, dir)
+    assert(!(a eq c), "release must evict the memo so a rebuild happens")
+    CacheBook.release(spark, "s")
+  }
+
   test("cell probe prunes the scan to the probed partitions") {
     val (cents, cells) = Similarity.buildIvfIndex(spark, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-p").toString
