@@ -247,6 +247,43 @@ object TextAnalysis {
         .toDF("rank", "left", "right", "cnt")
     }),
 
+    // line-level exact dedup (C4/RefinedWeb boilerplate strip): explode
+    // every document into normalized lines, count each line's DOCUMENT
+    // frequency across the corpus, drop lines appearing in more than
+    // LineDfMax documents (cookie banners, nav bars, license headers),
+    // and reassemble each document from its kept lines in original
+    // position order. This corpus has no newlines, so a "line" is a
+    // non-overlapping LineSeg-word segment (the segmentation is the
+    // pluggable part — a web corpus splits on '\n'; the df-count /
+    // threshold-drop / positional-reassembly pipeline is the operator).
+    // Scale shape: the df aggregation is map-side combined; the df
+    // lookup join is SALTED like x_lm_score's (boilerplate lines are
+    // the textbook hot key — millions of docs share one banner line),
+    // and reassembly is a per-doc sort of kept positions, never a
+    // global sort.
+    "x_line_dedup" -> ((s, dir) => {
+      val w = wordsCol
+      val starts = sequence(lit(0), expr(s"(size(split(text, ' ')) - 1) div $LineSeg"))
+      val lines = docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          posexplode(transform(starts, i =>
+            concat_ws(" ", slice(w, i * LineSeg + 1, lit(LineSeg)))))
+            .as(Seq("pos", "line")))
+      val lineDf = lines.groupBy("line")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      graft.operators.SkewJoin.salted(lines, lineDf, key = "line", uniqueCol = "doc_id")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("int").as("n_lines"),
+          sum(when(col("df") <= LineDfMax, 1).otherwise(0)).cast("int").as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(
+              when(col("df") <= LineDfMax, struct(col("pos"), col("line"))))),
+            p => p.getField("line"))).as("cleaned"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF-style top terms: two-pass corpus computation (per-doc term
     // frequency + corpus document frequency) joined and ranked. Ranked
     // by the INTEGER key (tf DESC, df ASC, term) — "frequent in doc,
@@ -275,6 +312,11 @@ object TextAnalysis {
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
+  /** x_line_dedup: words per synthesized "line" / max document
+    * frequency a line may have and still be kept (df > LineDfMax =
+    * boilerplate, dropped). */
+  private[queries] val LineSeg = 4
+  private[queries] val LineDfMax = 2
   private val SampleRates =
     Seq("en" -> 50, "es" -> 30, "de" -> 30, "fr" -> 20, "zh" -> 10)
 
@@ -394,6 +436,19 @@ object TextAnalysis {
          SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
            ((CAST(sum(1000000 // c) AS BIGINT) // count(*)) / 1000000.0) AS lm_score
          FROM grams JOIN cnt USING (bg)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "x_line_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         lines AS (SELECT doc_id, t.i AS pos,
+             array_to_string(w[CAST(t.i*$LineSeg+1 AS INT):CAST(t.i*$LineSeg+$LineSeg AS INT)], ' ') AS line
+           FROM w, unnest(range(0, (len(w) - 1) // $LineSeg + 1)) AS t(i)),
+         df AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+           CAST(count(*) FILTER (df <= $LineDfMax) AS INT) AS n_kept,
+           coalesce(array_to_string(
+             list(line ORDER BY pos) FILTER (df <= $LineDfMax), ' '), '') AS cleaned
+         FROM lines JOIN df USING (line)
          GROUP BY doc_id ORDER BY doc_id""",
 
     "x_top_terms" ->
