@@ -47,7 +47,8 @@ object GraftExtensions {
     ("graft_alphanum", classOf[AlphanumScramble].getName,
       (children: Seq[Expression]) =>
         AlphanumScramble(str(children(0)), str(children(1)))),
-    // collision-free FPE mode (value, pepper)
+    // FPE mode (value, pepper) — injective per (length, alphabet)
+    // class, reference parity (see AlphanumFpe's contract)
     ("graft_alphanum_unique", classOf[graft.functions.AlphanumFpe].getName,
       (children: Seq[Expression]) =>
         graft.functions.AlphanumFpe(str(children(0)), str(children(1)))),

@@ -7,14 +7,21 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Collision-free alphanumeric scramble — the Spark-native analog of the
-  * reference's `alphanumeric unique=true` mode
-  * (slice_db/transforms/text.py:45-60): format-preserving encryption
-  * over the alphabet of character categories the input actually uses,
-  * so DISTINCT inputs map to DISTINCT outputs — what a scrub needs when
-  * the column is a key. The reference reaches for pyffx; this is an
-  * original Feistel construction with the same contract, chosen so the
-  * whole cipher is reproducible in DuckDB SQL (see
+/** Alphanumeric scramble, injective per (length, alphabet) class — the
+  * Spark-native analog of the reference's `alphanumeric unique=true`
+  * mode (slice_db/transforms/text.py:45-60): format-preserving
+  * encryption over the alphabet of character categories the input
+  * actually uses, so distinct inputs OF THE SAME length and category
+  * profile map to distinct outputs. That is the reference's own
+  * contract (pyffx with a per-value alphabet + the same ord() fold-in),
+  * and it is what key-column scrubbing relies on when the key column is
+  * homogeneous (all-digits ids, fixed-format codes). It is NOT a global
+  * injection: a mixed-class input (lower+digits) can encrypt into the
+  * ciphertext space of a lowercase-only input's class — derive the
+  * alphabet from the full 62-char set if cross-class uniqueness is
+  * required. The reference reaches for pyffx; this is an original
+  * Feistel construction with the same contract, chosen so the whole
+  * cipher is reproducible in DuckDB SQL (see
   * [[Transforms.sqlAlphanumUnique]]).
   *
   * Construction, mirrored bit-for-bit by the oracle SQL:

@@ -72,8 +72,15 @@ object Transforms {
 
   private def seed(v: Column, salt: String, pepper: String): Column =
     concat(upper(v), lit(salt + pepper))
+
+  /** SQL string-literal escape for builder-authored oracle text: a
+    * pepper (or instance name) is caller-supplied via --pepper, and a
+    * single quote in it would break — or inject into — the generated
+    * oracle SQL. */
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
   private def sqlSeed(v: String, salt: String, pepper: String): String =
-    s"(upper($v) || '$salt$pepper')"
+    s"(upper($v) || '${sqlLit(salt + pepper)}')"
 
   /** Re-apply the original's case pattern: ALLCAPS / alllower /
     * Title-case (leading capital) / as-picked. */
@@ -149,7 +156,7 @@ object Transforms {
   /** DuckDB mirror of [[AlphanumScramble]]. `v` must be a simple column
     * reference (it is spliced several times). */
   def sqlAlphanum(v: String, pepper: String = Pepper): String = {
-    def draw = sqlMd5Idx(s"md5($v || '$pepper') || CAST(i AS VARCHAR)")
+    def draw = sqlMd5Idx(s"md5($v || '${sqlLit(pepper)}') || CAST(i AS VARCHAR)")
     s"""list_aggregate(list_transform(range(1, length($v) + 1), i ->
         CASE
           WHEN substr($v, CAST(i AS INT), 1) BETWEEN 'a' AND 'z' THEN chr(CAST(97 + $draw % 26 AS INT))
@@ -159,10 +166,11 @@ object Transforms {
       'string_agg', '')"""
   }
 
-  /** Collision-free scramble (text.py:45-60 `unique=true`):
-    * format-preserving encryption over the detected category alphabet —
-    * distinct inputs map to distinct outputs, for scrubbing key
-    * columns. See [[AlphanumFpe]] for the cipher contract. */
+  /** FPE scramble (text.py:45-60 `unique=true`): format-preserving
+    * encryption over the detected category alphabet — injective per
+    * (length, alphabet) class, reference parity, for scrubbing
+    * class-homogeneous key columns. See [[AlphanumFpe]] for the exact
+    * contract and its limits. */
   def alphanumUnique(v: Column, pepper: String = Pepper): Column =
     ColumnBridge.column(AlphanumFpe(
       ColumnBridge.expression(v.cast("string")), ColumnBridge.expression(lit(pepper))))
@@ -174,13 +182,13 @@ object Transforms {
       pepper: String = Pepper): String = {
     val all = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
     def feistel(r: Int): String = {
-      val draw = sqlMd5Idx(s"md5('$pepper|fpe|$r|' || h$r.R) || CAST(i AS VARCHAR)")
+      val draw = sqlMd5Idx(s"md5('${sqlLit(pepper)}|fpe|$r|' || h$r.R) || CAST(i AS VARCHAR)")
       s"""coalesce(list_aggregate(list_transform(range(1, length(h$r.L) + 1), i ->
           ab[CAST((strpos(ab, h$r.L[CAST(i AS INT)]) - 1 + $draw) % length(ab) AS INT) + 1]),
           'string_agg', ''), '')"""
     }
     val rounds = (0 until AlphanumFpe.Rounds).map { r =>
-      s"h${r + 1} AS (SELECT $key, ab, h$r.R AS L, ${feistel(r)} AS R FROM h$r)"
+      s"h${r + 1} AS (SELECT $key, ab, is_null, h$r.R AS L, ${feistel(r)} AS R FROM h$r)"
     }.mkString(",\n")
     s"""WITH base AS (SELECT $key, $v AS v FROM $table),
        ab AS (SELECT $key, v,
@@ -190,16 +198,17 @@ object Transforms {
               || CASE WHEN regexp_matches(v, '[a-z]') THEN 'abcdefghijklmnopqrstuvwxyz' ELSE '' END
               || CASE WHEN regexp_matches(v, '[0-9]') THEN '0123456789' ELSE '' END) AS a0
            FROM base)),
-       m AS (SELECT $key, ab,
+       m AS (SELECT $key, ab, (v IS NULL) AS is_null,
            coalesce(list_aggregate(list_transform(range(1, length(v) + 1), i ->
              CASE WHEN strpos(ab, v[CAST(i AS INT)]) > 0 THEN v[CAST(i AS INT)]
                   ELSE ab[CAST(ord(v[CAST(i AS INT)]) % length(ab) AS INT) + 1] END),
              'string_agg', ''), '') AS s
          FROM ab),
-       h0 AS (SELECT $key, ab, substr(s, 1, length(s) // 2) AS L,
+       h0 AS (SELECT $key, ab, is_null, substr(s, 1, length(s) // 2) AS L,
            substr(s, length(s) // 2 + 1) AS R FROM m),
        $rounds
-       SELECT $key, (L || R) AS scrubbed FROM h${AlphanumFpe.Rounds}
+       SELECT $key, CASE WHEN is_null THEN NULL ELSE (L || R) END AS scrubbed
+       FROM h${AlphanumFpe.Rounds}
        ORDER BY $key"""
   }
 

@@ -49,9 +49,10 @@ object TransformQueries {
       t(s, dir, "customer").select(col("c_custkey"), alphanum(col("c_name")).as("scrubbed"))
         .orderBy("c_custkey")),
 
-    // collision-free scramble (FPE) — the unique=true mode for key
-    // columns: distinct names stay distinct (AlphanumFpeSpec holds the
-    // injectivity property; the oracle reproduces the whole cipher).
+    // FPE scramble — the unique=true mode for key columns: injective
+    // per (length, alphabet) class, reference parity, so distinct names
+    // of one class stay distinct (AlphanumFpeSpec holds the property
+    // per class; the oracle reproduces the whole cipher).
     "t_alphanum_unique" -> ((s, dir) =>
       t(s, dir, "customer").select(col("c_custkey"),
         alphanumUnique(col("c_name")).as("scrubbed"))

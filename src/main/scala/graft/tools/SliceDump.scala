@@ -53,7 +53,9 @@ object SliceDump {
       case "--pepper" :: p :: tl => pepper = Some(p); tl
       case "--no-transaction" :: tl => transaction = false; tl
       case "--disable-triggers" :: tl => disableTriggers = true; tl
-      case "--jobs" :: n :: tl => jobs = n.toInt; tl
+      case "--jobs" :: n :: tl =>
+        jobs = n.toIntOption.getOrElse(
+          sys.error(s"--jobs requires an integer, got $n")); tl
       // a known value-taking flag with its value forgotten must say so
       // (the catch-all below would misreport it as unknown)
       case flag :: Nil if Set("--graph", "--scrub", "--pepper", "--jobs")(flag) =>

@@ -71,6 +71,42 @@ class AlphanumFpeSpec extends AnyFunSuite {
       AlphanumFpe.alphabetOf("secret7")) != "secret7")
   }
 
+  test("PINNED non-ASCII contract: category detection is ASCII-only, " +
+      "non-ASCII folds by code point") {
+    // The reference detects categories by UNICODE class
+    // (text.py:73-80: Lu/Ll/Lo...); graft detects over ASCII ranges
+    // only (AlphanumFpe.alphabetOf) and folds every non-ASCII char in
+    // by code point. This test PINS that divergence as the contract —
+    // outputs stay deterministic and oracle-replayable on any input,
+    // but category SELECTION differs from the reference when the only
+    // members of a category are non-ASCII:
+    val full = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    // all-Cyrillic: reference would pick the UPPER alphabet (Lu); graft
+    // sees no ASCII category and uses the full 62-char alphabet
+    assert(AlphanumFpe.alphabetOf("МОСКВА") == full)
+    // mixed: the ASCII chars alone already select UPPER+lower, same
+    // selection as the reference (the ü changes nothing)
+    assert(AlphanumFpe.alphabetOf("Müller") ==
+      full.substring(0, 52))
+    // fold-in formula is alphabet[codePoint % n] — pinned end-to-end:
+    // the folded input and the original encrypt IDENTICALLY, and
+    // decrypt returns the folded form
+    val alpha = AlphanumFpe.alphabetOf("Müller")
+    val folded = "M" + alpha.charAt('ü'.toInt % alpha.length) + "ller"
+    assert(enc("Müller") == enc(folded))
+    assert(AlphanumFpe.decrypt(enc("Müller"), "graft", alpha) == folded)
+  }
+
+  test("PINNED supplementary chars: one code point = one position " +
+      "(no surrogate splitting)") {
+    // U+1D518 is outside the BMP (2 UTF-16 units, 1 code point); it
+    // must fold as ONE position — lower[0x1D518 % 26] = 'u' — matching
+    // the oracle's per-character ord()/length() semantics
+    assert(enc("a𝔘b") == enc("aub"))
+    assert(AlphanumFpe.decrypt(enc("a𝔘b"), "graft",
+      "abcdefghijklmnopqrstuvwxyz") == "aub")
+  }
+
   test("length 1 and length 2 degenerate halves stay bijective") {
     assert(('a' to 'z').map(c => enc(c.toString)).distinct.size == 26)
     val twos = for (a <- 'a' to 'c'; b <- 'a' to 'c') yield enc(s"$a$b")
