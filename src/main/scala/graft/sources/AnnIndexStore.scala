@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions.col
   * directory-sized operation, not an index rebuild. */
 object AnnIndexStore {
 
-  /** Staged + rename-swapped ([[StagedWrite]]): a nightly rebuild
-    * killed mid-write must not take the live index with it. */
+  /** Generation-staged + pointer-committed ([[StagedWrite]]): a
+    * nightly rebuild killed mid-write must not take the live index
+    * with it, on HDFS or on an object store. */
   def write(path: String, centroids: DataFrame, cells: DataFrame): Unit =
     StagedWrite.swapIn(centroids.sparkSession, path, Seq("centroids", "cells")) { st =>
       centroids.coalesce(1).write.mode("overwrite").parquet(s"$st/centroids")
@@ -28,8 +29,11 @@ object AnnIndexStore {
     * columns come back type-inferred and appended, so cid is re-cast
     * and the column order re-established. */
   def read(s: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val cents = s.read.parquet(s"$path/centroids").select("cid", "cv", "cn")
-    val cells = s.read.parquet(s"$path/cells")
+    val cents = s.read
+      .parquet(s"${StagedWrite.resolve(s, path, "centroids")}/centroids")
+      .select("cid", "cv", "cn")
+    val cells = s.read
+      .parquet(s"${StagedWrite.resolve(s, path, "cells")}/cells")
       .withColumn("cid", col("cid").cast("long"))
       .select("vec_id", "v", "n", "cid")
     (cents, cells)
@@ -41,7 +45,7 @@ object AnnIndexStore {
     * directories — the probe-side contract that makes the standing
     * index sub-linear at 100 TB (plan-asserted in AnnIndexStoreSpec). */
   def readCells(s: SparkSession, path: String, cids: Seq[Long]): DataFrame =
-    s.read.parquet(s"$path/cells")
+    s.read.parquet(s"${StagedWrite.resolve(s, path, "cells")}/cells")
       .filter(col("cid").isin(cids: _*))
       .withColumn("cid", col("cid").cast("long"))
       .select("vec_id", "v", "n", "cid")

@@ -11,15 +11,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ingest reloads instead of rebuilding, and after a batch lands its
   * bands/shingles are appended (parquet append) for the next run.
   *
-  * Layout: `path/shingles` (doc_id, sh) and `path/bands`
-  * (doc_id, bi, bk). Band keys shard well on their own hash — no
-  * partition columns (bk is high-cardinality; directory-per-key would
-  * be small-file pathology, unlike AnnIndexStore's K-directory cells).
+  * Layout: `shingles` (doc_id, sh) and `bands` (doc_id, bi, bk) under
+  * the live generation dir resolved through the `CURRENT` pointer
+  * ([[StagedWrite]] — object-store-safe commits). Band keys shard well
+  * on their own hash — no partition columns (bk is high-cardinality;
+  * directory-per-key would be small-file pathology, unlike
+  * AnnIndexStore's K-directory cells).
   */
 object LshIndexStore {
 
-  /** Staged + rename-swapped ([[StagedWrite]]): a rebuild killed
-    * mid-write must not take the live index with it. */
+  /** Generation-staged + pointer-committed ([[StagedWrite]]): a
+    * rebuild killed mid-write must not take the live index with it,
+    * on HDFS or on an object store. */
   def write(path: String, shingles: DataFrame, bands: DataFrame): Unit =
     StagedWrite.swapIn(shingles.sparkSession, path, Seq("shingles", "bands")) { st =>
       shingles.write.mode("overwrite").parquet(s"$st/shingles")
@@ -27,16 +30,26 @@ object LshIndexStore {
     }
 
   /** Append one ingested batch's rows — the post-run bookkeeping that
-    * keeps the standing index current. */
+    * keeps the standing index current. SINGLE-WRITER contract (shared
+    * with [[compact]]): maintenance ops on one store must not overlap —
+    * an append racing a compact's pointer swap would land its files in
+    * a generation that is superseded the next moment, silently losing
+    * the batch. The nightly loop is sequential (ingest → append →
+    * compact), which satisfies the contract by construction. */
   def append(path: String, shingles: DataFrame, bands: DataFrame): Unit = {
-    shingles.write.mode("append").parquet(s"$path/shingles")
-    bands.write.mode("append").parquet(s"$path/bands")
+    val s = shingles.sparkSession
+    shingles.write.mode("append")
+      .parquet(s"${StagedWrite.resolve(s, path, "shingles")}/shingles")
+    bands.write.mode("append")
+      .parquet(s"${StagedWrite.resolve(s, path, "bands")}/bands")
   }
 
   /** (shingles, bands) with the build-side column order restored. */
   def read(s: SparkSession, path: String): (DataFrame, DataFrame) = (
-    s.read.parquet(s"$path/shingles").select("doc_id", "sh"),
-    s.read.parquet(s"$path/bands").select("doc_id", "bi", "bk"))
+    s.read.parquet(s"${StagedWrite.resolve(s, path, "shingles")}/shingles")
+      .select("doc_id", "sh"),
+    s.read.parquet(s"${StagedWrite.resolve(s, path, "bands")}/bands")
+      .select("doc_id", "bi", "bk"))
 
   /** Nightly maintenance for the standing index: [[append]] grows it
     * by one parquet file set per batch forever (small-file pathology)
@@ -49,16 +62,19 @@ object LshIndexStore {
     * fresh from the kept shingle rows (LshIndexStoreSpec holds the
     * equivalence, including the modified-re-ingest case).
     *
-    * Crash-safe via [[StagedWrite]]: the compacted relations land in
-    * `path/.stage` first and swap in with checked renames — a failure
-    * at any point leaves at least one complete copy on disk.
+    * Crash-safe via [[StagedWrite]]: the compacted relations land
+    * complete in a fresh generation dir and go live only when the
+    * one-file pointer commits — a failure at any point leaves the
+    * previous generation live and untouched, on HDFS or an object
+    * store.
     *
-    * Caller contract: compaction REWRITES the files under `path` —
-    * materialize (collect/checkpoint) any live DataFrame still lazily
-    * referencing the store before calling, or its next action fails on
-    * the moved files (IngestLoopSpec demonstrates the ordering). The
-    * `retired` frame itself is evaluated during the stage writes,
-    * before any swap, so it may safely derive from the store.
+    * Caller contract: SINGLE WRITER (see [[append]]); readers get one
+    * generation of grace — a DataFrame planned against the previous
+    * generation still scans its files after the swap, until the NEXT
+    * commit retires that generation (IngestLoopSpec demonstrates the
+    * ordering). The `retired` frame is evaluated during the stage
+    * writes, before the commit, so it may safely derive from the
+    * store.
     *
     * @param retired doc_ids to drop (e.g. dedup losers, deleted docs);
     *   joined anti, so it scales past a broadcastable set. */
@@ -101,5 +117,6 @@ object LshIndexStore {
     }
 
   def readLabels(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(s"$path/labels").select("id", "cluster")
+    s.read.parquet(s"${StagedWrite.resolve(s, path, "labels")}/labels")
+      .select("id", "cluster")
 }

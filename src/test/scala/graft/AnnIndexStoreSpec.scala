@@ -66,7 +66,8 @@ class AnnIndexStoreSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-p").toString
     AnnIndexStore.write(tmp, cents, cells)
     val someCid = cents.select("cid").orderBy("cid").head().getLong(0)
-    val probe = spark.read.parquet(s"$tmp/cells").filter(col("cid") === someCid)
+    val live = graft.sources.StagedWrite.resolve(spark, tmp, "cells")
+    val probe = spark.read.parquet(s"$live/cells").filter(col("cid") === someCid)
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cid"),
       s"expected cid partition pruning in:\n$plan")

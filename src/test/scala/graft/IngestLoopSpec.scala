@@ -42,6 +42,72 @@ class IngestLoopSpec extends SparkSpec {
       .select("a", "b")
   }
 
+  test("three nights with compaction and retirement between batches " +
+      "keep standing labels == from-scratch closure") {
+    // Retirement policy for this loop: EXACT-duplicate losers (same
+    // text, higher id). Retiring an exact loser is closure-preserving:
+    // its canonical has the identical shingle set, so any later doc
+    // that would have probed the retired loser probes the canonical
+    // into the same cluster — which is what lets the standing labels
+    // stay equal to the from-scratch closure over EVERY doc ever
+    // ingested, night after night, even though the compacted index
+    // forgets the losers.
+    val night0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today and sleeps"),
+      (2L, "the quick brown fox jumps over the lazy dog today and eats"),
+      (3L, "an entirely different document about spark shuffles and joins here"))
+    val batches = Seq(
+      Seq((10L, "an entirely different document about spark shuffles and joins there"),
+        (11L, "the quick brown fox jumps over the lazy dog today and sleeps"), // exact dup of 1
+        (12L, "completely unrelated content about databases and storage engines")),
+      Seq((20L, "an entirely different document about spark shuffles and joins here"), // exact dup of 3
+        (21L, "completely unrelated content about databases and storage engines"), // exact dup of 12
+        (22L, "fresh words never seen in any earlier document at all tonight")),
+      Seq((30L, "the quick brown fox jumps over the lazy dog today and drinks"), // near-dup of retired 11's canonical family
+        (31L, "an entirely different document about spark shuffles and joins maybe")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest3").toString
+
+    val sh0 = shOf(night0)
+    LshIndexStore.write(tmp, sh0, Dedup.streamBands(sh0).select("doc_id", "bi", "bk"))
+    LshIndexStore.writeLabels(tmp,
+      ConnectedComponents.run(Dedup.lshPairs(sh0, minJac = 0.2).select("a", "b")))
+
+    var all = night0
+    for ((batch, night) <- batches.zipWithIndex) {
+      val (shStored, bandsStored) = LshIndexStore.read(spark, tmp)
+      val shB = shOf(batch)
+      val newPairs = probe(shB, bandsStored, shStored)
+      val labels = ConnectedComponents.runIncremental(
+        LshIndexStore.readLabels(spark, tmp), newPairs)
+      val labelSet = labels.as[(Long, Long)].collect().toSet
+      LshIndexStore.writeLabels(tmp, labels)
+      LshIndexStore.append(tmp, shB, Dedup.streamBands(shB).select("doc_id", "bi", "bk"))
+      all = all ++ batch
+      // exact-dup losers across everything ingested so far
+      val losers = all.groupBy(_._2).values
+        .flatMap(g => g.map(_._1).sorted.drop(1)).toSeq
+      LshIndexStore.compact(spark, tmp, losers.toDF("doc_id"), targetFiles = 1)
+
+      val scratch = ConnectedComponents.run(
+          Dedup.lshPairs(shOf(all), minJac = 0.2).select("a", "b"))
+        .as[(Long, Long)].collect().toSet
+      assert(labelSet == scratch,
+        s"night ${night + 1}: standing labels must equal from-scratch closure")
+      val (shNow, _) = LshIndexStore.read(spark, tmp)
+      assert(shNow.select("doc_id").as[Long].collect().toSet
+        .intersect(losers.toSet).isEmpty,
+        s"night ${night + 1}: retired losers out of the compacted index")
+    }
+    // the loop exercised what it claims: dups landed and were retired,
+    // and a night-3 near-dup still clustered with a family whose
+    // earlier members were partly retired
+    val finalLabels = LshIndexStore.readLabels(spark, tmp)
+      .as[(Long, Long)].collect().toMap
+    assert(finalLabels(30L) == finalLabels(1L),
+      "near-dup of a partly-retired family joins that family's cluster")
+    assert(finalLabels(21L) == finalLabels(12L))
+  }
+
   test("two nights of ingest through the store equal from-scratch") {
     val night0 = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today and sleeps"),

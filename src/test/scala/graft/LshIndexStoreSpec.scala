@@ -88,8 +88,10 @@ class LshIndexStoreSpec extends SparkSpec {
     val (msh, mbands) = index(Seq(
       (11L, "totally rewritten text with entirely new words replacing everything")))
     LshIndexStore.append(tmp, msh, mbands)
-    val filesBefore = new java.io.File(s"$tmp/bands").listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    def bandFiles() = new java.io.File(
+        s"${graft.sources.StagedWrite.resolve(spark, tmp, "bands")}/bands")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val filesBefore = bandFiles()
 
     val (qsh, qbands) = index(Seq(
       (20L, "the quick brown fox jumps over the lazy dog forever")))
@@ -123,11 +125,17 @@ class LshIndexStoreSpec extends SparkSpec {
       "band rows re-derive exactly from the kept shingle rows")
     assert(bands2.filter(col("doc_id") === 11L).count() == 4,
       "one version's 4 band rows for the modified re-ingest, not a union")
-    val filesAfter = new java.io.File(s"$tmp/bands").listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    val filesAfter = bandFiles()
     assert(filesAfter < filesBefore && filesAfter == 1,
       s"size-tiered rewrite: $filesBefore -> $filesAfter files")
-    assert(!new java.io.File(s"$tmp/.stage").exists(), "stage dir cleaned up")
-    assert(!new java.io.File(s"$tmp/.old-bands").exists(), "parked copy cleaned up")
+    // pointer-committed generations: write made gen-1, compact made
+    // gen-2; gen-1 stays as reader grace until the NEXT commit
+    assert(graft.sources.StagedWrite.resolve(spark, tmp, "bands") == s"$tmp/gen-2")
+    assert(new java.io.File(s"$tmp/gen-1").exists(), "grace generation kept")
+    LshIndexStore.compact(spark, tmp, Seq.empty[Long].toDF("doc_id"),
+      targetFiles = 1)
+    assert(graft.sources.StagedWrite.resolve(spark, tmp, "bands") == s"$tmp/gen-3")
+    assert(!new java.io.File(s"$tmp/gen-1").exists(),
+      "older generations retired on the next commit")
   }
 }
