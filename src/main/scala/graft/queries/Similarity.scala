@@ -209,7 +209,11 @@ object Similarity {
         Future(buildIvfIndex(s, dir, refine = false)),
         Future(buildIvfIndex(s, dir, refine = true)),
         Future { pqModel(s, dir); () },
-        Future(bfTopk(s, dir)))
+        Future(bfTopk(s, dir)),
+        // the persisted-artifact write too: s_ivf_store_probe then
+        // measures the PRODUCTION probe (pointer resolve + pruned cell
+        // scan), not the nightly write it stands downstream of
+        Future { ivfStorePath(s, dir); () })
       builds.foreach(Await.result(_, Duration.Inf))
       val (_, assigned) = buildIvfIndex(s, dir, refine = false)
       assigned.groupBy("cid").agg(count(lit(1)).as("n_vecs")).orderBy("cid")

@@ -22,7 +22,13 @@ object AnnIndexStore {
   def write(path: String, centroids: DataFrame, cells: DataFrame): Unit =
     StagedWrite.swapIn(centroids.sparkSession, path, Seq("centroids", "cells")) { st =>
       centroids.coalesce(1).write.mode("overwrite").parquet(s"$st/centroids")
-      cells.write.mode("overwrite").partitionBy("cid").parquet(s"$st/cells")
+      // cluster rows by cell before the partitioned write: without it
+      // every task writes a sliver into every cell directory (tasks *
+      // cells small files); with it each cell is one file per owning
+      // task — at 100 TB, size the shuffle so each cell's files land
+      // near the block size
+      cells.repartition(org.apache.spark.sql.functions.col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$st/cells")
     }
 
   /** (centroids, cells) with the build-side schema restored: partition
