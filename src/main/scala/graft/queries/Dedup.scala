@@ -650,6 +650,50 @@ object Dedup {
     "d_cluster_stars" -> ((s, dir) =>
       clusterWith(s, dir, ConnectedComponents.runStars(_))),
 
+    // SemDeDup-style semantic dedup pruning (cluster-scoped): assign
+    // every embedding to its nearest of K hash-drawn centroids, then
+    // compare ONLY within a cell — the cells bound the quadratic term
+    // (cell_pop^2 * K vs corpus^2), which is the published recipe's
+    // whole point at web scale; cross-cell near-dups are missed by
+    // design (the accepted approximation). A vector with any lower-id
+    // in-cell neighbor at cosine >= tau is REDUNDANT: the output is
+    // the drop list (vec_id, its kept representative = min such
+    // neighbor, and how many close neighbors it had) — the decision
+    // d_embed_dup's pair listing feeds, produced directly. The twin
+    // corpus (perturbed first component, cosine ~0.9995 to its
+    // original) gives known semantic dups; random synthetic pairs top
+    // out near cosine 0.44, so tau=0.95 separates cleanly in both
+    // engines (bit-identical unrolled cosines).
+    "d_semdedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embs(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val twin = e.select((col("vec_id") + 100000L).as("vec_id"),
+        concat(array(element_at(col("v"), 1) + 0.05), slice(col("v"), 2, 63)).as("v"))
+      val corpus = e.unionByName(twin)
+        .withColumn("n", VecOps.norm(col("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.register(s, "d")(() => { corpus.unpersist(false); () })
+      val cents = broadcast(corpus
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(24)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn")))
+      val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+      val assigned = corpus.join(cents)
+        .select(col("vec_id"), col("v"), col("n"), col("cid"),
+          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("ccos"))
+        .withColumn("arn", row_number().over(wA)).filter(col("arn") === 1)
+        .select("cid", "vec_id", "v", "n")
+      assigned.as("x").join(assigned.as("y"),
+          col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          VecOps.cosine(col("x.v"), col("y.v"), col("x.n"), col("y.n")).as("cos"))
+        .filter(col("cos") >= 0.95)
+        .groupBy("b")
+        .agg(min("a").as("dup_of"), count(lit(1)).cast("int").as("n_close"))
+        .select(col("b").as("vec_id"), col("dup_of"), col("n_close"))
+        .orderBy("vec_id")
+    }),
+
     // embedding cosine near-dup, candidates blocked by (label, LSH
     // bucket): cos>=0.99 pairs share all NPlanes hyperplane signs with
     // high probability, so the join key prunes the quadratic term ~2^b;
@@ -862,6 +906,29 @@ object Dedup {
          sz AS (SELECT cluster, count(*) AS csize FROM lbl GROUP BY cluster)
          SELECT id AS doc_id, cluster, csize FROM lbl JOIN sz USING (cluster)
          ORDER BY doc_id""",
+
+    "d_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         corpus AS (
+           SELECT vec_id, v FROM e
+           UNION ALL SELECT vec_id + 100000, [v[1] + 0.05] || v[2:64] FROM e),
+         wn AS (SELECT vec_id, v, ${VecOps.sqlNorm("v")} AS n FROM corpus),
+         c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM wn
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 24),
+         assigned AS (SELECT cid, vec_id, v, n FROM (
+             SELECT wn.vec_id, wn.v, wn.n, c0.cid,
+               row_number() OVER (PARTITION BY wn.vec_id
+                 ORDER BY (${VecOps.sqlDot("wn.v", "c0.cv")} / (wn.n * c0.cn)) DESC,
+                   c0.cid) AS arn
+             FROM wn, c0) WHERE arn = 1),
+         close AS (SELECT x.vec_id AS a, y.vec_id AS b,
+             (${VecOps.sqlDot("x.v", "y.v")} / (x.n * y.n)) AS cos
+           FROM assigned x JOIN assigned y
+           ON x.cid = y.cid AND x.vec_id < y.vec_id)
+         SELECT b AS vec_id, CAST(min(a) AS BIGINT) AS dup_of,
+           CAST(count(*) AS INT) AS n_close
+         FROM close WHERE cos >= 0.95 GROUP BY b ORDER BY vec_id""",
 
     "d_embed_dup" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
