@@ -389,28 +389,34 @@ object Dedup {
           x -> ${Determinism.sqlMd5IdxK("x", 12)})) AS sh
         FROM documents"""
 
-  /** Full MinHash-LSH oracle pipeline with an optional extra predicate
-    * over the verified (a, b) pairs — shared by d_minhash_lsh (no
-    * filter), d_incremental (new-endpoint filter) and st_ingest_dedup
-    * (old-a / new-b filter). */
-  private[queries] def sqlMinhash(extraWhere: String): String = {
+  /** The banding → candidate-equi-join CTE chain (sh, ex, sig, bands,
+    * cand) — shared by the MinHash oracles and the edit-distance
+    * verify oracle, which diverge only in the verify stage. */
+  private def sqlCandCtes: String = {
     val mins = (0 until 8).map(j =>
       s"CAST(min((${MinhashA(j)} * (s % $MinhashP) + ${MinhashB(j)}) % $MinhashP) AS BIGINT) AS m$j").mkString(", ")
     val bandSelects = (0 until 4).map(bi =>
       s"""SELECT doc_id, $bi AS bi,
           (CAST(m${2 * bi} AS VARCHAR) || ':' || CAST(m${2 * bi + 1} AS VARCHAR)) AS bk
           FROM sig""").mkString(" UNION ALL ")
-    s"""WITH sh AS ($sqlShingleSets),
+    s"""sh AS ($sqlShingleSets),
        ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
        sig AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
        bands AS ($bandSelects),
        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          FROM bands x JOIN bands y
-         ON x.bi = y.bi AND x.bk = y.bk AND x.doc_id < y.doc_id)
+         ON x.bi = y.bi AND x.bk = y.bk AND x.doc_id < y.doc_id)"""
+  }
+
+  /** Full MinHash-LSH oracle pipeline with an optional extra predicate
+    * over the verified (a, b) pairs — shared by d_minhash_lsh (no
+    * filter), d_incremental (new-endpoint filter) and st_ingest_dedup
+    * (old-a / new-b filter). */
+  private[queries] def sqlMinhash(extraWhere: String): String =
+    s"""WITH $sqlCandCtes
        SELECT a, b, ${sqlJaccard("sa.sh", "sb.sh")} AS jac
        FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
        WHERE ${sqlJaccard("sa.sh", "sb.sh")} >= 0.2$extraWhere ORDER BY a, b"""
-  }
 
   private def sqlJaccard(a: String, b: String): String =
     s"(len(list_intersect($a, $b)) / len(list_distinct($a || $b)))"
@@ -420,6 +426,10 @@ object Dedup {
     * (Mersenne prime) keeps every product inside a signed 64-bit long.
     * Parameters derive from the md5 determinism contract so both
     * engines bake in identical literals. */
+  /** d_edit_dup keep threshold: edit distance <= this many mills
+    * (thousandths) of the longer text's length. */
+  private val EditRatioMills = 300
+
   private val MinhashP = 2147483647L
   private val MinhashA: IndexedSeq[Long] =
     (0 until 8).map(j => Determinism.jvmMd5Idx(s"mh-a#$j", 12) % (MinhashP - 1) + 1)
@@ -649,6 +659,32 @@ object Dedup {
     // recursive-CTE oracle, so both algorithms are driver-gate-verified
     "d_cluster_stars" -> ((s, dir) =>
       clusterWith(s, dir, ConnectedComponents.runStars(_))),
+
+    // fuzzy (edit-distance) dedup — the code-corpus variant of
+    // near-dup verification: MinHash bands generate candidates (the
+    // SAME memoized band table every LSH consumer shares), then a
+    // normalized Levenshtein verify keeps pairs whose edit distance is
+    // <= 30% of the longer text. The threshold compares in INTEGER
+    // mills (dist*1000 <= maxlen*300) so no float enters the gate;
+    // Levenshtein runs only on the band-bounded candidate set, never
+    // all pairs — the O(len^2) kernel is priced per candidate, which
+    // is what makes edit-distance dedup feasible at corpus scale.
+    "d_edit_dup" -> ((s, dir) => {
+      val bands = bandsMemo(shingleSets(s, dir))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val t = docs(s, dir)
+      cand.join(t.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+        .join(t.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+        .select(col("a"), col("b"),
+          levenshtein(col("ta"), col("tb")).as("dist"),
+          greatest(length(col("ta")), length(col("tb"))).as("maxlen"))
+        .filter(col("dist") * 1000 <= col("maxlen") * lit(EditRatioMills))
+        .select("a", "b", "dist", "maxlen")
+        .orderBy("a", "b")
+    }),
 
     // SemDeDup-style semantic dedup pruning (cluster-scoped): assign
     // every embedding to its nearest of K hash-drawn centroids, then
@@ -906,6 +942,17 @@ object Dedup {
          sz AS (SELECT cluster, count(*) AS csize FROM lbl GROUP BY cluster)
          SELECT id AS doc_id, cluster, csize FROM lbl JOIN sz USING (cluster)
          ORDER BY doc_id""",
+
+    "d_edit_dup" ->
+      s"""WITH $sqlCandCtes
+         SELECT a, b,
+           CAST(levenshtein(ta.text, tb.text) AS INT) AS dist,
+           CAST(greatest(length(ta.text), length(tb.text)) AS INT) AS maxlen
+         FROM cand JOIN documents ta ON ta.doc_id = a
+         JOIN documents tb ON tb.doc_id = b
+         WHERE levenshtein(ta.text, tb.text) * 1000
+           <= greatest(length(ta.text), length(tb.text)) * $EditRatioMills
+         ORDER BY a, b""",
 
     "d_semdedup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
