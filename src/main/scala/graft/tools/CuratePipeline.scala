@@ -101,7 +101,7 @@ object CuratePipeline {
     * the same corpus). The output layout is the training-reader shape:
     * one directory per (split, shard), bins contiguous within a shard.
     */
-  def export(curated: DataFrame): DataFrame =
+  def exportSet(curated: DataFrame): DataFrame =
     graft.queries.Curation.packed(
       curated.withColumn("split", graft.queries.Curation.splitOf(col("doc_id"))),
       "doc_id", "n_tokens")
@@ -137,7 +137,7 @@ object CuratePipeline {
     // partition dirs are the unit a training reader consumes (and the
     // unit of write parallelism — each (split, shard) is one task's
     // sorted run; no global sort anywhere in the pipeline)
-    writeShards(export(curated), s"$outDir/shards", format)
+    writeShards(exportSet(curated), s"$outDir/shards", format)
     // coalesce: sum over an empty curated set is NULL, not 0
     val toks = curated.agg(coalesce(sum("n_tokens"), lit(0L))).collect()(0).getLong(0)
     println(("input" :: "after_quality" :: "after_exact_dedup" :: "after_near_dedup" :: Nil)

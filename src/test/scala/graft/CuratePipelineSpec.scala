@@ -38,7 +38,7 @@ class CuratePipelineSpec extends SparkSpec {
 
     // export stage: every curated doc gets a split + (shard, bin), and
     // they agree with the oracle-verified x_split/x_pack hash contracts
-    val out = CuratePipeline.export(curated)
+    val out = CuratePipeline.exportSet(curated)
       .select("doc_id", "split", "shard", "bin")
       .as[(Long, String, Int, Int)].collect()
     assert(out.map(_._1).toSet == kept, "export is total over the curated set")
@@ -50,7 +50,7 @@ class CuratePipelineSpec extends SparkSpec {
     // same (split, shard) directory layout, readable back with the
     // stock json reader and carrying the full curated set
     val shardDir = Files.createTempDirectory("shards").toString
-    CuratePipeline.writeShards(CuratePipeline.export(curated), shardDir, "jsonl")
+    CuratePipeline.writeShards(CuratePipeline.exportSet(curated), shardDir, "jsonl")
     val back = spark.read.json(shardDir)
     assert(back.select("doc_id").as[Long].collect().toSet == kept)
     assert(back.columns.toSet.contains("split") && back.columns.toSet.contains("shard"),
@@ -60,7 +60,7 @@ class CuratePipelineSpec extends SparkSpec {
     assert(files.nonEmpty, "jsonl part files written")
     assert(files.exists(_.contains("split=")), "hive-style split dirs")
     intercept[IllegalArgumentException] {
-      CuratePipeline.writeShards(CuratePipeline.export(curated), shardDir, "csvish")
+      CuratePipeline.writeShards(CuratePipeline.exportSet(curated), shardDir, "csvish")
     }
   }
 }
