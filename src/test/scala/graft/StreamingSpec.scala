@@ -40,6 +40,40 @@ class StreamingSpec extends SparkSpec {
     assert(closed.get.session_start == ts(0) && closed.get.session_end == ts(10))
   }
 
+  test("late events beyond the watermark are dropped, and the drop is " +
+      "observable in progress metrics") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val agg = input.toDS().toDF("id", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: two on-time events in hour 0; one at 3:00 advances the
+    // watermark (for the NEXT batch) to 2:00, finalizing hour 0
+    input.addData((1L, ts(10)), (2L, ts(40)), (3L, ts(180)))
+    q.processAllAvailable()
+    // batch 2: an event for hour 0 arrives 90 minutes past the
+    // watermark — it must be DROPPED, not merged into the already
+    // emitted window; a second on-time event keeps hour 3 open
+    input.addData((4L, ts(30)), (5L, ts(210)))
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    val rows = spark.table("late_test").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // exactly the finalized hour-0 window, with the on-time count only
+    assert(rows == Map(ts(0) -> 2L),
+      s"late row must not reopen or recount the emitted window: ${rows.toSeq}")
+    assert(dropped == 1L,
+      s"the drop must be observable (numRowsDroppedByWatermark), got $dropped")
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
