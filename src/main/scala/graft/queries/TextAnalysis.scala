@@ -261,28 +261,7 @@ object TextAnalysis {
     // the textbook hot key — millions of docs share one banner line),
     // and reassembly is a per-doc sort of kept positions, never a
     // global sort.
-    "x_line_dedup" -> ((s, dir) => {
-      val w = wordsCol
-      val starts = sequence(lit(0), expr(s"(size(split(text, ' ')) - 1) div $LineSeg"))
-      val lines = docs(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          posexplode(transform(starts, i =>
-            concat_ws(" ", slice(w, i * LineSeg + 1, lit(LineSeg)))))
-            .as(Seq("pos", "line")))
-      val lineDf = lines.groupBy("line")
-        .agg(countDistinct(col("doc_id")).as("df"))
-      graft.operators.SkewJoin.salted(lines, lineDf, key = "line", uniqueCol = "doc_id")
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).cast("int").as("n_lines"),
-          sum(when(col("df") <= LineDfMax, 1).otherwise(0)).cast("int").as("n_kept"),
-          concat_ws(" ", transform(
-            array_sort(collect_list(
-              when(col("df") <= LineDfMax, struct(col("pos"), col("line"))))),
-            p => p.getField("line"))).as("cleaned"))
-        .orderBy("doc_id")
-    }),
+    "x_line_dedup" -> ((s, dir) => lineDedup(docs(s, dir)).orderBy("doc_id")),
 
     // TF-IDF-style top terms: two-pass corpus computation (per-doc term
     // frequency + corpus document frequency) joined and ranked. Ranked
@@ -317,6 +296,32 @@ object TextAnalysis {
     * boilerplate, dropped). */
   private[queries] val LineSeg = 4
   private[queries] val LineDfMax = 2
+
+  /** Line-dedup core shared by the x_line_dedup gate query and
+    * CuratePipeline's boilerplate-strip stage: per input doc_id,
+    * (n_lines, n_kept, cleaned) with kept lines reassembled in
+    * original position order. Input needs (doc_id, text). */
+  def lineDedup(d: DataFrame, seg: Int = LineSeg, dfMax: Int = LineDfMax): DataFrame = {
+    val w = split(col("text"), " ")
+    val starts = sequence(lit(0), expr(s"(size(split(text, ' ')) - 1) div $seg"))
+    val lines = d
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        posexplode(transform(starts, i =>
+          concat_ws(" ", slice(w, i * seg + 1, lit(seg)))))
+          .as(Seq("pos", "line")))
+    val lineDf = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    graft.operators.SkewJoin.salted(lines, lineDf, key = "line", uniqueCol = "doc_id")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        sum(when(col("df") <= dfMax, 1).otherwise(0)).cast("int").as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("df") <= dfMax, struct(col("pos"), col("line"))))),
+          p => p.getField("line"))).as("cleaned"))
+  }
   private val SampleRates =
     Seq("en" -> 50, "es" -> 30, "de" -> 30, "fr" -> 20, "zh" -> 10)
 

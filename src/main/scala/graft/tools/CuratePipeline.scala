@@ -9,8 +9,9 @@ import graft.Tables
   * packs exist for, as one CLI:
   *
   *   documents → quality filter → language filter → exact dedup →
-  *   MinHash-LSH near-dedup (canonical = lowest doc_id survives) →
-  *   token stats → curated parquet + a one-line report.
+  *   line-level boilerplate strip (corpus df threshold, positional
+  *   reassembly) → MinHash-LSH near-dedup (canonical = highest
+  *   quality) → token stats → curated parquet + a one-line report.
   *
   * Every stage is a DataFrame transform from the query packs; nothing
   * collects to the driver except the final counts. At 100 TB the only
@@ -47,11 +48,23 @@ object CuratePipeline {
       .drop("h", "keep_id")
     stages += "after_exact_dedup" -> exact.count()
 
+    // 3b. line-level boilerplate strip (C4-style, the x_line_dedup
+    // contract): drop lines whose corpus document frequency exceeds
+    // the threshold, reassemble each doc from its kept lines in
+    // order; a doc left with NO kept lines (pure boilerplate) drops
+    // out entirely. Runs after exact dedup so a doc's own exact
+    // copies don't inflate its lines' document frequency.
+    val cleaned = graft.queries.TextAnalysis.lineDedup(exact)
+    val lineDeduped = exact.drop("text")
+      .join(cleaned.filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("cleaned").as("text")), "doc_id")
+    stages += "after_line_dedup" -> lineDeduped.count()
+
     // 4. near-dedup: the ONE LSH implementation (Dedup.lshPairs —
     // 8-signature universal-hash MinHash, 4x2 bands, exact-Jaccard
     // verify) over ShingleHashSet's codegen'd sorted shingle arrays;
     // drop the higher doc_id of any pair with Jaccard >= 0.5
-    val sh = exact.select(col("doc_id"),
+    val sh = lineDeduped.select(col("doc_id"),
       org.apache.spark.sql.graftbridge.ColumnBridge.column(
         graft.functions.ShingleHashSet(
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(w), 3, 12))
@@ -65,13 +78,13 @@ object CuratePipeline {
     // id; the score is stage 1's quality column, already on every row.
     val labels = graft.operators.ConnectedComponents.run(pairs)
     val withQ = labels.join(
-      exact.select(col("doc_id").as("id"), col("quality")), "id")
+      lineDeduped.select(col("doc_id").as("id"), col("quality")), "id")
     val keepIds = withQ.groupBy("cluster")
       .agg(max(struct(col("quality"), (-col("id")).as("nid"))).as("m"))
       .select((-col("m.nid")).as("doc_id"))
     val dupIds = labels.select(col("id").as("doc_id"))
       .join(keepIds, Seq("doc_id"), "left_anti")
-    val near = exact.join(dupIds, Seq("doc_id"), "left_anti")
+    val near = lineDeduped.join(dupIds, Seq("doc_id"), "left_anti")
     stages += "after_near_dedup" -> near.count()
 
     // 5. token stats on the curated set. MATERIALIZE the survivors and
@@ -140,7 +153,8 @@ object CuratePipeline {
     writeShards(exportSet(curated), s"$outDir/shards", format)
     // coalesce: sum over an empty curated set is NULL, not 0
     val toks = curated.agg(coalesce(sum("n_tokens"), lit(0L))).collect()(0).getLong(0)
-    println(("input" :: "after_quality" :: "after_exact_dedup" :: "after_near_dedup" :: Nil)
+    println(("input" :: "after_quality" :: "after_exact_dedup"
+        :: "after_line_dedup" :: "after_near_dedup" :: Nil)
       .map(k => s"$k=${stages(k)}").mkString("[curate] ", " ", s" total_tokens=$toks"))
     spark.stop()
   }

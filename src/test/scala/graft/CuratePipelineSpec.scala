@@ -31,6 +31,9 @@ class CuratePipelineSpec extends SparkSpec {
     assert(stages("input") == 5L)
     assert(stages("after_quality") == 4L, "doc 5 fails quality")
     assert(stages("after_exact_dedup") == 3L, "doc 2 is an exact dup of 1")
+    // line-dedup: after exact dedup only docs {1,3} share segments
+    // (df=2 <= threshold), so nothing is stripped on this corpus
+    assert(stages("after_line_dedup") == 3L, "no boilerplate here")
     // near-dedup clusters {1,3} -> canonical selection keeps the
     // higher-QUALITY member (doc 3: one extra word = higher length
     // score), not the min id; 4 untouched
@@ -62,5 +65,34 @@ class CuratePipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CuratePipeline.writeShards(CuratePipeline.exportSet(curated), shardDir, "csvish")
     }
+  }
+
+  test("line-dedup stage strips corpus boilerplate and drops all-boilerplate docs") {
+    // a shared 4-word cookie banner opens three otherwise-distinct
+    // docs (df=3 > threshold 2); doc 9 is NOTHING BUT the banner
+    val banner = "accept all cookies now"
+    val bodies = Seq(
+      (6L, s"$banner alpha beta gamma delta epsilon zeta eta theta " * 5),
+      (7L, s"$banner one two three four five six seven eight " * 5),
+      (8L, s"$banner red orange yellow green blue indigo violet pink " * 5),
+      (9L, (banner + " ") * 5))
+    val docs = bodies
+      .map { case (id, t) => (id, t.trim, "en", t.trim.length) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val dir = Files.createTempDirectory("curate-line").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val (curated, stages) = CuratePipeline.curate(spark, dir, minQuality = 0.1)
+    assert(stages("after_exact_dedup") == 4L)
+    assert(stages("after_line_dedup") == 3L,
+      "the all-banner doc must drop out entirely")
+    val texts = curated.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(!texts.contains(9L))
+    texts.values.foreach(t =>
+      assert(!t.contains(banner), s"banner must be stripped: $t"))
+    assert(texts(6L).startsWith("alpha beta gamma delta"),
+      "kept lines reassemble in original order")
+    graft.CacheBook.release(spark, "curate")
   }
 }
