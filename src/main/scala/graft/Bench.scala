@@ -41,16 +41,27 @@ object Bench {
   }
 
   /** Minimal {"name": number, ...} reader — the budget file is
-    * machine-authored (tools/bench_budget.json), no nesting. */
-  private def readBudget(path: String): Map[String, Double] =
-    try {
-      val text = new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
-      """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
-        .findAllMatchIn(text)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .toMap
-    } catch { case _: Throwable => Map.empty }
+    * machine-authored (tools/bench_budget.json), no nesting. A missing
+    * or unparseable file disables retries but must SAY so: silent
+    * disablement is indistinguishable from armed-and-quiet, and the
+    * retry samples are the whole diagnostic. */
+  private def readBudget(path: String): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isReadable(p)) {
+      System.err.println(s"[bench] no budget file at $path — over-budget retries disabled")
+      return Map.empty
+    }
+    val parsed =
+      try {
+        """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    if (parsed.isEmpty)
+      System.err.println(s"[bench] budget file $path parsed empty — retries disabled")
+    parsed
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -122,10 +133,20 @@ object Bench {
       val s1 = timed(name, fn)
       // over budget: take a second (warm) sample — a contention spike
       // retries fast, a true regression stays slow. Never replaces the
-      // first sample; both are reported.
+      // first sample; both are reported. A retry that CRASHES is not a
+      // timing ("a crash must never be reported as a timing") and must
+      // not fail a bench whose first sample was valid: drop the sample,
+      // note the flake, clear the error.
       if (!errors.contains(name)
-          && budget.get(name).exists(b => s1.sec > retryK * b))
-        retries(name) = timed(name, fn)
+          && budget.get(name).exists(b => s1.sec > retryK * b)) {
+        val r = timed(name, fn)
+        if (errors.contains(name)) {
+          System.err.println(
+            s"[bench] diagnostic retry of $name failed: ${errors(name)} — " +
+              "first (successful) sample stands")
+          errors.remove(name)
+        } else retries(name) = r
+      }
       // UNTIMED family-boundary release: memoized caches are built for a
       // family and must not sit in the block store taxing every later
       // query (the r04 driver bench showed exactly that buildup). The GC

@@ -421,15 +421,15 @@ object Dedup {
   private def sqlJaccard(a: String, b: String): String =
     s"(len(list_intersect($a, $b)) / len(list_distinct($a || $b)))"
 
+  /** d_edit_dup keep threshold: edit distance <= this many mills
+    * (thousandths) of the longer text's length. */
+  private val EditRatioMills = 300
+
   /** Universal-hash family for minhash: h_j(x) = (a_j x + b_j) mod p
     * over the 48-bit shingle hashes reduced mod p; p = 2^31 - 1
     * (Mersenne prime) keeps every product inside a signed 64-bit long.
     * Parameters derive from the md5 determinism contract so both
     * engines bake in identical literals. */
-  /** d_edit_dup keep threshold: edit distance <= this many mills
-    * (thousandths) of the longer text's length. */
-  private val EditRatioMills = 300
-
   private val MinhashP = 2147483647L
   private val MinhashA: IndexedSeq[Long] =
     (0 until 8).map(j => Determinism.jvmMd5Idx(s"mh-a#$j", 12) % (MinhashP - 1) + 1)

@@ -371,17 +371,15 @@ object Similarity {
       graft.sources.AnnIndexStore.write(path, cents, assigned)
       graft.CacheBook.register(s, "s") { () =>
         Similarity.synchronized { storeCache.remove((s, dir)) }
-        deleteRecursively(new java.io.File(path))
+        // Hadoop delete, not java.io: the store path is a filesystem
+        // URI in production (hdfs://, s3a://)
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
         ()
       }
       path
     }))
   }.value
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
-  }
 
   private val ivfCache = collection.mutable
     .Map.empty[(SparkSession, String, Boolean), graft.Once[(DataFrame, DataFrame)]]

@@ -111,8 +111,11 @@ private[graft] object StagedWrite {
           && contents.subsetOf(dirs.toSet))
         fs.delete(p, true)
     }
-    // a flat pre-pointer layout is superseded by its first generation
-    if (previous.isEmpty)
+    // a flat pre-pointer layout is this group's GRACE copy on its
+    // first generational commit (an in-flight reader resolved it a
+    // moment ago); like a gen dir, it is retired on the group's NEXT
+    // commit
+    if (previous.nonEmpty)
       dirs.foreach(d => fs.delete(new Path(s"$path/$d"), true))
   }
 }

@@ -58,6 +58,10 @@ object CuratePipeline {
     val lineDeduped = exact.drop("text")
       .join(cleaned.filter(col("n_kept") > 0)
         .select(col("doc_id"), col("cleaned").as("text")), "doc_id")
+      // n_chars must describe the text the row now carries, not the
+      // pre-strip original (quality intentionally stays the stage-1
+      // ADMISSION score — it gated entry, it isn't a live attribute)
+      .withColumn("n_chars", length(col("text")).cast("long"))
     stages += "after_line_dedup" -> lineDeduped.count()
 
     // 4. near-dedup: the ONE LSH implementation (Dedup.lshPairs —

@@ -96,14 +96,22 @@ class StagedWriteSpec extends SparkSpec {
     assert(StagedWrite.resolve(spark, tmp, "shingles") == tmp)
     val (sh, _) = LshIndexStore.read(spark, tmp)
     assert(sh.count() == 1)
-    // first pointer-committed write supersedes the flat dirs
+    // first pointer-committed write supersedes the flat dirs — but
+    // keeps them as the grace copy (an in-flight reader may have just
+    // resolved them)
     LshIndexStore.write(tmp,
       Seq((2L, Seq(3L, 4L)), (3L, Seq(5L, 6L))).toDF("doc_id", "sh"),
       Seq((2L, 0, "x"), (3L, 1, "y")).toDF("doc_id", "bi", "bk"))
     assert(StagedWrite.resolve(spark, tmp, "shingles") == s"$tmp/gen-1")
     val (sh2, _) = LshIndexStore.read(spark, tmp)
     assert(sh2.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+    assert(new java.io.File(s"$tmp/shingles").exists(),
+      "flat layout is the grace copy of its group's first commit")
+    // the group's NEXT commit retires the flat grace copy
+    LshIndexStore.write(tmp,
+      Seq((4L, Seq(7L, 8L))).toDF("doc_id", "sh"),
+      Seq((4L, 0, "z")).toDF("doc_id", "bi", "bk"))
     assert(!new java.io.File(s"$tmp/shingles").exists(),
-      "flat layout superseded by its first generation")
+      "flat layout retired on the next commit, like any grace generation")
   }
 }

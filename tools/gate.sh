@@ -4,6 +4,7 @@
 # named subset) against its DuckDB oracle.
 #   tools/gate.sh /root/testdata/sf0.001 /tmp/verify_out [query ...]
 set -e
+(cd /root/repo && sbt -batch compile > /dev/null)
 SF=${1:-/root/testdata/sf0.001}
 OUT=${2:-/tmp/verify_out}
 shift 2 2>/dev/null || shift $# # remaining args = query filter
