@@ -241,11 +241,51 @@ object TextAnalysis {
     // ties, the overlap rule, and weighting.
     "x_bpe_merges" -> ((s, dir) => {
       import s.implicits._
-      graft.operators.BpeVocab.learn(docs(s, dir), "text", 10)
+      bpeMerges(s, dir)
         .zipWithIndex
         .map { case ((l, r, c), i) => (i + 1, l, r, c) }
         .toDF("rank", "left", "right", "cnt")
     }),
+
+    // BPE ENCODE — apply the learned merges to the corpus and report
+    // tokens-per-document + chars-per-token (the tokenizer-compression
+    // quality signal modern curation stacks filter on: text a trained
+    // tokenizer compresses poorly is noise/garble). Scale shape mirrors
+    // training: the corpus collapses to DISTINCT words, each distinct
+    // word is encoded ONCE by a chain of k codegen'd replace() calls
+    // over the separator-wrapped form (the same wrapped-replace =
+    // greedy-non-overlapping-merge rule the x_bpe_merges oracle is
+    // built on — no lambda, no UDF), and per-doc totals come from a
+    // SALTED vocab join (word keys are Zipf-skewed). At 100 TB the
+    // encode term is vocab-sized; only the join scales with the corpus.
+    "x_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dw = d.select(col("doc_id"), explode(wordsCol).as("w"))
+        .filter(length(col("w")) > 0)
+      val wtok = bpeWordTokens(dw.select("w").distinct(), bpeMerges(s, dir))
+      graft.operators.SkewJoin.salted(dw, wtok, key = "w", uniqueCol = "doc_id")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_words"),
+          sum("n_tok").cast("long").as("n_tokens"),
+          sum(length(col("w"))).cast("long").as("ncp"))
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          (expr("(ncp * 1000000) div n_tokens") / 1000000.0).as("chars_per_token"))
+        .orderBy("doc_id")
+    }),
+
+    // cross-document duplicated-span detection (the exact-substring
+    // dedup signal of Lee et al. 2022, "Deduplicating Training Data
+    // Makes Language Models Better"): every doc explodes to its
+    // SpanW-word windows (stride 1), a window present in >= 2 DISTINCT
+    // documents is a duplicated span, and each doc reports how much of
+    // it is covered by such spans. Distinct from x_repetition
+    // (within-doc) and x_contamination (vs a benchmark set): this is
+    // corpus-internal copy detection. The window df aggregation is
+    // map-side combined and the df lookup join is SALTED — a viral
+    // paragraph is the textbook hot key.
+    "x_dup_spans" -> ((s, dir) => dupSpans(
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism))
+      .orderBy("doc_id")),
 
     // line-level exact dedup (C4/RefinedWeb boilerplate strip): explode
     // every document into normalized lines, count each line's DOCUMENT
@@ -296,6 +336,71 @@ object TextAnalysis {
     * boilerplate, dropped). */
   private[queries] val LineSeg = 4
   private[queries] val LineDfMax = 2
+  /** x_dup_spans: words per window. Lee et al. use 50 BPE tokens on web
+    * text; 13 words scales that to this corpus's 20-80-word docs. */
+  private[queries] val SpanW = 13
+
+  /** Duplicated-span core shared by the x_dup_spans gate query and
+    * DupSpansSpec: per input doc_id, (n_spans, n_dup, dup_frac) over
+    * SpanW-word stride-1 windows, where a window is duplicated iff it
+    * occurs in >= 2 distinct documents. Input needs (doc_id, text). */
+  private[graft] def dupSpans(d: DataFrame, w: Int = SpanW): DataFrame = {
+    val spans = d
+      .select(col("doc_id"), explode(shingles(wordsCol, w)).as("span"))
+    val df = spans.groupBy("span").agg(countDistinct(col("doc_id")).as("df"))
+    graft.operators.SkewJoin.salted(spans, df, key = "span", uniqueCol = "doc_id")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum(when(col("df") >= 2, 1).otherwise(0)).cast("int").as("n_dup"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        (expr("(n_dup * 1000000) div n_spans") / 1000000.0).as("dup_frac"))
+  }
+
+  /** Learned BPE merges, memoized per (session, corpus): x_bpe_encode
+    * and x_bpe_merges consume the same training run — one session pays
+    * the k iterated argmax jobs once. The cell holds a driver-side Seq
+    * (metadata, like the argmax rows it came from), so release is just
+    * the map entry. */
+  private val bpeMemo = collection.mutable
+    .Map.empty[(SparkSession, String), graft.Once[Seq[(String, String, Long)]]]
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String, Long)] =
+    TextAnalysis.synchronized {
+      bpeMemo.getOrElseUpdate((s, dir), {
+        graft.CacheBook.register(s, "x") { () =>
+          TextAnalysis.synchronized { bpeMemo.remove((s, dir)) }
+          ()
+        }
+        new graft.Once(() => graft.operators.BpeVocab.learn(docs(s, dir), "text", 10))
+      })
+    }.value
+
+  /** Separator character wrapping each BPE symbol in the string-encoded
+    * form — absent from the corpus, so replace() on the wrapped pair
+    * can only match at whole-symbol boundaries. Same trick as the
+    * [[sqlBpeMerges]] oracle, here on the Spark side. */
+  private val BpeSep = "\u001F"
+
+  /** Encode each distinct word by the learned merges: initial symbols
+    * are CODE POINTS ("(?s)." matches one code point — a supplementary
+    * char is one symbol, matching [[graft.operators.BpeVocab]]), each
+    * merge is one codegen'd replace() over the separator-wrapped form
+    * (left-to-right resume-after-replacement IS the greedy
+    * non-overlapping merge rule; BpeEncodeSpec holds equivalence with
+    * mergePair on the overlap cases), and the token count is the
+    * separator count / 2 — every token is wrapped exactly once. */
+  private[graft] def bpeWordTokens(
+      words: DataFrame, merges: Seq[(String, String, Long)]): DataFrame = {
+    val wrapped0 = concat(lit(BpeSep),
+      array_join(regexp_extract_all(col("w"), lit("(?s)."), lit(0)), BpeSep + BpeSep),
+      lit(BpeSep))
+    val encoded = merges.foldLeft(wrapped0) { case (c, (l, r, _)) =>
+      call_function("replace", c,
+        lit(BpeSep + l + BpeSep + BpeSep + r + BpeSep), lit(BpeSep + l + r + BpeSep))
+    }
+    words.select(col("w"),
+      ((length(encoded) - length(translate(encoded, BpeSep, ""))) / 2)
+        .cast("int").as("n_tok"))
+  }
 
   /** Line-dedup core shared by the x_line_dedup gate query and
     * CuratePipeline's boilerplate-strip stage: per input doc_id,
@@ -473,7 +578,21 @@ object TextAnalysis {
          SELECT doc_id, rank, term, tf, df FROM ranked
          WHERE rank <= 3 ORDER BY doc_id, rank""",
 
-    "x_bpe_merges" -> sqlBpeMerges(10)
+    "x_bpe_merges" -> sqlBpeMerges(10),
+
+    "x_bpe_encode" -> sqlBpeEncode(10),
+
+    "x_dup_spans" ->
+      s"""WITH spans AS (
+           SELECT doc_id, unnest(${sqlShingles("string_split(text, ' ')", SpanW)}) AS span
+           FROM documents),
+         df AS (SELECT span, count(DISTINCT doc_id) AS df FROM spans GROUP BY span)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+           CAST(count(*) FILTER (df >= 2) AS INT) AS n_dup,
+           ((CAST(count(*) FILTER (df >= 2) AS BIGINT) * 1000000 // count(*))
+             / 1000000.0) AS dup_frac
+         FROM spans JOIN df USING (span)
+         GROUP BY doc_id ORDER BY doc_id"""
   )
 
   /** Generated k-stage BPE oracle mirroring [[graft.operators.BpeVocab]]:
@@ -489,28 +608,62 @@ object TextAnalysis {
     * rule (verified against mergePair on the 'aaa'/'aaaa' overlap
     * cases). */
   private def sqlBpeMerges(k: Int): String = {
+    val ranks = (1 to k).map(i =>
+      s"""SELECT $i AS rank, l AS "left", r AS "right", cnt FROM m$i""")
+      .mkString(" UNION ALL ")
+    s"WITH ${bpeCtes(k, carryW = false)}\nSELECT * FROM ($ranks) ORDER BY rank"
+  }
+
+  /** Encode oracle: the same k training stages, CARRYING each word
+    * through every re-merge (carryW), then the final vocab's per-word
+    * token count (separator-split length) joins back to the exploded
+    * doc words — mirroring the Spark side's distinct-word encode +
+    * vocab join, with the identical integer-micro-unit ratio. */
+  private def sqlBpeEncode(k: Int): String = {
     val US = "chr(31)"
+    s"""WITH ${bpeCtes(k, carryW = true)},
+       wtok AS (SELECT w,
+           CAST(len(string_split(trim(s, $US), $US || $US)) AS INT) AS n_tok
+         FROM v$k),
+       dw AS (SELECT doc_id, w
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE length(w) > 0)
+       SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         ((CAST(sum(length(w)) AS BIGINT) * 1000000 // CAST(sum(n_tok) AS BIGINT))
+           / 1000000.0) AS chars_per_token
+       FROM dw JOIN wtok USING (w)
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** The shared k-stage training pipeline: v0 = word-frequency table
+    * with each word's symbols separator-wrapped into one string; stage
+    * i counts adjacent pairs, argmaxes into m$i, re-merges into v$i.
+    * carryW additionally threads the word itself through every stage
+    * (the encode oracle needs the final per-word form; the merges
+    * oracle only reads the m$i rows). */
+  private def bpeCtes(k: Int, carryW: Boolean): String = {
+    val US = "chr(31)"
+    val w0 = if (carryW) "w, " else ""
+    val wa = if (carryW) "a.w, " else ""
     val v0 =
-      s"""v0 AS (SELECT $US || array_to_string(
+      s"""v0 AS (SELECT $w0$US || array_to_string(
              list_transform(range(1, length(w) + 1), i -> w[CAST(i AS INT)]),
              $US || $US) || $US AS s, n
            FROM (SELECT w, count(*) AS n
              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
              WHERE length(w) > 0 GROUP BY w))"""
     val stages = (1 to k).map { i =>
-      s"""a$i AS (SELECT string_split(trim(s, $US), $US || $US) AS syms, s, n
+      s"""a$i AS (SELECT ${w0}string_split(trim(s, $US), $US || $US) AS syms, s, n
            FROM v${i - 1}),
          pc$i AS (SELECT syms[CAST(t.i AS INT)] AS l, syms[CAST(t.i + 1 AS INT)] AS r,
              CAST(sum(n) AS BIGINT) AS cnt
            FROM a$i, unnest(range(1, len(syms))) AS t(i) GROUP BY l, r),
          m$i AS (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-         v$i AS (SELECT replace(a.s, $US || m.l || $US || $US || m.r || $US,
+         v$i AS (SELECT ${wa}replace(a.s, $US || m.l || $US || $US || m.r || $US,
              $US || m.l || m.r || $US) AS s, a.n
            FROM a$i a, m$i m)"""
     }.mkString(",\n")
-    val ranks = (1 to k).map(i =>
-      s"""SELECT $i AS rank, l AS "left", r AS "right", cnt FROM m$i""")
-      .mkString(" UNION ALL ")
-    s"WITH $v0,\n$stages\nSELECT * FROM ($ranks) ORDER BY rank"
+    s"$v0,\n$stages"
   }
 }
