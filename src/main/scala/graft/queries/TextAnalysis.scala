@@ -345,8 +345,14 @@ object TextAnalysis {
     * SpanW-word stride-1 windows, where a window is duplicated iff it
     * occurs in >= 2 distinct documents. Input needs (doc_id, text). */
   private[graft] def dupSpans(d: DataFrame, w: Int = SpanW): DataFrame = {
+    // explode the raw windows, hash to 48-bit longs as a top-level
+    // projection (codegen, same pattern as x_contamination): the df
+    // aggregation and the join back then shuffle/compare longs, not
+    // ~100-char strings — at corpus scale the window relation is the
+    // biggest thing this query moves
     val spans = d
-      .select(col("doc_id"), explode(shingles(wordsCol, w)).as("span"))
+      .select(col("doc_id"), explode(shingles(wordsCol, w)).as("sp"))
+      .select(col("doc_id"), Determinism.md5IdxK(col("sp"), 12).as("span"))
     val df = spans.groupBy("span").agg(countDistinct(col("doc_id")).as("df"))
     graft.operators.SkewJoin.salted(spans, df, key = "span", uniqueCol = "doc_id")
       .groupBy("doc_id")
@@ -584,7 +590,9 @@ object TextAnalysis {
 
     "x_dup_spans" ->
       s"""WITH spans AS (
-           SELECT doc_id, unnest(${sqlShingles("string_split(text, ' ')", SpanW)}) AS span
+           SELECT doc_id, unnest(list_transform(
+             ${sqlShingles("string_split(text, ' ')", SpanW)},
+             x -> ${Determinism.sqlMd5IdxK("x", 12)})) AS span
            FROM documents),
          df AS (SELECT span, count(DISTINCT doc_id) AS df FROM spans GROUP BY span)
          SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
