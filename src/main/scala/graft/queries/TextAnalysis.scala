@@ -287,6 +287,19 @@ object TextAnalysis {
       docs(s, dir).repartition(s.sparkContext.defaultParallelism))
       .orderBy("doc_id")),
 
+    // exact-substring dedup REMOVAL (the other half of x_dup_spans,
+    // completing the Lee et al. operator): every duplicated window
+    // keeps exactly one owner copy — the MINIMUM doc_id containing it,
+    // a deterministic choice both engines agree on — and every other
+    // doc drops the window's word positions (overlapping windows union
+    // their coverage), then reassembles in original position order.
+    // One doc can own one span and lose another; a doc that only
+    // repeats ITSELF keeps everything (cross-doc df gate, same as
+    // x_dup_spans).
+    "x_span_strip" -> ((s, dir) => spanStrip(
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism))
+      .orderBy("doc_id")),
+
     // line-level exact dedup (C4/RefinedWeb boilerplate strip): explode
     // every document into normalized lines, count each line's DOCUMENT
     // frequency across the corpus, drop lines appearing in more than
@@ -339,6 +352,38 @@ object TextAnalysis {
   /** x_dup_spans: words per window. Lee et al. use 50 BPE tokens on web
     * text; 13 words scales that to this corpus's 20-80-word docs. */
   private[queries] val SpanW = 13
+
+  /** Span-strip core shared by the x_span_strip gate query and
+    * SpanStripSpec: per input doc_id, (n_words, n_removed, cleaned)
+    * under the owner-keeps contract — a window in >= 2 distinct docs
+    * is removed from every doc EXCEPT the minimum doc_id containing
+    * it. Coverage explodes each flagged window to its w positions and
+    * unions them (distinct), so overlapping flagged windows never
+    * double-remove; reassembly is a per-doc sort of kept positions,
+    * never a global sort. Scale shape: spans/words relations are
+    * corpus-sized but carry (long, long) keys; the span-stat join is
+    * SALTED on the hashed window key (hot key = viral paragraph). */
+  private[graft] def spanStrip(d: DataFrame, w: Int = SpanW): DataFrame = {
+    val spans = d
+      .select(col("doc_id"), posexplode(shingles(wordsCol, w)).as(Seq("pos", "sp")))
+      .select(col("doc_id"), col("pos"), Determinism.md5IdxK(col("sp"), 12).as("g"))
+    val agg = spans.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("df"), min("doc_id").as("owner"))
+    val cov = graft.operators.SkewJoin.salted(spans, agg, key = "g", uniqueCol = "doc_id")
+      .filter(col("df") >= 2 && col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + w - 1)).as("pos"))
+      .distinct()
+    val words = d.select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "word")))
+    words.join(cov.withColumn("rm", lit(true)), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_words"),
+        sum(when(col("rm"), 1).otherwise(0)).cast("int").as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("rm").isNull, struct(col("pos"), col("word"))))),
+          p => p.getField("word"))).as("cleaned"))
+  }
 
   /** Duplicated-span core shared by the x_dup_spans gate query and
     * DupSpansSpec: per input doc_id, (n_spans, n_dup, dup_frac) over
@@ -583,6 +628,27 @@ object TextAnalysis {
            FROM tf JOIN df USING (term))
          SELECT doc_id, rank, term, tf, df FROM ranked
          WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "x_span_strip" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         spans AS (SELECT doc_id, CAST(t.i AS INT) AS pos,
+             ${Determinism.sqlMd5IdxK(
+               s"array_to_string(ws[CAST(t.i+1 AS INT):CAST(t.i+$SpanW AS INT)], ' ')", 12)} AS g
+           FROM w, unnest(range(0, greatest(len(ws) - $SpanW, 0) + 1)) AS t(i)),
+         agg AS (SELECT g, count(DISTINCT doc_id) AS df, min(doc_id) AS owner
+           FROM spans GROUP BY g),
+         cov AS (SELECT DISTINCT s.doc_id, CAST(u.p AS INT) AS pos
+           FROM spans s JOIN agg USING (g), unnest(range(s.pos, s.pos + $SpanW)) AS u(p)
+           WHERE df >= 2 AND s.doc_id <> owner),
+         words AS (SELECT doc_id, CAST(t.i - 1 AS INT) AS pos, ws[CAST(t.i AS INT)] AS word
+           FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+         flagged AS (SELECT wd.doc_id, wd.pos, wd.word, c.pos IS NOT NULL AS rm
+           FROM words wd LEFT JOIN cov c ON c.doc_id = wd.doc_id AND c.pos = wd.pos)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+           CAST(count(*) FILTER (rm) AS INT) AS n_removed,
+           coalesce(array_to_string(list(word ORDER BY pos) FILTER (NOT rm), ' '), '')
+             AS cleaned
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
 
     "x_bpe_merges" -> sqlBpeMerges(10),
 
