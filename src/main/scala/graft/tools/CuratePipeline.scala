@@ -11,7 +11,9 @@ import graft.Tables
   *   documents → quality filter → language filter → exact dedup →
   *   line-level boilerplate strip (corpus df threshold, positional
   *   reassembly) → MinHash-LSH near-dedup (canonical = highest
-  *   quality) → token stats → curated parquet + a one-line report.
+  *   quality) → exact-substring span strip (owner keeps; RefinedWeb
+  *   order, after doc-level dedup) → token stats → curated parquet +
+  *   a one-line report.
   *
   * Every stage is a DataFrame transform from the query packs; nothing
   * collects to the driver except the final counts. At 100 TB the only
@@ -91,6 +93,20 @@ object CuratePipeline {
     val near = lineDeduped.join(dupIds, Seq("doc_id"), "left_anti")
     stages += "after_near_dedup" -> near.count()
 
+    // 4b. exact-substring strip (the x_span_strip contract) AFTER
+    // doc-level near-dedup — the RefinedWeb order: whole-doc copies
+    // are already gone, this removes the remaining cross-doc copied
+    // PASSAGES (quotes, syndicated paragraphs), with the minimum
+    // doc_id keeping the one surviving copy. A doc entirely covered
+    // by spans owned by others (a mosaic of copies) drops out, like
+    // the all-boilerplate case in 3b.
+    val strip = graft.queries.TextAnalysis.spanStrip(near)
+    val stripped = near.drop("text")
+      .join(strip.filter(col("n_removed") < col("n_words"))
+        .select(col("doc_id"), col("cleaned").as("text")), "doc_id")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    stages += "after_span_strip" -> stripped.count()
+
     // 5. token stats on the curated set. MATERIALIZE the survivors and
     // release the build-side caches: lshPairs memoizes a persisted band
     // table per shingle frame (scope "d"), and a long-lived session
@@ -98,7 +114,7 @@ object CuratePipeline {
     // one band table per run — the monotonic-growth mode CacheBook
     // exists to prevent. The checkpoint cuts the curated frame's
     // lineage first, so the release can't force a rebuild downstream.
-    val curated = near.withColumn("n_tokens", size(split(col("text"), " ")))
+    val curated = stripped.withColumn("n_tokens", size(split(col("text"), " ")))
       .localCheckpoint(true)
     graft.CacheBook.release(spark, "d")
     // the curated frame's own checkpoint blocks are the caller's to
@@ -158,7 +174,7 @@ object CuratePipeline {
     // coalesce: sum over an empty curated set is NULL, not 0
     val toks = curated.agg(coalesce(sum("n_tokens"), lit(0L))).collect()(0).getLong(0)
     println(("input" :: "after_quality" :: "after_exact_dedup"
-        :: "after_line_dedup" :: "after_near_dedup" :: Nil)
+        :: "after_line_dedup" :: "after_near_dedup" :: "after_span_strip" :: Nil)
       .map(k => s"$k=${stages(k)}").mkString("[curate] ", " ", s" total_tokens=$toks"))
     spark.stop()
   }

@@ -38,6 +38,8 @@ class CuratePipelineSpec extends SparkSpec {
     // higher-QUALITY member (doc 3: one extra word = higher length
     // score), not the min id; 4 untouched
     assert(kept == Set(3L, 4L), s"got $kept")
+    // span strip after near-dedup: survivors {3,4} share no window
+    assert(stages("after_span_strip") == 2L, "nothing left to strip")
 
     // export stage: every curated doc gets a split + (shard, bin), and
     // they agree with the oracle-verified x_split/x_pack hash contracts
@@ -93,6 +95,39 @@ class CuratePipelineSpec extends SparkSpec {
       assert(!t.contains(banner), s"banner must be stripped: $t"))
     assert(texts(6L).startsWith("alpha beta gamma delta"),
       "kept lines reassemble in original order")
+    graft.CacheBook.release(spark, "curate")
+  }
+
+  test("span-strip stage removes a copied passage from the non-owner only") {
+    def ws(n: Int, tag: String): String = (0 until n).map(i => s"$tag$i").mkString(" ")
+    // a 15-word passage syndicated from doc 10 into doc 11; the docs
+    // are otherwise distinct enough that LSH doc-level dedup must NOT
+    // pair them (Jaccard of 3-shingles ~0.25 < 0.5) — exactly the gap
+    // the span stage exists for. doc 12 is a MOSAIC: nothing but
+    // passages owned elsewhere (the 15-word quote) — it must drop out.
+    // 21-word prefix MISALIGNS doc 10's copy of the quote against the
+    // 4-word line grid, so the line-dedup stage (positional segments)
+    // sees no df>2 line — stride-1 windows catch what aligned lines
+    // can't, which is precisely the division of labor between 3b and 4b
+    val quote = ws(15, "q")
+    val docs = Seq(
+      (10L, ws(21, "a") + " " + quote),
+      (11L, quote + " " + ws(20, "b")),
+      (12L, quote))
+      .map { case (id, t) => (id, t, "en", t.length) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val dir = Files.createTempDirectory("curate-span").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val (curated, stages) = CuratePipeline.curate(spark, dir, minQuality = 0.03)
+    assert(stages("after_near_dedup") == 3L,
+      "partial passage overlap is below the doc-level Jaccard bar")
+    assert(stages("after_span_strip") == 2L, "the mosaic doc drops out")
+    val texts = curated.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(texts(10L) == ws(21, "a") + " " + quote, "owner keeps its copy")
+    assert(texts(11L) == ws(20, "b"), "non-owner loses exactly the passage")
+    assert(!texts.contains(12L))
     graft.CacheBook.release(spark, "curate")
   }
 }
