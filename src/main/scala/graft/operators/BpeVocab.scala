@@ -43,11 +43,22 @@ object BpeVocab {
   def learn(docs: DataFrame, textCol: String, k: Int): Seq[(String, String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words: Dataset[(String, Long)] = docs
+    val wordsRaw: Dataset[(String, Long)] = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
+    // size the ITERATED relation to the data, not to default
+    // parallelism: every one of the k iterations maps + shuffles this
+    // table, and a 10^3-word vocab spread over 32 partitions pays
+    // ~64 task dispatches per iteration for microseconds of work each.
+    // ~64k words per partition keeps a 10^7-word production vocab wide
+    // (parallelism where there's data) while a test/gate corpus runs
+    // each iteration as one task. The count is one job, paid once.
+    val nWords = wordsRaw.count()
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (nWords / 65536L).toInt + 1))
+    val words = wordsRaw.repartition(parts)
     // initial symbols are CODE POINTS, not UTF-16 units: a
     // supplementary-plane char must be one symbol, not two surrogate
     // halves (which would be invalid strings AND disagree with the
