@@ -340,6 +340,42 @@ object Similarity {
         .filter(col("vec_id") =!= col("q"))
         .select(col("q"), col("vec_id"),
           VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
+    }),
+
+    // HYBRID retrieval with reciprocal-rank fusion — the modern
+    // lexical+vector search shape: the query entity's distinct-word
+    // overlap ranking over `documents` (doc_id aligns with vec_id by
+    // construction) fuses with the memoized brute-force cosine ranking
+    // as sum of 1/(60+rank), in integer nano-units so the fusion — and
+    // its tie-breaks — are exact cross-engine. A doc missing from one
+    // list contributes only its other term (the standard top-K RRF,
+    // which is what makes this scale: each side ships only its top-K,
+    // never a full ranking). Scale shape: the query side is NQueries
+    // docs' words (broadcast); at 100 TB the lexical side would cap
+    // posting-list fan-out by dropping high-df query terms — the same
+    // df gate x_top_terms already prices.
+    "s_hybrid_rrf" -> ((s, dir) => {
+      val dw = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0).distinct()
+      val qw = broadcast(dw.filter(col("id") < NQueries)
+        .select(col("id").as("q"), col("w")))
+      val overlap = qw.join(dw, "w").filter(col("id") =!= col("q"))
+        .groupBy("q", "id").agg(count(lit(1)).as("ov"))
+      val wl = Window.partitionBy("q").orderBy(col("ov").desc, col("id").asc)
+      val lex = overlap.withColumn("lex_rn", row_number().over(wl))
+        .filter(col("lex_rn") <= K).select("q", "id", "lex_rn")
+      val vec = bfTopk(s, dir)
+        .select(col("q"), col("vec_id").as("id"), col("rn").as("vec_rn"))
+      val fused = lex.join(vec, Seq("q", "id"), "full")
+        .select(col("q"), col("id"),
+          (coalesce(expr("1000000000 div (60 + lex_rn)"), lit(0))
+            + coalesce(expr("1000000000 div (60 + vec_rn)"), lit(0)))
+            .cast("long").as("rrf"))
+      val wf = Window.partitionBy("q").orderBy(col("rrf").desc, col("id").asc)
+      fused.withColumn("rank", row_number().over(wf)).filter(col("rank") <= K)
+        .select(col("q"), col("rank"), col("id"), col("rrf"))
+        .orderBy("q", "rank")
     })
   )
 
@@ -766,5 +802,26 @@ object Similarity {
     ("s_ivf_recall" -> sqlRecall("s_ivf_ann")) +
     ("s_ivf_kmeans_recall" -> sqlRecall("s_ivf_kmeans")) +
     ("s_pq_recall" -> sqlRecall("s_pq_ann")) +
-    ("s_ivfpq_recall" -> sqlRecall("s_ivfpq_ann"))
+    ("s_ivfpq_recall" -> sqlRecall("s_ivfpq_ann")) +
+    ("s_hybrid_rrf" ->
+      s"""WITH dw AS (SELECT DISTINCT id, w FROM (
+             SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w
+             FROM documents) WHERE length(w) > 0),
+         ov AS (SELECT qw.id AS q, dw.id, count(*) AS ov
+           FROM dw qw JOIN dw ON dw.w = qw.w AND dw.id <> qw.id
+           WHERE qw.id < $NQueries GROUP BY qw.id, dw.id),
+         lex AS (SELECT q, id, lex_rn FROM (
+             SELECT q, id, CAST(row_number() OVER (
+               PARTITION BY q ORDER BY ov DESC, id) AS INT) AS lex_rn
+             FROM ov) WHERE lex_rn <= $K),
+         vec AS (SELECT q, vec_id AS id, rn AS vec_rn
+           FROM (${oracleBase("s_cosine_topk")})),
+         f AS (SELECT coalesce(lex.q, vec.q) AS q, coalesce(lex.id, vec.id) AS id,
+             (coalesce(1000000000 // (60 + lex_rn), 0)
+               + coalesce(1000000000 // (60 + vec_rn), 0)) AS rrf
+           FROM lex FULL JOIN vec ON vec.q = lex.q AND vec.id = lex.id)
+         SELECT q, CAST(rank AS INT) AS rank, id, CAST(rrf AS BIGINT) AS rrf
+         FROM (SELECT q, id, rrf, row_number() OVER (
+             PARTITION BY q ORDER BY rrf DESC, id) AS rank FROM f)
+         WHERE rank <= $K ORDER BY q, rank""")
 }
