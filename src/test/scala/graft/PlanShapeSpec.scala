@@ -80,4 +80,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "assignment must broadcast the K centroids, never shuffle N x K")
   }
+
+  test("x_bpe_encode: the encode is pure codegen over the distinct-word relation") {
+    // the chained merge replaces ride as result EXPRESSIONS of the
+    // distinct-word aggregate (simple toString elides those — read the
+    // formatted plan), never as typed lambdas deserializing to objects
+    val pf = SparkEntry.queries("x_bpe_encode")(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(pf.contains("replace("), pf.take(600))
+    assert(!pf.contains("DeserializeToObject") && !pf.contains("MapElements"),
+      "encode must stay in whole-stage codegen — no object pipeline")
+    assert(pf.contains("__salt"), "the Zipf vocab join must carry the salt key")
+    graft.CacheBook.releaseAll(spark)
+  }
+
+  test("x_dup_spans / x_span_strip: window keys are hashed and the df join salted") {
+    val pd = planOf("x_dup_spans")
+    assert(pd.contains("__salt"), "window-df join must carry the salt key")
+    val ps = planOf("x_span_strip")
+    assert(ps.contains("__salt"), "span-stat join must carry the salt key")
+    assert(!ps.contains("CartesianProduct") && !pd.contains("CartesianProduct"))
+  }
+
+  test("s_hybrid_rrf: the NQueries-doc word side broadcasts; no cartesian blowup") {
+    // the embedded brute-force baseline (bfTopk) carries its intended
+    // O(N*NQueries) BroadcastNestedLoopJoin (5 broadcast rows, same as
+    // s_cosine_topk) — the LEXICAL side and the fusion must still be
+    // broadcast/equi-join shaped, and nothing may plan a cartesian
+    val p = planOf("s_hybrid_rrf")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "query-word side must broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    graft.CacheBook.releaseAll(spark)
+  }
 }
