@@ -26,6 +26,17 @@ object Curation {
   val PackShards = 16
   /** Context budget in whitespace tokens per packed bin. */
   val PackBudget = 256
+  /** x_domain_cap: max docs kept per registrable domain. */
+  val DomainCap = 30
+  /** x_weighted_sample: global sample size. */
+  val SampleK = 25
+  /** Synthetic provenance vocab (the corpus carries no URLs — same
+    * synthesize-then-operate pattern as x_redact_pii's contact lines):
+    * registrable domains and the subdomain decoration the
+    * canonicalizer must strip. */
+  val Domains = Seq("alpha-news.com", "beta-blog.org", "gamma-wiki.net",
+    "delta-forum.io", "epsilon-docs.dev", "zeta-mag.co")
+  val Subs = Seq("www", "m", "en", "cdn")
 
   // column builders shared by the gate queries and CuratePipeline's
   // export stage (same hash contracts -> the pipeline's shards line up
@@ -114,6 +125,66 @@ object Curation {
           explode(sequence(lit(0), n - 1)).as("epoch"))
         .select(col("doc_id"), col("lang"), col("epoch").cast("int").as("epoch"))
         .orderBy("doc_id", "epoch")
+    }),
+
+    // per-domain caps (RefinedWeb-style): a web corpus is dominated by
+    // a few hot domains, so curation caps how many documents any one
+    // registrable domain contributes. URL canonicalization (host
+    // extraction, subdomain strip) + a deterministic hash-priority
+    // top-C per domain; the priority is keyed by doc_id alone, so the
+    // kept set is stable under corpus growth until a domain's cap
+    // binds. Each doc's provenance URL is synthesized from the doc id
+    // (the corpus has no URL column — the x_redact_pii pattern); the
+    // extraction/canonicalization/cap pipeline is the operator. Scale
+    // shape: the cap is a per-key top-C — a window over the domain
+    // partition; at 100 TB the same result comes from the two-stage
+    // per-partition-top-C-then-global-top-C reduction (cap rows per
+    // domain per partition first), never a global sort.
+    "x_domain_cap" -> ((s, dir) => {
+      val url = concat(
+        lit("https://"),
+        Determinism.pick(concat(lit("sub#"), col("doc_id").cast("string")), Subs),
+        lit("."),
+        Determinism.pick(concat(lit("dom#"), col("doc_id").cast("string")), Domains),
+        lit("/p/"), col("doc_id").cast("string"))
+      val host = regexp_extract(col("url"), "^https?://([^/]+)", 1)
+      val prio = Determinism.md5Idx(concat(lit("cap#"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("domain").orderBy("prio", "doc_id")
+      docs(s, dir).select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          regexp_replace(host, "^(www|m|en|cdn)\\.", "").as("domain"),
+          prio.as("prio"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .withColumn("n_domain",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("domain")).cast("int"))
+        .filter(col("rank") <= DomainCap)
+        .select("doc_id", "url", "domain", "rank", "n_domain")
+        .orderBy("doc_id")
+    }),
+
+    // deterministic weighted sampling (priority sampling, Duffield/
+    // Lund/Thorup): each doc draws a deterministic 48-bit hash key and
+    // its priority is key/weight — the k smallest priorities are a
+    // weight-proportional sample without replacement. Weight here is
+    // token mass (mixture building samples by tokens, not docs). Both
+    // the key and the single division are exact cross-engine, so the
+    // sample — including boundary tie-breaks — is reproducible across
+    // retries and engines. Scale shape: global k-smallest =
+    // TakeOrdered (per-partition top-k, then merge k*P rows on the
+    // driver side of the final stage), never a full sort.
+    "x_weighted_sample" -> ((s, dir) => {
+      val k = Determinism.md5IdxK(
+        concat(lit("wsm#"), col("doc_id").cast("string")), 12)
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          k.as("k"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("k") / col("n_tokens")).as("priority"))
+        .orderBy("priority", "doc_id").limit(SampleK)
+        .orderBy("doc_id")
     })
   )
 
@@ -158,6 +229,37 @@ object Curation {
              + (CASE WHEN lang IN ('en', 'es') AND ${gateSql("mix#")} < 50
                 THEN 1 ELSE 0 END) AS n
            FROM documents)
-         ORDER BY doc_id, epoch"""
+         ORDER BY doc_id, epoch""",
+
+    "x_domain_cap" -> {
+      val sub = Determinism.sqlPick("'sub#' || CAST(doc_id AS VARCHAR)", Subs)
+      val dom = Determinism.sqlPick("'dom#' || CAST(doc_id AS VARCHAR)", Domains)
+      s"""WITH u AS (SELECT doc_id,
+             'https://' || $sub || '.' || $dom || '/p/'
+               || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         c AS (SELECT doc_id, url,
+             regexp_replace(regexp_extract(url, '^https?://([^/]+)', 1),
+               '^(www|m|en|cdn)\\.', '') AS domain,
+             ${Determinism.sqlMd5Idx("'cap#' || CAST(doc_id AS VARCHAR)")} AS prio
+           FROM u),
+         r AS (SELECT doc_id, url, domain,
+             CAST(row_number() OVER (PARTITION BY domain
+               ORDER BY prio, doc_id) AS INT) AS rank,
+             CAST(count(*) OVER (PARTITION BY domain) AS INT) AS n_domain
+           FROM c)
+         SELECT doc_id, url, domain, rank, n_domain FROM r
+         WHERE rank <= $DomainCap ORDER BY doc_id"""
+    },
+
+    "x_weighted_sample" ->
+      s"""SELECT doc_id, n_tokens, priority FROM (
+           SELECT doc_id, n_tokens, (k / n_tokens) AS priority
+           FROM (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ${Determinism.sqlMd5IdxK("'wsm#' || CAST(doc_id AS VARCHAR)", 12)} AS k
+             FROM documents)
+           ORDER BY priority, doc_id LIMIT $SampleK)
+         ORDER BY doc_id"""
   )
 }

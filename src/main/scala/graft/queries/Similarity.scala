@@ -376,6 +376,68 @@ object Similarity {
       fused.withColumn("rank", row_number().over(wf)).filter(col("rank") <= K)
         .select(col("q"), col("rank"), col("id"), col("rrf"))
         .orderBy("q", "rank")
+    }),
+
+    // BM25 lexical retrieval — the classic sparse-retrieval ranking
+    // (k1=1.2, b=0.75) with the log-IDF replaced by its rational core
+    // (N - df + 0.5)/(df + 0.5): the same "rarer term weighs more"
+    // monotone signal, but every op is IEEE +,-,*,/ — correctly
+    // rounded, hence bit-identical cross-engine (log is NOT: libm
+    // results differ in ulps between JVMs and C runtimes). Each
+    // (query, doc, term) contribution floors to integer micro-units,
+    // so the per-doc sum is order-free and the ranking + tie-breaks
+    // are exact. Scale shape: the query-term relation (NQueries docs'
+    // distinct words) broadcasts twice — once against the
+    // vocabulary-sized df table (result stays query-sized), once
+    // against the corpus-sized tf relation (the posting-list probe);
+    // doc length joins on doc id. At 100 TB the standard df-ceiling
+    // gate (drop query terms with df over a cap — x_top_terms prices
+    // exactly that skew) bounds posting-list fan-out.
+    "s_bm25" -> ((s, dir) => {
+      // ONE derived relation (tf) feeds everything: doc length is
+      // sum(tf) per doc, df is its per-term row count, query terms are
+      // its id<NQueries slice (already distinct per (id, w)), and the
+      // posting-list probe joins it. NOT persisted: the explode+agg is
+      // cheaper to recompute than to cache-roundtrip (A/B-measured —
+      // cached columnar ser/deser cost ~2x the recompute CPU here),
+      // and within the final action Catalyst's ReusedExchange dedups
+      // the identical tf shuffle across its three consumers anyway.
+      val words = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val tf = words.groupBy("id", "w").agg(count(lit(1)).as("tf"))
+        // doc length rides ON the tf relation (window sum over the
+        // doc partition — one vocab-sized shuffle) so the candidate
+        // relation — the biggest thing this query moves — is produced
+        // by ONE broadcast join and shuffled once, by the final
+        // per-(q, id) aggregation; a dl equi-join after the probe
+        // would shuffle the candidates a second time
+        .withColumn("dl", sum("tf").over(Window.partitionBy("id")))
+      val dfr = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      // corpus scalars stay IN the plan as a broadcast 1-row frame
+      // (no driver pull, no extra action): avgdl via the oracle's
+      // exact op sequence CAST(sum AS DOUBLE) / count
+      val stats = broadcast(
+        tf.groupBy("id").agg(first("dl").as("dl"))
+          .agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+          .select(col("n"), (col("sdl").cast("double") / col("n")).as("avgdl")))
+      val qdf = broadcast(tf.filter(col("id") < NQueries)
+        .select(col("id").as("q"), col("w")).join(dfr, "w"))
+      val idf = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      val den = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))
+      val contrib = floor(((idf * (col("tf") * lit(2.2))) / den) * lit(1000000.0))
+      val scored = qdf.join(tf, "w").filter(col("id") =!= col("q"))
+        // 1-row broadcast stats frame: BroadcastNestedLoopJoin of a
+        // single row — the scalar-subquery shape, not a data cross join
+        .join(stats)
+        .select(col("q"), col("id"), contrib.as("c"))
+        .groupBy("q", "id").agg(sum("c").as("score_u"))
+      val wb = Window.partitionBy("q").orderBy(col("score_u").desc, col("id").asc)
+      scored.withColumn("rank", row_number().over(wb).cast("int"))
+        .filter(col("rank") <= K)
+        .select(col("q"), col("rank"), col("id"), col("score_u"),
+          (col("score_u") / 1000000.0).as("bm25"))
+        .orderBy("q", "rank")
     })
   )
 
@@ -823,5 +885,30 @@ object Similarity {
          SELECT q, CAST(rank AS INT) AS rank, id, CAST(rrf AS BIGINT) AS rrf
          FROM (SELECT q, id, rrf, row_number() OVER (
              PARTITION BY q ORDER BY rrf DESC, id) AS rank FROM f)
+         WHERE rank <= $K ORDER BY q, rank""") +
+    ("s_bm25" ->
+      s"""WITH words AS (SELECT id, w FROM (
+             SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w
+             FROM documents) WHERE length(w) > 0),
+         tf AS (SELECT id, w, count(*) AS tf FROM words GROUP BY id, w),
+         dl AS (SELECT id, count(*) AS dl FROM words GROUP BY id),
+         df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         stats AS (SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         q AS (SELECT DISTINCT id AS q, w FROM words WHERE id < $NQueries),
+         contrib AS (SELECT q.q, tf.id,
+             CAST(floor((((s.n - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))))
+               * 1000000.0) AS BIGINT) AS c
+           FROM q JOIN tf USING (w) JOIN df USING (w)
+           JOIN dl ON dl.id = tf.id, stats s
+           WHERE tf.id <> q.q),
+         scored AS (SELECT q, id, CAST(sum(c) AS BIGINT) AS score_u
+           FROM contrib GROUP BY q, id)
+         SELECT q, CAST(rank AS INT) AS rank, id, score_u,
+           score_u / 1000000.0 AS bm25
+         FROM (SELECT q, id, score_u, row_number() OVER (
+             PARTITION BY q ORDER BY score_u DESC, id) AS rank FROM scored)
          WHERE rank <= $K ORDER BY q, rank""")
 }
