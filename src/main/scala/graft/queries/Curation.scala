@@ -185,6 +185,38 @@ object Curation {
           (col("k") / col("n_tokens")).as("priority"))
         .orderBy("priority", "doc_id").limit(SampleK)
         .orderBy("doc_id")
+    }),
+
+    // corpus snapshot diff — the data-versioning primitive of an
+    // incremental pipeline: given two snapshots of a corpus, report
+    // every doc added, removed, or content-changed (unchanged docs are
+    // the silent majority and are excluded). The two snapshots are
+    // carved deterministically from the one documents table (old skips
+    // doc_id%10==7, new skips %10==3 and revises %5==0 — so all three
+    // statuses occur); the operator is the join shape. Scale: each
+    // side collapses to (key, 16-byte content hash) at the scan — the
+    // text column never moves — then ONE shuffle per side for the
+    // full-outer hash join; snapshots bucketed by doc_id make it
+    // shuffle-free. Status comparison is hash equality, bit-exact
+    // cross-engine (md5 of UTF-8).
+    "x_corpus_diff" -> ((s, dir) => {
+      val old = docs(s, dir).filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), md5(col("text")).as("old_fp"))
+      val neu = docs(s, dir).filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("new_fp"))
+      old.join(neu, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("old_fp").isNull, "added")
+            .when(col("new_fp").isNull, "removed")
+            .when(col("old_fp") =!= col("new_fp"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("status") =!= "unchanged")
+        .select(col("doc_id"), col("status"),
+          coalesce(col("old_fp"), lit("")).as("old_fp"),
+          coalesce(col("new_fp"), lit("")).as("new_fp"))
+        .orderBy("doc_id")
     })
   )
 
@@ -260,6 +292,23 @@ object Curation {
                ${Determinism.sqlMd5IdxK("'wsm#' || CAST(doc_id AS VARCHAR)", 12)} AS k
              FROM documents)
            ORDER BY priority, doc_id LIMIT $SampleK)
+         ORDER BY doc_id""",
+
+    "x_corpus_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS old_fp
+           FROM documents WHERE doc_id % 10 <> 7),
+         neu AS (SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+                 ELSE text END) AS new_fp
+           FROM documents WHERE doc_id % 10 <> 3)
+         SELECT doc_id,
+           CASE WHEN old_fp IS NULL THEN 'added'
+                WHEN new_fp IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           coalesce(old_fp, '') AS old_fp,
+           coalesce(new_fp, '') AS new_fp
+         FROM old FULL OUTER JOIN neu USING (doc_id)
+         WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
          ORDER BY doc_id"""
   )
 }

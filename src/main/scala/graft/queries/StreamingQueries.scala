@@ -103,6 +103,22 @@ object StreamingQueries {
         .orderBy("a", "b")
     }),
 
+    // Stream-stream LEFT OUTER interval join: unmatched purchases
+    // null-pad (e_id -1) only after the watermark closes their join
+    // window — the state-eviction semantics the inner join can't show.
+    // Oracle = the equivalent batch left join.
+    "st_left_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val name = synchronized { runId += 1; s"st_left_join_$runId" }
+      val ev = StreamingOps.eventsStream(s, dir)
+      val sentinel = StreamingOps.eventsStream(s, dir)
+        .withColumn("ts", lit("2030-01-01 00:00:00").cast("timestamp"))
+      val out = StreamingOps.runToMemory(s,
+        StreamingOps.purchaseErrorLeftJoin(ev, sentinel), name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      out.orderBy("p_id", "e_id")
+    }),
+
     // Stream-stream interval join (purchase ↔ same-user error within
     // the prior hour); the batch oracle is the equivalent interval join.
     "st_join" -> ((s, dir) => {
@@ -135,6 +151,15 @@ object StreamingQueries {
          FROM events p JOIN events e
          ON p.event_type = 'purchase' AND e.event_type = 'error'
            AND e.user_id = p.user_id
+           AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+         ORDER BY p_id, e_id""",
+
+    "st_left_join" ->
+      """SELECT p.event_id AS p_id, p.user_id,
+           coalesce(e.event_id, -1) AS e_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+         ON e.user_id = p.user_id
            AND e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
          ORDER BY p_id, e_id""",
 

@@ -178,6 +178,18 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Gopher-rules composite filter — the keep/drop DECISION of a
+    // curation run (Rae et al. 2021 flavor), not just the signals:
+    // word-count bounds, mean-word-length band, stopword floor, and
+    // the duplicate-3-gram ceiling evaluate per doc; a dropped doc
+    // carries machine-readable reason codes in rule order (the audit
+    // trail a 100 TB run needs to explain its kept-mass delta). Every
+    // rule is integer cross-multiplication — no division, no float, so
+    // the decision is bit-identical cross-engine. Pure scalar pipeline:
+    // scales with the scan, no shuffle at all before the gate sort.
+    "x_gopher_filter" -> ((s, dir) =>
+      gopherFilter(docs(s, dir)).orderBy("doc_id")),
+
     // corpus card: the per-source summary a curation run reports before
     // and after filtering — volume, token mass, vocabulary size,
     // character mass, language spread. One scan feeds a per-source
@@ -352,6 +364,34 @@ object TextAnalysis {
   /** x_dup_spans: words per window. Lee et al. use 50 BPE tokens on web
     * text; 13 words scales that to this corpus's 20-80-word docs. */
   private[queries] val SpanW = 13
+
+  /** Gopher-rules core shared by the x_gopher_filter gate query and
+    * GopherFilterSpec: per doc (n_words, keep, reasons) with
+    * machine-readable reason codes in fixed rule order. Every rule is
+    * integer cross-multiplication — no division, no float — so the
+    * keep/drop decision is bit-identical cross-engine. Row-local
+    * scalar pipeline: no join, no aggregation, scales with the scan. */
+  private[graft] def gopherFilter(d: DataFrame): DataFrame = {
+    val w = wordsCol
+    val n = size(w)
+    val wc = length(translate(col("text"), " ", ""))
+    val nStop = size(filter(w, x => x.isInCollection(stopwords)))
+    val g = shingles(w, 3)
+    val rShort = n < 20
+    val rLong = n > 90
+    val rWlen = (wc * 1000L < n * 3800L) || (wc * 1000L > n * 5000L)
+    val rStop = nStop < 2
+    val rRep = (size(g) - size(array_distinct(g))).cast("long") * 50L > size(g)
+    val reasons = concat_ws(",",
+      when(rShort, "too_short"), when(rLong, "too_long"),
+      when(rWlen, "word_len"), when(rStop, "low_stop"),
+      when(rRep, "repetitive"))
+    d.select(col("doc_id"),
+      n.cast("int").as("n_words"),
+      when(rShort || rLong || rWlen || rStop || rRep, 0)
+        .otherwise(1).cast("int").as("keep"),
+      when(reasons === "", "ok").otherwise(reasons).as("reasons"))
+  }
 
   /** Span-strip core shared by the x_span_strip gate query and
     * SpanStripSpec: per input doc_id, (n_words, n_removed, cleaned)
@@ -574,6 +614,32 @@ object TextAnalysis {
              / 1000000.0) AS dup_frac
          FROM (SELECT doc_id, ${sqlShingles("string_split(text, ' ')", 3)} AS g
                FROM documents) ORDER BY doc_id""",
+
+    "x_gopher_filter" ->
+      s"""WITH m AS (SELECT doc_id,
+             len(w) AS n,
+             length(replace(text, ' ', '')) AS wc,
+             len(list_filter(w, x -> x IN ($stopSqlList))) AS n_stop,
+             ${sqlShingles("w", 3)} AS g
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+                 FROM documents)),
+         r AS (SELECT doc_id, n,
+             (n < 20) AS r_short, (n > 90) AS r_long,
+             (wc * 1000 < n * 3800 OR wc * 1000 > n * 5000) AS r_wlen,
+             (n_stop < 2) AS r_stop,
+             ((len(g) - len(list_distinct(g))) * 50 > len(g)) AS r_rep
+           FROM m)
+         SELECT doc_id, CAST(n AS INT) AS n_words,
+           CAST(CASE WHEN r_short OR r_long OR r_wlen OR r_stop OR r_rep
+             THEN 0 ELSE 1 END AS INT) AS keep,
+           CASE WHEN reasons = '' THEN 'ok' ELSE reasons END AS reasons
+         FROM (SELECT *, concat_ws(',',
+             CASE WHEN r_short THEN 'too_short' END,
+             CASE WHEN r_long THEN 'too_long' END,
+             CASE WHEN r_wlen THEN 'word_len' END,
+             CASE WHEN r_stop THEN 'low_stop' END,
+             CASE WHEN r_rep THEN 'repetitive' END) AS reasons FROM r)
+         ORDER BY doc_id""",
 
     "x_corpus_stats" ->
       """WITH d AS (SELECT *, string_split(text, ' ') AS w FROM documents),

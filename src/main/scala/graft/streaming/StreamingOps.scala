@@ -190,6 +190,38 @@ object StreamingOps {
       .select(col("p_id"), col("user_id"), col("e_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every purchase emits — with
+    * its prior-hour same-user errors, or null-padded if none arrived.
+    * This is the semantics inner st_join can't show: the null-padded
+    * row for an unmatched purchase is held in state and emitted ONLY
+    * once the watermark passes its join window (before that, a matching
+    * error could still arrive). A far-future sentinel unioned into BOTH
+    * inputs pushes the final watermark past every real row inside the
+    * bounded run (the st_sessionize trick), flushing all outer results;
+    * sentinel-origin rows filter out by timestamp. Sentinels cannot
+    * self-match: the condition is strict (e_ts < p_ts) and sentinel
+    * rows share one timestamp. State stays O(interval) per key at
+    * scale — the two-sided event-time bounds are what let the engine
+    * evict. */
+  def purchaseErrorLeftJoin(events: DataFrame, sentinel: DataFrame): DataFrame = {
+    val src = events.unionByName(sentinel)
+    val p = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val e = src.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    p.join(e,
+        col("user_id") === col("e_user")
+          && col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+          && col("e_ts") < col("p_ts"),
+        "leftOuter")
+      .filter(col("p_ts") < lit("2029-01-01 00:00:00").cast("timestamp"))
+      .select(col("p_id"), col("user_id"),
+        coalesce(col("e_id"), lit(-1L)).as("e_id"))
+  }
+
   /** Streaming dedup by key with bounded state: duplicates within the
     * watermark horizon are dropped; state ages out with the watermark. */
   def dedup(events: DataFrame, keyCols: Seq[String], watermarkCol: String,

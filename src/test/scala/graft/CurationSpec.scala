@@ -58,6 +58,23 @@ class CurationSpec extends SparkSpec {
     assert(shf.forall(r => packShards(r._1) == r._2))
   }
 
+  test("x_corpus_diff statuses partition exactly by the carve rules") {
+    // old skips %10==7, new skips %10==3 and revises %5==0 — so the
+    // status sets are fully determined by doc_id arithmetic: added =
+    // %10==7, removed = %10==3, changed = %5==0 (0,5 mod 10 never
+    // collide with the skip residues); everything else is unchanged
+    // and must be ABSENT from the diff
+    val ids = q("x_split").select("doc_id").as[Long].collect().toSet
+    val rows = q("x_corpus_diff")
+      .select("doc_id", "status").as[(Long, String)].collect()
+    val byStatus = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byStatus.keySet == Set("added", "removed", "changed"))
+    assert(byStatus("added") == ids.filter(_ % 10 == 7))
+    assert(byStatus("removed") == ids.filter(_ % 10 == 3))
+    assert(byStatus("changed") == ids.filter(_ % 5 == 0))
+    assert(rows.length == rows.map(_._1).distinct.length, "one row per doc")
+  }
+
   test("x_mix amplification is per-lang bounded and epoch-contiguous") {
     val copies = q("x_mix").groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n"), max("epoch").as("mx"))

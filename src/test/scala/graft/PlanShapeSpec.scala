@@ -113,4 +113,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
     graft.CacheBook.releaseAll(spark)
   }
+
+  test("x_gopher_filter: pure scalar pipeline — no join, no aggregate, one scan") {
+    // every rule evaluates per row at the scan; the only exchange is
+    // the gate's final range sort. A join or aggregation here would
+    // mean the filter stopped scaling with the scan.
+    val p = planOf("x_gopher_filter")
+    assert(p.split("Scan parquet").length - 1 == 1, p.take(600))
+    assert(!p.contains("Join"), "keep/drop decision must be per-row scalar")
+    assert(!p.contains("HashAggregate"), "no aggregation in a row-local filter")
+  }
+
+  test("x_corpus_diff: snapshots collapse to (key, hash) before the full-outer join") {
+    val p = planOf("x_corpus_diff")
+    assert(p.contains("FullOuter"), "diff must plan a full-outer join")
+    // the text column must be hashed at the scan projection — only the
+    // 16-byte fingerprint crosses the exchange, never the document body
+    // (in the printed tree, join INPUTS appear after the join line)
+    val joinAt = p.indexOf("FullOuter")
+    assert(p.drop(joinAt).contains("md5"),
+      "fingerprint must be computed below the join")
+    val exchanged = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanged.forall(l => !l.contains("text#")),
+      "the raw text column must never cross a shuffle")
+  }
 }

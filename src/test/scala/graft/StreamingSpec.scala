@@ -133,6 +133,36 @@ class StreamingSpec extends SparkSpec {
     assert(!pairs.exists(_._2 == 12L), s"unrelated doc flagged: $pairs")
   }
 
+  test("stream-stream left-outer join flushes null-padded rows at watermark close") {
+    // the outer semantics st_join can't show: a purchase with no
+    // prior-hour same-user error must STILL emit (e_id -1) — but only
+    // once the watermark passes its join window. If the sentinel-flush
+    // trick under-advances the watermark, exactly these rows go
+    // missing; if sentinels leak, phantom rows appear.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.StreamingQueries.queries("st_left_join")(spark, dir)
+    val batch = {
+      val ev = Tables.load(spark, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+          col("ts").as("e_ts"))
+      p.join(e, col("user_id") === col("e_user")
+          && col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+          && col("e_ts") < col("p_ts"), "leftOuter")
+        .select(col("p_id"), col("user_id"),
+          coalesce(col("e_id"), lit(-1L)).as("e_id"))
+    }
+    val streamed = out.as[(Long, Long, Long)].collect().toSet
+    val expected = batch.as[(Long, Long, Long)].collect().toSet
+    assert(streamed == expected,
+      s"missing=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
+    assert(streamed.exists(_._3 == -1L), "some purchase must be unmatched (null-padded)")
+    assert(streamed.exists(_._3 != -1L), "some purchase must be matched")
+  }
+
   test("windowed aggregation over a bounded stream equals batch") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingOps.runToMemory(spark,
