@@ -21,6 +21,7 @@ object Similarity {
   private val K = 5          // neighbors returned per query
   private val NQueries = 5   // queries = vec_id < NQueries
   private val NProbe = 2     // IVF probes
+  private val KnnK = 3       // neighbors per vector in the KNN graph
   private val NCentroids = 24 // IVF cells — FIXED K, constant in corpus size
   private val PqM = 8        // PQ subspaces (64-dim vectors -> 8x8)
   private val PqSub = 8      // dims per subspace
@@ -340,6 +341,40 @@ object Similarity {
         .filter(col("vec_id") =!= col("q"))
         .select(col("q"), col("vec_id"),
           VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
+    }),
+
+    // KNN-GRAPH build — the all-vectors neighbor-list primitive that
+    // SemDeDup-style pruning, cluster-based curation, and graph ANN
+    // all start from: EVERY vector (not just the NQueries probes)
+    // gets its top-KnnK in-cell neighbors. Candidates are bounded by
+    // the IVF cells (each vector probes its NProbe nearest cells; the
+    // probe side is corpus-sized so this is a cid EQUI-JOIN, never a
+    // broadcast of queries), so candidate volume is N * NProbe *
+    // cell-population — at cluster scale NCentroids grows ~sqrt(N)
+    // (same note as the IVF build) keeping per-cell work bounded; the
+    // quadratic all-pairs term never appears. A (src,nbr) pair can't
+    // duplicate across probed cells (a vector is ASSIGNED to exactly
+    // one cell), so the top-k window needs no pre-distinct.
+    "s_knn_graph" -> ((s, dir) => {
+      val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
+      val e = vecs(s, dir)
+      val wp = Window.partitionBy("src").orderBy(col("pcos").desc, col("cid").asc)
+      val probes = e.join(broadcast(cents))
+        .select(col("vec_id").as("src"), col("v").as("qv"), col("n").as("qn"),
+          col("cid"),
+          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("pcos"))
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= NProbe)
+        .select("src", "qv", "qn", "cid")
+      val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("nbr").asc)
+      probes.join(assigned, "cid")
+        .filter(col("vec_id") =!= col("src"))
+        .select(col("src"), col("vec_id").as("nbr"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos"))
+        .withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= KnnK)
+        .select("src", "nbr", "cos", "rn")
+        .orderBy("src", "rn")
     }),
 
     // HYBRID retrieval with reciprocal-rank fusion — the modern
@@ -860,6 +895,34 @@ object Similarity {
        GROUP BY bf.q ORDER BY bf.q"""
 
   val oracleSql: Map[String, String] = oracleBase +
+    ("s_knn_graph" ->
+      s"""WITH e AS ($sqlVecs),
+         c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
+         assigned AS (
+           SELECT vec_id, v, n, cid FROM (
+             SELECT e.vec_id, e.v, e.n, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS arn
+             FROM e, c0) WHERE arn = 1),
+         probes AS (
+           SELECT src, qv, qn, cid FROM (
+             SELECT e.vec_id AS src, e.v AS qv, e.n AS qn, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS prn
+             FROM e, c0) WHERE prn <= $NProbe)
+         SELECT src, nbr, cos, rn FROM (
+           SELECT src, nbr, cos,
+             CAST(row_number() OVER (PARTITION BY src
+               ORDER BY cos DESC, nbr) AS INT) AS rn
+           FROM (SELECT probes.src, assigned.vec_id AS nbr,
+               (${VecOps.sqlDot("probes.qv", "assigned.v")}
+                 / (probes.qn * assigned.n)) AS cos
+             FROM probes JOIN assigned USING (cid)
+             WHERE assigned.vec_id <> probes.src))
+         WHERE rn <= $KnnK ORDER BY src, rn""") +
     ("s_ann_recall" -> sqlRecall("s_lsh_ann")) +
     ("s_ivf_recall" -> sqlRecall("s_ivf_ann")) +
     ("s_ivf_kmeans_recall" -> sqlRecall("s_ivf_kmeans")) +

@@ -114,6 +114,17 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheBook.releaseAll(spark)
   }
 
+  test("s_knn_graph: per-vector windows stay partitioned; no cartesian, no single-partition") {
+    // the all-vectors probe and the top-k both window on src — a
+    // SinglePartition window here would serialize the whole corpus
+    // through one task; candidates must come from the cid equi-join
+    val p = planOf("s_knn_graph")
+    assert(p.contains("windowspecdefinition(src"), p.take(600))
+    assert(!p.contains("SinglePartition"), "per-vector work must stay partitioned")
+    assert(!p.contains("CartesianProduct"), "candidates are cell-bounded, never all-pairs")
+    graft.CacheBook.releaseAll(spark)
+  }
+
   test("x_gopher_filter: pure scalar pipeline — no join, no aggregate, one scan") {
     // every rule evaluates per row at the scan; the only exchange is
     // the gate's final range sort. A join or aggregation here would
