@@ -22,6 +22,7 @@ object Similarity {
   private val NQueries = 5   // queries = vec_id < NQueries
   private val NProbe = 2     // IVF probes
   private val KnnK = 3       // neighbors per vector in the KNN graph
+  private val RankIters = 3  // PageRank power iterations (s_graph_rank)
   private val NCentroids = 24 // IVF cells — FIXED K, constant in corpus size
   private val PqM = 8        // PQ subspaces (64-dim vectors -> 8x8)
   private val PqSub = 8      // dims per subspace
@@ -355,26 +356,37 @@ object Similarity {
     // quadratic all-pairs term never appears. A (src,nbr) pair can't
     // duplicate across probed cells (a vector is ASSIGNED to exactly
     // one cell), so the top-k window needs no pre-distinct.
-    "s_knn_graph" -> ((s, dir) => {
-      val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
-      val e = vecs(s, dir)
-      val wp = Window.partitionBy("src").orderBy(col("pcos").desc, col("cid").asc)
-      val probes = e.join(broadcast(cents))
-        .select(col("vec_id").as("src"), col("v").as("qv"), col("n").as("qn"),
-          col("cid"),
-          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("pcos"))
-        .withColumn("prn", row_number().over(wp))
-        .filter(col("prn") <= NProbe)
-        .select("src", "qv", "qn", "cid")
-      val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("nbr").asc)
-      probes.join(assigned, "cid")
-        .filter(col("vec_id") =!= col("src"))
-        .select(col("src"), col("vec_id").as("nbr"),
-          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos"))
-        .withColumn("rn", row_number().over(wk))
-        .filter(col("rn") <= KnnK)
-        .select("src", "nbr", "cos", "rn")
-        .orderBy("src", "rn")
+    "s_knn_graph" -> ((s, dir) =>
+      memoAnn("s_knn_graph")((s2, d2) => knnGraphBody(s2, d2))(s, dir)
+        .orderBy("src", "rn")),
+
+    // GRAPH CENTRALITY over the KNN graph — power-iteration PageRank,
+    // the iterated-graph-computation primitive (CC is the other one)
+    // behind graph-based quality propagation / hub detection in
+    // curation. RankIters fixed iterations, each ONE edge-join + ONE
+    // aggregation over the N*KnnK-row memoized edge list — work is
+    // O(iters * edges), never quadratic. All arithmetic in integer
+    // micro-units with floor division (both engines floor on
+    // non-negative longs), so the fixpoint trajectory — not just the
+    // final ranking — is bit-identical cross-engine. Dangling mass is
+    // dropped (standard simplification; documented, deterministic).
+    "s_graph_rank" -> ((s, dir) => {
+      val edges = memoAnn("s_knn_graph")((s2, d2) => knnGraphBody(s2, d2))(s, dir)
+        .select("src", "nbr")
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val ed = edges.join(deg, "src")
+      val ids = vecs(s, dir).select("vec_id")
+      var pr = ids.withColumn("pr", lit(1000000L))
+      for (_ <- 1 to RankIters) {
+        val contrib = ed.join(pr, ed("src") === pr("vec_id"))
+          .select(col("nbr"), expr("pr div deg").as("c"))
+          .groupBy("nbr").agg(sum("c").as("sv"))
+        pr = ids.join(contrib, ids("vec_id") === contrib("nbr"), "left")
+          .select(ids("vec_id"),
+            expr("150000 + (850 * coalesce(sv, CAST(0 AS BIGINT))) div 1000")
+              .as("pr"))
+      }
+      pr.orderBy("vec_id")
     }),
 
     // HYBRID retrieval with reciprocal-rank fusion — the modern
@@ -705,6 +717,32 @@ object Similarity {
   /** IVF-PQ: candidates from the probed IVF cells, scores from the PQ
     * codes — candidate volume bounded by the probe, per-candidate cost
     * bounded by the code length. */
+  /** KNN-graph build body (see the s_knn_graph entry comment): every
+    * vector probes its NProbe nearest cells via a cid equi-join and
+    * keeps its top-KnnK in-cell cosine neighbors. Unordered — the
+    * memo layer persists it and consumers (the gate entry, the
+    * PageRank edge list) impose their own order. */
+  private val knnGraphBody: (SparkSession, String) => DataFrame = ((s, dir) => {
+      val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
+      val e = vecs(s, dir)
+      val wp = Window.partitionBy("src").orderBy(col("pcos").desc, col("cid").asc)
+      val probes = e.join(broadcast(cents))
+        .select(col("vec_id").as("src"), col("v").as("qv"), col("n").as("qn"),
+          col("cid"),
+          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("pcos"))
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= NProbe)
+        .select("src", "qv", "qn", "cid")
+      val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("nbr").asc)
+      probes.join(assigned, "cid")
+        .filter(col("vec_id") =!= col("src"))
+        .select(col("src"), col("vec_id").as("nbr"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos"))
+        .withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= KnnK)
+        .select("src", "nbr", "cos", "rn")
+    })
+
   private val ivfpqAnnBody: (SparkSession, String) => DataFrame = ((s, dir) => {
       val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
       val cand = probeCells(vecs(s, dir), cents).select("q", "cid")
@@ -894,25 +932,28 @@ object Similarity {
        FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id
        GROUP BY bf.q ORDER BY bf.q"""
 
-  val oracleSql: Map[String, String] = oracleBase +
-    ("s_knn_graph" ->
-      s"""WITH e AS ($sqlVecs),
-         c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
-         assigned AS (
-           SELECT vec_id, v, n, cid FROM (
-             SELECT e.vec_id, e.v, e.n, c0.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
-                   c0.cid) AS arn
-             FROM e, c0) WHERE arn = 1),
-         probes AS (
-           SELECT src, qv, qn, cid FROM (
-             SELECT e.vec_id AS src, e.v AS qv, e.n AS qn, c0.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
-                   c0.cid) AS prn
-             FROM e, c0) WHERE prn <= $NProbe)
+  /** The KNN-graph CTE block (seed draw → assignment → all-vector
+    * probes → top-KnnK neighbor list named `knn`) — shared by the
+    * s_knn_graph oracle and the s_graph_rank oracle's edge list. */
+  private val sqlKnnCtes =
+    s"""e AS ($sqlVecs),
+       c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
+       assigned AS (
+         SELECT vec_id, v, n, cid FROM (
+           SELECT e.vec_id, e.v, e.n, c0.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                 c0.cid) AS arn
+           FROM e, c0) WHERE arn = 1),
+       probes AS (
+         SELECT src, qv, qn, cid FROM (
+           SELECT e.vec_id AS src, e.v AS qv, e.n AS qn, c0.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                 c0.cid) AS prn
+           FROM e, c0) WHERE prn <= $NProbe),
+       knn AS (
          SELECT src, nbr, cos, rn FROM (
            SELECT src, nbr, cos,
              CAST(row_number() OVER (PARTITION BY src
@@ -922,7 +963,32 @@ object Similarity {
                  / (probes.qn * assigned.n)) AS cos
              FROM probes JOIN assigned USING (cid)
              WHERE assigned.vec_id <> probes.src))
-         WHERE rn <= $KnnK ORDER BY src, rn""") +
+         WHERE rn <= $KnnK)"""
+
+  /** RankIters unrolled PageRank stages over the knn edge list — the
+    * same integer-micro floor-division trajectory as the Spark side. */
+  private val sqlGraphRank = {
+    val iters = (1 to RankIters).map { t =>
+      val prev = if (t == 1) "pr0" else s"pr${t - 1}"
+      s"""s$t AS (SELECT nbr, sum(pr // deg) AS sv
+           FROM ed JOIN $prev ON $prev.vec_id = ed.src GROUP BY nbr),
+         pr$t AS (SELECT e.vec_id,
+             150000 + (850 * coalesce(sv, 0)) // 1000 AS pr
+           FROM e LEFT JOIN s$t ON s$t.nbr = e.vec_id)"""
+    }.mkString(",\n")
+    s"""WITH $sqlKnnCtes,
+       edges AS (SELECT src, nbr FROM knn),
+       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       ed AS (SELECT edges.src, edges.nbr, deg.deg FROM edges JOIN deg USING (src)),
+       pr0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS pr FROM e),
+       $iters
+       SELECT vec_id, CAST(pr AS BIGINT) AS pr FROM pr$RankIters ORDER BY vec_id"""
+  }
+
+  val oracleSql: Map[String, String] = oracleBase +
+    ("s_knn_graph" ->
+      s"WITH $sqlKnnCtes SELECT src, nbr, cos, rn FROM knn ORDER BY src, rn") +
+    ("s_graph_rank" -> sqlGraphRank) +
     ("s_ann_recall" -> sqlRecall("s_lsh_ann")) +
     ("s_ivf_recall" -> sqlRecall("s_ivf_ann")) +
     ("s_ivf_kmeans_recall" -> sqlRecall("s_ivf_kmeans")) +

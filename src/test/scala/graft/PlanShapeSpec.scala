@@ -125,6 +125,18 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheBook.releaseAll(spark)
   }
 
+  test("s_graph_rank: iteration joins stay equi-shaped; no cartesian") {
+    // the O(N*K) BroadcastNestedLoopJoins in the MEMOIZED knn lineage
+    // are the intended constant-K centroid assignment (same plan class
+    // as s_ivf_ann); the iteration itself must be pure equi-join —
+    // nothing may plan a cartesian, and the per-iteration base-case
+    // join is the LeftOuter against the contribution aggregate
+    val p = planOf("s_graph_rank")
+    assert(!p.contains("CartesianProduct"), "rank propagation is edge-join only")
+    assert(p.contains("LeftOuter"), "missing-inlink base case must be a left join")
+    graft.CacheBook.releaseAll(spark)
+  }
+
   test("x_gopher_filter: pure scalar pipeline — no join, no aggregate, one scan") {
     // every rule evaluates per row at the scan; the only exchange is
     // the gate's final range sort. A join or aggregation here would
