@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{broadcast, col, row_number}
 
 /** Parquet persistence for an IVF-style ANN index — the build-once /
   * query-many split: `Similarity.buildIvfIndex` runs with the nightly
@@ -43,6 +44,59 @@ object AnnIndexStore {
       .withColumn("cid", col("cid").cast("long"))
       .select("vec_id", "v", "n", "cid")
     (cents, cells)
+  }
+
+  /** Nearest-centroid assignment — the SAME per-vector argmax rule the
+    * index build uses (cosine desc, cid asc tie-break), factored here
+    * so batch [[append]] and its equivalence spec share one
+    * definition. Per-vector and centroid-set-deterministic: assigning
+    * vectors in any batching yields identical cells. */
+  def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    vecs.join(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("n"), col("cid"),
+        graft.functions.VecOps.cosine(col("v"), col("cv"), col("n"), col("cn"))
+          .as("ccos"))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select("vec_id", "v", "n", "cid")
+  }
+
+  /** Append one embedding batch to the standing index: new vectors are
+    * [[assign]]ed to the EXISTING centroids and their rows land in the
+    * live cells relation (partition-clustered, so each touched cell
+    * directory gains files rather than the index rewriting). Centroids
+    * do not move — standard IVF ingest; centroid drift is repaired by
+    * the nightly rebuild, and file growth by [[compact]]. SINGLE-WRITER
+    * contract exactly as [[LshIndexStore.append]]: maintenance ops on
+    * one store must not overlap a [[compact]]/[[write]] pointer swap.
+    * Because assignment is per-vector against a fixed centroid table,
+    * append-then-read equals a one-shot assignment of the union
+    * (AnnIndexStoreSpec holds the equivalence). */
+  def append(s: SparkSession, path: String, newVecs: DataFrame): Unit = {
+    val (cents, _) = read(s, path)
+    assign(newVecs, cents)
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"${StagedWrite.resolve(s, path, "cells")}/cells")
+  }
+
+  /** Nightly maintenance: drop `retired` vector ids and rewrite each
+    * cell as a bounded file count (append grows cells by a file set
+    * per batch forever — the same small-file pathology
+    * [[LshIndexStore.compact]] exists for). Crash-safe: the compacted
+    * relations land in a fresh generation and go live on the one-file
+    * pointer commit; a failure leaves the previous generation live.
+    * Centroids pass through unchanged. */
+  def compact(s: SparkSession, path: String, retired: DataFrame): Unit = {
+    val (cents, cells) = read(s, path)
+    val kept = cells.join(retired.select("vec_id"), Seq("vec_id"), "left_anti")
+    StagedWrite.swapIn(s, path, Seq("centroids", "cells")) { st =>
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$st/centroids")
+      kept.repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$st/cells")
+    }
   }
 
   /** Cell scan PRUNED to the probed cell ids: the `isin` lands on the

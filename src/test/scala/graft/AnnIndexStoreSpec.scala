@@ -61,6 +61,43 @@ class AnnIndexStoreSpec extends SparkSpec {
     CacheBook.release(spark, "s")
   }
 
+  test("batch append == one-shot assignment of the union; compact retires " +
+      "and preserves the probe result") {
+    import spark.implicits._
+    // the standing index starts from the first 300 vectors' cells; two
+    // nightly batches append the rest — read-back must equal assigning
+    // ALL vectors to the base centroids in one shot (the per-vector
+    // argmax is batching-independent by construction)
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", graft.functions.VecOps.norm(col("v")))
+    val base = all.filter(col("vec_id") < 300)
+    val cents = base.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-ap").toString
+    AnnIndexStore.write(tmp, cents, AnnIndexStore.assign(base, cents))
+    AnnIndexStore.append(spark, tmp,
+      all.filter(col("vec_id") >= 300 && col("vec_id") % 2 === 0))
+    AnnIndexStore.append(spark, tmp,
+      all.filter(col("vec_id") >= 300 && col("vec_id") % 2 === 1))
+    def cellsOf(p: String) = AnnIndexStore.read(spark, p)._2
+      .select("vec_id", "cid").as[(Long, Long)].collect().sorted.toSeq
+    val expected = AnnIndexStore.assign(all, cents)
+      .select("vec_id", "cid").as[(Long, Long)].collect().sorted.toSeq
+    assert(cellsOf(tmp) == expected)
+    // retire the odd vec_ids; survivors keep their cells, partition
+    // layout (and so the probe pruning contract) survives the rewrite
+    AnnIndexStore.compact(spark, tmp,
+      all.filter(col("vec_id") % 2 === 1).select("vec_id"))
+    assert(cellsOf(tmp) == expected.filter(_._1 % 2 == 0))
+    val someCid = cents.select("cid").orderBy("cid").head().getLong(0)
+    val live = graft.sources.StagedWrite.resolve(spark, tmp, "cells")
+    val probe = spark.read.parquet(s"$live/cells").filter(col("cid") === someCid)
+    assert(probe.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "compacted cells must keep the cid-partitioned layout")
+  }
+
   test("cell probe prunes the scan to the probed partitions") {
     val (cents, cells) = Similarity.buildIvfIndex(spark, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-p").toString
