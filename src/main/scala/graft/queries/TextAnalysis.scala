@@ -31,6 +31,16 @@ object TextAnalysis {
     transform(
       sequence(lit(0), greatest(size(words) - k, lit(0))),
       i => concat_ws(" ", slice(words, i + 1, lit(k))))
+  /** Positional 48-bit window hashes as ONE codegen loop per row —
+    * spec-identical to `transform(shingles(words,k), md5IdxK(_, 12))`
+    * but no window string materializes and no interpreted HOF lambda
+    * runs (x_dup_spans burned ~20 cpu-sec at sf0.1 in the lambda
+    * interpreter; the oracles are unchanged because the hash bytes
+    * are identical). */
+  private def shingleHashes(words: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ShingleHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(words), k, 12))
   private def sqlShingles(w: String, k: Int): String =
     s"""list_transform(range(0, greatest(len($w) - $k, 0) + 1),
         i -> array_to_string($w[CAST(i+1 AS INT):CAST(i+$k AS INT)], ' '))"""
@@ -405,8 +415,7 @@ object TextAnalysis {
     * SALTED on the hashed window key (hot key = viral paragraph). */
   private[graft] def spanStrip(d: DataFrame, w: Int = SpanW): DataFrame = {
     val spans = d
-      .select(col("doc_id"), posexplode(shingles(wordsCol, w)).as(Seq("pos", "sp")))
-      .select(col("doc_id"), col("pos"), Determinism.md5IdxK(col("sp"), 12).as("g"))
+      .select(col("doc_id"), posexplode(shingleHashes(wordsCol, w)).as(Seq("pos", "g")))
     val agg = spans.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("df"), min("doc_id").as("owner"))
     val cov = graft.operators.SkewJoin.salted(spans, agg, key = "g", uniqueCol = "doc_id")
@@ -430,14 +439,13 @@ object TextAnalysis {
     * SpanW-word stride-1 windows, where a window is duplicated iff it
     * occurs in >= 2 distinct documents. Input needs (doc_id, text). */
   private[graft] def dupSpans(d: DataFrame, w: Int = SpanW): DataFrame = {
-    // explode the raw windows, hash to 48-bit longs as a top-level
-    // projection (codegen, same pattern as x_contamination): the df
-    // aggregation and the join back then shuffle/compare longs, not
-    // ~100-char strings — at corpus scale the window relation is the
-    // biggest thing this query moves
+    // hash the windows to 48-bit longs AT THE SCAN (ShingleHashes, one
+    // codegen loop per row — no window string ever materializes, no
+    // interpreted HOF lambda): the df aggregation and the join back
+    // then shuffle/compare longs, not ~100-char strings — at corpus
+    // scale the window relation is the biggest thing this query moves
     val spans = d
-      .select(col("doc_id"), explode(shingles(wordsCol, w)).as("sp"))
-      .select(col("doc_id"), Determinism.md5IdxK(col("sp"), 12).as("span"))
+      .select(col("doc_id"), explode(shingleHashes(wordsCol, w)).as("span"))
     val df = spans.groupBy("span").agg(countDistinct(col("doc_id")).as("df"))
     graft.operators.SkewJoin.salted(spans, df, key = "span", uniqueCol = "doc_id")
       .groupBy("doc_id")
