@@ -16,8 +16,9 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events schema as stored (ts is int64 nanos in the parquet; the
-    * stream converts to a microsecond timestamp on read). */
+  /** events schema as stored (ts arrives as int64 nanos or as
+    * TIMESTAMP_NTZ micros depending on corpus vintage — eventsStream
+    * probes the footer and normalizes; see [[graft.Tables.normalizeEventTs]]). */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -34,13 +35,18 @@ object StreamingOps {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** File-source stream over the events parquet with proper timestamps. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+  /** File-source stream over the events parquet with proper timestamps.
+    * The stored schema is probed from the footer via a batch read (one
+    * driver-side metadata call) so the stream works against both corpus
+    * vintages of events.ts. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val stored = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream
-      .schema(eventsRawSchema)
+      .schema(stored)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.Tables.normalizeEventTs(stored("ts").dataType))
+  }
 
   /** Tumbling 1-hour window aggregation with a watermark. Watermark
     * bounds state at scale; `complete` output in the bounded demo so
