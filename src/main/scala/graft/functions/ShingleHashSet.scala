@@ -40,38 +40,13 @@ case class ShingleHashSet(child: Expression, k: Int, hexChars: Int)
 }
 
 object ShingleHashSet {
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   def eval(words: ArrayData, k: Int, hexChars: Int): ArrayData = {
-    val n = words.numElements()
-    val m = math.max(n - k, 0) + 1
-    val md = digests.get()
-    val out = new Array[Long](m)
-    val nBytes = hexChars / 2
-    var i = 0
-    while (i < m) {
-      md.reset()
-      val end = math.min(i + k, n)
-      var j = i
-      while (j < end) {
-        if (j > i) md.update(' '.toByte)
-        md.update(words.getUTF8String(j).getBytes)
-        j += 1
-      }
-      val dig = md.digest()
-      var v = 0L
-      var b = 0
-      while (b < nBytes) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
-      out(i) = v
-      i += 1
-    }
+    val out = WindowHash.hashWindows(words, k, hexChars)
+    val m = out.length
     java.util.Arrays.sort(out)
     // in-place dedup of the sorted hashes
     var w = 0
-    i = 0
+    var i = 0
     while (i < m) {
       if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
       i += 1

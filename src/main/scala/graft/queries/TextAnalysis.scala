@@ -505,15 +505,24 @@ object TextAnalysis {
     * CuratePipeline's boilerplate-strip stage: per input doc_id,
     * (n_lines, n_kept, cleaned) with kept lines reassembled in
     * original position order. Input needs (doc_id, text). */
-  def lineDedup(d: DataFrame, seg: Int = LineSeg, dfMax: Int = LineDfMax): DataFrame = {
-    val w = split(col("text"), " ")
-    val starts = sequence(lit(0), expr(s"(size(split(text, ' ')) - 1) div $seg"))
-    val lines = d
-      .repartition(d.sparkSession.sparkContext.defaultParallelism)
+  def lineDedup(d: DataFrame, seg: Int = LineSeg, dfMax: Int = LineDfMax): DataFrame =
+    lineDedupFrom(linesOf(d, seg), dfMax)
+
+  /** The (doc_id, pos, line) relation lineDedup consumes: every doc's
+    * non-overlapping seg-word lines, built by [[graft.functions.LineSplit]]
+    * — ONE codegen loop per row (O(words) per doc; the equivalent
+    * transform/slice lambda evaluates interpreted and re-runs the
+    * inlined split per line element, O(words²/seg) per doc). */
+  private[graft] def linesOf(d: DataFrame, seg: Int = LineSeg): DataFrame =
+    d.repartition(d.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        posexplode(transform(starts, i =>
-          concat_ws(" ", slice(w, i * seg + 1, lit(seg)))))
+        posexplode(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.LineSplit(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              split(col("text"), " ")), seg)))
           .as(Seq("pos", "line")))
+
+  private[graft] def lineDedupFrom(lines: DataFrame, dfMax: Int = LineDfMax): DataFrame = {
     val lineDf = lines.groupBy("line")
       .agg(countDistinct(col("doc_id")).as("df"))
     graft.operators.SkewJoin.salted(lines, lineDf, key = "line", uniqueCol = "doc_id")

@@ -61,6 +61,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ShingleHashes keeps every window in position order, no dedup") {
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val wordsGen = Gen.nonEmptyListOf(word)
+    check("shingleHashes", Prop.forAll(wordsGen) { words =>
+      val got = graft.functions.ShingleHashes.eval(
+        new GenericArrayData(words.map(UTF8String.fromString).toArray), 3, 12)
+      val m = math.max(words.size - 3, 0) + 1
+      val expect = (0 until m)
+        .map(i => Determinism.jvmMd5Idx(words.slice(i, i + 3).mkString(" "), 12))
+      (0 until got.numElements()).map(got.getLong).toSeq == expect
+    })
+  }
+
+  test("LineSplit matches the naive seg-word grouping reference") {
+    val word = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    val wordsGen = Gen.nonEmptyListOf(word)
+    val segGen = Gen.choose(1, 6)
+    check("lineSplit", Prop.forAll(wordsGen, segGen) { (words, seg) =>
+      val got = graft.functions.LineSplit.eval(
+        new GenericArrayData(words.map(UTF8String.fromString).toArray), seg)
+      val expect = words.grouped(seg).map(_.mkString(" ")).toSeq
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == expect
+    })
+  }
+
   test("SimHash matches the naive distinct-word vote reference") {
     val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
     val wordsGen = Gen.nonEmptyListOf(word)
