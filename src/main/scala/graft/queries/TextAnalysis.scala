@@ -26,6 +26,60 @@ object TextAnalysis {
   private def wordsCol: Column = split(col("text"), " ")
   private val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** Memoize a text-family one-time build per (session, corpus) —
+    * persisted MEMORY_AND_DISK, materialized once, released with the
+    * "x" family scope (the memoAnn pattern). x_build prices these
+    * builds explicitly so the probe queries that reuse them measure
+    * probe cost, not whichever build they touch first. */
+  private val xCache = collection.mutable
+    .Map.empty[(SparkSession, String, String), graft.Once[DataFrame]]
+  private def memoX(name: String)(
+      body: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => TextAnalysis.synchronized {
+      xCache.getOrElseUpdate((s, dir, name), new graft.Once(() => {
+        val r = body(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.count()
+        graft.CacheBook.register(s, "x") { () =>
+          TextAnalysis.synchronized { xCache.remove((s, dir, name)) }
+          r.unpersist(false)
+          ()
+        }
+        r
+      }))
+    }.value
+
+  /** Corpus bigram occurrences — BOTH sides of x_lm_score's salted
+    * count join consume this relation. */
+  private def lmGrams: (SparkSession, String) => DataFrame = memoX("lm_grams") {
+    (s, dir) =>
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(shingles(wordsCol, 2)).as("bg"))
+  }
+
+  /** (doc_id, 48-bit span hash) stride-1 windows — x_dup_spans' probe
+    * and df sides. */
+  private def spanRel: (SparkSession, String) => DataFrame = memoX("spans") {
+    (s, dir) =>
+      docs(s, dir).repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(shingleHashes(wordsCol, SpanW)).as("span"))
+  }
+
+  /** (doc_id, pos, line) segments — x_line_dedup's probe and df sides. */
+  private def lineRel: (SparkSession, String) => DataFrame = memoX("lines") {
+    (s, dir) => linesOf(docs(s, dir))
+  }
+
+  /** Encoded distinct-word vocab (word -> token count under the learned
+    * merges) — x_bpe_encode's salted join side; forces bpeMerges. */
+  private def bpeWtok: (SparkSession, String) => DataFrame = memoX("bpe_wtok") {
+    (s, dir) =>
+      bpeWordTokens(
+        docs(s, dir).select(explode(wordsCol).as("w"))
+          .filter(length(col("w")) > 0).distinct(),
+        bpeMerges(s, dir))
+  }
+
   /** Word k-shingles as an array column; <k words yields one shingle. */
   private def shingles(words: Column, k: Int): Column =
     transform(
@@ -46,6 +100,34 @@ object TextAnalysis {
         i -> array_to_string($w[CAST(i+1 AS INT):CAST(i+$k AS INT)], ' '))"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXPLICIT text-family build — the one-time memos behind the x_*
+    // probes, priced as their own entry exactly like d_build /
+    // s_index_build: the corpus bigram relation (x_lm_score), the
+    // hashed span windows (x_dup_spans), the line segments
+    // (x_line_dedup), and the BPE merges + encoded vocab
+    // (x_bpe_merges / x_bpe_encode). The builds are independent, so
+    // they fan out and the entry's wall-clock is the slowest build,
+    // not the sum. Returns build-size counts the oracle recomputes
+    // exactly (span kinds count DISTINCT 48-bit hashes — the oracle
+    // applies the same md5-prefix hash, so collisions, if any, merge
+    // identically on both sides).
+    "x_build" -> ((s, dir) => {
+      import s.implicits._
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val bgF = Future(lmGrams(s, dir).select("bg").distinct().count())
+      val spF = Future(spanRel(s, dir).select("span").distinct().count())
+      val lnF = Future(lineRel(s, dir).select("line").distinct().count())
+      val bpF = Future(bpeWtok(s, dir).count())
+      val (nBg, nSp, nLn, nBp) = (
+        Await.result(bgF, Duration.Inf), Await.result(spF, Duration.Inf),
+        Await.result(lnF, Duration.Inf), Await.result(bpF, Duration.Inf))
+      Seq(("bigram_kinds", nBg), ("bpe_vocab", nBp),
+        ("line_kinds", nLn), ("span_kinds", nSp))
+        .toDF("item", "n").orderBy("item")
+    }),
+
     // whitespace tokens + BPE-ish regex tokens + chars
     "x_token_count" -> ((s, dir) =>
       docs(s, dir).select(
@@ -234,15 +316,11 @@ object TextAnalysis {
     // exactly like the x_top_terms df join (count side replicates
     // 8-fold; never broadcast — the bigram table grows with the corpus).
     "x_lm_score" -> ((s, dir) => {
-      // spread the scan before the interpreted shingle lambda (the
-      // x_contamination pattern), and PERSIST the occurrence relation:
-      // both the count side and the probe side of the join consume it,
-      // and without the persist the explode pipeline runs twice
-      val grams = docs(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(shingles(wordsCol, 2)).as("bg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.CacheBook.register(s, "x")(() => { grams.unpersist(false); () })
+      // the occurrence relation memoizes (x_build prices it): both the
+      // count side and the probe side of the join consume it, and the
+      // scan-spread explode pipeline runs once per session, not twice
+      // per call
+      val grams = lmGrams(s, dir)
       val cnt = grams.groupBy("bg").agg(count(lit(1)).as("c"))
       graft.operators.SkewJoin.salted(grams, cnt, key = "bg", uniqueCol = "doc_id")
         .groupBy("doc_id")
@@ -284,7 +362,7 @@ object TextAnalysis {
       val d = docs(s, dir)
       val dw = d.select(col("doc_id"), explode(wordsCol).as("w"))
         .filter(length(col("w")) > 0)
-      val wtok = bpeWordTokens(dw.select("w").distinct(), bpeMerges(s, dir))
+      val wtok = bpeWtok(s, dir)
       graft.operators.SkewJoin.salted(dw, wtok, key = "w", uniqueCol = "doc_id")
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("int").as("n_words"),
@@ -305,9 +383,8 @@ object TextAnalysis {
     // corpus-internal copy detection. The window df aggregation is
     // map-side combined and the df lookup join is SALTED — a viral
     // paragraph is the textbook hot key.
-    "x_dup_spans" -> ((s, dir) => dupSpans(
-      docs(s, dir).repartition(s.sparkContext.defaultParallelism))
-      .orderBy("doc_id")),
+    "x_dup_spans" -> ((s, dir) =>
+      dupSpansFrom(spanRel(s, dir)).orderBy("doc_id")),
 
     // exact-substring dedup REMOVAL (the other half of x_dup_spans,
     // completing the Lee et al. operator): every duplicated window
@@ -336,7 +413,8 @@ object TextAnalysis {
     // the textbook hot key — millions of docs share one banner line),
     // and reassembly is a per-doc sort of kept positions, never a
     // global sort.
-    "x_line_dedup" -> ((s, dir) => lineDedup(docs(s, dir)).orderBy("doc_id")),
+    "x_line_dedup" -> ((s, dir) =>
+      lineDedupFrom(lineRel(s, dir)).orderBy("doc_id")),
 
     // TF-IDF-style top terms: two-pass corpus computation (per-doc term
     // frequency + corpus document frequency) joined and ranked. Ranked
@@ -438,14 +516,16 @@ object TextAnalysis {
     * DupSpansSpec: per input doc_id, (n_spans, n_dup, dup_frac) over
     * SpanW-word stride-1 windows, where a window is duplicated iff it
     * occurs in >= 2 distinct documents. Input needs (doc_id, text). */
-  private[graft] def dupSpans(d: DataFrame, w: Int = SpanW): DataFrame = {
+  private[graft] def dupSpans(d: DataFrame, w: Int = SpanW): DataFrame =
     // hash the windows to 48-bit longs AT THE SCAN (ShingleHashes, one
     // codegen loop per row — no window string ever materializes, no
     // interpreted HOF lambda): the df aggregation and the join back
     // then shuffle/compare longs, not ~100-char strings — at corpus
     // scale the window relation is the biggest thing this query moves
-    val spans = d
-      .select(col("doc_id"), explode(shingleHashes(wordsCol, w)).as("span"))
+    dupSpansFrom(d
+      .select(col("doc_id"), explode(shingleHashes(wordsCol, w)).as("span")))
+
+  private[graft] def dupSpansFrom(spans: DataFrame): DataFrame = {
     val df = spans.groupBy("span").agg(countDistinct(col("doc_id")).as("df"))
     graft.operators.SkewJoin.salted(spans, df, key = "span", uniqueCol = "doc_id")
       .groupBy("doc_id")
@@ -539,6 +619,30 @@ object TextAnalysis {
     Seq("en" -> 50, "es" -> 30, "de" -> 30, "fr" -> 20, "zh" -> 10)
 
   val oracleSql: Map[String, String] = Map(
+    "x_build" ->
+      s"""WITH bg AS (SELECT count(DISTINCT bg) AS n FROM (
+             SELECT unnest(${sqlShingles("string_split(text, ' ')", 2)}) AS bg
+             FROM documents)),
+         sp AS (SELECT count(DISTINCT s) AS n FROM (
+             SELECT unnest(list_transform(
+               ${sqlShingles("string_split(text, ' ')", SpanW)},
+               x -> ${Determinism.sqlMd5IdxK("x", 12)})) AS s
+             FROM documents)),
+         ln AS (SELECT count(DISTINCT line) AS n FROM (
+             SELECT array_to_string(
+               w[CAST(t.i*$LineSeg+1 AS INT):CAST(t.i*$LineSeg+$LineSeg AS INT)], ' ') AS line
+             FROM (SELECT string_split(text, ' ') AS w FROM documents),
+               unnest(range(0, (len(w) - 1) // $LineSeg + 1)) AS t(i))),
+         bp AS (SELECT count(DISTINCT w) AS n FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE length(w) > 0)
+         SELECT item, CAST(n AS BIGINT) AS n FROM (
+           SELECT 'bigram_kinds' AS item, n FROM bg
+           UNION ALL SELECT 'bpe_vocab', n FROM bp
+           UNION ALL SELECT 'line_kinds', n FROM ln
+           UNION ALL SELECT 'span_kinds', n FROM sp)
+         ORDER BY item""",
+
     "x_token_count" ->
       s"""SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INT) AS n_ws,

@@ -134,6 +134,15 @@ class PlanShapeSpec extends SparkSpec {
     val p = planOf("s_graph_rank")
     assert(!p.contains("CartesianProduct"), "rank propagation is edge-join only")
     assert(p.contains("LeftOuter"), "missing-inlink base case must be a left join")
+    // edges⋈deg is memoized persisted: every iteration must read the
+    // SAME in-memory relation — re-aggregating deg per iteration is the
+    // r7 scale nit this guards against
+    assert(p.contains("InMemoryTableScan"), "ed must be read from the persisted memo")
+    // the one allowed deg aggregation is the cached build INSIDE the
+    // printed InMemoryRelation lineage; un-memoized, the aggregate
+    // subtree would repeat once per iteration
+    assert(p.linesIterator.count(_.contains("AS deg#")) <= 1,
+      "deg must aggregate once (in the memo build), not per iteration")
     graft.CacheBook.releaseAll(spark)
   }
 
