@@ -2,10 +2,10 @@
 # Local bench runner: bare java, mirrors the driver's invocation.
 #   tools/bench.sh <outFile> [query ...]
 set -e
-cd /root/repo
+cd "$(dirname "$0")/.."
 OUT=${1:-bench_out.json}
 shift 2>/dev/null || true
-CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+CP="$PWD/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
