@@ -360,6 +360,43 @@ object Similarity {
       memoAnn("s_knn_graph")((s2, d2) => knnGraphBody(s2, d2))(s, dir)
         .orderBy("src", "rn")),
 
+    // GRAPH-ANN REFINEMENT — one NN-descent round (Dong et al. 2011)
+    // over the memoized KNN graph: "a neighbor of my neighbor is
+    // likely my neighbor". Candidates per vector are its current
+    // neighbors ∪ forward 2-hop neighbors ∪ reverse neighbors —
+    // bounded by KnnK + KnnK² + reverse-degree, NEVER all-pairs and
+    // never cell-population-bound, which is why this is the standard
+    // recall booster on weakly-clustered corpora where IVF cells
+    // can't isolate true neighbors. One round = two self-equi-joins
+    // of the KnnK*N edge list + two vector-attach joins + a per-src
+    // top-K window; iterating = re-running on the refined graph
+    // (each round is this same job shape). Exact cosine re-rank, so
+    // refined >= seed recall per construction (the seed edges are in
+    // the candidate set).
+    "s_nn_descent" -> ((s, dir) => {
+      val g = memoAnn("s_knn_graph")((s2, d2) => knnGraphBody(s2, d2))(s, dir)
+        .select("src", "nbr")
+      val fwd2 = g.as("a").join(g.as("b"), col("a.nbr") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.nbr").as("cand"))
+      val cands = g.select(col("src"), col("nbr").as("cand"))
+        .union(fwd2)
+        .union(g.select(col("nbr").as("src"), col("src").as("cand")))
+        .filter(col("src") =!= col("cand"))
+        .distinct()
+      val e = vecs(s, dir)
+      val scored = cands
+        .join(e.select(col("vec_id").as("src"), col("v").as("qv"),
+          col("n").as("qn")), "src")
+        .join(e.select(col("vec_id").as("cand"), col("v"), col("n")), "cand")
+        .select(col("src"), col("cand").as("nbr"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos"))
+      val wd = Window.partitionBy("src").orderBy(col("cos").desc, col("nbr").asc)
+      scored.withColumn("rn", row_number().over(wd).cast("int"))
+        .filter(col("rn") <= KnnK)
+        .select("src", "nbr", "cos", "rn")
+        .orderBy("src", "rn")
+    }),
+
     // GRAPH CENTRALITY over the KNN graph — power-iteration PageRank,
     // the iterated-graph-computation primitive (CC is the other one)
     // behind graph-based quality propagation / hub detection in
@@ -1007,6 +1044,25 @@ object Similarity {
   val oracleSql: Map[String, String] = oracleBase +
     ("s_knn_graph" ->
       s"WITH $sqlKnnCtes SELECT src, nbr, cos, rn FROM knn ORDER BY src, rn") +
+    ("s_nn_descent" ->
+      s"""WITH $sqlKnnCtes,
+         g AS (SELECT src, nbr FROM knn),
+         cand AS (SELECT DISTINCT src, cand FROM (
+             SELECT src, nbr AS cand FROM g
+             UNION ALL
+             SELECT a.src, b.nbr AS cand FROM g a JOIN g b ON a.nbr = b.src
+             UNION ALL
+             SELECT nbr AS src, src AS cand FROM g)
+           WHERE src <> cand),
+         scored AS (SELECT c.src, c.cand AS nbr,
+             (${VecOps.sqlDot("es.v", "ec.v")} / (es.n * ec.n)) AS cos
+           FROM cand c JOIN e es ON es.vec_id = c.src
+             JOIN e ec ON ec.vec_id = c.cand)
+         SELECT src, nbr, cos, rn FROM (
+           SELECT src, nbr, cos,
+             CAST(row_number() OVER (PARTITION BY src
+               ORDER BY cos DESC, nbr) AS INT) AS rn
+           FROM scored) WHERE rn <= $KnnK ORDER BY src, rn""") +
     ("s_graph_rank" -> sqlGraphRank) +
     ("s_ann_recall" -> sqlRecall("s_lsh_ann")) +
     ("s_ivf_recall" -> sqlRecall("s_ivf_ann")) +

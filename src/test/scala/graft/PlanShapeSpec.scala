@@ -125,6 +125,18 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheBook.releaseAll(spark)
   }
 
+  test("s_nn_descent: candidates come from edge-list equi-joins on the memoized graph") {
+    // the 2-hop expansion must be a self-equi-join of the KnnK*N edge
+    // list read from the memo, the re-rank window partitioned on src —
+    // no cartesian, no single-partition collapse
+    val p = planOf("s_nn_descent")
+    assert(p.contains("InMemoryTableScan"), "seed graph must be read from the memo")
+    assert(p.contains("windowspecdefinition(src"), p.take(600))
+    assert(!p.contains("CartesianProduct"), "candidates are graph-bounded, never all-pairs")
+    assert(!p.contains("SinglePartition"), "per-vector work must stay partitioned")
+    graft.CacheBook.releaseAll(spark)
+  }
+
   test("s_graph_rank: iteration joins stay equi-shaped; no cartesian") {
     // the O(N*K) BroadcastNestedLoopJoins in the MEMOIZED knn lineage
     // are the intended constant-K centroid assignment (same plan class
