@@ -29,7 +29,22 @@ import org.apache.spark.sql.SparkSession
   * "cache-read" when the query's family scope held live memoized
   * caches at retry time (the retry read warm state the first sample
   * built — fast-retry then proves nothing about a regression, and a
-  * reader must not treat it as a clean re-run), "clean" otherwise. */
+  * reader must not treat it as a clean re-run), "clean" otherwise.
+  * NOTE "cache-read" means "the family scope held live caches", not
+  * "this query read one" — a conservative over-label (a per-query
+  * memo-touch set would be precise).
+  *
+  * CLEAN RETRIES: a cache-read retry cannot falsify a regression on a
+  * memoized/build query (every r08 retry was cache-read — the
+  * over-budget build entries stayed undecidable). So whenever the warm
+  * retry ran cache-read, the family scope is RELEASED (CacheBook holds
+  * every thunk) and a third, `clean` sample re-runs the query from
+  * cold: regression vs contention is then decidable from the artifact
+  * alone (`retriesClean` / `retriesCleanCpuSec` / `retriesCleanJobs`).
+  * The clean retry rebuilds — and re-registers — whatever memos the
+  * query actually uses, so later family entries still find those
+  * caches; memos it does NOT touch rebuild lazily in their next
+  * consumer (visible there as wall+cpu up together). */
 object Bench {
 
   private final class Metrics extends SparkListener {
@@ -44,9 +59,14 @@ object Bench {
     }
   }
 
-  /** Minimal {"name": number, ...} reader — the budget file is
-    * machine-authored (tools/bench_budget.json), no nesting. A missing
-    * or unparseable file disables retries but must SAY so: silent
+  /** Budget reader. The machine-authored file
+    * (tools/bench_budget.json) carries per-query MEDIANS of wall, jobs
+    * and cpuSec as {"name": {"wall": s, "jobs": n, "cpuSec": s}, ...}
+    * — the retry trigger reads `wall`; jobs/cpuSec are committed so
+    * BASELINE.md's reading rules (jobs up = plan change, cpu up =
+    * regression) are mechanically checkable against the artifact. The
+    * legacy flat {"name": seconds} form still parses. A missing or
+    * unparseable file disables retries but must SAY so: silent
     * disablement is indistinguishable from armed-and-quiet, and the
     * retry samples are the whole diagnostic. */
   private def readBudget(path: String): Map[String, Double] = {
@@ -55,13 +75,14 @@ object Bench {
       System.err.println(s"[bench] no budget file at $path — over-budget retries disabled")
       return Map.empty
     }
-    val parsed =
-      try {
-        """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
-          .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .toMap
-      } catch { case _: Throwable => Map.empty[String, Double] }
+    val text = try new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      catch { case _: Throwable => "" }
+    val nested =
+      """"([^"]+)"\s*:\s*\{[^}]*"wall"\s*:\s*([0-9][0-9.eE+-]*)""".r
+        .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val parsed = if (nested.nonEmpty) nested
+      else """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+        .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
     if (parsed.isEmpty)
       System.err.println(s"[bench] budget file $path parsed empty — retries disabled")
     parsed
@@ -134,6 +155,7 @@ object Bench {
     }
     val retries = collection.mutable.Map.empty[String, Sample]
     val retryKind = collection.mutable.Map.empty[String, String]
+    val retriesClean = collection.mutable.Map.empty[String, Sample]
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val s1 = timed(name, fn)
       // over budget: take a second (warm) sample — a contention spike
@@ -147,16 +169,34 @@ object Bench {
         // warm-state honesty: if the family scope holds live memoized
         // caches, this retry reads state the first sample built — its
         // timing is a cache-read, NOT a clean re-run, and must be
-        // labeled so the driver's reading rules don't compare it
-        val kind = if (CacheBook.liveScopes(spark).contains(family(name)))
-          "cache-read" else "clean"
+        // labeled so the driver's reading rules don't compare it.
+        // ("cache-read" = the family scope was live, not proof THIS
+        // query read a cache — conservative over-label.)
+        val warmScope = CacheBook.liveScopes(spark).contains(family(name))
+        val kind = if (warmScope) "cache-read" else "clean"
         val r = timed(name, fn)
         if (errors.contains(name)) {
           System.err.println(
             s"[bench] diagnostic retry of $name failed: ${errors(name)} — " +
               "first (successful) sample stands")
           errors.remove(name)
-        } else { retries(name) = r; retryKind(name) = kind }
+        } else {
+          retries(name) = r; retryKind(name) = kind
+          // a cache-read retry can't falsify a regression on a memoized
+          // query: release the family's caches and take a CLEAN sample
+          // too — the rebuild re-registers every memo the query uses,
+          // so later family entries still find their caches
+          if (warmScope) {
+            CacheBook.release(spark, family(name)); System.gc()
+            val rc = timed(name, fn)
+            if (errors.contains(name)) {
+              System.err.println(
+                s"[bench] clean retry of $name failed: ${errors(name)} — " +
+                  "cache-read retry stands")
+              errors.remove(name)
+            } else retriesClean(name) = rc
+          }
+        }
       }
       // UNTIMED family-boundary release: memoized caches are built for a
       // family and must not sit in the block store taxing every later
@@ -182,10 +222,13 @@ object Bench {
     val rs = obj(retries.toSeq.sortBy(_._1).map { case (k, s) => k -> sec(s.sec) })
     val rcs = obj(retries.toSeq.sortBy(_._1).map { case (k, s) => k -> sec(s.cpuSec) })
     val rks = obj(retryKind.toSeq.sortBy(_._1).map { case (k, v) => k -> q(v) })
+    val rcl = obj(retriesClean.toSeq.sortBy(_._1).map { case (k, s) => k -> sec(s.sec) })
+    val rclc = obj(retriesClean.toSeq.sortBy(_._1).map { case (k, s) => k -> sec(s.cpuSec) })
+    val rclj = obj(retriesClean.toSeq.sortBy(_._1).map { case (k, s) => k -> s.jobs.toString })
     val es = obj(errors.toSeq.sortBy(_._1).map { case (k, v) => k -> q(v) })
     val total = results.map(_._2.sec).sum
     val json =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"jobs":$js,"cpuSec":$cs,"retries":$rs,"retryCpuSec":$rcs,"retryKind":$rks,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"jobs":$js,"cpuSec":$cs,"retries":$rs,"retryCpuSec":$rcs,"retryKind":$rks,"retriesClean":$rcl,"retriesCleanCpuSec":$rclc,"retriesCleanJobs":$rclj,"errors":$es,"sf":"$sfDir"}"""
     // a line-capture of stdout can truncate a long JSON line (BENCH_r03
     // lost 9 queries + the total that way) — ALSO persist it to a file
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

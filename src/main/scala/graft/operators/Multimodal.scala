@@ -110,4 +110,84 @@ object Multimodal {
     docs.select(col("doc_id"), col("text").cast("binary").as("bytes"),
       lit("text/plain").as("kind")).as[Blob]
   }
+
+  // ---- REAL decode path (javax.imageio — in the JDK, no external codec) ----
+
+  /** Real decoded-image features: dimensions + integer-exact grayscale
+    * means of the full image and of its aspect-preserving
+    * nearest-neighbor thumbnail. Every value derives from DECODED
+    * pixels (8-bit grayscale PNG round-trips losslessly), and the
+    * synthetic pixel function is reproducible in SQL — so unlike the
+    * hash-stub path above, this one is decode-VERIFIED by its oracle. */
+  final case class DecodedPng(doc_id: Long, width: Int, height: Int,
+      mean_gray: Double, out_w: Int, out_h: Int, resized_mean_gray: Double)
+
+  /** Deterministic synthetic PNG: w = 16 + id%32, h = 16 + (id*7)%32,
+    * gray(x, y) = (id + 3x + 5y) % 256 — encoded with ImageIO. The
+    * formula is the shared contract between the encoder, the decoder's
+    * oracle, and the ScalaTest reference. */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = (16 + docId % 32).toInt
+    val h = (16 + (docId * 7) % 32).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((docId + 3L * x + 5L * y) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode `bytes` with ImageIO and compute: full-image mean gray,
+    * aspect-preserving target shape (longest edge → `target`, the same
+    * integer math as [[resize]]), and the mean gray of the
+    * nearest-neighbor resample at that shape (source pixel of output
+    * (i,j) is ((i*w) div out_w, (j*h) div out_h)). Means are integer
+    * micro-units with one final division — bit-identical cross-engine. */
+  def decodePng(docId: Long, bytes: Array[Byte], target: Int): DecodedPng = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    val m = math.max(w, h)
+    val ow = math.max(1, w * target / m)
+    val oh = math.max(1, h * target / m)
+    var rsum = 0L
+    var j = 0
+    while (j < oh) {
+      var i = 0
+      while (i < ow) { rsum += raster.getSample(i * w / ow, j * h / oh, 0); i += 1 }
+      j += 1
+    }
+    DecodedPng(docId, w, h,
+      (sum * 1000000L / (w.toLong * h)) / 1000000.0,
+      ow, oh,
+      (rsum * 1000000L / (ow.toLong * oh)) / 1000000.0)
+  }
+
+  /** Encode→decode pipeline over the id column: same batched
+    * mapPartitions shape as [[extractFeatures]], but the decode is
+    * REAL — each batch writes its synthetic PNGs and reads them back
+    * through ImageIO before computing features. */
+  def decodeSynthetic(ids: Dataset[Long], target: Int = 64): Dataset[DecodedPng] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
+      decodePng(id, syntheticPng(id), target)
+    }))
+  }
 }

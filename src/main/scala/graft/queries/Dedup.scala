@@ -30,10 +30,14 @@ object Dedup {
 
   private def wordsOf(c: Column): Column = split(c, " ")
 
+  // WordWindows builds the 3-gram windows in one codegen loop per row;
+  // the transform/slice lambda it replaces evaluated interpreted and
+  // re-ran the inlined split per window element (the x_chunk bug class).
   private def shingles3(words: Column): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(words) - 3, lit(0))),
-      i => concat_ws(" ", slice(words, i + 1, lit(3)))))
+    array_distinct(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.WordWindows(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(words),
+        3, 1, coverAll = false)))
   private def sqlShingles3(w: String): String =
     s"""list_distinct(list_transform(range(0, greatest(len($w) - 3, 0) + 1),
         i -> array_to_string($w[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ')))"""
@@ -98,7 +102,11 @@ object Dedup {
                 wordsOf(col("text"))), 3, 12)).as("sh"))
         .repartition(math.max(width / 4, 1))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh.count()
+      // unpersist on a failed materialization: otherwise partially
+      // cached blocks leak with no registered release (book() runs
+      // only after a successful count)
+      try sh.count()
+      catch { case e: Throwable => sh.unpersist(false); throw e }
       book(s, dir, "d", shCache, sh)
     })) }.value
 
@@ -192,7 +200,8 @@ object Dedup {
       // materialize EAGERLY: d_dedup_eval unions three aggregates that
       // each reference this relation — lazily cached, those branches
       // race and compute the pairwise join several times
-      pairs.count()
+      try pairs.count()
+      catch { case e: Throwable => pairs.unpersist(false); throw e }
       book(s, dir, "d", jacCache, pairs)
     })) }.value
 
@@ -207,7 +216,9 @@ object Dedup {
     synchronized { mhCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val pairs = lshPairs(shingleSets(s, dir), minJac = 0.2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pairs.count() // eager: consumers fan out into racing union branches
+      // eager: consumers fan out into racing union branches
+      try pairs.count()
+      catch { case e: Throwable => pairs.unpersist(false); throw e }
       book(s, dir, "d", mhCache, pairs)
     })) }.value
 
@@ -268,7 +279,8 @@ object Dedup {
       bandCache.getOrElseUpdate(key, new graft.Once(() => {
         val b = bandsOf(sh)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        b.count()
+        try b.count()
+        catch { case e: Throwable => b.unpersist(false); throw e }
         graft.CacheBook.register(s, "d") { () =>
           Dedup.synchronized { bandCache.remove(key) }
           b.unpersist(false)

@@ -41,7 +41,22 @@ object MultimodalQueries {
     "m_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.blobs(s, Tables.load(s, dir, "documents")), stride = 8)
-        .toDF().orderBy("doc_id", "frame_idx"))
+        .toDF().orderBy("doc_id", "frame_idx")),
+
+    // REAL image decode (javax.imageio — PNG needs no external codec):
+    // deterministic synthetic PNGs are encoded AND decoded inside the
+    // batched pipeline, and every output value — dimensions, full-image
+    // mean gray, thumbnail shape, nearest-neighbor-resampled mean gray —
+    // derives from decoded pixels. The synthetic pixel function is
+    // reproducible in SQL, so this entry is decode-VERIFIED by its
+    // oracle, not just plumbing-checked like the stub path.
+    "m_decode" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeSynthetic(
+        Tables.load(s, dir, "documents").select(col("doc_id")).as[Long],
+        target = 64)
+        .toDF().orderBy("doc_id")
+    })
   )
 
   private def f(seedSql: String): String = Determinism.sqlMd5IdxK(seedSql, 6)
@@ -80,6 +95,36 @@ object MultimodalQueries {
          SELECT doc_id, CAST(i AS INT) AS frame_idx,
            ((${f("md5(text) || '#' || CAST(i AS VARCHAR)")} % 256) / 255.0) AS brightness
          FROM nf, unnest(range(0, n, 8)) AS t(i)
-         ORDER BY doc_id, frame_idx"""
+         ORDER BY doc_id, frame_idx""",
+
+    // the synthetic pixel function gray(x,y) = (id + 3x + 5y) % 256 over
+    // w = 16 + id%32, h = 16 + (id*7)%32 — summed directly, so the oracle
+    // verifies the DECODED means, not the stub hash contract
+    "m_decode" ->
+      """WITH dims AS (SELECT doc_id,
+             CAST(16 + doc_id % 32 AS INT) AS w,
+             CAST(16 + (doc_id * 7) % 32 AS INT) AS h
+           FROM documents),
+         px AS (SELECT doc_id,
+             CAST(sum((doc_id + 3 * x.i + 5 * y.i) % 256) AS BIGINT) AS sg
+           FROM dims, unnest(range(0, w)) AS x(i), unnest(range(0, h)) AS y(i)
+           GROUP BY doc_id),
+         rs AS (SELECT doc_id, w, h,
+             greatest(1, (w * 64) // greatest(w, h)) AS ow,
+             greatest(1, (h * 64) // greatest(w, h)) AS oh
+           FROM dims),
+         rpx AS (SELECT r.doc_id,
+             CAST(sum((r.doc_id + 3 * ((i.i * r.w) // r.ow)
+               + 5 * ((j.i * r.h) // r.oh)) % 256) AS BIGINT) AS rsg
+           FROM rs r, unnest(range(0, r.ow)) AS i(i), unnest(range(0, r.oh)) AS j(i)
+           GROUP BY r.doc_id),
+         out AS (SELECT d.doc_id, d.w, d.h, p.sg, r.ow, r.oh, x.rsg
+           FROM dims d JOIN px p USING (doc_id) JOIN rs r USING (doc_id)
+             JOIN rpx x USING (doc_id))
+         SELECT doc_id, w AS width, h AS height,
+           (((sg * 1000000) // (w * h)) / 1000000.0) AS mean_gray,
+           CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+           (((rsg * 1000000) // (ow * oh)) / 1000000.0) AS resized_mean_gray
+         FROM out ORDER BY doc_id"""
   )
 }

@@ -39,7 +39,11 @@ object TextAnalysis {
       xCache.getOrElseUpdate((s, dir, name), new graft.Once(() => {
         val r = body(s, dir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        r.count()
+        // unpersist on a failed materialization: otherwise partially
+        // cached blocks linger with no registered release and the retry
+        // persists a SECOND plan over the leaked one
+        try r.count()
+        catch { case e: Throwable => r.unpersist(false); throw e }
         graft.CacheBook.register(s, "x") { () =>
           TextAnalysis.synchronized { xCache.remove((s, dir, name)) }
           r.unpersist(false)
@@ -80,11 +84,20 @@ object TextAnalysis {
         bpeMerges(s, dir))
   }
 
+  /** Strided word windows as ONE codegen loop per row — spec-identical
+    * to `transform(sequence(...), i => concat_ws(" ", slice(words,
+    * i*stride+1, window)))` but no interpreted HOF lambda runs and the
+    * `split` Catalyst inlines into a lambda body never re-executes per
+    * window (that shape is O(n_windows × n_words) per doc — the
+    * x_line_dedup / x_chunk quadratic, fixed for the whole windowing
+    * family here). */
+  private def wordWindows(words: Column, w: Int, s: Int, coverAll: Boolean): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.WordWindows(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(words), w, s, coverAll))
   /** Word k-shingles as an array column; <k words yields one shingle. */
   private def shingles(words: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), greatest(size(words) - k, lit(0))),
-      i => concat_ws(" ", slice(words, i + 1, lit(k))))
+    wordWindows(words, k, 1, coverAll = false)
   /** Positional 48-bit window hashes as ONE codegen loop per row —
     * spec-identical to `transform(shingles(words,k), md5IdxK(_, 12))`
     * but no window string materializes and no interpreted HOF lambda
@@ -173,12 +186,16 @@ object TextAnalysis {
     }),
 
     // fingerprint: min 48-bit hash over word 5-shingles (winnowing
-    // flavor — the min-hash IS the document sketch).
+    // flavor — the min-hash IS the document sketch). ShingleHashes
+    // hashes every window in one codegen loop — no window string
+    // materializes and no interpreted transform(md5) lambda runs; the
+    // hash bytes are identical to the transform formula, so the oracle
+    // is unchanged.
     "x_fingerprint" -> ((s, dir) => {
-      val sh = shingles(wordsCol, 5)
+      val sh = shingleHashes(wordsCol, 5)
       docs(s, dir).select(
         col("doc_id"),
-        array_min(transform(sh, x => Determinism.md5IdxK(x, 12))).as("fp"),
+        array_min(sh).as("fp"),
         size(sh).as("n_shingles"))
         .orderBy("doc_id")
     }),
@@ -214,20 +231,18 @@ object TextAnalysis {
     // benchmark decontamination: docs sharing any word 8-gram with the
     // benchmark set (doc_id < 10) are flagged with the overlap count.
     "x_contamination" -> ((s, dir) => {
-      // explode the raw shingles FIRST, hash as a top-level projection:
-      // md5 inside a transform() lambda evaluates interpreted per
-      // element; as a plain column expression it stays in whole-stage
-      // codegen. countDistinct downstream dedups, so no array_distinct.
+      // ShingleHashes hashes the 5-gram windows in one codegen loop at
+      // the scan — no window string ever materializes and only longs
+      // explode. countDistinct downstream dedups, so no array_distinct.
       // spread the raw rows first: the single-row-group test files scan
-      // as one task and the 8-gram md5 storm rides on the scan (same
+      // as one task and the 5-gram md5 storm rides on the scan (same
       // A/B-measured pattern as d_simhash)
       // 5-grams against a 50-doc benchmark set: wide enough that the
       // gate has a multi-row, language-attributed answer (8-grams vs 10
       // docs matched a single doc — a one-row gate is barely a gate)
       val grams = docs(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("lang"), explode(shingles(wordsCol, 5)).as("gs"))
-        .select(col("doc_id"), col("lang"), Determinism.md5IdxK(col("gs"), 12).as("g"))
+        .select(col("doc_id"), col("lang"), explode(shingleHashes(wordsCol, 5)).as("g"))
       // the benchmark gram set is 50 docs' worth — broadcast it
       // EXPLICITLY: estimated stats on the derived distinct are too
       // vague for the planner, and a sort-merge fallback would shuffle
@@ -241,19 +256,18 @@ object TextAnalysis {
     }),
 
     // chunking: 50-token windows, stride 40 (10-token overlap) — the
-    // pretraining tokenize-and-pack precursor.
-    "x_chunk" -> ((s, dir) => {
-      val w = wordsCol
-      val starts = sequence(lit(0), expr("(size(split(text, ' ')) - 1) div 40"))
+    // pretraining tokenize-and-pack precursor. WordWindows builds every
+    // window in one codegen loop per doc; the transform/slice lambda
+    // it replaces re-executed the inlined split per chunk element —
+    // O(n_chunks × n_words) per doc (the x_line_dedup bug class).
+    "x_chunk" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-          explode(transform(starts, i =>
-            struct(i.as("chunk_id"),
-              concat_ws(" ", slice(w, i * 40 + 1, lit(50))).as("chunk")))).as("c"))
-        .select(col("doc_id"), col("c.chunk_id").cast("int").as("chunk_id"),
-          col("c.chunk").as("chunk"),
-          size(split(col("c.chunk"), " ")).as("n_tokens"))
-        .orderBy("doc_id", "chunk_id")
-    }),
+          posexplode(wordWindows(wordsCol, 50, 40, coverAll = true))
+            .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+          col("chunk"),
+          size(split(col("chunk"), " ")).as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")),
 
     // Gopher-style repetition filter input: within-doc duplicate 3-gram
     // fraction (1 - distinct/total). High dup_frac = boilerplate /
@@ -589,7 +603,8 @@ object TextAnalysis {
     lineDedupFrom(linesOf(d, seg), dfMax)
 
   /** The (doc_id, pos, line) relation lineDedup consumes: every doc's
-    * non-overlapping seg-word lines, built by [[graft.functions.LineSplit]]
+    * non-overlapping seg-word lines, built by
+    * [[graft.functions.WordWindows]] (window = stride = seg, coverAll)
     * — ONE codegen loop per row (O(words) per doc; the equivalent
     * transform/slice lambda evaluates interpreted and re-runs the
     * inlined split per line element, O(words²/seg) per doc). */
@@ -597,9 +612,9 @@ object TextAnalysis {
     d.repartition(d.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         posexplode(org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          graft.functions.LineSplit(
+          graft.functions.WordWindows(
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-              split(col("text"), " ")), seg)))
+              split(col("text"), " ")), seg, seg, coverAll = true)))
           .as(Seq("pos", "line")))
 
   private[graft] def lineDedupFrom(lines: DataFrame, dfMax: Int = LineDfMax): DataFrame = {

@@ -16,16 +16,9 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events schema as stored (ts arrives as int64 nanos or as
-    * TIMESTAMP_NTZ micros depending on corpus vintage — eventsStream
-    * probes the footer and normalizes; see [[graft.Tables.normalizeEventTs]]). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  // (no hardcoded events schema: ts arrives as int64 nanos or as
+  // TIMESTAMP_NTZ micros depending on corpus vintage — eventsStream
+  // probes the footer and normalizes via graft.Tables.normalizeEventTs)
 
   /** documents schema as stored — the ingest-dedup stream's source. */
   val docsRawSchema: StructType = StructType(Seq(

@@ -7,11 +7,14 @@ import graft.SparkEntry
 /** Prints the formatted physical plan of selected queries — the
   * pushdown/broadcast/codegen audit loop. Usage:
   *   PlanAudit <sfDir> [query ...]   (default: a representative set)
+  *   PlanAudit <sfDir> ALL           (every registered query, sorted)
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    val names = if (args.length > 1 && args(1) == "ALL")
+      SparkEntry.queries.keys.toSeq.sorted
+    else if (args.length > 1) args.drop(1).toSeq
       else Seq("q_filter_pushdown", "q1_agg", "q3_join", "q5_join", "q_topk")
     val spark = SparkSession.builder()
       .master("local[8]")

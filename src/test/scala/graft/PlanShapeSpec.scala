@@ -152,7 +152,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), "ed must be read from the persisted memo")
     // the one allowed deg aggregation is the cached build INSIDE the
     // printed InMemoryRelation lineage; un-memoized, the aggregate
-    // subtree would repeat once per iteration
+    // subtree would repeat once per iteration. NOTE: this anchors on
+    // Spark's plan-string format ("AS deg#") and on checkpoint
+    // truncation keeping at most one printed copy of the cached
+    // lineage — a Spark version bump or RankIters change can flip it
+    // without a real regression; if it fires, eyeball the plan before
+    // treating it as one.
     assert(p.linesIterator.count(_.contains("AS deg#")) <= 1,
       "deg must aggregate once (in the memo build), not per iteration")
     graft.CacheBook.releaseAll(spark)

@@ -74,14 +74,46 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("LineSplit matches the naive seg-word grouping reference") {
+  test("WordWindows(W=S, coverAll) matches the naive seg-word grouping reference") {
     val word = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
     val wordsGen = Gen.nonEmptyListOf(word)
     val segGen = Gen.choose(1, 6)
-    check("lineSplit", Prop.forAll(wordsGen, segGen) { (words, seg) =>
-      val got = graft.functions.LineSplit.eval(
-        new GenericArrayData(words.map(UTF8String.fromString).toArray), seg)
+    check("wordWindowsLines", Prop.forAll(wordsGen, segGen) { (words, seg) =>
+      val got = graft.functions.WordWindows.eval(
+        new GenericArrayData(words.map(UTF8String.fromString).toArray),
+        seg, seg, coverAll = true)
       val expect = words.grouped(seg).map(_.mkString(" ")).toSeq
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == expect
+    })
+  }
+
+  test("WordWindows(coverAll) matches the naive strided-chunk reference") {
+    val word = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    val wordsGen = Gen.nonEmptyListOf(word)
+    val winGen = Gen.choose(1, 8)
+    val strideGen = Gen.choose(1, 8)
+    check("wordWindowsChunks", Prop.forAll(wordsGen, winGen, strideGen) {
+      (words, win, stride) =>
+        val got = graft.functions.WordWindows.eval(
+          new GenericArrayData(words.map(UTF8String.fromString).toArray),
+          win, stride, coverAll = true)
+        val m = math.max(words.size - 1, 0) / stride + 1
+        val expect = (0 until m)
+          .map(i => words.slice(i * stride, i * stride + win).mkString(" "))
+        (0 until got.numElements()).map(got.getUTF8String(_).toString) == expect
+    })
+  }
+
+  test("WordWindows(shingle mode) matches the naive k-shingle reference") {
+    val word = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    val wordsGen = Gen.nonEmptyListOf(word)
+    val kGen = Gen.choose(1, 6)
+    check("wordWindowsShingles", Prop.forAll(wordsGen, kGen) { (words, k) =>
+      val got = graft.functions.WordWindows.eval(
+        new GenericArrayData(words.map(UTF8String.fromString).toArray),
+        k, 1, coverAll = false)
+      val m = math.max(words.size - k, 0) + 1
+      val expect = (0 until m).map(i => words.slice(i, i + k).mkString(" "))
       (0 until got.numElements()).map(got.getUTF8String(_).toString) == expect
     })
   }
