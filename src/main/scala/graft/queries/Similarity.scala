@@ -24,6 +24,9 @@ object Similarity {
   private val KnnK = 3       // neighbors per vector in the KNN graph
   private val RankIters = 3  // PageRank power iterations (s_graph_rank)
   private val DescentRounds = 2 // NN-descent rounds (s_nn_descent_k)
+  private val SearchSeeds = 4  // graph-search entry points (s_graph_search)
+  private val SearchBeam = 8   // graph-search beam width
+  private val SearchRounds = 3 // graph-search expansion rounds
   private val NCentroids = 24 // IVF cells — FIXED K, constant in corpus size
   private val PqM = 8        // PQ subspaces (64-dim vectors -> 8x8)
   private val PqSub = 8      // dims per subspace
@@ -422,6 +425,60 @@ object Similarity {
       }
       curves.reduce(_ unionByName _).orderBy("iter", "q")
     }),
+
+    // GRAPH-ANN SEARCH — the QUERY path of graph-based ANN (the
+    // single-layer HNSW shape): greedy beam search over the memoized
+    // KNN graph. Deterministic entry points (the SearchSeeds lowest
+    // md5-ordered ids — the same hash-draw as the IVF centroid seed),
+    // then SearchRounds expansion rounds: candidates = beam ∪
+    // neighbors(beam) via an edge EQUI-join, exact-cosine re-rank,
+    // keep top-SearchBeam per query (monotone — the beam is in its own
+    // candidate set); the answer is the final beam's top-K excluding
+    // the query itself. Per-round work is NQueries × beam × KnnK —
+    // INDEPENDENT of corpus size once the graph stands, which is the
+    // point of graph ANN at scale (IVF probes scan whole cells; the
+    // walk touches only edges). Navigability on this weakly-clustered
+    // corpus is priced by s_graph_search_recall against brute force.
+    "s_graph_search" -> memoAnn("s_graph_search")((s, dir) => {
+      val e = vecs(s, dir)
+      val gexp = knnGraph(s, dir).select(col("src").as("vec_id"), col("nbr"))
+      val qs = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn")))
+      val seeds = broadcast(e
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(SearchSeeds).select("vec_id"))
+      def rerank(cand: DataFrame): DataFrame = {
+        val wb = Window.partitionBy("q").orderBy(col("cos").desc, col("vec_id").asc)
+        cand.join(e.select(col("vec_id"), col("v"), col("n")), "vec_id")
+          .join(qs, "q")
+          .select(col("q"), col("vec_id"),
+            VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos"))
+          .withColumn("brn", row_number().over(wb))
+      }
+      // NQueries × SearchSeeds pair-up: 1-row-class broadcast frames,
+      // the scalar-subquery join shape (not a data cross join)
+      var beam = rerank(qs.select("q").join(seeds))
+        .filter(col("brn") <= SearchBeam).select("q", "vec_id")
+      for (r <- 1 to SearchRounds) {
+        val expanded = beam
+          .union(beam.join(gexp, Seq("vec_id"))
+            .select(col("q"), col("nbr").as("vec_id")))
+          .distinct()
+        beam = rerank(expanded).filter(col("brn") <= SearchBeam)
+          .select("q", "vec_id")
+        // bound plan depth (each round references the beam twice)
+        val cp = beam.localCheckpoint(true)
+        graft.CacheBook.register(s, "s")(() =>
+          graft.CacheBook.unpersistCheckpoint(cp))
+        beam = cp
+      }
+      topk(rerank(beam.filter(col("vec_id") =!= col("q")))
+        .select("q", "vec_id", "cos"))
+    }),
+
+    // recall@K of the graph walk vs the same brute-force baseline —
+    // prices the navigable-graph trade next to the IVF/LSH/PQ paths.
+    "s_graph_search_recall" -> recallOf("s_graph_search"),
 
     // GRAPH CENTRALITY over the KNN graph — power-iteration PageRank,
     // the iterated-graph-computation primitive (CC is the other one)
@@ -1145,10 +1202,60 @@ object Similarity {
        FROM ($recalls) ORDER BY iter, q"""
   }
 
+  /** SQL mirror of s_graph_search's greedy beam walk: seed beam →
+    * SearchRounds expansion/re-rank CTE pairs (MATERIALIZED — each
+    * round references its predecessor twice) → final top-K. Cosines
+    * are the same unrolled IEEE chain as everywhere else. */
+  private def sqlGraphSearch: String = {
+    def cosOf(q: String, x: String) =
+      s"(${VecOps.sqlDot(s"$q.qv", s"$x.v")} / ($q.qn * $x.n))"
+    val rounds = (1 to SearchRounds).map { r =>
+      val prev = s"b${r - 1}"
+      s"""x$r AS (SELECT DISTINCT q, vec_id FROM (
+           SELECT q, vec_id FROM $prev
+           UNION ALL
+           SELECT b.q, k.nbr AS vec_id FROM $prev b JOIN knn k ON k.src = b.vec_id)),
+         b$r AS MATERIALIZED (SELECT q, vec_id FROM (
+           SELECT x.q, x.vec_id,
+             row_number() OVER (PARTITION BY x.q ORDER BY
+               ${cosOf("qs", "e")} DESC, x.vec_id) AS brn
+           FROM x$r x JOIN e ON e.vec_id = x.vec_id JOIN qs ON qs.q = x.q)
+           WHERE brn <= $SearchBeam)"""
+    }.mkString(",\n")
+    s"""WITH $sqlKnnCtes,
+       qs AS MATERIALIZED (SELECT vec_id AS q, v AS qv, n AS qn FROM e
+         WHERE vec_id < $NQueries),
+       seeds AS (SELECT vec_id FROM e
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $SearchSeeds),
+       b0 AS MATERIALIZED (SELECT q, vec_id FROM (
+         SELECT qs.q, e.vec_id,
+           row_number() OVER (PARTITION BY qs.q ORDER BY
+             ${cosOf("qs", "e")} DESC, e.vec_id) AS brn
+         FROM qs, seeds s JOIN e ON e.vec_id = s.vec_id)
+         WHERE brn <= $SearchBeam),
+       $rounds
+       SELECT q, vec_id, cos, rn FROM (
+         SELECT b.q, b.vec_id, ${cosOf("qs", "e")} AS cos,
+           CAST(row_number() OVER (PARTITION BY b.q ORDER BY
+             ${cosOf("qs", "e")} DESC, b.vec_id) AS INT) AS rn
+         FROM b$SearchRounds b JOIN e ON e.vec_id = b.vec_id
+           JOIN qs ON qs.q = b.q
+         WHERE b.vec_id <> b.q)
+       WHERE rn <= $K ORDER BY q, rn"""
+  }
+
   val oracleSql: Map[String, String] = oracleBase +
     ("s_knn_graph" ->
       s"WITH $sqlKnnCtes SELECT src, nbr, cos, rn FROM knn ORDER BY src, rn") +
     ("s_nn_descent_k" -> sqlNnDescentK) +
+    ("s_graph_search" -> sqlGraphSearch) +
+    ("s_graph_search_recall" ->
+      s"""WITH bf AS (${oracleBase("s_cosine_topk")}),
+         ann AS ($sqlGraphSearch)
+         SELECT bf.q, CAST(count(ann.vec_id) AS INT) AS hits,
+           (count(ann.vec_id) / ${K}.0) AS recall
+         FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id
+         GROUP BY bf.q ORDER BY bf.q""") +
     ("s_nn_descent" ->
       s"""WITH $sqlKnnCtes,
          g AS (SELECT src, nbr FROM knn),

@@ -163,6 +163,38 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheBook.releaseAll(spark)
   }
 
+  test("s_nn_descent_k: per-round checkpoints bound the plan; no cartesian") {
+    // each round's 2-hop self-join references the previous graph twice —
+    // without the per-round eager checkpoint the plan would nest
+    // exponentially in rounds. The final curve must read checkpointed
+    // RDDs (Scan ExistingRDD) + the memoized brute-force baseline, and
+    // nothing may plan a cartesian.
+    val p = planOf("s_nn_descent_k")
+    assert(!p.contains("CartesianProduct"), "candidates are graph-bounded, never all-pairs")
+    assert(p.contains("Scan ExistingRDD"), "rounds must read per-round checkpoints")
+    assert(p.contains("InMemoryTableScan"), "ground truth must come from the bf memo")
+    graft.CacheBook.releaseAll(spark)
+  }
+
+  test("s_graph_search: walk is edge equi-joins over the memoized graph; no cartesian") {
+    // the only unconditioned join is the NQueries x SearchSeeds seed
+    // pair-up (broadcast nested loop of two tiny frames — the
+    // scalar-subquery shape); expansion joins must stay equi-shaped
+    // and the result reads from the memo.
+    val p = planOf("s_graph_search")
+    assert(!p.contains("CartesianProduct"), "beam expansion must be an edge equi-join")
+    assert(p.contains("InMemoryTableScan"), "result must be memoized")
+    graft.CacheBook.releaseAll(spark)
+  }
+
+  test("m_decode: one scan into one mapPartitions pass; only the gate-sort exchange") {
+    val p = planOf("m_decode")
+    assert(p.split("Scan parquet").length - 1 == 1, p.take(600))
+    assert(p.contains("MapPartitions"), "decode must run as a batched mapPartitions stage")
+    assert(p.split("Exchange").length - 1 <= 2, // range sort (+AQE read)
+      "no shuffle before the gate sort")
+  }
+
   test("x_gopher_filter: pure scalar pipeline — no join, no aggregate, one scan") {
     // every rule evaluates per row at the scan; the only exchange is
     // the gate's final range sort. A join or aggregation here would
