@@ -44,7 +44,14 @@ import org.apache.spark.sql.SparkSession
   * The clean retry rebuilds — and re-registers — whatever memos the
   * query actually uses, so later family entries still find those
   * caches; memos it does NOT touch rebuild lazily in their next
-  * consumer (visible there as wall+cpu up together). */
+  * consumer (visible there as wall+cpu up together).
+  *
+  * READING a clean retry: for a *_build entry (whose budget already
+  * includes its builds) the clean sample compares directly against
+  * budget. For a PROBE-priced entry (budget measured with warm
+  * memos), the clean sample includes rebuilding the memos the query
+  * touches — compare its cpuSec against the corresponding *_build
+  * budget cpu plus the probe budget, not the probe budget alone. */
 object Bench {
 
   private final class Metrics extends SparkListener {
