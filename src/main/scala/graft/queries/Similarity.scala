@@ -27,6 +27,8 @@ object Similarity {
   private val SearchSeeds = 4  // graph-search entry points (s_graph_search)
   private val SearchBeam = 8   // graph-search beam width
   private val SearchRounds = 3 // graph-search expansion rounds
+  private val MmrPool = 10     // MMR candidate pool per query (s_mmr)
+  private val MmrK = 5         // MMR selections per query (s_mmr)
   private val NCentroids = 24 // IVF cells — FIXED K, constant in corpus size
   private val PqM = 8        // PQ subspaces (64-dim vectors -> 8x8)
   private val PqSub = 8      // dims per subspace
@@ -479,6 +481,80 @@ object Similarity {
     // recall@K of the graph walk vs the same brute-force baseline —
     // prices the navigable-graph trade next to the IVF/LSH/PQ paths.
     "s_graph_search_recall" -> recallOf("s_graph_search"),
+
+    // MMR — maximal-marginal-relevance diversified re-rank (Carbonell &
+    // Goldstein 1998), the standard result-diversification step between
+    // retrieval and consumption (RAG context assembly, dedup-aware
+    // sampling): greedily pick MmrK results from the top-MmrPool
+    // candidate pool, each round's winner maximizing
+    // 0.7*relevance - 0.3*max-similarity-to-already-picked. All scores
+    // are integer micro-units (floor(cos*1e6), weights 7/3 over 10) so
+    // the greedy trajectory — including every tie-break — is
+    // bit-identical cross-engine. Scale shape: the pool is
+    // top-MmrPool-per-query (in production the ANN result feeds it), so
+    // the pairwise-similarity relation is NQueries x MmrPool² —
+    // CONSTANT in corpus size; the greedy loop unrolls into MmrK-1
+    // join+argmax rounds over those bounded frames with per-round
+    // checkpoints (each round references the selected set twice).
+    "s_mmr" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val qs = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn")))
+      // candidate pool: top-MmrPool by exact cosine, ranked on the
+      // MICRO-unit score (identical rank keys in both engines)
+      val wPool = Window.partitionBy("q").orderBy(col("relm").desc, col("vec_id").asc)
+      val pool = qs.join(e, col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          floor(VecOps.cosine(col("qv"), col("v"), col("qn"), col("n"))
+            * lit(1000000.0)).cast("long").as("relm"))
+        .withColumn("prn", row_number().over(wPool))
+        .filter(col("prn") <= MmrPool)
+        .select("q", "vec_id", "relm")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.register(s, "s")(() => { pool.unpersist(false); () })
+      // within-pool pairwise similarities: equi-join on q, MmrPool² rows
+      // per query, corpus-independent — every greedy round reads this
+      val pv = pool.join(e.select(col("vec_id"), col("v"), col("n")), "vec_id")
+      val pairs = pv.select(col("q"), col("vec_id").as("a"),
+          col("v").as("av"), col("n").as("an"))
+        .join(pv.select(col("q"), col("vec_id").as("b"),
+          col("v").as("bv"), col("n").as("bn")), "q")
+        .filter(col("a") =!= col("b"))
+        .select(col("q"), col("a"), col("b"),
+          floor(VecOps.cosine(col("av"), col("bv"), col("an"), col("bn"))
+            * lit(1000000.0)).cast("long").as("simm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.register(s, "s")(() => { pairs.unpersist(false); () })
+      val wSel = Window.partitionBy("q").orderBy(col("mmr").desc, col("vec_id").asc)
+      // round 1: pure relevance (no redundancy term yet)
+      var sel = pool
+        .withColumn("mmr", lit(7L) * col("relm"))
+        .withColumn("srn", row_number().over(wSel))
+        .filter(col("srn") === 1)
+        .select(col("q"), col("vec_id"), lit(1).cast("int").as("rank"), col("mmr"))
+      for (t <- 2 to MmrK) {
+        val red = pairs
+          .join(sel.select(col("q"), col("vec_id").as("b")), Seq("q", "b"))
+          .groupBy(col("q"), col("a")).agg(max(col("simm")).as("redm"))
+        val cand = pool.join(sel.select("q", "vec_id"), Seq("q", "vec_id"), "left_anti")
+        val pick = cand.join(red,
+            cand("q") === red("q") && cand("vec_id") === red("a"))
+          .select(cand("q"), cand("vec_id"),
+            (lit(7L) * col("relm") - lit(3L) * col("redm")).as("mmr"))
+          .withColumn("srn", row_number().over(wSel))
+          .filter(col("srn") === 1)
+          .select(col("q"), col("vec_id"), lit(t).cast("int").as("rank"), col("mmr"))
+        sel = sel.unionByName(pick)
+        // bound plan depth: next round references sel in the anti-join
+        // AND the redundancy join — unchecked the plan grows ~3^rounds
+        val cp = sel.localCheckpoint(true)
+        graft.CacheBook.register(s, "s")(() =>
+          graft.CacheBook.unpersistCheckpoint(cp))
+        sel = cp
+      }
+      sel.select(col("q"), col("rank"), col("vec_id"), col("mmr").as("mmr_micro"))
+        .orderBy("q", "rank")
+    }),
 
     // GRAPH CENTRALITY over the KNN graph — power-iteration PageRank,
     // the iterated-graph-computation primitive (CC is the other one)
@@ -1244,7 +1320,57 @@ object Similarity {
        WHERE rn <= $K ORDER BY q, rn"""
   }
 
+  /** SQL mirror of s_mmr's greedy selection: pool + within-pool pair
+    * similarities (both in integer micro-units), then MmrK-1 chained
+    * redundancy/argmax CTE rounds (MATERIALIZED — each round references
+    * the selected set twice; inlined, the pool pipeline would re-expand
+    * per round). */
+  private def sqlMmr: String = {
+    val rounds = (2 to MmrK).map { t =>
+      val prev = s"sel${t - 1}"
+      s"""red$t AS (SELECT p.q, p.a, max(p.simm) AS redm
+           FROM pairs p JOIN $prev s ON s.q = p.q AND s.vec_id = p.b
+           GROUP BY p.q, p.a),
+         pick$t AS (SELECT q, vec_id, $t AS rank, mmr FROM (
+           SELECT c.q, c.vec_id, 7 * c.relm - 3 * r.redm AS mmr,
+             row_number() OVER (PARTITION BY c.q
+               ORDER BY (7 * c.relm - 3 * r.redm) DESC, c.vec_id) AS srn
+           FROM pool c JOIN red$t r ON r.q = c.q AND r.a = c.vec_id
+           WHERE NOT EXISTS (SELECT 1 FROM $prev s
+             WHERE s.q = c.q AND s.vec_id = c.vec_id))
+           WHERE srn = 1),
+         sel$t AS MATERIALIZED (
+           SELECT q, vec_id, rank, mmr FROM $prev
+           UNION ALL SELECT q, vec_id, rank, mmr FROM pick$t)"""
+    }.mkString(",\n")
+    s"""WITH e AS ($sqlVecs),
+       qs AS MATERIALIZED (SELECT vec_id AS q, v AS qv, n AS qn FROM e
+         WHERE vec_id < $NQueries),
+       pool AS MATERIALIZED (SELECT q, vec_id, relm FROM (
+         SELECT qs.q, e.vec_id,
+           CAST(floor((${VecOps.sqlDot("qs.qv", "e.v")} / (qs.qn * e.n))
+             * 1000000.0) AS BIGINT) AS relm,
+           row_number() OVER (PARTITION BY qs.q ORDER BY
+             CAST(floor((${VecOps.sqlDot("qs.qv", "e.v")} / (qs.qn * e.n))
+               * 1000000.0) AS BIGINT) DESC, e.vec_id) AS prn
+         FROM qs JOIN e ON e.vec_id <> qs.q) WHERE prn <= $MmrPool),
+       pairs AS MATERIALIZED (SELECT pa.q, pa.vec_id AS a, pb.vec_id AS b,
+           CAST(floor((${VecOps.sqlDot("ea.v", "eb.v")} / (ea.n * eb.n))
+             * 1000000.0) AS BIGINT) AS simm
+         FROM pool pa JOIN pool pb ON pb.q = pa.q AND pb.vec_id <> pa.vec_id
+         JOIN e ea ON ea.vec_id = pa.vec_id
+         JOIN e eb ON eb.vec_id = pb.vec_id),
+       sel1 AS MATERIALIZED (SELECT q, vec_id, 1 AS rank, 7 * relm AS mmr FROM (
+         SELECT q, vec_id, relm, row_number() OVER (PARTITION BY q
+           ORDER BY relm DESC, vec_id) AS srn FROM pool) WHERE srn = 1),
+       $rounds
+       SELECT q, CAST(rank AS INT) AS rank, vec_id,
+         CAST(mmr AS BIGINT) AS mmr_micro
+       FROM sel$MmrK ORDER BY q, rank"""
+  }
+
   val oracleSql: Map[String, String] = oracleBase +
+    ("s_mmr" -> sqlMmr) +
     ("s_knn_graph" ->
       s"WITH $sqlKnnCtes SELECT src, nbr, cos, rn FROM knn ORDER BY src, rn") +
     ("s_nn_descent_k" -> sqlNnDescentK) +

@@ -255,6 +255,58 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // DSIR-flavored importance-weighted data selection (Xie et al.
+    // 2023, "Data Selection for Language Models via Importance
+    // Resampling"): score every pool document by how target-like its
+    // hashed n-gram distribution is. Features are unigram + bigram
+    // 48-bit hashes folded into DsirBuckets FIXED buckets; each
+    // bucket's importance weight is the add-one-smoothed target/raw
+    // frequency ratio in integer micro-units — DSIR's log-ratio sum
+    // becomes a ratio-weight mean (same monotone flavor as x_lm_score's
+    // inverse-frequency-for-log swap), so no transcendental enters the
+    // compare and the ranking is bit-identical cross-engine. kept=1 is
+    // the selection decision: mean importance >= 1.0 (more target-like
+    // than the raw average) — a row-local gate, no global sort. Scale
+    // shape: the weight table is AT MOST DsirBuckets rows whatever the
+    // corpus size (the point of hashed features) so it BROADCASTS; the
+    // per-doc score is one map-side-combinable aggregation over the
+    // exploded feature stream. The micro-unit ratio is two chained
+    // integer floor-divisions (raw_t*1e6 overflows BIGINT only past
+    // ~9e12 feature occurrences — at that scale drop the 1e6 to 1e3,
+    // same ranking).
+    "x_dsir" -> ((s, dir) => {
+      val feats = docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(concat(shingleHashes(wordsCol, 1), shingleHashes(wordsCol, 2)))
+            .as("h"))
+        .select(col("doc_id"), pmod(col("h"), lit(DsirBuckets.toLong)).as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.register(s, "x")(() => { feats.unpersist(false); () })
+      val tgt = feats.filter(col("doc_id") < DsirBench)
+        .groupBy("b").agg(count(lit(1)).as("tc"))
+      val raw = feats.filter(col("doc_id") >= DsirBench)
+        .groupBy("b").agg(count(lit(1)).as("rc"))
+      // totals: 1-row aggregates pair up broadcast (the scalar-subquery
+      // join shape), then ride the weight-table broadcast
+      val tot = broadcast(tgt.agg(sum("tc").as("tgt_t")))
+        .join(broadcast(raw.agg(sum("rc").as("raw_t"))))
+      val wtab = broadcast(raw.join(tgt, Seq("b"), "left")
+        .join(broadcast(tot))
+        .select(col("b"),
+          expr("((coalesce(tc, CAST(0 AS BIGINT)) + 1)" +
+            " * ((raw_t * 1000000) div tgt_t)) div (rc + 1)").as("wm")))
+      feats.filter(col("doc_id") >= DsirBench).join(wtab, "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nf"), sum("wm").as("sw"))
+        .select(col("doc_id"), col("nf").cast("int").as("n_feats"),
+          expr("sw div nf").as("dsir_micro"),
+          (expr("sw div nf") / 1000000.0).as("dsir"),
+          when(expr("sw div nf") >= 1000000L, 1).otherwise(0)
+            .cast("int").as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // chunking: 50-token windows, stride 40 (10-token overlap) — the
     // pretraining tokenize-and-pack precursor. WordWindows builds every
     // window in one codegen loop per doc; the transform/slice lambda
@@ -466,6 +518,13 @@ object TextAnalysis {
   /** x_dup_spans: words per window. Lee et al. use 50 BPE tokens on web
     * text; 13 words scales that to this corpus's 20-80-word docs. */
   private[queries] val SpanW = 13
+  /** x_dsir: hashed-feature space size (DSIR hashes n-grams into a
+    * FIXED bucket count, which is what makes the weight table
+    * broadcastable at any corpus size) and the target-corpus id bound
+    * (doc_id < DsirBench plays the high-quality target the importance
+    * ratio aims at — the same held-out convention as x_contamination). */
+  private[queries] val DsirBuckets = 4096
+  private[queries] val DsirBench = 50
 
   /** Gopher-rules core shared by the x_gopher_filter gate query and
     * GopherFilterSpec: per doc (n_words, keep, reasons) with
@@ -731,6 +790,30 @@ object TextAnalysis {
          SELECT doc_id, lang, count(DISTINCT g) AS n_shared FROM grams
          WHERE doc_id >= 50 AND g IN (SELECT g FROM bench)
          GROUP BY doc_id, lang ORDER BY doc_id""",
+
+    "x_dsir" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         feats AS MATERIALIZED (SELECT doc_id,
+             (${Determinism.sqlMd5IdxK("x", 12)} % $DsirBuckets) AS b
+           FROM (SELECT doc_id, unnest(list_concat(
+             ${sqlShingles("w", 1)}, ${sqlShingles("w", 2)})) AS x FROM w)),
+         tgt AS (SELECT b, count(*) AS tc FROM feats
+           WHERE doc_id < $DsirBench GROUP BY b),
+         rawc AS (SELECT b, count(*) AS rc FROM feats
+           WHERE doc_id >= $DsirBench GROUP BY b),
+         tot AS (SELECT (SELECT sum(tc) FROM tgt) AS tgt_t,
+                        (SELECT sum(rc) FROM rawc) AS raw_t),
+         wtab AS (SELECT b,
+             ((coalesce(tc, 0) + 1) * ((raw_t * 1000000) // tgt_t)) // (rc + 1) AS wm
+           FROM rawc LEFT JOIN tgt USING (b), tot),
+         scored AS (SELECT doc_id, count(*) AS nf, sum(wm) AS sw
+           FROM feats JOIN wtab USING (b)
+           WHERE doc_id >= $DsirBench GROUP BY doc_id)
+         SELECT doc_id, CAST(nf AS INT) AS n_feats,
+           CAST(sw // nf AS BIGINT) AS dsir_micro,
+           CAST(sw // nf AS BIGINT) / 1000000.0 AS dsir,
+           CAST(CASE WHEN sw // nf >= 1000000 THEN 1 ELSE 0 END AS INT) AS kept
+         FROM scored ORDER BY doc_id""",
 
     "x_chunk" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

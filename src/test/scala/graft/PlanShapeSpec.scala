@@ -218,4 +218,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanged.forall(l => !l.contains("text#")),
       "the raw text column must never cross a shuffle")
   }
+
+  test("s_mmr: greedy rounds read checkpointed selections; no cartesian") {
+    // the pool and pair relations are bounded (NQueries x MmrPool²,
+    // corpus-independent) and every greedy round is equi-joins over
+    // them; each round's selected set references the previous twice, so
+    // the final frame must read per-round checkpoints, never re-derive
+    val p = planOf("s_mmr")
+    assert(!p.contains("CartesianProduct"),
+      "pairwise similarities must equi-join on q, never all-pairs")
+    assert(p.contains("Scan ExistingRDD"),
+      "rounds must read the per-round checkpointed selection")
+    graft.CacheBook.releaseAll(spark)
+  }
+
+  test("x_dsir: the fixed-size weight table broadcasts; feature stream is memoized") {
+    // the hashed-feature space is DsirBuckets rows whatever the corpus
+    // size — the per-doc scoring join must plan as a broadcast hash
+    // join (a shuffle here would move the corpus-sized feature stream
+    // twice), and the exploded feature relation is persisted so the
+    // count passes and the probe share one materialization
+    val p = planOf("x_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bucket-weight lookup must broadcast")
+    assert(p.contains("InMemoryTableScan"),
+      "the feature stream must come from the persisted relation")
+    assert(!p.contains("CartesianProduct"),
+      "only the 1-row totals pair-up may be unconditioned")
+    graft.CacheBook.releaseAll(spark)
+  }
 }
