@@ -84,6 +84,40 @@ object TextAnalysis {
         bpeMerges(s, dir))
   }
 
+  /** Per-doc DSIR importance scores (doc_id, n_feats, dsir_micro) —
+    * the x_dsir gate reads it and x_dsir_sample draws from it, so the
+    * hashed-feature explode + weight build runs once per (session,
+    * corpus); priced by x_build's fan-out like the other memos. */
+  private def dsirScores: (SparkSession, String) => DataFrame = memoX("dsir") {
+    (s, dir) =>
+      val feats = docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(concat(shingleHashes(wordsCol, 1), shingleHashes(wordsCol, 2)))
+            .as("h"))
+        .select(col("doc_id"), pmod(col("h"), lit(DsirBuckets.toLong)).as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.register(s, "x")(() => { feats.unpersist(false); () })
+      val tgt = feats.filter(col("doc_id") < DsirBench)
+        .groupBy("b").agg(count(lit(1)).as("tc"))
+      val raw = feats.filter(col("doc_id") >= DsirBench)
+        .groupBy("b").agg(count(lit(1)).as("rc"))
+      // totals: 1-row aggregates pair up broadcast (the scalar-subquery
+      // join shape), then ride the weight-table broadcast
+      val tot = broadcast(tgt.agg(sum("tc").as("tgt_t")))
+        .join(broadcast(raw.agg(sum("rc").as("raw_t"))))
+      val wtab = broadcast(raw.join(tgt, Seq("b"), "left")
+        .join(broadcast(tot))
+        .select(col("b"),
+          expr("((coalesce(tc, CAST(0 AS BIGINT)) + 1)" +
+            " * ((raw_t * 1000000) div tgt_t)) div (rc + 1)").as("wm")))
+      feats.filter(col("doc_id") >= DsirBench).join(wtab, "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nf"), sum("wm").as("sw"))
+        .select(col("doc_id"), col("nf").cast("int").as("n_feats"),
+          expr("sw div nf").as("dsir_micro"))
+  }
+
   /** Strided word windows as ONE codegen loop per row — spec-identical
     * to `transform(sequence(...), i => concat_ws(" ", slice(words,
     * i*stride+1, window)))` but no interpreted HOF lambda runs and the
@@ -133,11 +167,13 @@ object TextAnalysis {
       val spF = Future(spanRel(s, dir).select("span").distinct().count())
       val lnF = Future(lineRel(s, dir).select("line").distinct().count())
       val bpF = Future(bpeWtok(s, dir).count())
-      val (nBg, nSp, nLn, nBp) = (
+      val dsF = Future(dsirScores(s, dir).count())
+      val (nBg, nSp, nLn, nBp, nDs) = (
         Await.result(bgF, Duration.Inf), Await.result(spF, Duration.Inf),
-        Await.result(lnF, Duration.Inf), Await.result(bpF, Duration.Inf))
+        Await.result(lnF, Duration.Inf), Await.result(bpF, Duration.Inf),
+        Await.result(dsF, Duration.Inf))
       Seq(("bigram_kinds", nBg), ("bpe_vocab", nBp),
-        ("line_kinds", nLn), ("span_kinds", nSp))
+        ("dsir_docs", nDs), ("line_kinds", nLn), ("span_kinds", nSp))
         .toDF("item", "n").orderBy("item")
     }),
 
@@ -274,38 +310,28 @@ object TextAnalysis {
     // integer floor-divisions (raw_t*1e6 overflows BIGINT only past
     // ~9e12 feature occurrences — at that scale drop the 1e6 to 1e3,
     // same ranking).
-    "x_dsir" -> ((s, dir) => {
-      val feats = docs(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          explode(concat(shingleHashes(wordsCol, 1), shingleHashes(wordsCol, 2)))
-            .as("h"))
-        .select(col("doc_id"), pmod(col("h"), lit(DsirBuckets.toLong)).as("b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.CacheBook.register(s, "x")(() => { feats.unpersist(false); () })
-      val tgt = feats.filter(col("doc_id") < DsirBench)
-        .groupBy("b").agg(count(lit(1)).as("tc"))
-      val raw = feats.filter(col("doc_id") >= DsirBench)
-        .groupBy("b").agg(count(lit(1)).as("rc"))
-      // totals: 1-row aggregates pair up broadcast (the scalar-subquery
-      // join shape), then ride the weight-table broadcast
-      val tot = broadcast(tgt.agg(sum("tc").as("tgt_t")))
-        .join(broadcast(raw.agg(sum("rc").as("raw_t"))))
-      val wtab = broadcast(raw.join(tgt, Seq("b"), "left")
-        .join(broadcast(tot))
-        .select(col("b"),
-          expr("((coalesce(tc, CAST(0 AS BIGINT)) + 1)" +
-            " * ((raw_t * 1000000) div tgt_t)) div (rc + 1)").as("wm")))
-      feats.filter(col("doc_id") >= DsirBench).join(wtab, "b")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("nf"), sum("wm").as("sw"))
-        .select(col("doc_id"), col("nf").cast("int").as("n_feats"),
-          expr("sw div nf").as("dsir_micro"),
-          (expr("sw div nf") / 1000000.0).as("dsir"),
-          when(expr("sw div nf") >= 1000000L, 1).otherwise(0)
+    "x_dsir" -> ((s, dir) =>
+      dsirScores(s, dir)
+        .select(col("doc_id"), col("n_feats"), col("dsir_micro"),
+          (col("dsir_micro") / 1000000.0).as("dsir"),
+          when(col("dsir_micro") >= 1000000L, 1).otherwise(0)
             .cast("int").as("kept"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
+
+    // the RESAMPLING half of DSIR: importance resampling as
+    // deterministic priority sampling (the x_weighted_sample machinery
+    // with the importance score as the weight) — k smallest
+    // 48-bit-key/weight priorities = a without-replacement draw with
+    // inclusion probability ∝ importance. Key and the single IEEE
+    // division are exact cross-engine (both operands ≤ 2^53 integers),
+    // and the global k-smallest is TakeOrdered, never a full sort.
+    "x_dsir_sample" -> ((s, dir) =>
+      dsirScores(s, dir)
+        .select(col("doc_id"), col("dsir_micro"),
+          (Determinism.md5IdxK(
+              concat(lit("dsm#"), col("doc_id").cast("string")), 12).cast("double")
+            / greatest(col("dsir_micro"), lit(1L)).cast("double")).as("priority"))
+        .orderBy("priority", "doc_id").limit(DsirSampleK)),
 
     // chunking: 50-token windows, stride 40 (10-token overlap) — the
     // pretraining tokenize-and-pack precursor. WordWindows builds every
@@ -525,6 +551,8 @@ object TextAnalysis {
     * ratio aims at — the same held-out convention as x_contamination). */
   private[queries] val DsirBuckets = 4096
   private[queries] val DsirBench = 50
+  /** x_dsir_sample: resample size (k smallest priorities). */
+  private[queries] val DsirSampleK = 25
 
   /** Gopher-rules core shared by the x_gopher_filter gate query and
     * GopherFilterSpec: per doc (n_words, keep, reasons) with
@@ -692,6 +720,28 @@ object TextAnalysis {
   private val SampleRates =
     Seq("en" -> 50, "es" -> 30, "de" -> 30, "fr" -> 20, "zh" -> 10)
 
+  /** The DSIR scoring CTE chain shared by x_dsir and x_dsir_sample —
+    * hashed unigram+bigram features, smoothed target/raw micro-unit
+    * weights, per-doc sums (mirrors [[dsirScores]]). */
+  private def sqlDsirCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       feats AS MATERIALIZED (SELECT doc_id,
+           (${Determinism.sqlMd5IdxK("x", 12)} % $DsirBuckets) AS b
+         FROM (SELECT doc_id, unnest(list_concat(
+           ${sqlShingles("w", 1)}, ${sqlShingles("w", 2)})) AS x FROM w)),
+       tgt AS (SELECT b, count(*) AS tc FROM feats
+         WHERE doc_id < $DsirBench GROUP BY b),
+       rawc AS (SELECT b, count(*) AS rc FROM feats
+         WHERE doc_id >= $DsirBench GROUP BY b),
+       tot AS (SELECT (SELECT sum(tc) FROM tgt) AS tgt_t,
+                      (SELECT sum(rc) FROM rawc) AS raw_t),
+       wtab AS (SELECT b,
+           ((coalesce(tc, 0) + 1) * ((raw_t * 1000000) // tgt_t)) // (rc + 1) AS wm
+         FROM rawc LEFT JOIN tgt USING (b), tot),
+       scored AS (SELECT doc_id, count(*) AS nf, sum(wm) AS sw
+         FROM feats JOIN wtab USING (b)
+         WHERE doc_id >= $DsirBench GROUP BY doc_id)"""
+
   val oracleSql: Map[String, String] = Map(
     "x_build" ->
       s"""WITH bg AS (SELECT count(DISTINCT bg) AS n FROM (
@@ -709,10 +759,12 @@ object TextAnalysis {
                unnest(range(0, (len(w) - 1) // $LineSeg + 1)) AS t(i))),
          bp AS (SELECT count(DISTINCT w) AS n FROM (
              SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-           WHERE length(w) > 0)
+           WHERE length(w) > 0),
+         ds AS (SELECT count(*) AS n FROM documents WHERE doc_id >= $DsirBench)
          SELECT item, CAST(n AS BIGINT) AS n FROM (
            SELECT 'bigram_kinds' AS item, n FROM bg
            UNION ALL SELECT 'bpe_vocab', n FROM bp
+           UNION ALL SELECT 'dsir_docs', n FROM ds
            UNION ALL SELECT 'line_kinds', n FROM ln
            UNION ALL SELECT 'span_kinds', n FROM sp)
          ORDER BY item""",
@@ -792,28 +844,21 @@ object TextAnalysis {
          GROUP BY doc_id, lang ORDER BY doc_id""",
 
     "x_dsir" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         feats AS MATERIALIZED (SELECT doc_id,
-             (${Determinism.sqlMd5IdxK("x", 12)} % $DsirBuckets) AS b
-           FROM (SELECT doc_id, unnest(list_concat(
-             ${sqlShingles("w", 1)}, ${sqlShingles("w", 2)})) AS x FROM w)),
-         tgt AS (SELECT b, count(*) AS tc FROM feats
-           WHERE doc_id < $DsirBench GROUP BY b),
-         rawc AS (SELECT b, count(*) AS rc FROM feats
-           WHERE doc_id >= $DsirBench GROUP BY b),
-         tot AS (SELECT (SELECT sum(tc) FROM tgt) AS tgt_t,
-                        (SELECT sum(rc) FROM rawc) AS raw_t),
-         wtab AS (SELECT b,
-             ((coalesce(tc, 0) + 1) * ((raw_t * 1000000) // tgt_t)) // (rc + 1) AS wm
-           FROM rawc LEFT JOIN tgt USING (b), tot),
-         scored AS (SELECT doc_id, count(*) AS nf, sum(wm) AS sw
-           FROM feats JOIN wtab USING (b)
-           WHERE doc_id >= $DsirBench GROUP BY doc_id)
+      s"""WITH $sqlDsirCtes
          SELECT doc_id, CAST(nf AS INT) AS n_feats,
            CAST(sw // nf AS BIGINT) AS dsir_micro,
            CAST(sw // nf AS BIGINT) / 1000000.0 AS dsir,
            CAST(CASE WHEN sw // nf >= 1000000 THEN 1 ELSE 0 END AS INT) AS kept
          FROM scored ORDER BY doc_id""",
+
+    "x_dsir_sample" ->
+      s"""WITH $sqlDsirCtes,
+         mic AS (SELECT doc_id, CAST(sw // nf AS BIGINT) AS dsir_micro
+           FROM scored)
+         SELECT doc_id, dsir_micro,
+           CAST(${Determinism.sqlMd5IdxK("'dsm#' || CAST(doc_id AS VARCHAR)", 12)}
+             AS DOUBLE) / CAST(greatest(dsir_micro, 1) AS DOUBLE) AS priority
+         FROM mic ORDER BY priority, doc_id LIMIT $DsirSampleK""",
 
     "x_chunk" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

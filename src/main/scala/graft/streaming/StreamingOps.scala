@@ -227,4 +227,32 @@ object StreamingOps {
       delay: String): DataFrame =
     events.withWatermark(watermarkCol, delay)
       .dropDuplicates(keyCols :+ watermarkCol)
+
+  /** Streaming ANN-index ingest — the REAL-TIME half of standing-index
+    * maintenance (the nightly half is [[graft.sources.AnnIndexStore
+    * .append]], the repair half [[graft.sources.AnnIndexStore
+    * .compact]]): every micro-batch of new embeddings (vec_id, v, n) is
+    * assigned to the STANDING centroids and its rows land in the live
+    * cell directories via foreachBatch. Because assignment is
+    * per-vector against a fixed centroid table, ANY micro-batching of
+    * the same vectors produces the identical cells relation as a
+    * one-shot batch append — so a query probing the store mid-stream
+    * sees a consistent (if partial) index, and streamed == nightly
+    * ingest end-state (spec-held in StreamingSpec against the batch
+    * path). Exactly-once caveat, stated rather than hidden: the
+    * parquet append is not idempotent, so a micro-batch replayed after
+    * a sink-side crash would duplicate rows — at scale either
+    * dedup-on-read by (vec_id, file) or route replays through
+    * [[graft.sources.AnnIndexStore.compact]] with the duplicate ids
+    * retired. SINGLE-WRITER contract as every store: pause the stream
+    * around a compact/write pointer swap. */
+  def annIngest(vecs: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.AnnIndexStore.append(batch.sparkSession, path, batch)
+      }
+      .start()
 }

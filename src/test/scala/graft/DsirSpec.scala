@@ -44,6 +44,46 @@ class DsirSpec extends SparkSpec {
     // the teeth: scores must differentiate documents (a flat score
     // column would pass a vacuous equality)
     assert(expected.map(_._3).size > 1, "scores must differentiate docs")
+
+    // the resampling half: x_dsir_sample == naive k-smallest
+    // key/importance priorities, and the draw must lean target-ward
+    // (sampled mean importance above the pool mean)
+    val pri = expected.toSeq.map { case (id, _, micro, _, _) =>
+      (id, micro,
+        Determinism.jvmMd5Idx(s"dsm#$id", 12).toDouble / math.max(micro, 1L))
+    }
+    val expSample = pri.sortBy { case (id, _, p) => (p, id) }.take(25).toSet
+    val gotSample = graft.queries.TextAnalysis.queries("x_dsir_sample")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotSample == expSample,
+      s"diff=${(gotSample diff expSample).take(3)} / ${(expSample diff gotSample).take(3)}")
+    graft.CacheBook.releaseAll(spark)
+  }
+
+  // The sf0.001 corpus's importance weights sit within ~1% of parity
+  // (every doc draws from the same synthetic vocabulary), so neither a
+  // mean shift nor a membership change is observable there. Direction
+  // teeth need a corpus where importance actually spreads: pool docs
+  // cloning the target's vocabulary must crowd out docs from a
+  // disjoint vocabulary in the importance-weighted draw.
+  test("the weighted draw prefers target-like docs when importance spreads") {
+    import org.apache.spark.sql.functions.col
+    val aWords = (0 until 20).map(i => s"alpha$i")
+    val bWords = (0 until 20).map(i => s"beta$i")
+    def textOf(ws: Seq[String], seed: Int): String =
+      (0 until 30).map(j => ws((seed + j) % ws.size)).mkString(" ")
+    val rows =
+      (0L until 50L).map(id => (id, textOf(aWords, id.toInt), "en", "tgt", 0L)) ++
+      (50L until 100L).map(id => (id, textOf(aWords, id.toInt), "en", "poolA", 0L)) ++
+      (100L until 150L).map(id => (id, textOf(bWords, id.toInt), "en", "poolB", 0L))
+    val tmp = java.nio.file.Files.createTempDirectory("dsirTeeth").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    val sample = graft.queries.TextAnalysis.queries("x_dsir_sample")(spark, tmp)
+      .select(col("doc_id")).as[Long].collect()
+    val nA = sample.count(_ < 100L)
+    assert(nA >= 20,
+      s"importance weighting has no teeth: only $nA/25 sampled docs are target-like")
     graft.CacheBook.releaseAll(spark)
   }
 }

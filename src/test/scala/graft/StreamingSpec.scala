@@ -173,4 +173,48 @@ class StreamingSpec extends SparkSpec {
       .count()
     assert(streamed.select("wstart").distinct().count() == batch.count())
   }
+
+  test("streaming ANN ingest lands the same cells as one-shot batch append") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", graft.functions.VecOps.norm(col("v")))
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val incoming = e.filter(col("vec_id") % 2 === 1)
+    // identical standing index at two paths: the hash-draw centroid set
+    // over the base half plus its assigned cells
+    val cents = base
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn"))
+    val cells = graft.sources.AnnIndexStore.assign(base, cents)
+    val pBatch = java.nio.file.Files.createTempDirectory("annB").toString
+    val pStream = java.nio.file.Files.createTempDirectory("annS").toString
+    graft.sources.AnnIndexStore.write(pBatch, cents, cells)
+    graft.sources.AnnIndexStore.write(pStream, cents, cells)
+    // nightly path: one batch append of the whole incoming half
+    graft.sources.AnnIndexStore.append(spark, pBatch, incoming)
+    // real-time path: the SAME vectors in three micro-batches
+    val rows = incoming.select("vec_id", "v").as[(Long, Array[Double])].collect()
+    val input = MemoryStream[(Long, Array[Double])]
+    val stream = input.toDS().toDF("vec_id", "v")
+      .withColumn("n", graft.functions.VecOps.norm(col("v")))
+    val q = StreamingOps.annIngest(stream, pStream)
+    rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // streamed == nightly end-state: same (vec_id -> cid) assignment
+    def cellsOf(p: String): Set[(Long, Long)] =
+      graft.sources.AnnIndexStore.read(spark, p)._2
+        .select("vec_id", "cid").as[(Long, Long)].collect().toSet
+    val fromBatch = cellsOf(pBatch)
+    val fromStream = cellsOf(pStream)
+    assert(fromStream == fromBatch,
+      s"diff=${(fromStream diff fromBatch).take(3)} / ${(fromBatch diff fromStream).take(3)}")
+    // and the index actually grew by the incoming half
+    assert(fromBatch.size == base.count() + incoming.count())
+  }
 }
