@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, IncrementalAgg, Sessionize}
 
 /** Pack C — relational analytics core. Declarative DataFrame programs;
   * Catalyst owns pushdown/pruning/join strategy. Money math is cast to
@@ -472,6 +472,26 @@ object Relational {
           col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"))): _*)).as("p"))
         .select("p.*")
         .orderBy("col_name")
+    }),
+
+    // Incremental aggregate maintenance: the standing per-customer
+    // rollup is extended with a delta batch by merging partial states —
+    // the base side is the (persisted) state table, never the base
+    // FACTS. Here both halves are computed from the same snapshot so
+    // the oracle is the one-shot aggregate; IncAggSpec holds the
+    // chained-merge algebra. At scale the nightly cost is one delta
+    // scan + a key-shuffle of |state|, not a 100-TB rescan.
+    "q_inc_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val keys = Seq("o_custkey")
+      val base = IncrementalAgg.state(
+        o.filter(col("o_orderdate") < "1997-07-01"), keys, col("o_totalprice"))
+      val delta = IncrementalAgg.state(
+        o.filter(col("o_orderdate") >= "1997-07-01"), keys, col("o_totalprice"))
+      IncrementalAgg.merge(keys, base, delta)
+        .select(col("o_custkey"), col("n"),
+          col("total").cast("double").as("total"), col("lo"), col("hi"))
+        .orderBy("o_custkey")
     })
   )
 
@@ -743,6 +763,14 @@ object Relational {
       Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
         str("o_orderpriority"), ts("o_orderdate"))
         .mkString("", " UNION ALL ", " ORDER BY col_name")
-    }
+    },
+
+    // one-shot oracle: incremental maintenance must be invisible in the
+    // result
+    "q_inc_agg" ->
+      """SELECT o_custkey, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
   )
 }
