@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -423,6 +424,33 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style corpus split (Wenzek et al. 2020): per LANGUAGE,
+    // divide documents into head/middle/tail thirds of the LM score
+    // distribution (CCNet buckets on KenLM perplexity; here the same
+    // integer bigram-rarity proxy x_lm_score ranks by — low score =
+    // fluent/common text = head). The scale-critical piece is the
+    // THRESHOLD computation: no per-language global sort. Scores fold
+    // to kilo-unit buckets (≤ ~1001 distinct values — fixed whatever
+    // the corpus size), one map-side-combined groupBy builds the
+    // (lang, bucket) histogram, a window over that TINY relation
+    // yields cumulative counts, and the tercile cuts are min-bucket
+    // predicates (3·cum ≥ n, 3·cum ≥ 2n — exact integer ceil
+    // semantics). Docs then label via one broadcast join on lang:
+    // one pass over the scored corpus, thresholds from a
+    // histogram that would fit on a postcard at 100 TB.
+    "x_ccnet_buckets" -> ((s, dir) => {
+      val grams = lmGrams(s, dir)
+      val cnt = grams.groupBy("bg").agg(count(lit(1)).as("c"))
+      val scored = graft.operators.SkewJoin
+        .salted(grams, cnt, key = "bg", uniqueCol = "doc_id")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nb"), sum(expr("1000000 div c")).as("sx"))
+        .select(col("doc_id"), expr("(sx div nb) div 1000").as("lm_kilo"))
+      val db = docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(scored, "doc_id")
+      ccnetSplit(db).orderBy("doc_id")
+    }),
+
     // BPE merge learning — tokenizer training on the corpus the model
     // will train on: top-10 merges by frequency-weighted adjacent-pair
     // count over the word-frequency table (corpus collapses to distinct
@@ -543,6 +571,30 @@ object TextAnalysis {
   private[queries] val LineDfMax = 2
   /** x_dup_spans: words per window. Lee et al. use 50 BPE tokens on web
     * text; 13 words scales that to this corpus's 20-80-word docs. */
+  /** Per-language head/middle/tail tercile split of `db` = (doc_id,
+    * lang, lm_kilo). Thresholds t1/t2 are the smallest bucket whose
+    * per-language cumulative histogram count reaches ceil(n/3) /
+    * ceil(2n/3) (3·cum ≥ n integer form); ties share a label, so the
+    * split is deterministic with no row-order dependence. The window
+    * runs over the HISTOGRAM (≤ ~1001 rows per language), never the
+    * corpus; labeling is one broadcast join. CcnetSpec holds this equal
+    * to the naive sorted-scores cut, including tie pile-ups. */
+  private[graft] def ccnetSplit(db: DataFrame): DataFrame = {
+    val hist = db.groupBy("lang", "lm_kilo").agg(count(lit(1)).as("hc"))
+    val cum = hist.withColumn("cum",
+      sum("hc").over(Window.partitionBy("lang").orderBy("lm_kilo")))
+    val tot = db.groupBy("lang").agg(count(lit(1)).as("nl"))
+    val th = cum.join(tot, "lang")
+      .groupBy("lang")
+      .agg(min(when(col("cum") * 3 >= col("nl"), col("lm_kilo"))).as("t1"),
+        min(when(col("cum") * 3 >= col("nl") * 2, col("lm_kilo"))).as("t2"))
+    db.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("lm_kilo"),
+        when(col("lm_kilo") <= col("t1"), "head")
+          .when(col("lm_kilo") <= col("t2"), "middle")
+          .otherwise("tail").as("split"))
+  }
+
   private[queries] val SpanW = 13
   /** x_dsir: hashed-feature space size (DSIR hashes n-grams into a
     * FIXED bucket count, which is what makes the weight table
@@ -928,6 +980,36 @@ object TextAnalysis {
            ((CAST(sum(1000000 // c) AS BIGINT) // count(*)) / 1000000.0) AS lm_score
          FROM grams JOIN cnt USING (bg)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    // tercile thresholds: smallest histogram bucket whose cumulative
+    // count reaches ceil(n/3) / ceil(2n/3) — 3*cum >= n is the exact
+    // integer form, identical on both engines
+    "x_ccnet_buckets" ->
+      s"""WITH grams AS (
+           SELECT doc_id, unnest(${sqlShingles("string_split(text, ' ')", 2)}) AS bg
+           FROM documents),
+         cnt AS (SELECT bg, count(*) AS c FROM grams GROUP BY bg),
+         scored AS (
+           SELECT doc_id,
+             (CAST(sum(1000000 // c) AS BIGINT) // count(*)) // 1000 AS lm_kilo
+           FROM grams JOIN cnt USING (bg) GROUP BY doc_id),
+         db AS (SELECT d.doc_id, d.lang, s.lm_kilo
+           FROM documents d JOIN scored s USING (doc_id)),
+         hist AS (SELECT lang, lm_kilo, count(*) AS hc
+           FROM db GROUP BY lang, lm_kilo),
+         cum AS (SELECT lang, lm_kilo,
+             sum(hc) OVER (PARTITION BY lang ORDER BY lm_kilo) AS cum
+           FROM hist),
+         tot AS (SELECT lang, count(*) AS nl FROM db GROUP BY lang),
+         th AS (SELECT lang,
+             min(CASE WHEN 3 * cum >= nl THEN lm_kilo END) AS t1,
+             min(CASE WHEN 3 * cum >= 2 * nl THEN lm_kilo END) AS t2
+           FROM cum JOIN tot USING (lang) GROUP BY lang)
+         SELECT db.doc_id, db.lang, db.lm_kilo,
+           CASE WHEN lm_kilo <= t1 THEN 'head'
+                WHEN lm_kilo <= t2 THEN 'middle'
+                ELSE 'tail' END AS split
+         FROM db JOIN th USING (lang) ORDER BY db.doc_id""",
 
     "x_line_dedup" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
