@@ -20,6 +20,7 @@ object Similarity {
 
   private val K = 5          // neighbors returned per query
   private val NQueries = 5   // queries = vec_id < NQueries
+  private val PhraseLen = 3  // s_phrase: first PhraseLen tokens of each query doc
   private val NProbe = 2     // IVF probes
   private val KnnK = 3       // neighbors per vector in the KNN graph
   private val RankIters = 3  // PageRank power iterations (s_graph_rank)
@@ -697,6 +698,39 @@ object Similarity {
         .select(col("q"), col("rank"), col("id"), col("score_u"),
           (col("score_u") / 1000000.0).as("bm25"))
         .orderBy("q", "rank")
+    }),
+
+    // Positional PHRASE search — the exact-match retrieval mode BM25's
+    // bag-of-words can't express: find every document containing the
+    // query phrase as CONSECUTIVE tokens. Inverted-index shape via the
+    // intersect-by-offset trick: the phrase relation (q, j, w) is
+    // NQueries x PhraseLen rows and BROADCASTS against the positional
+    // posting list (one corpus scan, (id, pos, w)); each posting hit
+    // votes for anchor = pos - j, and an anchor that collects all
+    // PhraseLen distinct offsets is a phrase occurrence. ONE broadcast
+    // join + one map-side-combined aggregation — no corpus self-join
+    // per phrase term and no LIKE scan; fan-out is bounded by
+    // NQueries x df(term) (the same df-ceiling gate as s_bm25 applies
+    // for stopword-only phrases at 100 TB). Duplicate words inside a
+    // phrase are handled by construction (each offset j checks
+    // independently at its own position).
+    "s_phrase" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val posts = d.select(col("doc_id").as("id"), posexplode(toks))
+        .select(col("id"), col("pos"), col("col").as("w"))
+      val qp = broadcast(d.filter(col("doc_id") < NQueries)
+        .select(col("doc_id").as("q"), posexplode(slice(toks, 1, PhraseLen)))
+        .select(col("q"), col("pos").as("j"), col("col").as("w")))
+      val anchored = qp.join(posts, "w")
+        .select(col("q"), col("id"), (col("pos") - col("j")).as("anchor"), col("j"))
+      anchored.groupBy("q", "id", "anchor")
+        .agg(countDistinct("j").as("nj"))
+        .filter(col("nj") === PhraseLen)
+        .groupBy("q", "id")
+        .agg(count(lit(1)).cast("int").as("n_hits"),
+          min("anchor").cast("int").as("first_pos"))
+        .orderBy("q", "id")
     })
   )
 
@@ -1452,5 +1486,22 @@ object Similarity {
            score_u / 1000000.0 AS bm25
          FROM (SELECT q, id, score_u, row_number() OVER (
              PARTITION BY q ORDER BY score_u DESC, id) AS rank FROM scored)
-         WHERE rank <= $K ORDER BY q, rank""")
+         WHERE rank <= $K ORDER BY q, rank""") +
+    ("s_phrase" ->
+      s"""WITH arrs AS (SELECT doc_id, string_split(text, ' ') AS arr
+           FROM documents),
+         posts AS (SELECT doc_id AS id, t.i AS pos,
+             arr[CAST(t.i + 1 AS INT)] AS w
+           FROM arrs, unnest(range(0, len(arr))) AS t(i)),
+         qp AS (SELECT doc_id AS q, t.j AS j,
+             arr[CAST(t.j + 1 AS INT)] AS w
+           FROM arrs, unnest(range(0, $PhraseLen)) AS t(j)
+           WHERE doc_id < $NQueries),
+         anchored AS (SELECT qp.q, p.id, p.pos - qp.j AS anchor, qp.j
+           FROM qp JOIN posts p USING (w)),
+         occ AS (SELECT q, id, anchor FROM anchored
+           GROUP BY q, id, anchor HAVING count(DISTINCT j) = $PhraseLen)
+         SELECT q, id, CAST(count(*) AS INT) AS n_hits,
+           CAST(min(anchor) AS INT) AS first_pos
+         FROM occ GROUP BY q, id ORDER BY q, id""")
 }

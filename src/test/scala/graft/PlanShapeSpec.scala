@@ -247,4 +247,19 @@ class PlanShapeSpec extends SparkSpec {
       "only the 1-row totals pair-up may be unconditioned")
     graft.CacheBook.releaseAll(spark)
   }
+
+  test("s_phrase: phrase terms broadcast against one posting scan; no corpus self-join") {
+    // the intersect-by-offset trick means exactly ONE join (the tiny
+    // (q, j, w) phrase relation broadcast onto the positional postings)
+    // — a per-term self-join of the posting list would plan multiple
+    // corpus scans and shuffle them on word keys
+    val p = planOf("s_phrase")
+    assert(p.contains("BroadcastHashJoin"),
+      "the phrase relation must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "postings must never shuffle on the word key")
+    assert(p.split("Scan parquet").length - 1 == 2,
+      "exactly two scans: postings + the NQueries phrase slice")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
