@@ -28,6 +28,9 @@ object Similarity {
   private val SearchSeeds = 4  // graph-search entry points (s_graph_search)
   private val SearchBeam = 8   // graph-search beam width
   private val SearchRounds = 3 // graph-search expansion rounds
+  private val HnswBeam1 = 4    // s_hnsw_search: layer-1 descent beam width
+  private val HnswRounds1 = 2  // s_hnsw_search: layer-1 descent rounds
+  private val HnswPromote = "2" // promoted to layer 1 iff md5(id) < this (~1/8)
   private val MmrPool = 10     // MMR candidate pool per query (s_mmr)
   private val MmrK = 5         // MMR selections per query (s_mmr)
   private val NCentroids = 24 // IVF cells — FIXED K, constant in corpus size
@@ -140,6 +143,43 @@ object Similarity {
       .filter(col("rn") <= K)
       .select("q", "vec_id", "cos", "rn")
       .orderBy("q", "rn")
+  }
+
+  /** Exact-cosine re-rank of a (q, vec_id) candidate frame: join the
+    * vectors back, score against the broadcast query frame `qs`
+    * (columns q, qv, qn), rank per query as `brn`. */
+  private def cosRerank(e: DataFrame, qs: DataFrame, cand: DataFrame): DataFrame = {
+    val wb = Window.partitionBy("q").orderBy(col("cos").desc, col("vec_id").asc)
+    cand.join(e.select(col("vec_id"), col("v"), col("n")), "vec_id")
+      .join(qs, "q")
+      .select(col("q"), col("vec_id"),
+        VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos"))
+      .withColumn("brn", row_number().over(wb))
+  }
+
+  /** Greedy beam walk over an edge list (src as `vec_id`, `nbr`):
+    * re-rank the seed candidates to a beam of `width`, then `rounds`
+    * rounds of beam ∪ neighbors(beam) (edge EQUI-join) → re-rank →
+    * top-`width` per query, with a per-round local checkpoint (each
+    * round references the beam twice — unchecked, the plan nests
+    * exponentially). Shared by the flat and hierarchical searches. */
+  private def beamWalk(s: SparkSession, e: DataFrame, qs: DataFrame,
+      edges: DataFrame, seed: DataFrame, rounds: Int, width: Int): DataFrame = {
+    var beam = cosRerank(e, qs, seed)
+      .filter(col("brn") <= width).select("q", "vec_id")
+    for (_ <- 1 to rounds) {
+      val expanded = beam
+        .union(beam.join(edges, Seq("vec_id"))
+          .select(col("q"), col("nbr").as("vec_id")))
+        .distinct()
+      beam = cosRerank(e, qs, expanded).filter(col("brn") <= width)
+        .select("q", "vec_id")
+      val cp = beam.localCheckpoint(true)
+      graft.CacheBook.register(s, "s")(() =>
+        graft.CacheBook.unpersistCheckpoint(cp))
+      beam = cp
+    }
+    beam
   }
 
   private val bfCache = collection.mutable
@@ -450,38 +490,52 @@ object Similarity {
       val seeds = broadcast(e
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(SearchSeeds).select("vec_id"))
-      def rerank(cand: DataFrame): DataFrame = {
-        val wb = Window.partitionBy("q").orderBy(col("cos").desc, col("vec_id").asc)
-        cand.join(e.select(col("vec_id"), col("v"), col("n")), "vec_id")
-          .join(qs, "q")
-          .select(col("q"), col("vec_id"),
-            VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos"))
-          .withColumn("brn", row_number().over(wb))
-      }
       // NQueries × SearchSeeds pair-up: 1-row-class broadcast frames,
       // the scalar-subquery join shape (not a data cross join)
-      var beam = rerank(qs.select("q").join(seeds))
-        .filter(col("brn") <= SearchBeam).select("q", "vec_id")
-      for (r <- 1 to SearchRounds) {
-        val expanded = beam
-          .union(beam.join(gexp, Seq("vec_id"))
-            .select(col("q"), col("nbr").as("vec_id")))
-          .distinct()
-        beam = rerank(expanded).filter(col("brn") <= SearchBeam)
-          .select("q", "vec_id")
-        // bound plan depth (each round references the beam twice)
-        val cp = beam.localCheckpoint(true)
-        graft.CacheBook.register(s, "s")(() =>
-          graft.CacheBook.unpersistCheckpoint(cp))
-        beam = cp
-      }
-      topk(rerank(beam.filter(col("vec_id") =!= col("q")))
+      val beam = beamWalk(s, e, qs, gexp,
+        qs.select("q").join(seeds), SearchRounds, SearchBeam)
+      topk(cosRerank(e, qs, beam.filter(col("vec_id") =!= col("q")))
         .select("q", "vec_id", "cos"))
     }),
 
     // recall@K of the graph walk vs the same brute-force baseline —
     // prices the navigable-graph trade next to the IVF/LSH/PQ paths.
     "s_graph_search_recall" -> recallOf("s_graph_search"),
+
+    // HIERARCHICAL graph search — the full HNSW descent shape on top
+    // of the same standing graph: a sparse layer 1 (each vector
+    // promoted by a deterministic md5 draw, ~1/8 — the geometric level
+    // assignment of HNSW at fanout 8) is walked FIRST with a narrow
+    // beam over the subgraph the layer-0 KNN edges induce on promoted
+    // nodes; the layer-1 beam then SEEDS the layer-0 walk. Entry
+    // points thus adapt to the query (s_graph_search's are fixed),
+    // which is what bounds layer-0 rounds as the corpus grows — the
+    // upper layer shrinks the distance-to-target before the expensive
+    // wide-beam walk starts. All walk work stays NQueries × beam ×
+    // KnnK per round, corpus-independent; the layer-1 subgraph derives
+    // from the MEMOIZED layer-0 graph by two semi-joins (no second
+    // graph build). Recall priced by s_hnsw_recall next to the flat
+    // walk — same rounds, better-seeded.
+    "s_hnsw_search" -> memoAnn("s_hnsw_search")((s, dir) => {
+      val e = vecs(s, dir)
+      val g0 = knnGraph(s, dir).select(col("src").as("vec_id"), col("nbr"))
+      val prom = e.filter(md5(col("vec_id").cast("string")) < lit(HnswPromote))
+      val g1 = g0.join(prom.select("vec_id"), "vec_id")
+        .join(prom.select(col("vec_id").as("nbr")), "nbr")
+        .select("vec_id", "nbr")
+      val qs = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn")))
+      val seeds1 = broadcast(prom
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(SearchSeeds).select("vec_id"))
+      val entries = beamWalk(s, e, qs, g1,
+        qs.select("q").join(seeds1), HnswRounds1, HnswBeam1)
+      val beam = beamWalk(s, e, qs, g0, entries, SearchRounds, SearchBeam)
+      topk(cosRerank(e, qs, beam.filter(col("vec_id") =!= col("q")))
+        .select("q", "vec_id", "cos"))
+    }),
+
+    "s_hnsw_recall" -> recallOf("s_hnsw_search"),
 
     // MMR — maximal-marginal-relevance diversified re-rank (Carbonell &
     // Goldstein 1998), the standard result-diversification step between
@@ -1354,6 +1408,66 @@ object Similarity {
        WHERE rn <= $K ORDER BY q, rn"""
   }
 
+  /** SQL mirror of s_hnsw_search: the layer-1 descent CTEs (narrow
+    * beam over the promoted-node induced subgraph) feed the layer-0
+    * beam rounds; both layers are the same expansion/re-rank CTE-pair
+    * shape as [[sqlGraphSearch]], MATERIALIZED for the same
+    * plan-nesting reason. */
+  private def sqlHnswSearch: String = {
+    def cosOf(q: String, x: String) =
+      s"(${VecOps.sqlDot(s"$q.qv", s"$x.v")} / ($q.qn * $x.n))"
+    def walkRounds(pfx: String, edges: String, seed: String,
+        rounds: Int, width: Int): String =
+      (1 to rounds).map { r =>
+        val prev = if (r == 1) seed else s"${pfx}b${r - 1}"
+        s"""${pfx}x$r AS (SELECT DISTINCT q, vec_id FROM (
+             SELECT q, vec_id FROM $prev
+             UNION ALL
+             SELECT b.q, k.nbr AS vec_id FROM $prev b
+               JOIN $edges k ON k.src = b.vec_id)),
+           ${pfx}b$r AS MATERIALIZED (SELECT q, vec_id FROM (
+             SELECT x.q, x.vec_id,
+               row_number() OVER (PARTITION BY x.q ORDER BY
+                 ${cosOf("qs", "e")} DESC, x.vec_id) AS brn
+             FROM ${pfx}x$r x JOIN e ON e.vec_id = x.vec_id
+               JOIN qs ON qs.q = x.q)
+             WHERE brn <= $width)"""
+      }.mkString(",\n")
+    s"""WITH $sqlKnnCtes,
+       qs AS MATERIALIZED (SELECT vec_id AS q, v AS qv, n AS qn FROM e
+         WHERE vec_id < $NQueries),
+       prom AS MATERIALIZED (SELECT vec_id FROM e
+         WHERE md5(CAST(vec_id AS VARCHAR)) < '$HnswPromote'),
+       g1 AS MATERIALIZED (SELECT k.src, k.nbr FROM knn k
+         JOIN prom p1 ON p1.vec_id = k.src
+         JOIN prom p2 ON p2.vec_id = k.nbr),
+       seeds AS (SELECT vec_id FROM prom
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $SearchSeeds),
+       hb0 AS MATERIALIZED (SELECT q, vec_id FROM (
+         SELECT qs.q, e.vec_id,
+           row_number() OVER (PARTITION BY qs.q ORDER BY
+             ${cosOf("qs", "e")} DESC, e.vec_id) AS brn
+         FROM qs, seeds s JOIN e ON e.vec_id = s.vec_id)
+         WHERE brn <= $HnswBeam1),
+       ${walkRounds("h", "g1", "hb0", HnswRounds1, HnswBeam1)},
+       b0 AS MATERIALIZED (SELECT q, vec_id FROM (
+         SELECT h.q, h.vec_id,
+           row_number() OVER (PARTITION BY h.q ORDER BY
+             ${cosOf("qs", "e")} DESC, h.vec_id) AS brn
+         FROM hb$HnswRounds1 h JOIN e ON e.vec_id = h.vec_id
+           JOIN qs ON qs.q = h.q)
+         WHERE brn <= $SearchBeam),
+       ${walkRounds("", "knn", "b0", SearchRounds, SearchBeam)}
+       SELECT q, vec_id, cos, rn FROM (
+         SELECT b.q, b.vec_id, ${cosOf("qs", "e")} AS cos,
+           CAST(row_number() OVER (PARTITION BY b.q ORDER BY
+             ${cosOf("qs", "e")} DESC, b.vec_id) AS INT) AS rn
+         FROM b$SearchRounds b JOIN e ON e.vec_id = b.vec_id
+           JOIN qs ON qs.q = b.q
+         WHERE b.vec_id <> b.q)
+       WHERE rn <= $K ORDER BY q, rn"""
+  }
+
   /** SQL mirror of s_mmr's greedy selection: pool + within-pool pair
     * similarities (both in integer micro-units), then MmrK-1 chained
     * redundancy/argmax CTE rounds (MATERIALIZED — each round references
@@ -1412,6 +1526,14 @@ object Similarity {
     ("s_graph_search_recall" ->
       s"""WITH bf AS (${oracleBase("s_cosine_topk")}),
          ann AS ($sqlGraphSearch)
+         SELECT bf.q, CAST(count(ann.vec_id) AS INT) AS hits,
+           (count(ann.vec_id) / ${K}.0) AS recall
+         FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id
+         GROUP BY bf.q ORDER BY bf.q""") +
+    ("s_hnsw_search" -> sqlHnswSearch) +
+    ("s_hnsw_recall" ->
+      s"""WITH bf AS (${oracleBase("s_cosine_topk")}),
+         ann AS ($sqlHnswSearch)
          SELECT bf.q, CAST(count(ann.vec_id) AS INT) AS hits,
            (count(ann.vec_id) / ${K}.0) AS recall
          FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id

@@ -248,6 +248,19 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheBook.releaseAll(spark)
   }
 
+  test("s_hnsw_search: both layers walk by edge equi-joins; no cartesian") {
+    // layer 1 is the induced subgraph of the MEMOIZED layer-0 graph
+    // (two semi-shaped equi-joins on the promoted set) and both walks
+    // expand strictly along edges; the only unconditioned pair-up is
+    // the broadcast qs x seeds scalar-frame product
+    val p = planOf("s_hnsw_search")
+    assert(!p.contains("CartesianProduct"),
+      "walks must expand along edges, never all-pairs")
+    assert(p.contains("Scan ExistingRDD"),
+      "rounds must read checkpointed beams")
+    graft.CacheBook.releaseAll(spark)
+  }
+
   test("s_phrase: phrase terms broadcast against one posting scan; no corpus self-join") {
     // the intersect-by-offset trick means exactly ONE join (the tiny
     // (q, j, w) phrase relation broadcast onto the positional postings)
