@@ -190,4 +190,35 @@ object Multimodal {
       decodePng(id, syntheticPng(id), target)
     }))
   }
+
+  /** Perceptual average-hash of a decoded image: nearest-neighbor 8×8
+    * thumbnail (source pixel of (i, j) is (i·w div 8, j·h div 8) — the
+    * same resample rule as [[decodePng]]), bit k (row-major, k = j·8+i)
+    * set iff 64·p(k) > Σp — pure integer comparisons, no division, so
+    * the 64-char bit string is bit-identical cross-engine. Identical
+    * images hash identically by construction; near-identical ones
+    * (exposure/scale shifts) mostly agree, which is why avg-hash is
+    * the standard first-pass image-dedup key. */
+  def phashPng(bytes: Array[Byte]): String = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val p = Array.tabulate(64)(k => raster.getSample((k % 8) * w / 8, (k / 8) * h / 8, 0))
+    val sum = p.foldLeft(0L)(_ + _)
+    p.map(v => if (v.toLong * 64 > sum) '1' else '0').mkString
+  }
+
+  final case class PHash(doc_id: Long, phash: String)
+
+  /** Encode→decode→perceptual-hash over the id column, batched like
+    * [[decodeSynthetic]]. The hash is the image-dedup KEY: exact-match
+    * groups are duplicate images (at scale, near-dup at hamming ≤ t
+    * goes through band-grouping the 64 bits — the d_simhash shape). */
+  def phashSynthetic(ids: Dataset[Long]): Dataset[PHash] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
+      PHash(id, phashPng(syntheticPng(id)))
+    }))
+  }
 }

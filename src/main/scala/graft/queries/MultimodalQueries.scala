@@ -56,6 +56,23 @@ object MultimodalQueries {
         Tables.load(s, dir, "documents").select(col("doc_id")).as[Long],
         target = 64)
         .toDF().orderBy("doc_id")
+    }),
+
+    // IMAGE DEDUP via perceptual hash — the multimodal sibling of
+    // d_exact: each image decodes to its 8×8 average-hash (real
+    // ImageIO decode, integer-exact bit string) and exact-hash groups
+    // are duplicate clusters (ids congruent mod 256 render identical
+    // synthetic images, so real dup groups exist in the gate data).
+    // Only (doc_id, 64-char hash) crosses the shuffle — never pixels;
+    // the group count is a window over the hash partition.
+    "m_phash" -> ((s, dir) => {
+      import s.implicits._
+      val ph = Multimodal.phashSynthetic(
+        Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]).toDF()
+      ph.withColumn("n_dup",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("phash")).cast("int"))
+        .orderBy("doc_id")
     })
   )
 
@@ -125,6 +142,27 @@ object MultimodalQueries {
            (((sg * 1000000) // (w * h)) / 1000000.0) AS mean_gray,
            CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
            (((rsg * 1000000) // (ow * oh)) / 1000000.0) AS resized_mean_gray
-         FROM out ORDER BY doc_id"""
+         FROM out ORDER BY doc_id""",
+
+    // thumbnail pixel (i, j) = formula at ((i*w)//8, (j*h)//8); bit k
+    // row-major (i = k%8, j = k//8), set iff 64*p > sum — the same
+    // integer comparisons the decoder makes on real pixels
+    "m_phash" ->
+      """WITH dims AS (SELECT doc_id,
+             CAST(16 + doc_id % 32 AS INT) AS w,
+             CAST(16 + (doc_id * 7) % 32 AS INT) AS h
+           FROM documents),
+         th AS (SELECT doc_id, k.i AS k,
+             (doc_id + 3 * (((k.i % 8) * w) // 8)
+               + 5 * (((k.i // 8) * h) // 8)) % 256 AS p
+           FROM dims, unnest(range(0, 64)) AS k(i)),
+         s AS (SELECT doc_id, sum(p) AS sp FROM th GROUP BY doc_id),
+         ph AS (SELECT th.doc_id,
+             string_agg(CASE WHEN th.p * 64 > s.sp THEN '1' ELSE '0' END,
+               '' ORDER BY th.k) AS phash
+           FROM th JOIN s USING (doc_id) GROUP BY th.doc_id),
+         grp AS (SELECT phash, count(*) AS n_dup FROM ph GROUP BY phash)
+         SELECT ph.doc_id, ph.phash, CAST(grp.n_dup AS INT) AS n_dup
+         FROM ph JOIN grp USING (phash) ORDER BY ph.doc_id"""
   )
 }

@@ -44,4 +44,27 @@ class MultimodalDecodeSpec extends SparkSpec {
     val d7 = out.find(_.doc_id == 7L).get
     assert(d7 == Multimodal.decodePng(7L, Multimodal.syntheticPng(7L), 64))
   }
+
+  test("phashPng matches the thumbnail-formula reference on decoded pixels") {
+    for (id <- Seq(0L, 3L, 77L, 511L)) {
+      val w = (16 + id % 32).toInt
+      val h = (16 + (id * 7) % 32).toInt
+      val p = (0 until 64).map(k => gray(id, (k % 8) * w / 8, (k / 8) * h / 8))
+      val sum = p.sum
+      val want = p.map(v => if (v * 64 > sum) '1' else '0').mkString
+      assert(Multimodal.phashPng(Multimodal.syntheticPng(id)) == want)
+    }
+  }
+
+  test("ids congruent mod 256 render identical images and share a phash") {
+    // w depends on id mod 32, h on id mod 32 (via *7), pixels on id
+    // mod 256 — so id and id+256 are bit-identical images: the dup
+    // groups m_phash finds are REAL decoded-pixel duplicates
+    assert(Multimodal.syntheticPng(5L).toSeq == Multimodal.syntheticPng(261L).toSeq)
+    assert(Multimodal.phashPng(Multimodal.syntheticPng(5L)) ==
+      Multimodal.phashPng(Multimodal.syntheticPng(261L)))
+    // and a non-congruent pair does not (differing dims force it)
+    assert(Multimodal.phashPng(Multimodal.syntheticPng(5L)) !=
+      Multimodal.phashPng(Multimodal.syntheticPng(6L)))
+  }
 }
