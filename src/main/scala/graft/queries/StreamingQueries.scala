@@ -127,6 +127,26 @@ object StreamingQueries {
         StreamingOps.purchaseErrorJoin(StreamingOps.eventsStream(s, dir)), name,
         org.apache.spark.sql.streaming.OutputMode.Append())
       out.orderBy("p_id", "e_id")
+    }),
+
+    // Streaming incremental rollup: q_inc_agg's standing state
+    // maintained from a stream via per-micro-batch IncrementalAgg
+    // merges (foreachBatch) — merge associativity makes any batching
+    // equal the one-shot aggregate, which is the oracle.
+    "st_inc_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val stored = s.read.parquet(s"$dir/orders.parquet").schema
+      val orders = s.readStream.schema(stored)
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      val acc = new StreamingOps.IncAggState(Seq("o_custkey"), col("o_totalprice"))
+      val q = StreamingOps.incAggIngest(orders, acc)
+      q.processAllAvailable()
+      q.stop()
+      val st = acc.current(s, stored)
+      graft.CacheBook.register(s, "st")(() => acc.release())
+      st.select(col("o_custkey"), col("n"),
+          col("total").cast("double").as("total"), col("lo"), col("hi"))
+        .orderBy("o_custkey")
     })
   )
 
@@ -139,6 +159,13 @@ object StreamingQueries {
     "st_dedup" ->
       """SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
          FROM events ORDER BY user_id, h""",
+
+    // streamed micro-batch merges must be invisible in the end state
+    "st_inc_agg" ->
+      """SELECT o_custkey, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
 
     // the batch LSH pipeline restricted to standing-a / new-b pairs:
     // streaming probe == batch from-scratch on exactly those pairs

@@ -255,4 +255,55 @@ object StreamingOps {
           graft.sources.AnnIndexStore.append(batch.sparkSession, path, batch)
       }
       .start()
+
+  /** Standing per-key rollup state maintained from a stream — the
+    * real-time half of q_inc_agg's nightly merge (the batch half is
+    * `IncrementalAgg.merge` over a persisted state table). Each
+    * absorbed micro-batch folds its partial aggregate into the
+    * standing state, eagerly materialized per batch (the source
+    * micro-batch is transient — an unmaterialized merge would
+    * reference it after the trigger completes). State stays key-sized
+    * whatever the stream volume; per-batch merge cost is |state| +
+    * |batch keys|. Because merge is associative+commutative
+    * (IncAggSpec), ANY micro-batching of the input lands on the
+    * one-shot aggregate — what both the DuckDB oracle and the
+    * 3-batch StreamingSpec check. */
+  final class IncAggState(keys: Seq[String], value: org.apache.spark.sql.Column) {
+    private var state: Option[DataFrame] = None
+
+    def absorb(batch: DataFrame): Unit = synchronized {
+      val delta = graft.operators.IncrementalAgg.state(batch, keys, value)
+      val merged = state match {
+        case Some(st) => graft.operators.IncrementalAgg.merge(keys, st, delta)
+        case None     => delta
+      }
+      val cp = merged.localCheckpoint(true)
+      state.foreach(graft.CacheBook.unpersistCheckpoint)
+      state = Some(cp)
+    }
+
+    /** The standing state (empty-state frame if nothing arrived). */
+    def current(spark: SparkSession, inputSchema: StructType): DataFrame =
+      synchronized {
+        state.getOrElse(graft.operators.IncrementalAgg.state(
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), inputSchema),
+          keys, value))
+      }
+
+    def release(): Unit = synchronized {
+      state.foreach(graft.CacheBook.unpersistCheckpoint)
+      state = None
+    }
+  }
+
+  /** Maintain `acc` from a stream of rows via foreachBatch. */
+  def incAggIngest(rows: DataFrame, acc: IncAggState)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) acc.absorb(batch.toDF())
+      }
+      .start()
 }

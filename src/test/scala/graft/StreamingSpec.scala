@@ -217,4 +217,30 @@ class StreamingSpec extends SparkSpec {
     // and the index actually grew by the incoming half
     assert(fromBatch.size == base.count() + incoming.count())
   }
+
+  test("streaming incremental rollup in 3 micro-batches equals the one-shot aggregate") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 90L).map(i => (i % 11, (i * 31 % 100).toDouble))
+    val input = MemoryStream[(Long, Double)]
+    val stream = input.toDS().toDF("k", "v")
+    val acc = new StreamingOps.IncAggState(Seq("k"), col("v"))
+    val q = StreamingOps.incAggIngest(stream, acc)
+    rows.grouped(30).foreach { chunk =>
+      input.addData(chunk)
+      q.processAllAvailable() // one micro-batch per chunk
+    }
+    q.stop()
+    val got = acc.current(spark, stream.schema)
+      .select("k", "n", "total", "lo", "hi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    val want = graft.operators.IncrementalAgg
+      .state(rows.toDF("k", "v"), Seq("k"), col("v"))
+      .select("k", "n", "total", "lo", "hi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    acc.release()
+    assert(got == want)
+  }
 }
