@@ -400,6 +400,38 @@ object Similarity {
           VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
     }),
 
+    // Standing-INDEX HEALTH — the nightly check an index-maintenance
+    // loop gates compaction/rebuild on: per-cell population and mean
+    // centroid fit (integer micro-units) straight off the persisted
+    // artifact, with hot/cold balance flags against the uniform share
+    // (hot = over 2x, cold = under 1/2x — a hot cell makes every probe
+    // of it scan-heavy, a drifted fit means the quantizer no longer
+    // matches the data and recall decays silently). One pruned
+    // cells-scan + one broadcast centroid join + one aggregation —
+    // O(index size), no corpus rescan, so the check is cheap enough to
+    // run every night at any scale. The oracle recomputes the store
+    // content from the deterministic assignment.
+    "s_index_health" -> ((s, dir) => {
+      val path = ivfStorePath(s, dir)
+      val (cents, cells) = graft.sources.AnnIndexStore.read(s, path)
+      // fit in shifted micro-units, (cos + 1)·1e6 ∈ [0, 2e6]: keeping
+      // the summed score non-negative sidesteps the truncate-vs-floor
+      // integer-division split between engines on negative sums
+      val fit = cells.join(broadcast(cents), "cid")
+        .select(col("cid"),
+          floor((VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")) + lit(1.0))
+            * lit(1000000.0)).cast("long").as("cm"))
+      val tot = broadcast(fit.agg(count(lit(1)).as("t")))
+      fit.groupBy("cid")
+        .agg(count(lit(1)).as("n_vecs"), sum("cm").as("sm"))
+        .join(tot)
+        .select(col("cid"), col("n_vecs"),
+          expr("sm div n_vecs").as("fit_micro"),
+          (col("n_vecs") * lit(NCentroids) > col("t") * 2).as("hot"),
+          (col("n_vecs") * lit(NCentroids) * 2 < col("t")).as("cold"))
+        .orderBy("cid")
+    }),
+
     // KNN-GRAPH build — the all-vectors neighbor-list primitive that
     // SemDeDup-style pruning, cluster-based curation, and graph ANN
     // all start from: EVERY vector (not just the NQueries probes)
@@ -1225,6 +1257,29 @@ object Similarity {
              FROM e, c0) WHERE arn = 1)
          SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM assigned
          GROUP BY cid ORDER BY cid""",
+
+    // the store holds the UNREFINED assignment; health stats recompute
+    // it and the per-vector centroid fit in the same integer micro form
+    "s_index_health" ->
+      s"""WITH e AS ($sqlVecs),
+         c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
+         assigned AS (SELECT vec_id, v, n, cid FROM (
+           SELECT e.vec_id, e.v, e.n, c0.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                 c0.cid) AS arn
+           FROM e, c0) WHERE arn = 1),
+         fit AS (SELECT a.cid,
+             CAST(floor(((${VecOps.sqlDot("a.v", "c.cv")} / (a.n * c.cn)) + 1.0)
+               * 1000000.0) AS BIGINT) AS cm
+           FROM assigned a JOIN c0 c USING (cid)),
+         tot AS (SELECT count(*) AS t FROM fit)
+         SELECT cid, count(*) AS n_vecs,
+           CAST(sum(cm) // count(*) AS BIGINT) AS fit_micro,
+           (count(*) * $NCentroids > 2 * t) AS hot,
+           (count(*) * $NCentroids * 2 < t) AS cold
+         FROM fit, tot GROUP BY cid, t ORDER BY cid""",
 
     "s_pq_ann" ->
       s"""WITH e AS ($sqlVecs),
