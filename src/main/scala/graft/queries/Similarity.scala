@@ -546,7 +546,7 @@ object Similarity {
     // wide-beam walk starts. All walk work stays NQueries × beam ×
     // KnnK per round, corpus-independent; the layer-1 subgraph derives
     // from the MEMOIZED layer-0 graph by two semi-joins (no second
-    // graph build). Recall priced by s_hnsw_recall next to the flat
+    // graph build). Recall priced by s_hnsw_search_recall next to the flat
     // walk — same rounds, better-seeded.
     "s_hnsw_search" -> memoAnn("s_hnsw_search")((s, dir) => {
       val e = vecs(s, dir)
@@ -567,7 +567,7 @@ object Similarity {
         .select("q", "vec_id", "cos"))
     }),
 
-    "s_hnsw_recall" -> recallOf("s_hnsw_search"),
+    "s_hnsw_search_recall" -> recallOf("s_hnsw_search"),
 
     // MMR — maximal-marginal-relevance diversified re-rank (Carbonell &
     // Goldstein 1998), the standard result-diversification step between
@@ -1586,7 +1586,7 @@ object Similarity {
          FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id
          GROUP BY bf.q ORDER BY bf.q""") +
     ("s_hnsw_search" -> sqlHnswSearch) +
-    ("s_hnsw_recall" ->
+    ("s_hnsw_search_recall" ->
       s"""WITH bf AS (${oracleBase("s_cosine_topk")}),
          ann AS ($sqlHnswSearch)
          SELECT bf.q, CAST(count(ann.vec_id) AS INT) AS hits,

@@ -62,6 +62,20 @@ object TextAnalysis {
         .select(col("doc_id"), explode(shingles(wordsCol, 2)).as("bg"))
   }
 
+  /** Per-doc LM-score accumulators (doc_id, nb, sx) — the salted
+    * Zipf-skewed bigram-count join (count side replicates 8-fold like
+    * x_top_terms' df join; never broadcast — the bigram table grows
+    * with the corpus) runs ONCE per (session, corpus): x_lm_score and
+    * x_ccnet_buckets both read this relation; x_build prices it. */
+  private def lmScores: (SparkSession, String) => DataFrame = memoX("lm_scores") {
+    (s, dir) =>
+      val grams = lmGrams(s, dir)
+      val cnt = grams.groupBy("bg").agg(count(lit(1)).as("c"))
+      graft.operators.SkewJoin.salted(grams, cnt, key = "bg", uniqueCol = "doc_id")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nb"), sum(expr("1000000 div c")).as("sx"))
+  }
+
   /** (doc_id, 48-bit span hash) stride-1 windows — x_dup_spans' probe
     * and df sides. */
   private def spanRel: (SparkSession, String) => DataFrame = memoX("spans") {
@@ -169,12 +183,14 @@ object TextAnalysis {
       val lnF = Future(lineRel(s, dir).select("line").distinct().count())
       val bpF = Future(bpeWtok(s, dir).count())
       val dsF = Future(dsirScores(s, dir).count())
-      val (nBg, nSp, nLn, nBp, nDs) = (
+      val lsF = Future(lmScores(s, dir).count())
+      val (nBg, nSp, nLn, nBp, nDs, nLs) = (
         Await.result(bgF, Duration.Inf), Await.result(spF, Duration.Inf),
         Await.result(lnF, Duration.Inf), Await.result(bpF, Duration.Inf),
-        Await.result(dsF, Duration.Inf))
+        Await.result(dsF, Duration.Inf), Await.result(lsF, Duration.Inf))
       Seq(("bigram_kinds", nBg), ("bpe_vocab", nBp),
-        ("dsir_docs", nDs), ("line_kinds", nLn), ("span_kinds", nSp))
+        ("dsir_docs", nDs), ("line_kinds", nLn), ("lm_docs", nLs),
+        ("span_kinds", nSp))
         .toDF("item", "n").orderBy("item")
     }),
 
@@ -408,21 +424,13 @@ object TextAnalysis {
     // bigram lookup key is Zipf-skewed, so the count join is SALTED
     // exactly like the x_top_terms df join (count side replicates
     // 8-fold; never broadcast — the bigram table grows with the corpus).
-    "x_lm_score" -> ((s, dir) => {
-      // the occurrence relation memoizes (x_build prices it): both the
-      // count side and the probe side of the join consume it, and the
-      // scan-spread explode pipeline runs once per session, not twice
-      // per call
-      val grams = lmGrams(s, dir)
-      val cnt = grams.groupBy("bg").agg(count(lit(1)).as("c"))
-      graft.operators.SkewJoin.salted(grams, cnt, key = "bg", uniqueCol = "doc_id")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(expr("1000000 div c")).as("s"))
-        .select(col("doc_id"), col("n_bigrams").cast("int").as("n_bigrams"),
-          (expr("s div n_bigrams") / 1000000.0).as("lm_score"))
-        .orderBy("doc_id")
-    }),
+    "x_lm_score" -> ((s, dir) =>
+      // the per-doc accumulators memoize ([[lmScores]], priced by
+      // x_build): this probe is a projection of the cached relation
+      lmScores(s, dir)
+        .select(col("doc_id"), col("nb").cast("int").as("n_bigrams"),
+          (expr("sx div nb") / 1000000.0).as("lm_score"))
+        .orderBy("doc_id")),
 
     // CCNet-style corpus split (Wenzek et al. 2020): per LANGUAGE,
     // divide documents into head/middle/tail thirds of the LM score
@@ -439,12 +447,7 @@ object TextAnalysis {
     // one pass over the scored corpus, thresholds from a
     // histogram that would fit on a postcard at 100 TB.
     "x_ccnet_buckets" -> ((s, dir) => {
-      val grams = lmGrams(s, dir)
-      val cnt = grams.groupBy("bg").agg(count(lit(1)).as("c"))
-      val scored = graft.operators.SkewJoin
-        .salted(grams, cnt, key = "bg", uniqueCol = "doc_id")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("nb"), sum(expr("1000000 div c")).as("sx"))
+      val scored = lmScores(s, dir)
         .select(col("doc_id"), expr("(sx div nb) div 1000").as("lm_kilo"))
       val db = docs(s, dir).select(col("doc_id"), col("lang"))
         .join(scored, "doc_id")
@@ -812,12 +815,16 @@ object TextAnalysis {
          bp AS (SELECT count(DISTINCT w) AS n FROM (
              SELECT unnest(string_split(text, ' ')) AS w FROM documents)
            WHERE length(w) > 0),
-         ds AS (SELECT count(*) AS n FROM documents WHERE doc_id >= $DsirBench)
+         ds AS (SELECT count(*) AS n FROM documents WHERE doc_id >= $DsirBench),
+         ls AS (SELECT count(DISTINCT doc_id) AS n FROM (
+             SELECT doc_id FROM documents,
+               unnest(${sqlShingles("string_split(text, ' ')", 2)}) AS t(bg)))
          SELECT item, CAST(n AS BIGINT) AS n FROM (
            SELECT 'bigram_kinds' AS item, n FROM bg
            UNION ALL SELECT 'bpe_vocab', n FROM bp
            UNION ALL SELECT 'dsir_docs', n FROM ds
            UNION ALL SELECT 'line_kinds', n FROM ln
+           UNION ALL SELECT 'lm_docs', n FROM ls
            UNION ALL SELECT 'span_kinds', n FROM sp)
          ORDER BY item""",
 
