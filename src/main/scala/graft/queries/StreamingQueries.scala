@@ -133,6 +133,24 @@ object StreamingQueries {
     // maintained from a stream via per-micro-batch IncrementalAgg
     // merges (foreachBatch) — merge associativity makes any batching
     // equal the one-shot aggregate, which is the oracle.
+    // CDC apply: the events stream upserts a standing latest-row-per-
+    // user table, last-writer-wins on the TOTAL (ts, event_id) version
+    // order — batch boundaries and delivery order cannot change the
+    // end state, which is the batch argmax the oracle computes.
+    "st_cdc_upsert" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = StreamingOps.eventsStream(s, dir)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      val acc = new StreamingOps.CdcState(Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+      val q = StreamingOps.cdcUpsert(ev, acc)
+      q.processAllAvailable()
+      q.stop()
+      val st = acc.current(s, ev.schema)
+      graft.CacheBook.register(s, "st")(() => acc.release())
+      st.orderBy("user_id")
+    }),
+
     "st_inc_agg" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val stored = s.read.parquet(s"$dir/orders.parquet").schema
@@ -159,6 +177,13 @@ object StreamingQueries {
     "st_dedup" ->
       """SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
          FROM events ORDER BY user_id, h""",
+
+    "st_cdc_upsert" ->
+      """SELECT event_id, user_id, ts, event_type, value FROM (
+           SELECT event_id, user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id""",
 
     // streamed micro-batch merges must be invisible in the end state
     "st_inc_agg" ->

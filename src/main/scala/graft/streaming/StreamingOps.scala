@@ -306,4 +306,53 @@ object StreamingOps {
         if (!batch.isEmpty) acc.absorb(batch.toDF())
       }
       .start()
+
+  /** Standing table maintained from a CHANGE stream by
+    * last-writer-wins upsert — the CDC-apply operator (the MERGE INTO
+    * of a lakehouse table format, expressed as a keyed window): each
+    * micro-batch unions into the standing state and the winner per key
+    * is picked by the TOTAL version order `ordering` (e.g. ts DESC
+    * then a unique id DESC — totality is what makes the result
+    * independent of batch boundaries AND of delivery order, unlike
+    * insert-only IncAggState which only needs associativity). State
+    * stays key-sized; per-batch cost is a key-shuffle of |state| +
+    * |batch|. At warehouse scale the same window runs per partition
+    * of a date-bucketed state table so a batch only rewrites the
+    * buckets it touches. */
+  final class CdcState(keys: Seq[String],
+      ordering: Seq[org.apache.spark.sql.Column]) {
+    private var state: Option[DataFrame] = None
+
+    def absorb(batch: DataFrame): Unit = synchronized {
+      val merged = state.map(_ unionByName batch).getOrElse(batch)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+      val next = merged.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val cp = next.localCheckpoint(true)
+      state.foreach(graft.CacheBook.unpersistCheckpoint)
+      state = Some(cp)
+    }
+
+    def current(spark: SparkSession, schema: StructType): DataFrame =
+      synchronized {
+        state.getOrElse(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+      }
+
+    def release(): Unit = synchronized {
+      state.foreach(graft.CacheBook.unpersistCheckpoint)
+      state = None
+    }
+  }
+
+  /** Apply a change stream to `acc` via foreachBatch. */
+  def cdcUpsert(rows: DataFrame, acc: CdcState)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) acc.absorb(batch.toDF())
+      }
+      .start()
 }

@@ -243,4 +243,29 @@ class StreamingSpec extends SparkSpec {
     acc.release()
     assert(got == want)
   }
+
+  test("CDC upsert in shuffled micro-batches equals the one-shot argmax") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // several versions per key; version order (v, id) is TOTAL so
+    // delivery order must not matter — deliver deliberately scrambled
+    val rows = (1L to 60L).map(i => (i, i % 7, (i * 13 % 20), s"p$i"))
+    val scrambled = rows.sortBy(r => (r._1 * 7919) % 97)
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val stream = input.toDS().toDF("id", "k", "v", "payload")
+    val acc = new StreamingOps.CdcState(Seq("k"),
+      Seq(col("v").desc, col("id").desc))
+    val q = StreamingOps.cdcUpsert(stream, acc)
+    scrambled.grouped(20).foreach { chunk =>
+      input.addData(chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = acc.current(spark, stream.schema).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val want = rows.groupBy(_._2).values
+      .map(g => g.maxBy(r => (r._3, r._1))).toSet
+    acc.release()
+    assert(got == want)
+  }
 }
