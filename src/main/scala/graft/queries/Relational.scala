@@ -484,10 +484,12 @@ object Relational {
     "q_inc_agg" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val keys = Seq("o_custkey")
-      val base = IncrementalAgg.state(
-        o.filter(col("o_orderdate") < "1997-07-01"), keys, col("o_totalprice"))
-      val delta = IncrementalAgg.state(
-        o.filter(col("o_orderdate") >= "1997-07-01"), keys, col("o_totalprice"))
+      // the split must PARTITION the table: a NULL date fails both a
+      // < and a >= predicate and would silently drop the row from both
+      // halves, so the delta side takes NOT(base) with null folded in
+      val inBase = coalesce(col("o_orderdate") < "1997-07-01", lit(false))
+      val base = IncrementalAgg.state(o.filter(inBase), keys, col("o_totalprice"))
+      val delta = IncrementalAgg.state(o.filter(!inBase), keys, col("o_totalprice"))
       IncrementalAgg.merge(keys, base, delta)
         .select(col("o_custkey"), col("n"),
           col("total").cast("double").as("total"), col("lo"), col("hi"))

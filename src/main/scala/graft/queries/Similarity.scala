@@ -421,10 +421,12 @@ object Similarity {
         .select(col("cid"),
           floor((VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")) + lit(1.0))
             * lit(1000000.0)).cast("long").as("cm"))
-      val tot = broadcast(fit.agg(count(lit(1)).as("t")))
+      // ONE scan of the cells: the grand total derives from the per-cell
+      // aggregate (≤ NCentroids rows) via an all-rows window, not a
+      // second evaluation of the fit subtree
       fit.groupBy("cid")
         .agg(count(lit(1)).as("n_vecs"), sum("cm").as("sm"))
-        .join(tot)
+        .withColumn("t", sum("n_vecs").over(Window.partitionBy()))
         .select(col("cid"), col("n_vecs"),
           expr("sm div n_vecs").as("fit_micro"),
           (col("n_vecs") * lit(NCentroids) > col("t") * 2).as("hot"),

@@ -143,9 +143,11 @@ object StreamingQueries {
         .select("event_id", "user_id", "ts", "event_type", "value")
       val acc = new StreamingOps.CdcState(Seq("user_id"),
         Seq(col("ts").desc, col("event_id").desc))
-      val q = StreamingOps.cdcUpsert(ev, acc)
-      q.processAllAvailable()
-      q.stop()
+      StreamingOps.withStreamConf(s) {
+        val q = StreamingOps.ingest(ev, acc)
+        q.processAllAvailable()
+        q.stop()
+      }
       val st = acc.current(s, ev.schema)
       graft.CacheBook.register(s, "st")(() => acc.release())
       st.orderBy("user_id")
@@ -157,9 +159,11 @@ object StreamingQueries {
       val orders = s.readStream.schema(stored)
         .option("pathGlobFilter", "orders.parquet").parquet(dir)
       val acc = new StreamingOps.IncAggState(Seq("o_custkey"), col("o_totalprice"))
-      val q = StreamingOps.incAggIngest(orders, acc)
-      q.processAllAvailable()
-      q.stop()
+      StreamingOps.withStreamConf(s) {
+        val q = StreamingOps.ingest(orders, acc)
+        q.processAllAvailable()
+        q.stop()
+      }
       val st = acc.current(s, stored)
       graft.CacheBook.register(s, "st")(() => acc.release())
       st.select(col("o_custkey"), col("n"),

@@ -574,6 +574,8 @@ object TextAnalysis {
   private[queries] val LineDfMax = 2
   /** x_dup_spans: words per window. Lee et al. use 50 BPE tokens on web
     * text; 13 words scales that to this corpus's 20-80-word docs. */
+  private[queries] val SpanW = 13
+
   /** Per-language head/middle/tail tercile split of `db` = (doc_id,
     * lang, lm_kilo). Thresholds t1/t2 are the smallest bucket whose
     * per-language cumulative histogram count reaches ceil(n/3) /
@@ -586,7 +588,9 @@ object TextAnalysis {
     val hist = db.groupBy("lang", "lm_kilo").agg(count(lit(1)).as("hc"))
     val cum = hist.withColumn("cum",
       sum("hc").over(Window.partitionBy("lang").orderBy("lm_kilo")))
-    val tot = db.groupBy("lang").agg(count(lit(1)).as("nl"))
+    // per-language totals off the HISTOGRAM (≤1001 rows/lang), not a
+    // second aggregation of the corpus-sized scored relation
+    val tot = hist.groupBy("lang").agg(sum("hc").as("nl"))
     val th = cum.join(tot, "lang")
       .groupBy("lang")
       .agg(min(when(col("cum") * 3 >= col("nl"), col("lm_kilo"))).as("t1"),
@@ -598,7 +602,6 @@ object TextAnalysis {
           .otherwise("tail").as("split"))
   }
 
-  private[queries] val SpanW = 13
   /** x_dsir: hashed-feature space size (DSIR hashes n-grams into a
     * FIXED bucket count, which is what makes the weight table
     * broadcastable at any corpus size) and the target-corpus id bound
@@ -1007,7 +1010,7 @@ object TextAnalysis {
          cum AS (SELECT lang, lm_kilo,
              sum(hc) OVER (PARTITION BY lang ORDER BY lm_kilo) AS cum
            FROM hist),
-         tot AS (SELECT lang, count(*) AS nl FROM db GROUP BY lang),
+         tot AS (SELECT lang, sum(hc) AS nl FROM hist GROUP BY lang),
          th AS (SELECT lang,
              min(CASE WHEN 3 * cum >= nl THEN lm_kilo END) AS t1,
              min(CASE WHEN 3 * cum >= 2 * nl THEN lm_kilo END) AS t2

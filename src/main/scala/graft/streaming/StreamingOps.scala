@@ -256,49 +256,68 @@ object StreamingOps {
       }
       .start()
 
-  /** Standing per-key rollup state maintained from a stream — the
-    * real-time half of q_inc_agg's nightly merge (the batch half is
-    * `IncrementalAgg.merge` over a persisted state table). Each
-    * absorbed micro-batch folds its partial aggregate into the
-    * standing state, eagerly materialized per batch (the source
-    * micro-batch is transient — an unmaterialized merge would
-    * reference it after the trigger completes). State stays key-sized
-    * whatever the stream volume; per-batch merge cost is |state| +
-    * |batch keys|. Because merge is associative+commutative
-    * (IncAggSpec), ANY micro-batching of the input lands on the
-    * one-shot aggregate — what both the DuckDB oracle and the
-    * 3-batch StreamingSpec check. */
-  final class IncAggState(keys: Seq[String], value: org.apache.spark.sql.Column) {
-    private var state: Option[DataFrame] = None
-
-    def absorb(batch: DataFrame): Unit = synchronized {
-      val delta = graft.operators.IncrementalAgg.state(batch, keys, value)
-      val merged = state match {
-        case Some(st) => graft.operators.IncrementalAgg.merge(keys, st, delta)
-        case None     => delta
+  /** Run `body` with the stream-scoped SQL conf every bounded
+    * streaming query here uses ([[runToMemory]] documents why: state
+    * stores pay per-commit IO per shuffle partition every micro-batch,
+    * so the width is sized to stream state volume, and background
+    * snapshot maintenance only adds IO on short bounded runs). The
+    * foreachBatch ingests run their per-batch plans under the same
+    * scoping. Both keys restore afterwards. */
+  def withStreamConf[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val mKey = "spark.sql.streaming.stateStore.maintenanceInterval"
+    val prev = spark.conf.get(key)
+    val prevM = spark.conf.getOption(mKey)
+    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    spark.conf.set(mKey, "600s")
+    try body
+    finally {
+      spark.conf.set(key, prev)
+      prevM match {
+        case Some(v) => spark.conf.set(mKey, v)
+        case None    => spark.conf.unset(mKey)
       }
-      val cp = merged.localCheckpoint(true)
+    }
+  }
+
+  /** Standing state maintained from a stream by per-micro-batch
+    * recomputation: `computeNext(batch)` folds the batch into the
+    * current state, and the result is eagerly checkpoint-materialized
+    * before the trigger completes (the source micro-batch frame is
+    * transient — an unmaterialized plan would reference it afterward).
+    * The previous checkpoint's blocks free on each swap; `release`
+    * frees the last. One swap protocol shared by every ingest flavor. */
+  sealed abstract class MicroBatchState {
+    protected var state: Option[DataFrame] = None
+
+    /** Fold `batch` into `state` (None = first batch). */
+    protected def computeNext(batch: DataFrame): DataFrame
+
+    /** The state to report when NOTHING arrived, from the input schema. */
+    protected def emptyState(spark: SparkSession, inputSchema: StructType): DataFrame
+
+    final protected def emptyInput(spark: SparkSession,
+        inputSchema: StructType): DataFrame =
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), inputSchema)
+
+    final def absorb(batch: DataFrame): Unit = synchronized {
+      val cp = computeNext(batch).localCheckpoint(true)
       state.foreach(graft.CacheBook.unpersistCheckpoint)
       state = Some(cp)
     }
 
-    /** The standing state (empty-state frame if nothing arrived). */
-    def current(spark: SparkSession, inputSchema: StructType): DataFrame =
-      synchronized {
-        state.getOrElse(graft.operators.IncrementalAgg.state(
-          spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), inputSchema),
-          keys, value))
-      }
+    final def current(spark: SparkSession, inputSchema: StructType): DataFrame =
+      synchronized { state.getOrElse(emptyState(spark, inputSchema)) }
 
-    def release(): Unit = synchronized {
+    final def release(): Unit = synchronized {
       state.foreach(graft.CacheBook.unpersistCheckpoint)
       state = None
     }
   }
 
   /** Maintain `acc` from a stream of rows via foreachBatch. */
-  def incAggIngest(rows: DataFrame, acc: IncAggState)
+  def ingest(rows: DataFrame, acc: MicroBatchState)
       : org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .outputMode(OutputMode.Append())
@@ -306,6 +325,29 @@ object StreamingOps {
         if (!batch.isEmpty) acc.absorb(batch.toDF())
       }
       .start()
+
+  /** Standing per-key rollup state maintained from a stream — the
+    * real-time half of q_inc_agg's nightly merge (the batch half is
+    * `IncrementalAgg.merge` over a persisted state table). State stays
+    * key-sized whatever the stream volume; per-batch merge cost is
+    * |state| + |batch keys|. Because merge is associative+commutative
+    * (IncAggSpec), ANY micro-batching of the input lands on the
+    * one-shot aggregate — what both the DuckDB oracle and the
+    * 3-batch StreamingSpec check. */
+  final class IncAggState(keys: Seq[String],
+      value: org.apache.spark.sql.Column) extends MicroBatchState {
+    protected def computeNext(batch: DataFrame): DataFrame = {
+      val delta = graft.operators.IncrementalAgg.state(batch, keys, value)
+      state match {
+        case Some(st) => graft.operators.IncrementalAgg.merge(keys, st, delta)
+        case None     => delta
+      }
+    }
+    protected def emptyState(spark: SparkSession,
+        inputSchema: StructType): DataFrame =
+      graft.operators.IncrementalAgg.state(
+        emptyInput(spark, inputSchema), keys, value)
+  }
 
   /** Standing table maintained from a CHANGE stream by
     * last-writer-wins upsert — the CDC-apply operator (the MERGE INTO
@@ -320,39 +362,20 @@ object StreamingOps {
     * of a date-bucketed state table so a batch only rewrites the
     * buckets it touches. */
   final class CdcState(keys: Seq[String],
-      ordering: Seq[org.apache.spark.sql.Column]) {
-    private var state: Option[DataFrame] = None
-
-    def absorb(batch: DataFrame): Unit = synchronized {
+      ordering: Seq[org.apache.spark.sql.Column]) extends MicroBatchState {
+    protected def computeNext(batch: DataFrame): DataFrame = {
       val merged = state.map(_ unionByName batch).getOrElse(batch)
+      // rank-column name must not collide with a payload column (CDC
+      // feeds commonly carry upstream row-number metadata)
+      val rn = Iterator.from(0).map(i => s"__rn$i")
+        .find(n => !merged.columns.contains(n)).get
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*).orderBy(ordering: _*)
-      val next = merged.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-      val cp = next.localCheckpoint(true)
-      state.foreach(graft.CacheBook.unpersistCheckpoint)
-      state = Some(cp)
+      merged.withColumn(rn, row_number().over(w))
+        .filter(col(rn) === 1).drop(rn)
     }
-
-    def current(spark: SparkSession, schema: StructType): DataFrame =
-      synchronized {
-        state.getOrElse(spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
-      }
-
-    def release(): Unit = synchronized {
-      state.foreach(graft.CacheBook.unpersistCheckpoint)
-      state = None
-    }
+    protected def emptyState(spark: SparkSession,
+        inputSchema: StructType): DataFrame =
+      emptyInput(spark, inputSchema)
   }
-
-  /** Apply a change stream to `acc` via foreachBatch. */
-  def cdcUpsert(rows: DataFrame, acc: CdcState)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    rows.writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) acc.absorb(batch.toDF())
-      }
-      .start()
 }

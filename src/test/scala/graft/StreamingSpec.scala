@@ -225,7 +225,7 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Long, Double)]
     val stream = input.toDS().toDF("k", "v")
     val acc = new StreamingOps.IncAggState(Seq("k"), col("v"))
-    val q = StreamingOps.incAggIngest(stream, acc)
+    val q = StreamingOps.ingest(stream, acc)
     rows.grouped(30).foreach { chunk =>
       input.addData(chunk)
       q.processAllAvailable() // one micro-batch per chunk
@@ -255,7 +255,7 @@ class StreamingSpec extends SparkSpec {
     val stream = input.toDS().toDF("id", "k", "v", "payload")
     val acc = new StreamingOps.CdcState(Seq("k"),
       Seq(col("v").desc, col("id").desc))
-    val q = StreamingOps.cdcUpsert(stream, acc)
+    val q = StreamingOps.ingest(stream, acc)
     scrambled.grouped(20).foreach { chunk =>
       input.addData(chunk)
       q.processAllAvailable()
