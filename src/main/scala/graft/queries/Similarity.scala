@@ -360,7 +360,48 @@ object Similarity {
     // two recall evals price them side by side.
     "s_ivf_kmeans" -> memoAnn("s_ivf_kmeans")((s, dir) => ivfAnn(s, dir, refine = true)),
 
-    "s_ivf_kmeans_recall" -> recallOf("s_ivf_kmeans")
+    "s_ivf_kmeans_recall" -> recallOf("s_ivf_kmeans"),
+
+    // FILTERED ANN — the vector-DB "filtered search" mode: top-K among
+    // candidates satisfying a metadata predicate (label % 3 == 0),
+    // via POST-filtering the probed IVF cells. The label rides in the
+    // cell relation itself (see buildIvfIndex) so the predicate prunes
+    // candidates inside the probe join — no corpus-side metadata join.
+    // Post-filter is the right default when the predicate keeps a
+    // meaningful fraction (here ~1/3); a highly selective predicate
+    // starves the probed cells and wants either more probes or a
+    // pre-filtered per-label index — s_filtered_recall prices exactly
+    // that starvation against the filtered brute force.
+    "s_filtered_ann" -> memoAnn("s_filtered_ann")((s, dir) => {
+      val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
+      val e = vecs(s, dir)
+      val probes = probeCells(e, broadcast(cents))
+      topk(probes.join(assigned.filter(col("label") % 3 === 0), "cid")
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
+    }),
+
+    // recall vs the FILTERED brute force (the unfiltered baseline would
+    // undercount: ground truth under a predicate is the best matching
+    // rows, not the best rows that happen to match)
+    "s_filtered_recall" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val qs = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn")))
+      val bf = topk(e.filter(col("label") % 3 === 0).join(qs)
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
+        .select("q", "vec_id")
+      val ann = Similarity.queries("s_filtered_ann")(s, dir)
+        .select(col("q"), col("vec_id"), lit(1).as("hit"))
+      bf.join(ann, Seq("q", "vec_id"), "left")
+        .groupBy("q")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
+        .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
+        .orderBy("q")
+    })
   ) ++ Map[String, (SparkSession, String) => DataFrame](
     // eta-expansion through a lambda: pqAnnBody/ivfpqAnnBody are vals
     // declared below this map (object init order would capture null
@@ -895,7 +936,11 @@ object Similarity {
           VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("ccos"))
         .withColumn("arn", row_number().over(wAssign))
         .filter(col("arn") === 1)
-        .select("vec_id", "v", "n", "cid")
+        // label rides in the cell relation (and thus the persisted
+        // cells parquet): the in-memory analog of storing filterable
+        // metadata IN the index files, which is what lets filtered
+        // search prune candidates without a corpus-side join
+        .select("vec_id", "label", "v", "n", "cid")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       assigned.count()
       graft.CacheBook.register(s, "s") { () =>
@@ -1168,6 +1213,30 @@ object Similarity {
             CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, vec_id) AS INT) AS rn
           FROM ($from))
         WHERE rn <= $K ORDER BY q, rn"""
+
+  /** SQL mirror of s_filtered_ann: the unrefined IVF probe with the
+    * label predicate applied to the cell relation (which carries label,
+    * like the Spark-side assigned). */
+  private def sqlFilteredAnn: String = sqlTopk(
+    s"""WITH e AS ($sqlVecs),
+       c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
+       assigned AS (SELECT vec_id, label, v, n, cid FROM (
+           SELECT e.vec_id, e.label, e.v, e.n, c0.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                 c0.cid) AS arn
+           FROM e, c0) WHERE arn = 1),
+       probes AS (SELECT q, qv, qn, cid FROM (
+           SELECT e.vec_id AS q, e.v AS qv, e.n AS qn, c0.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                 c0.cid) AS prn
+           FROM e, c0 WHERE e.vec_id < $NQueries) WHERE prn <= $NProbe)
+       SELECT probes.q, assigned.vec_id,
+         (${VecOps.sqlDot("probes.qv", "assigned.v")} / (probes.qn * assigned.n)) AS cos
+       FROM probes JOIN assigned USING (cid)
+       WHERE assigned.vec_id <> probes.q AND assigned.label % 3 = 0""")
 
   /** The PQ oracle CTE block (trainers → refined codebook → codes →
     * query LUT) over a corpus CTE named `e` — shared verbatim by
@@ -1587,6 +1656,20 @@ object Similarity {
            (count(ann.vec_id) / ${K}.0) AS recall
          FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id
          GROUP BY bf.q ORDER BY bf.q""") +
+    ("s_filtered_ann" -> sqlFilteredAnn) +
+    ("s_filtered_recall" -> {
+      val bff = sqlTopk(
+        s"""SELECT qs.vec_id AS q, e.vec_id,
+             (${VecOps.sqlDot("qs.v", "e.v")} / (qs.n * e.n)) AS cos
+           FROM ($sqlVecs) qs JOIN ($sqlVecs) e ON e.vec_id <> qs.vec_id
+           WHERE qs.vec_id < $NQueries AND e.label % 3 = 0""")
+      s"""WITH bff AS ($bff),
+         ann AS ($sqlFilteredAnn)
+         SELECT bff.q, CAST(count(ann.vec_id) AS INT) AS hits,
+           (count(ann.vec_id) / ${K}.0) AS recall
+         FROM bff LEFT JOIN ann ON ann.q = bff.q AND ann.vec_id = bff.vec_id
+         GROUP BY bff.q ORDER BY bff.q"""
+    }) +
     ("s_hnsw_search" -> sqlHnswSearch) +
     ("s_hnsw_search_recall" ->
       s"""WITH bf AS (${oracleBase("s_cosine_topk")}),
