@@ -28,13 +28,22 @@ object Verify {
     }
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          // a failed query must FAIL the compare, not silently reuse the
-          // previous run's parquet if outDir is being re-used
-          deleteRecursively(new java.io.File(s"$outDir/$name"))
+        // one retry: under the concurrent pool a query can flake on a
+        // transient (temp-checkpoint/driver-resource races observed
+        // ~1/300 runs); a retry that ALSO fails is a real failure and
+        // must fail the compare. Deterministic errors fail both tries.
+        def attempt(): Unit = fn(spark, sfDir).coalesce(1).write
+          .mode("overwrite").parquet(s"$outDir/$name")
+        try attempt()
+        catch { case e1: Throwable =>
+          System.err.println(s"[verify] $name failed (${e1.getMessage}); retrying")
+          try attempt()
+          catch { case e2: Throwable =>
+            System.err.println(s"[verify] $name failed twice: ${e2.getMessage}")
+            // a failed query must FAIL the compare, not silently reuse
+            // the previous run's parquet if outDir is being re-used
+            deleteRecursively(new java.io.File(s"$outDir/$name"))
+          }
         }
       }
     }
