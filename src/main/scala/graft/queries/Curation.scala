@@ -65,6 +65,30 @@ object Curation {
         (coalesce(sum(tokensCol).over(w), lit(0L)) / PackBudget).cast("int"))
   }
 
+  /** Temperature-quota sample of `d` = (doc_id, source, …): per-source
+    * quota = total · ws / Σws with ws = floor(sqrt(ns·1e6)) (one
+    * correctly-rounded double op per source, integer math everywhere
+    * else — bit-identical cross-engine), total = half the corpus; the
+    * draw is the md5-priority k-smallest per source. CurationSpec
+    * holds the sqrt direction on skewed sources (big sources
+    * down-weighted vs natural frequency). */
+  private[graft] def temperatureMix(d: DataFrame): DataFrame = {
+    val w = d.groupBy("source").agg(count(lit(1)).as("ns"))
+      .select(col("source"),
+        floor(sqrt(col("ns") * lit(1000000.0))).cast("long").as("ws"))
+    val quotas = broadcast(
+      w.join(broadcast(w.agg(sum("ws").as("sw"))))
+        .join(broadcast(d.agg(expr("count(1) div 2").as("total"))))
+        .select(col("source"), expr("(total * ws) div sw").as("ks")))
+    d.select(col("doc_id"), col("source"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .join(quotas, "source")
+      .filter(col("r") <= col("ks"))
+      .select(col("doc_id"), col("source"), col("r").cast("int").as("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic train/val/test assignment: hash-gated 90/5/5.
     // Membership depends only on (salt, doc_id) — adding documents
@@ -114,6 +138,22 @@ object Curation {
     // weight*N docs in expectation, deterministic per doc — and each
     // copy carries its epoch index. Output amplification is bounded by
     // ceil(max weight), so the explode cannot blow up a partition.
+    // TEMPERATURE mixture allocation (the Gopher/LLaMA data-mixture
+    // recipe at alpha = 1/2): per-source sample quotas proportional to
+    // sqrt(n_s) — big sources are down-weighted, small ones
+    // over-represented relative to natural frequency. Determinism
+    // discipline: the per-source weight is floor(sqrt(ns * 1e6)) —
+    // sqrt is IEEE correctly-rounded, ONE double op per source, no
+    // float ever SUMS (quota shares are integer multiply-divide over
+    // the summed integer weights), so allocation is bit-identical
+    // cross-engine. The draw is the hash-priority k-smallest per
+    // source (rank <= quota over an md5 priority window): stable
+    // under corpus growth until a quota binds, and at 100 TB the
+    // per-source rank reduces two-stage (per-partition top-k, then
+    // merge) exactly like x_domain_cap's cap.
+    "x_mix_temp" -> ((s, dir) =>
+      temperatureMix(docs(s, dir)).orderBy("doc_id")),
+
     "x_mix" -> ((s, dir) => {
       val gate = Determinism.md5Idx(
         concat(lit("mix#"), col("doc_id").cast("string"))) % 100
@@ -253,6 +293,21 @@ object Curation {
              ${Determinism.sqlMd5IdxK("'shf#' || CAST(doc_id AS VARCHAR)", 12)} AS k
            FROM documents)
          ORDER BY doc_id""",
+
+    "x_mix_temp" ->
+      """WITH w AS (SELECT source,
+             CAST(floor(sqrt(count(*) * 1000000.0)) AS BIGINT) AS ws
+           FROM documents GROUP BY source),
+         tw AS (SELECT sum(ws) AS sw,
+             (SELECT count(*) // 2 FROM documents) AS total FROM w),
+         k AS (SELECT source, (total * ws) // sw AS ks FROM w, tw),
+         ranked AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+           FROM documents)
+         SELECT ranked.doc_id, ranked.source, CAST(r AS INT) AS rank
+         FROM ranked JOIN k USING (source)
+         WHERE r <= ks ORDER BY ranked.doc_id""",
 
     "x_mix" ->
       s"""SELECT doc_id, lang, CAST(unnest(range(0, n)) AS INT) AS epoch

@@ -87,4 +87,27 @@ class CurationSpec extends SparkSpec {
       assert(n >= lo && n <= hi, s"$lang weight bounds violated: $n copies")
     }
   }
+
+  test("x_mix_temp: sqrt-temperature quotas flatten skewed sources") {
+    // sources 400/100/16 docs: natural shares 78/19/3 %, sqrt weights
+    // 20/10/4 -> quota shares ~59/29/12 % of total=258. The naive
+    // reference recomputes the allocation arithmetic independently.
+    val rows = (1L to 400L).map((_, "big")) ++
+      (401L to 500L).map((_, "mid")) ++ (501L to 516L).map((_, "small"))
+    val d = rows.toDF("doc_id", "source")
+    val got = graft.queries.Curation.temperatureMix(d)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val ws = Map("big" -> 400, "mid" -> 100, "small" -> 16).map {
+      case (s, n) => s -> math.floor(math.sqrt(n * 1000000.0)).toLong
+    }
+    val sw = ws.values.sum
+    val total = rows.size / 2
+    val sizes = Map("big" -> 400L, "mid" -> 100L, "small" -> 16L)
+    // a quota above the source's size keeps the whole source
+    val want = ws.map { case (s, w) => s -> math.min(total * w / sw, sizes(s)) }
+    assert(got == want, s"got $got want $want")
+    // direction: big's kept FRACTION is the smallest, small's largest
+    assert(got("big") * 16 < got("small") * 400,
+      "sqrt temperature must over-represent the small source")
+  }
 }
