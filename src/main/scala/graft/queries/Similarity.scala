@@ -846,22 +846,33 @@ object Similarity {
     "s_phrase" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val toks = split(col("text"), " ")
-      val posts = d.select(col("doc_id").as("id"), posexplode(toks))
-        .select(col("id"), col("pos"), col("col").as("w"))
-      val qp = broadcast(d.filter(col("doc_id") < NQueries)
+      val qp = d.filter(col("doc_id") < NQueries)
         .select(col("doc_id").as("q"), posexplode(slice(toks, 1, PhraseLen)))
-        .select(col("q"), col("pos").as("j"), col("col").as("w")))
-      val anchored = qp.join(posts, "w")
-        .select(col("q"), col("id"), (col("pos") - col("j")).as("anchor"), col("j"))
-      anchored.groupBy("q", "id", "anchor")
-        .agg(countDistinct("j").as("nj"))
-        .filter(col("nj") === PhraseLen)
-        .groupBy("q", "id")
-        .agg(count(lit(1)).cast("int").as("n_hits"),
-          min("anchor").cast("int").as("first_pos"))
-        .orderBy("q", "id")
+        .select(col("q"), col("pos").as("j"), col("col").as("w"))
+      phraseSearch(d, qp).orderBy("q", "id")
     })
   )
+
+  /** Intersect-by-offset phrase match: `qp` = (q, j, w) phrase terms
+    * (tiny — broadcasts), matched against one positional posting scan
+    * of `d`; each posting hit votes anchor = pos − j and an anchor
+    * holding all PhraseLen distinct offsets is an occurrence.
+    * Duplicate words inside a phrase are correct by construction
+    * (each offset checks independently at its own position) —
+    * PhraseSpec holds that plus multi-occurrence counting. */
+  private[graft] def phraseSearch(d: DataFrame, qp: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val posts = d.select(col("doc_id").as("id"), posexplode(toks))
+      .select(col("id"), col("pos"), col("col").as("w"))
+    val anchored = broadcast(qp).join(posts, "w")
+      .select(col("q"), col("id"), (col("pos") - col("j")).as("anchor"), col("j"))
+    anchored.groupBy("q", "id", "anchor")
+      .agg(countDistinct("j").as("nj"))
+      .filter(col("nj") === PhraseLen)
+      .groupBy("q", "id")
+      .agg(count(lit(1)).cast("int").as("n_hits"),
+        min("anchor").cast("int").as("first_pos"))
+  }
 
   /** recall@K of a sibling ANN query vs the brute-force baseline —
     * exact integer ratio, both rankings deterministic. */
