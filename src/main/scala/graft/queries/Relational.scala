@@ -494,6 +494,36 @@ object Relational {
         .select(col("o_custkey"), col("n"),
           col("total").cast("double").as("total"), col("lo"), col("hi"))
         .orderBy("o_custkey")
+    }),
+
+    // Time-series gap-fill + LOCF: regularize each user's event stream
+    // to a dense daily series — the resample step every downstream
+    // time-series op (rolling windows, day-over-day diffs, forecasting
+    // features) assumes. The calendar is generated PER KEY from that
+    // key's own [min, max] day span (sequence + explode — no global
+    // calendar build, no cross join), observed days land via a keyed
+    // left join, and missing days carry the last observed daily total
+    // forward with a last(ignoreNulls) running window. Cost: one
+    // groupBy to daily grain, one span agg, one keyed join, one
+    // per-key window — everything partitions by user_id, and the
+    // explode fan-out is bounded by the span, not the corpus. Daily
+    // totals sum in integer micro-units (BIGINT — order-independent)
+    // with one final double division, so LOCF values hash identically
+    // cross-engine. First day per key is observed by construction, so
+    // the carry never yields NULL.
+    "q_gap_fill" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * lit(1000000.0)).cast("long").as("vmic"))
+      val obs = e.groupBy("user_id", "day").agg(sum("vmic").as("dmic"))
+      val span = obs.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+      val cal = span.select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(obs, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), col("dmic").isNull.as("is_gap"),
+          (last(col("dmic"), ignoreNulls = true).over(w) / lit(1000000.0)).as("value_locf"))
+        .orderBy("user_id", "day")
     })
   )
 
@@ -773,6 +803,22 @@ object Relational {
       """SELECT o_custkey, count(*) AS n,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
            min(o_totalprice) AS lo, max(o_totalprice) AS hi
-         FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q_gap_fill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS vmic FROM events),
+         obs AS (SELECT user_id, day, sum(vmic) AS dmic FROM e GROUP BY user_id, day),
+         span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+           FROM obs GROUP BY user_id),
+         cal AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span)
+         SELECT cal.user_id, cal.day, obs.dmic IS NULL AS is_gap,
+           last_value(obs.dmic IGNORE NULLS) OVER (PARTITION BY cal.user_id
+             ORDER BY cal.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0
+             AS value_locf
+         FROM cal LEFT JOIN obs
+           ON cal.user_id = obs.user_id AND cal.day = obs.day
+         ORDER BY cal.user_id, cal.day"""
   )
 }

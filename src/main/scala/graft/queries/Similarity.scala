@@ -33,6 +33,8 @@ object Similarity {
   private val HnswPromote = "2" // promoted to layer 1 iff md5(id) < this (~1/8)
   private val MmrPool = 10     // MMR candidate pool per query (s_mmr)
   private val MmrK = 5         // MMR selections per query (s_mmr)
+  private val RangeTauMicro = 300000L // s_range_search radius (cos micro-units)
+  private val CoreK = 5        // k-center greedy selections (s_coreset)
   private val NCentroids = 24 // IVF cells — FIXED K, constant in corpus size
   private val PqM = 8        // PQ subspaces (64-dim vectors -> 8x8)
   private val PqSub = 8      // dims per subspace
@@ -401,6 +403,115 @@ object Similarity {
         .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
         .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
         .orderBy("q")
+    }),
+
+    // RANGE (radius) search — the other vector-DB retrieval mode: ALL
+    // neighbors with cosine ≥ τ, not a fixed top-K ("find every
+    // near-duplicate / every match above the relevance bar"). Same
+    // sub-linear IVF probe as s_ivf_ann — the radius predicate is a
+    // row-local filter on the probed cells, so cost is identical to a
+    // top-K probe while the result size floats with the data. The
+    // threshold compares in floored MICRO-units so the boundary
+    // decision is integer-exact cross-engine (a cos within 1e-16 of τ
+    // must land on the same side in both engines). τ sits above the
+    // corpus's p99 cosine — selective, as a dedup/match radius is.
+    "s_range_search" -> memoAnn("s_range_search")((s, dir) => {
+      val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
+      val probes = probeCells(vecs(s, dir), broadcast(cents))
+      probes.join(assigned, "cid")
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos"))
+        .filter(floor(col("cos") * lit(1000000.0)).cast("long") >= RangeTauMicro)
+        .orderBy("q", "vec_id")
+    }),
+
+    // recall of the IVF range search vs the RADIUS-filtered brute
+    // force (ground truth under a radius is every in-radius row). A
+    // query with an empty true result set counts recall 1.0 — there
+    // was nothing to miss; per-query true/found counts ship alongside
+    // so the gate pins the exact sets, not just the ratio.
+    "s_range_recall" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val qs = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn")))
+      val bf = qs.join(e, col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos"))
+        .filter(floor(col("cos") * lit(1000000.0)).cast("long") >= RangeTauMicro)
+        .select("q", "vec_id")
+      val ann = Similarity.queries("s_range_search")(s, dir)
+        .select(col("q"), col("vec_id"), lit(1).as("hit"))
+      val truth = bf.join(ann, Seq("q", "vec_id"), "left")
+        .groupBy("q")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("hits"))
+      qs.select("q").join(truth, Seq("q"), "left")
+        .select(col("q"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          when(coalesce(col("n_true"), lit(0L)) === 0, lit(1.0))
+            .otherwise(coalesce(col("hits"), lit(0L)) / coalesce(col("n_true"), lit(0L)))
+            .as("recall"))
+        .orderBy("q")
+    }),
+
+    // TRIANGLE count over the KNN graph — the local-clustering signal
+    // (how cliquish is each vector's neighborhood) that separates a
+    // corpus with real near-duplicate clusters from uniform noise;
+    // the graph sibling of d_cluster's global view. Edges
+    // canonicalize to undirected u<w pairs, wedges come from ONE
+    // self-equi-join on the shared endpoint (a<b<c by construction —
+    // each triangle forms exactly one wedge+closure, no /3 fixup),
+    // and a second equi-join closes them. On a KnnK-bounded graph the
+    // wedge relation is O(N·KnnK²) — degree-bounded, never quadratic
+    // in N; the canonical edge list persists because three join
+    // branches read it.
+    "s_triangle_count" -> ((s, dir) => {
+      val und = graft.operators.TriangleCount
+        .canonical(knnGraph(s, dir).select("src", "nbr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.register(s, "s")(() => { und.unpersist(false); () })
+      graft.operators.TriangleCount.perNode(und).orderBy("vec_id")
+    }),
+
+    // CORESET selection by k-center greedy (Gonzalez farthest-point)
+    // — the diversity-first data-selection primitive (seed sets for
+    // active learning, eval-set picking, diverse fine-tuning
+    // subsets): each round adds the point LEAST similar to everything
+    // already selected. Each round is one corpus scan against a
+    // broadcast ≤CoreK-row center table → per-point max-similarity in
+    // floored micro-units → global argmin as a TakeOrdered(1) (never
+    // a full sort), so the whole selection is CoreK scans whatever
+    // the corpus size; the greedy trajectory incl. tie-breaks is
+    // integer-exact cross-engine, and the seed is the same
+    // hash-ordered deterministic draw the IVF centroids use. The
+    // maxsim_micro column is the coverage radius curve — the quality
+    // certificate (greedy is 2-approx for the k-center radius).
+    "s_coreset" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      var sel = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(1).cast("int").as("round"),
+          lit(-1L).as("maxsim_micro"))
+      for (t <- 2 to CoreK) {
+        val sv = broadcast(sel.select("vec_id").join(e, "vec_id")
+          .select(col("vec_id").as("c"), col("v").as("cv"), col("n").as("cn")))
+        val pick = e.join(sv, col("vec_id") =!= col("c"))
+          .groupBy("vec_id")
+          .agg(max(floor(VecOps.cosine(col("v"), col("cv"), col("n"), col("cn"))
+            * lit(1000000.0)).cast("long")).as("ms"))
+          .join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
+          .orderBy(col("ms").asc, col("vec_id").asc).limit(1)
+          .select(col("vec_id"), lit(t).cast("int").as("round"),
+            col("ms").as("maxsim_micro"))
+        sel = sel.unionByName(pick)
+        // bound plan depth: the next round reads sel twice (center
+        // attach + anti-join) — uncheckpointed the plan nests per round
+        val cp = sel.localCheckpoint(true)
+        graft.CacheBook.register(s, "s")(() =>
+          graft.CacheBook.unpersistCheckpoint(cp))
+        sel = cp
+      }
+      sel.orderBy("round")
     })
   ) ++ Map[String, (SparkSession, String) => DataFrame](
     // eta-expansion through a lambda: pqAnnBody/ivfpqAnnBody are vals
@@ -1249,6 +1360,59 @@ object Similarity {
        FROM probes JOIN assigned USING (cid)
        WHERE assigned.vec_id <> probes.q AND assigned.label % 3 = 0""")
 
+  /** SQL mirror of s_range_search: the unrefined IVF probe with the
+    * micro-unit radius predicate in place of the top-K window. */
+  private def sqlRangeSearch: String =
+    s"""WITH e AS ($sqlVecs),
+       c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
+       assigned AS (SELECT vec_id, v, n, cid FROM (
+           SELECT e.vec_id, e.v, e.n, c0.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                 c0.cid) AS arn
+           FROM e, c0) WHERE arn = 1),
+       probes AS (SELECT q, qv, qn, cid FROM (
+           SELECT e.vec_id AS q, e.v AS qv, e.n AS qn, c0.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                 c0.cid) AS prn
+           FROM e, c0 WHERE e.vec_id < $NQueries) WHERE prn <= $NProbe),
+       scored AS (SELECT probes.q, assigned.vec_id,
+           (${VecOps.sqlDot("probes.qv", "assigned.v")} / (probes.qn * assigned.n)) AS cos
+         FROM probes JOIN assigned USING (cid)
+         WHERE assigned.vec_id <> probes.q)
+       SELECT q, vec_id, cos FROM scored
+       WHERE CAST(floor(cos * 1000000.0) AS BIGINT) >= $RangeTauMicro
+       ORDER BY q, vec_id"""
+
+  /** SQL mirror of s_coreset: CoreK−1 chained greedy rounds (centers →
+    * per-point max-sim → argmin pick → accumulated selection), each
+    * MATERIALIZED — the next round reads its predecessor twice. */
+  private def sqlCoreset: String = {
+    val rounds = (2 to CoreK).map { t =>
+      val prev = s"sel${t - 1}"
+      s"""cs$t AS (SELECT e.vec_id AS c, e.v AS cv, e.n AS cn
+           FROM e JOIN $prev ON $prev.vec_id = e.vec_id),
+         ms$t AS (SELECT x.vec_id,
+             max(CAST(floor((${VecOps.sqlDot("x.v", "c.cv")} / (x.n * c.cn))
+               * 1000000.0) AS BIGINT)) AS ms
+           FROM e x JOIN cs$t c ON x.vec_id <> c.c
+           WHERE x.vec_id NOT IN (SELECT vec_id FROM $prev)
+           GROUP BY x.vec_id),
+         pick$t AS (SELECT vec_id, $t AS round, ms FROM ms$t
+           ORDER BY ms, vec_id LIMIT 1),
+         sel$t AS MATERIALIZED (SELECT * FROM $prev
+           UNION ALL SELECT * FROM pick$t)"""
+    }.mkString(",\n")
+    s"""WITH e AS ($sqlVecs),
+       sel1 AS MATERIALIZED (SELECT vec_id, 1 AS round, CAST(-1 AS BIGINT) AS ms
+         FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       $rounds
+       SELECT vec_id, CAST(round AS INT) AS round, ms AS maxsim_micro
+       FROM sel$CoreK ORDER BY round"""
+  }
+
   /** The PQ oracle CTE block (trainers → refined codebook → codes →
     * query LUT) over a corpus CTE named `e` — shared verbatim by
     * s_pq_ann and s_ivfpq_ann. */
@@ -1668,6 +1832,38 @@ object Similarity {
          FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id
          GROUP BY bf.q ORDER BY bf.q""") +
     ("s_filtered_ann" -> sqlFilteredAnn) +
+    ("s_range_search" -> sqlRangeSearch) +
+    ("s_range_recall" -> {
+      val bfr =
+        s"""SELECT qs.vec_id AS q, e.vec_id
+           FROM ($sqlVecs) qs JOIN ($sqlVecs) e ON e.vec_id <> qs.vec_id
+           WHERE qs.vec_id < $NQueries
+             AND CAST(floor((${VecOps.sqlDot("qs.v", "e.v")} / (qs.n * e.n))
+               * 1000000.0) AS BIGINT) >= $RangeTauMicro"""
+      s"""WITH bfr AS ($bfr),
+         ann AS ($sqlRangeSearch),
+         qs AS (SELECT vec_id AS q FROM embeddings WHERE vec_id < $NQueries)
+         SELECT qs.q, count(bfr.vec_id) AS n_true, count(ann.vec_id) AS hits,
+           CASE WHEN count(bfr.vec_id) = 0 THEN 1.0
+                ELSE count(ann.vec_id) / count(bfr.vec_id) END AS recall
+         FROM qs LEFT JOIN bfr ON bfr.q = qs.q
+           LEFT JOIN ann ON ann.q = bfr.q AND ann.vec_id = bfr.vec_id
+         GROUP BY qs.q ORDER BY qs.q"""
+    }) +
+    ("s_triangle_count" ->
+      s"""WITH $sqlKnnCtes,
+         und AS MATERIALIZED (SELECT DISTINCT least(src, nbr) AS u,
+             greatest(src, nbr) AS w
+           FROM knn),
+         tri AS MATERIALIZED (SELECT e1.u AS a, e1.w AS b, e2.w AS c
+           FROM und e1 JOIN und e2 ON e1.w = e2.u
+           JOIN und e3 ON e3.u = e1.u AND e3.w = e2.w)
+         SELECT vec_id, count(*) AS n_tri FROM (
+           SELECT a AS vec_id FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri)
+         GROUP BY vec_id ORDER BY vec_id""") +
+    ("s_coreset" -> sqlCoreset) +
     ("s_filtered_recall" -> {
       val bff = sqlTopk(
         s"""SELECT qs.vec_id AS q, e.vec_id,

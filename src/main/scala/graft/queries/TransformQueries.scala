@@ -121,7 +121,27 @@ object TransformQueries {
         col("c_nationkey"),
         nul.as("acctbal"),
         const("SEGMENT").as("mktsegment"))
-        .orderBy("c_custkey"))
+        .orderBy("c_custkey")),
+
+    // k-anonymity / l-diversity AUDIT — the release gate a scrub
+    // pipeline runs before shipping a slice: group the table by its
+    // quasi-identifier tuple (nation, coarse balance bucket) and flag
+    // every class that re-identifies (size < k) or is sensitive-value
+    // homogeneous (distinct mktsegment < l). One map-side-combined
+    // aggregation — the class table is the shuffle, never the rows —
+    // so the audit costs one scan at any table size. Negative balances
+    // bucket by floor division, identical in both engines.
+    "t_kanon_audit" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_nationkey").as("nation"),
+          floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"),
+          col("c_mktsegment"))
+        .groupBy("nation", "bal_bucket")
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct("c_mktsegment").as("l_div"))
+        .select(col("nation"), col("bal_bucket"), col("class_size"), col("l_div"),
+          (col("class_size") < 5).as("k_risk"), (col("l_div") < 2).as("l_risk"))
+        .orderBy("nation", "bal_bucket"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -174,6 +194,15 @@ object TransformQueries {
       s"""SELECT c_custkey,
           (${sqlGivenName("c_name")} || ' ' || ${sqlSurname("c_name")}) AS name,
           c_nationkey, CAST(NULL AS VARCHAR) AS acctbal, 'SEGMENT' AS mktsegment
-          FROM customer ORDER BY c_custkey"""
+          FROM customer ORDER BY c_custkey""",
+    "t_kanon_audit" ->
+      """SELECT c_nationkey AS nation,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+           count(*) AS class_size,
+           count(DISTINCT c_mktsegment) AS l_div,
+           count(*) < 5 AS k_risk,
+           count(DISTINCT c_mktsegment) < 2 AS l_risk
+         FROM customer GROUP BY nation, bal_bucket
+         ORDER BY nation, bal_bucket"""
   )
 }
