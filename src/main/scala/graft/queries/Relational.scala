@@ -524,6 +524,66 @@ object Relational {
         .select(col("user_id"), col("day"), col("dmic").isNull.as("is_gap"),
           (last(col("dmic"), ignoreNulls = true).over(w) / lit(1000000.0)).as("value_locf"))
         .orderBy("user_id", "day")
+    }),
+
+    // Rolling TIME-window aggregate — a RANGE frame over the day
+    // number, not a ROWS frame: the 7-day window is defined by TIME
+    // distance, so it is correct across gap days without any gap-fill
+    // (a ROWS 6-preceding frame silently spans months when days are
+    // missing — the classic rolling-metric bug). One daily-grain
+    // aggregation + one per-key window; daily totals in integer
+    // micro-units so the rolling sums are order-independent and exact.
+    "q_window_range" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * lit(1000000.0)).cast("long").as("vmic"))
+        .groupBy("user_id", "day")
+        .agg(sum("vmic").as("dmic"), count(lit(1)).as("n_ev"))
+      val w7 = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+      daily.select(col("user_id"), col("day"),
+          (col("dmic") / lit(1000000.0)).as("day_value"),
+          (sum("dmic").over(w7) / lit(1000000.0)).as("roll7_value"),
+          sum("n_ev").over(w7).as("roll7_events"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Per-group EXACT least-squares fit (the drift/profiling op: does
+    // revenue scale with quantity the same way in every group?): all
+    // five accumulators sum per-row integer centi-units in
+    // DECIMAL(38,0) — order-independent, so the distributed partial
+    // aggregation is exact — and the closed-form slope/intercept come
+    // out via integer micro-unit division. The intercept's numerator
+    // can be negative (its sign is sampling noise), and Spark's `div`
+    // truncates where DuckDB's `//` floors — the SHIFT (+K·den before
+    // the division, −K after, K=1e13 > any reachable |intercept|)
+    // keeps the numerator positive so both engines agree bit-for-bit.
+    // r2_micro chains the already-integer slope through the same
+    // positive-operand division. One map-side-combined aggregation;
+    // six output rows. (At extreme corpus sizes the raw-moment
+    // products approach DECIMAL(38)'s range — mean-centered
+    // accumulation is the standard fix; the plan shape is unchanged.)
+    "q_linreg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_quantity") * 100).cast("decimal(38,0)").as("xi"),
+        floor(col("l_extendedprice") * 100).cast("decimal(38,0)").as("yi"))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("nn"),
+          sum("xi").as("sx"), sum("yi").as("sy"),
+          sum(expr("xi * yi")).as("sxy"),
+          sum(expr("xi * xi")).as("sxx"),
+          sum(expr("yi * yi")).as("syy"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("nn").cast("long").as("n"),
+          expr("CAST((1000000 * (nn * sxy - sx * sy))" +
+            " div (nn * sxx - sx * sx) AS BIGINT)").as("slope_micro"),
+          expr("CAST((1000000 * (sy * sxx - sx * sxy)" +
+            " + 10000000000000 * (nn * sxx - sx * sx))" +
+            " div (nn * sxx - sx * sx) - 10000000000000 AS BIGINT)").as("icept_micro"),
+          expr("CAST((CAST((1000000 * (nn * sxy - sx * sy))" +
+            " div (nn * sxx - sx * sx) AS DECIMAL(38,0)) * (nn * sxy - sx * sy))" +
+            " div (nn * syy - sy * sy) AS BIGINT)").as("r2_micro"))
+        .orderBy("l_returnflag", "l_linestatus")
     })
   )
 
@@ -819,6 +879,41 @@ object Relational {
              AS value_locf
          FROM cal LEFT JOIN obs
            ON cal.user_id = obs.user_id AND cal.day = obs.day
-         ORDER BY cal.user_id, cal.day"""
+         ORDER BY cal.user_id, cal.day""",
+
+    "q_window_range" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS dmic,
+             count(*) AS n_ev
+           FROM events GROUP BY user_id, day)
+         SELECT user_id, day, dmic / 1000000.0 AS day_value,
+           sum(dmic) OVER w / 1000000.0 AS roll7_value,
+           CAST(sum(n_ev) OVER w AS BIGINT) AS roll7_events
+         FROM daily
+         WINDOW w AS (PARTITION BY user_id ORDER BY day
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, day""",
+
+    "q_linreg" ->
+      """WITH li AS (SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_quantity * 100) AS HUGEINT) AS xi,
+             CAST(floor(l_extendedprice * 100) AS HUGEINT) AS yi
+           FROM lineitem),
+         g AS (SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS HUGEINT) AS nn,
+             sum(xi) AS sx, sum(yi) AS sy, sum(xi * yi) AS sxy,
+             sum(xi * xi) AS sxx, sum(yi * yi) AS syy
+           FROM li GROUP BY l_returnflag, l_linestatus)
+         SELECT l_returnflag, l_linestatus, CAST(nn AS BIGINT) AS n,
+           CAST((1000000 * (nn * sxy - sx * sy))
+             // (nn * sxx - sx * sx) AS BIGINT) AS slope_micro,
+           CAST((1000000 * (sy * sxx - sx * sxy)
+             + 10000000000000 * (nn * sxx - sx * sx))
+             // (nn * sxx - sx * sx) - 10000000000000 AS BIGINT) AS icept_micro,
+           CAST((CAST((1000000 * (nn * sxy - sx * sy))
+             // (nn * sxx - sx * sx) AS HUGEINT) * (nn * sxy - sx * sy))
+             // (nn * syy - sy * sy) AS BIGINT) AS r2_micro
+         FROM g ORDER BY l_returnflag, l_linestatus"""
   )
 }

@@ -35,6 +35,7 @@ object Similarity {
   private val MmrK = 5         // MMR selections per query (s_mmr)
   private val RangeTauMicro = 300000L // s_range_search radius (cos micro-units)
   private val CoreK = 5        // k-center greedy selections (s_coreset)
+  private val LpaIters = 3     // label-propagation rounds (s_label_prop)
   private val NCentroids = 24 // IVF cells — FIXED K, constant in corpus size
   private val PqM = 8        // PQ subspaces (64-dim vectors -> 8x8)
   private val PqSub = 8      // dims per subspace
@@ -472,6 +473,29 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.CacheBook.register(s, "s")(() => { und.unpersist(false); () })
       graft.operators.TriangleCount.perNode(und).orderBy("vec_id")
+    }),
+
+    // COMMUNITY detection by synchronous label propagation (Raghavan
+    // et al. 2007) over the KNN graph — the soft-clustering sibling
+    // of ConnectedComponents' hard reachability: labels start as own
+    // ids and each round every node adopts its neighborhood's
+    // MAJORITY label (count-desc, min-label tie-break — fully
+    // deterministic, so bounded-round synchronous LPA has one exact
+    // answer both engines reproduce). Per round: one edge equi-join +
+    // one (node,label) count + one per-node argmax window — O(iters ·
+    // edges) like PageRank, never quadratic; the bidirectional edge
+    // relation persists across rounds and each round's labels
+    // localCheckpoint (the next round joins them once, but lineage
+    // would still stack). Output pairs each node with its community
+    // and the community's size.
+    "s_label_prop" -> ((s, dir) => {
+      val und = graft.operators.TriangleCount
+        .canonical(knnGraph(s, dir).select("src", "nbr"))
+      val lab = graft.operators.LabelProp.run(und, LpaIters,
+        thunk => graft.CacheBook.register(s, "s")(thunk))
+      lab.join(lab.groupBy("lbl").agg(count(lit(1)).as("csize")), "lbl")
+        .select(col("vec_id"), col("lbl").as("community"), col("csize"))
+        .orderBy("vec_id")
     }),
 
     // CORESET selection by k-center greedy (Gonzalez farthest-point)
@@ -1413,6 +1437,32 @@ object Similarity {
        FROM sel$CoreK ORDER BY round"""
   }
 
+  /** SQL mirror of s_label_prop: bidirectional canonical edges, then
+    * LpaIters chained majority-vote rounds, each MATERIALIZED (the
+    * next round's count join reads its predecessor). */
+  private def sqlLabelProp: String = {
+    val rounds = (1 to LpaIters).map { t =>
+      val prev = s"l${t - 1}"
+      s"""c$t AS (SELECT ed.src, l.lbl, count(*) AS c
+           FROM ed JOIN $prev l ON l.vec_id = ed.nbr
+           GROUP BY ed.src, l.lbl),
+         l$t AS MATERIALIZED (SELECT src AS vec_id, lbl FROM (
+             SELECT src, lbl, row_number() OVER (PARTITION BY src
+               ORDER BY c DESC, lbl) AS rn FROM c$t) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH $sqlKnnCtes,
+       und AS MATERIALIZED (SELECT DISTINCT least(src, nbr) AS u,
+           greatest(src, nbr) AS w FROM knn),
+       ed AS MATERIALIZED (SELECT u AS src, w AS nbr FROM und
+         UNION ALL SELECT w AS src, u AS nbr FROM und),
+       l0 AS (SELECT vec_id, vec_id AS lbl FROM e),
+       $rounds
+       SELECT l.vec_id, l.lbl AS community, cs.csize
+       FROM l$LpaIters l JOIN (SELECT lbl, count(*) AS csize
+         FROM l$LpaIters GROUP BY lbl) cs ON cs.lbl = l.lbl
+       ORDER BY l.vec_id"""
+  }
+
   /** The PQ oracle CTE block (trainers → refined codebook → codes →
     * query LUT) over a corpus CTE named `e` — shared verbatim by
     * s_pq_ann and s_ivfpq_ann. */
@@ -1864,6 +1914,7 @@ object Similarity {
            UNION ALL SELECT c FROM tri)
          GROUP BY vec_id ORDER BY vec_id""") +
     ("s_coreset" -> sqlCoreset) +
+    ("s_label_prop" -> sqlLabelProp) +
     ("s_filtered_recall" -> {
       val bff = sqlTopk(
         s"""SELECT qs.vec_id AS q, e.vec_id,
