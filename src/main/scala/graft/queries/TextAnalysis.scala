@@ -21,7 +21,7 @@ object TextAnalysis {
   // shared pieces ------------------------------------------------------
 
   // shared with Dedup's canonical-selection query (same score contract)
-  private[queries] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private[graft] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
   private[queries] val stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
 
   private def wordsCol: Column = split(col("text"), " ")
@@ -562,8 +562,98 @@ object TextAnalysis {
         .filter(col("rank") <= 3)
         .select("doc_id", "rank", "term", "tf", "df")
         .orderBy("doc_id", "rank")
+    }),
+
+    // COUNT-MIN sketch heavy hitters — the fixed-memory streaming
+    // sibling of x_top_terms' exact counts: CmsD hash rows × CmsW
+    // buckets (a CONSTANT-size table whatever the corpus — the whole
+    // point of the sketch), counts folded per (row, bucket), estimate
+    // = min over rows, one-sided error (est ≥ true, never under).
+    // Built from the per-term count relation, not the raw token
+    // stream — hashing |vocab| rows instead of |tokens| rows; the
+    // term-count aggregation subtree feeds both the sketch fold and
+    // the exact top-10 probe set (ReusedExchange dedups the shared
+    // shuffle). The probe joins the top terms' CmsD positions against
+    // the ≤ CmsD·CmsW-row sketch — broadcast-sized by construction.
+    // The `over` column prices the collision error the fixed memory
+    // bought; the oracle reproduces sketch AND estimates exactly.
+    "x_cms_terms" -> ((s, dir) => {
+      val tc = docs(s, dir)
+        .select(explode(wordsCol).as("term"))
+        .filter(!col("term").isInCollection(stopwords) && length(col("term")) >= 3)
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      def pos(i: Int, c: Column): Column =
+        Determinism.md5Idx(concat(lit(s"cms$i#"), c)) % CmsW
+      val cms = tc.select(col("cnt"),
+          explode(array((0 until CmsD).map(i =>
+            struct(lit(i).as("i"), pos(i, col("term")).as("pos"))): _*)).as("b"))
+        .groupBy(col("b.i").as("i"), col("b.pos").as("pos"))
+        .agg(sum("cnt").as("c"))
+      val top = tc.orderBy(col("cnt").desc, col("term").asc).limit(10)
+        .select(col("term"), col("cnt").as("true_cnt"))
+      val est = broadcast(top)
+        .select(col("term"), col("true_cnt"),
+          explode(array((0 until CmsD).map(i =>
+            struct(lit(i).as("i"), pos(i, col("term")).as("pos"))): _*)).as("b"))
+        .select(col("term"), col("true_cnt"),
+          col("b.i").as("i"), col("b.pos").as("pos"))
+        .join(cms, Seq("i", "pos"))
+        .groupBy("term", "true_cnt").agg(min("c").as("est_cnt"))
+      est.select(col("term"), col("true_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("true_cnt")).as("over"))
+        .orderBy(col("true_cnt").desc, col("term").asc)
+    }),
+
+    // BLOOM-filter membership — the approximate set-membership
+    // primitive an incremental ingest gates on ("have I seen this
+    // document before?") priced with EXACT false-positive accounting:
+    // the member set is every doc's text, the filter is BloomK
+    // md5-derived positions per key into a BloomM-bit space (held as
+    // a distinct-position relation — the relational stand-in for the
+    // real bitmap artifact; ≤ BloomM rows, broadcast-sized by
+    // construction), and the probe set pairs every 10th doc's real
+    // text (present) with a perturbed variant (novel). Membership =
+    // all BloomK positions set; ground truth joins on md5(key) — a
+    // fixed-width hash, never the raw string, so the truth join
+    // shuffles 32-char keys at any corpus size. No false negative is
+    // possible by construction; is_fp counts the collisions the
+    // BloomM/BloomK sizing bought (FP rate ≈ fill^BloomK — at the
+    // bench scale the filter runs ~37% full, FP ≈ 5%, and real FPs
+    // appear; the smaller scales leave it near-empty and FP-free).
+    "x_bloom_membership" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      def pos(c: Column): Column =
+        explode(array((0 until BloomK).map(j =>
+          Determinism.md5Idx(concat(lit(s"bl$j#"), c)) % BloomM): _*))
+      val bits = d.select(pos(col("text")).as("pos")).distinct()
+      val probes = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), explode(array(
+          struct(lit("novel").as("kind"),
+            concat(col("text"), lit("~novel")).as("key")),
+          struct(lit("present").as("kind"), col("text").as("key")))).as("p"))
+        .select(col("doc_id"), col("p.kind").as("kind"), col("p.key").as("key"))
+      val hits = probes.select(col("doc_id"), col("kind"), pos(col("key")).as("pos"))
+        .join(bits, Seq("pos"))
+        .groupBy("doc_id", "kind").agg(count(lit(1)).as("nhit"))
+      val corpusKeys = d.select(md5(col("text").cast("binary")).as("kh"))
+        .distinct().withColumn("inc", lit(1))
+      probes.join(hits, Seq("doc_id", "kind"), "left")
+        .withColumn("kh", md5(col("key").cast("binary")))
+        .join(corpusKeys, Seq("kh"), "left")
+        .select(col("doc_id"), col("kind"),
+          (coalesce(col("nhit"), lit(0L)) === BloomK).as("bloom_member"),
+          col("inc").isNotNull.as("true_member"),
+          (coalesce(col("nhit"), lit(0L)) === BloomK && col("inc").isNull).as("is_fp"))
+        .orderBy("doc_id", "kind")
     })
   )
+
+  /** x_cms_terms: sketch rows × buckets (CONSTANT size in the corpus). */
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 1024
+  /** x_bloom_membership: bit-space size / hashes per key. */
+  private[graft] val BloomM = 32768
+  private[graft] val BloomK = 3
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
@@ -1050,6 +1140,54 @@ object TextAnalysis {
            FROM tf JOIN df USING (term))
          SELECT doc_id, rank, term, tf, df FROM ranked
          WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "x_cms_terms" ->
+      s"""WITH tc AS (
+           SELECT term, count(*) AS cnt FROM (
+             SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+           WHERE term NOT IN ($stopSqlList) AND length(term) >= 3
+           GROUP BY term),
+         dd AS (SELECT unnest(range(0, $CmsD)) AS i),
+         cms AS MATERIALIZED (SELECT dd.i,
+             (${Determinism.sqlMd5Idx("'cms' || dd.i || '#' || tc.term")} % $CmsW) AS pos,
+             CAST(sum(cnt) AS BIGINT) AS c
+           FROM tc, dd GROUP BY 1, 2),
+         top10 AS MATERIALIZED (SELECT term, cnt AS true_cnt FROM tc
+           ORDER BY cnt DESC, term LIMIT 10),
+         pp AS (SELECT t.term, t.true_cnt, dd.i,
+             (${Determinism.sqlMd5Idx("'cms' || dd.i || '#' || t.term")} % $CmsW) AS pos
+           FROM top10 t, dd)
+         SELECT pp.term, pp.true_cnt, min(cms.c) AS est_cnt,
+           min(cms.c) - pp.true_cnt AS over
+         FROM pp JOIN cms ON cms.i = pp.i AND cms.pos = pp.pos
+         GROUP BY pp.term, pp.true_cnt
+         ORDER BY pp.true_cnt DESC, pp.term""",
+
+    "x_bloom_membership" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         js AS (SELECT unnest(range(0, $BloomK)) AS j),
+         bits AS MATERIALIZED (SELECT DISTINCT
+             (${Determinism.sqlMd5Idx("'bl' || js.j || '#' || d.text")} % $BloomM) AS pos
+           FROM d, js),
+         probes AS MATERIALIZED (
+           SELECT doc_id, 'novel' AS kind, text || '~novel' AS key
+           FROM d WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id, 'present', text FROM d WHERE doc_id % 10 = 0),
+         pp AS (SELECT p.doc_id, p.kind,
+             (${Determinism.sqlMd5Idx("'bl' || js.j || '#' || p.key")} % $BloomM) AS pos
+           FROM probes p, js),
+         hits AS (SELECT doc_id, kind, count(*) AS nhit
+           FROM pp JOIN bits USING (pos) GROUP BY doc_id, kind),
+         ck AS (SELECT DISTINCT md5(text) AS kh FROM d)
+         SELECT p.doc_id, p.kind,
+           coalesce(h.nhit, 0) = $BloomK AS bloom_member,
+           ck.kh IS NOT NULL AS true_member,
+           coalesce(h.nhit, 0) = $BloomK AND ck.kh IS NULL AS is_fp
+         FROM probes p
+         LEFT JOIN hits h ON h.doc_id = p.doc_id AND h.kind = p.kind
+         LEFT JOIN ck ON ck.kh = md5(p.key)
+         ORDER BY p.doc_id, p.kind""",
 
     "x_span_strip" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
