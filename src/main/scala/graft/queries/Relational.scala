@@ -584,6 +584,76 @@ object Relational {
             " div (nn * sxx - sx * sx) AS DECIMAL(38,0)) * (nn * sxy - sx * sy))" +
             " div (nn * syy - sy * sy) AS BIGINT)").as("r2_micro"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // SCD TYPE-2 dimension build + point-in-time fact attribution —
+    // the warehouse dimension-versioning op: each user's signup events
+    // become versions with [valid_from, valid_to) intervals (lead()
+    // closes each interval, the open one is current), and purchase
+    // facts attribute to the version in effect at their timestamp.
+    // The point-in-time join is an EQUI-join on the natural key with
+    // the interval test as a residual filter — a plain hash join that
+    // shuffles both sides on user_id (the co-location a 100-TB
+    // dimension join needs), never an interval nested-loop. Versions
+    // with no facts survive via the left join (n_purch 0); facts
+    // before the first version drop by definition. Money sums in
+    // exact DECIMAL, final-cast DOUBLE (the pack's output-type rule).
+    "q_scd2" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wv = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+      val dim = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("valid_from"), col("event_id"))
+        .withColumn("version", row_number().over(wv))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+        .drop("event_id").as("d")
+      val f = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value")).as("f")
+      dim.join(f,
+          col("f.user_id") === col("d.user_id") &&
+            col("f.ts") >= col("d.valid_from") &&
+            (col("d.valid_to").isNull || col("f.ts") < col("d.valid_to")),
+          "left")
+        .groupBy(col("d.user_id").as("user_id"), col("version"),
+          col("valid_from"), col("valid_to"))
+        .agg(count(col("f.ts")).as("n_purch"),
+          coalesce(sum(col("f.value").cast("decimal(18,2)")).cast("double"),
+            lit(0.0)).as("sum_value"))
+        .select(col("user_id"), col("version"), col("valid_from"),
+          col("valid_to").isNull.as("is_current"), col("n_purch"), col("sum_value"))
+        .orderBy("user_id", "version")
+    }),
+
+    // Z-ORDER layout audit — the multi-dimensional data-layout op: map
+    // both join keys onto a 256x256 grid (integer-exact normalization
+    // off one broadcast min/max row), interleave the grid bits into a
+    // Morton key, and report each 256-cell z-block's row count and
+    // bounding box. Every z-block covers a SMALL rectangle in BOTH
+    // dimensions (bbox_area prices it) — the zone-map certificate
+    // that a z-sorted 100-TB table prunes file-level min/max on
+    // either key, where a lexicographic sort localizes only the
+    // leading one. One scan + one tiny broadcast bounds row + one
+    // 256-group aggregate; the production writer is
+    // repartitionByRange(zkey) + sortWithinPartitions (DEPLOY.md).
+    "q_zorder" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      val bounds = li.agg(min("l_partkey").as("minp"), max("l_partkey").as("maxp"),
+        min("l_suppkey").as("mins"), max("l_suppkey").as("maxs"))
+      val g = li.crossJoin(broadcast(bounds)).select(
+        expr("CAST(((l_partkey - minp) * 256) div (maxp - minp + 1) AS INT)").as("gx"),
+        expr("CAST(((l_suppkey - mins) * 256) div (maxs - mins + 1) AS INT)").as("gy"))
+      val morton = (0 until 8).map(i =>
+          shiftleft(shiftright(col("gx"), i).bitwiseAND(lit(1)), 2 * i + 1) +
+            shiftleft(shiftright(col("gy"), i).bitwiseAND(lit(1)), 2 * i))
+        .reduce(_ + _)
+      g.withColumn("zblock", shiftright(morton, 8))
+        .groupBy("zblock")
+        .agg(count(lit(1)).as("n_rows"),
+          min("gx").as("gx_min"), max("gx").as("gx_max"),
+          min("gy").as("gy_min"), max("gy").as("gy_max"))
+        .withColumn("bbox_area",
+          ((col("gx_max") - col("gx_min") + 1) *
+            (col("gy_max") - col("gy_min") + 1)).cast("long"))
+        .orderBy("zblock")
     })
   )
 
@@ -914,6 +984,43 @@ object Relational {
            CAST((CAST((1000000 * (nn * sxy - sx * sy))
              // (nn * sxx - sx * sx) AS HUGEINT) * (nn * sxy - sx * sy))
              // (nn * syy - sy * sy) AS BIGINT) AS r2_micro
-         FROM g ORDER BY l_returnflag, l_linestatus"""
+         FROM g ORDER BY l_returnflag, l_linestatus""",
+
+    "q_scd2" ->
+      """WITH dim AS (SELECT user_id, ts AS valid_from,
+             row_number() OVER w AS version, lead(ts) OVER w AS valid_to
+           FROM events WHERE event_type = 'signup'
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         f AS (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase')
+         SELECT d.user_id, d.version, d.valid_from,
+           d.valid_to IS NULL AS is_current,
+           count(f.ts) AS n_purch,
+           coalesce(CAST(sum(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+             AS sum_value
+         FROM dim d LEFT JOIN f ON f.user_id = d.user_id
+           AND f.ts >= d.valid_from
+           AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+         GROUP BY d.user_id, d.version, d.valid_from, d.valid_to
+         ORDER BY d.user_id, d.version""",
+
+    "q_zorder" -> {
+      val morton = (0 until 8).map(i =>
+        s"(((gx >> $i) & 1) << ${2 * i + 1}) + (((gy >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+             min(l_suppkey) AS mins, max(l_suppkey) AS maxs FROM lineitem),
+         g AS (SELECT
+             CAST(((l_partkey - minp) * 256) // (maxp - minp + 1) AS INT) AS gx,
+             CAST(((l_suppkey - mins) * 256) // (maxs - mins + 1) AS INT) AS gy
+           FROM lineitem, b),
+         z AS (SELECT gx, gy, ($morton) AS m FROM g)
+         SELECT CAST(m >> 8 AS INT) AS zblock, count(*) AS n_rows,
+           min(gx) AS gx_min, max(gx) AS gx_max,
+           min(gy) AS gy_min, max(gy) AS gy_max,
+           CAST((max(gx) - min(gx) + 1) * (max(gy) - min(gy) + 1) AS BIGINT)
+             AS bbox_area
+         FROM z GROUP BY zblock ORDER BY zblock"""
+    }
   )
 }

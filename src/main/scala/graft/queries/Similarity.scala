@@ -36,6 +36,8 @@ object Similarity {
   private val RangeTauMicro = 300000L // s_range_search radius (cos micro-units)
   private val CoreK = 5        // k-center greedy selections (s_coreset)
   private val LpaIters = 3     // label-propagation rounds (s_label_prop)
+  private val KcoreK = 4       // s_kcore_peel: survival degree threshold
+  private val KcoreRounds = 10 // s_kcore_peel: peel-round bound (fixpoint ≤8 at gate scales)
   private val NCentroids = 24 // IVF cells — FIXED K, constant in corpus size
   private val PqM = 8        // PQ subspaces (64-dim vectors -> 8x8)
   private val PqSub = 8      // dims per subspace
@@ -495,6 +497,29 @@ object Similarity {
         thunk => graft.CacheBook.register(s, "s")(thunk))
       lab.join(lab.groupBy("lbl").agg(count(lit(1)).as("csize")), "lbl")
         .select(col("vec_id"), col("lbl").as("community"), col("csize"))
+        .orderBy("vec_id")
+    }),
+
+    // ONION-LAYER decomposition by synchronous k-core peeling — the
+    // graph-centrality profile of the KNN graph: each round removes
+    // every node whose alive-degree < KcoreK at once, and a node's
+    // peel_layer is the round that removed it (0 = survived — the
+    // k-core; this KnnK=3 graph peels fully, so the layer histogram
+    // IS the output's structure). Deterministic by synchronicity; the
+    // loop is O(rounds · edges) — two semi-joins + a degree count per
+    // round over the memoized graph, early-exit at fixpoint, per-round
+    // localCheckpoint. The oracle unrolls KcoreRounds peel stages;
+    // rounds past the fixpoint peel nothing on both sides, so the
+    // bound is slack, not semantics. Output pairs each node with its
+    // layer and the layer's population.
+    "s_kcore_peel" -> ((s, dir) => {
+      val und = graft.operators.TriangleCount
+        .canonical(knnGraph(s, dir).select("src", "nbr"))
+      val lay = graft.operators.KcorePeel.run(und, KcoreK, KcoreRounds,
+        thunk => graft.CacheBook.register(s, "s")(thunk))
+      lay.join(lay.groupBy("peel_layer").agg(count(lit(1)).as("layer_size")),
+          "peel_layer")
+        .select(col("vec_id"), col("peel_layer"), col("layer_size"))
         .orderBy("vec_id")
     }),
 
@@ -1627,6 +1652,45 @@ object Similarity {
   /** The KNN-graph CTE block (seed draw → assignment → all-vector
     * probes → top-KnnK neighbor list named `knn`) — shared by the
     * s_knn_graph oracle and the s_graph_rank oracle's edge list. */
+  /** SQL mirror of s_kcore_peel: KcoreRounds unrolled synchronous peel
+    * stages over the bidirectional knn edge list — each stage computes
+    * alive-degrees (both endpoints gated on the previous alive set),
+    * drops the sub-KcoreK nodes into layer t, and MATERIALIZEs the
+    * survivor set the next stage reads. Stages past the fixpoint peel
+    * nothing, matching the Spark side's early exit. */
+  private def sqlKcorePeel: String = {
+    val rounds = (1 to KcoreRounds).map { t =>
+      val prev = s"a${t - 1}"
+      s"""dg$t AS (SELECT ed.src, count(*) AS c FROM ed
+           JOIN $prev x ON x.vec_id = ed.src
+           JOIN $prev y ON y.vec_id = ed.nbr
+           GROUP BY ed.src),
+         d$t AS MATERIALIZED (SELECT a.vec_id FROM $prev a
+           LEFT JOIN dg$t ON dg$t.src = a.vec_id
+           WHERE coalesce(dg$t.c, 0) < $KcoreK),
+         a$t AS MATERIALIZED (SELECT src AS vec_id FROM dg$t
+           WHERE c >= $KcoreK)"""
+    }.mkString(",\n")
+    val lay = (1 to KcoreRounds)
+      .map(t => s"SELECT vec_id, $t AS peel_layer FROM d$t")
+      .mkString(" UNION ALL ") +
+      s" UNION ALL SELECT vec_id, 0 AS peel_layer FROM a$KcoreRounds"
+    s"""WITH $sqlKnnCtes,
+       und AS MATERIALIZED (SELECT DISTINCT least(src, nbr) AS u,
+           greatest(src, nbr) AS w FROM knn),
+       ed AS MATERIALIZED (SELECT u AS src, w AS nbr FROM und
+         UNION ALL SELECT w AS src, u AS nbr FROM und),
+       a0 AS (SELECT DISTINCT src AS vec_id FROM ed),
+       $rounds,
+       lay AS ($lay)
+       SELECT l.vec_id, CAST(l.peel_layer AS INT) AS peel_layer,
+         ls.layer_size
+       FROM lay l JOIN (SELECT peel_layer,
+           CAST(count(*) AS BIGINT) AS layer_size
+         FROM lay GROUP BY peel_layer) ls ON ls.peel_layer = l.peel_layer
+       ORDER BY l.vec_id"""
+  }
+
   private val sqlKnnCtes =
     s"""e AS ($sqlVecs),
        c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
@@ -1915,6 +1979,7 @@ object Similarity {
          GROUP BY vec_id ORDER BY vec_id""") +
     ("s_coreset" -> sqlCoreset) +
     ("s_label_prop" -> sqlLabelProp) +
+    ("s_kcore_peel" -> sqlKcorePeel) +
     ("s_filtered_recall" -> {
       val bff = sqlTopk(
         s"""SELECT qs.vec_id AS q, e.vec_id,
