@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VecOps
+import graft.functions.{Determinism, VecOps}
 
 /** Pack E — similarity search over the `embeddings` table.
   *
@@ -19,7 +19,7 @@ import graft.functions.VecOps
 object Similarity {
 
   private val K = 5          // neighbors returned per query
-  private val NQueries = 5   // queries = vec_id < NQueries
+  private[graft] val NQueries = 5   // queries = vec_id < NQueries
   private val PhraseLen = 3  // s_phrase: first PhraseLen tokens of each query doc
   private val NProbe = 2     // IVF probes
   private val KnnK = 3       // neighbors per vector in the KNN graph
@@ -33,11 +33,13 @@ object Similarity {
   private val HnswPromote = "2" // promoted to layer 1 iff md5(id) < this (~1/8)
   private val MmrPool = 10     // MMR candidate pool per query (s_mmr)
   private val MmrK = 5         // MMR selections per query (s_mmr)
-  private val RangeTauMicro = 300000L // s_range_search radius (cos micro-units)
+  private[graft] val RangeTauMicro = 300000L // s_range_search radius (cos micro-units)
   private val CoreK = 5        // k-center greedy selections (s_coreset)
   private val LpaIters = 3     // label-propagation rounds (s_label_prop)
   private val KcoreK = 4       // s_kcore_peel: survival degree threshold
   private val KcoreRounds = 10 // s_kcore_peel: peel-round bound (fixpoint ≤8 at gate scales)
+  private[graft] val HardNegK = 5     // s_negatives: hard negatives per query
+  private[graft] val RandNegK = 4     // s_negatives: random negative draws per query
   private val NCentroids = 24 // IVF cells — FIXED K, constant in corpus size
   private val PqM = 8        // PQ subspaces (64-dim vectors -> 8x8)
   private val PqSub = 8      // dims per subspace
@@ -498,6 +500,55 @@ object Similarity {
       lab.join(lab.groupBy("lbl").agg(count(lit(1)).as("csize")), "lbl")
         .select(col("vec_id"), col("lbl").as("community"), col("csize"))
         .orderBy("vec_id")
+    }),
+
+    // CONTRASTIVE TRAINING-PAIR mining — the negative-sampling op an
+    // embedding-training pipeline runs over its corpus: per query,
+    // HARD negatives are the top-scoring IVF probe candidates BELOW
+    // the positive threshold (RangeTauMicro — at-or-above is a
+    // near-dup, not a negative), and RANDOM negatives are
+    // hash-indexed draws from the id space (md5 % N — deterministic,
+    // retry-stable), both exact-cosine-scored in integer micro-units
+    // and positives filtered by the same integer band on both paths.
+    // Scale shape: hard candidates are IVF-cell-bounded (the same
+    // equi-join probe s_ivf_ann prices, never brute force), random
+    // draws are a constant per query, and the query frame broadcasts
+    // — nothing here scans the corpus beyond the probed cells plus
+    // RandNegK point lookups.
+    "s_negatives" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
+      val micro = (q: Column, v: Column, qn: Column, n: Column) =>
+        floor(VecOps.cosine(q, v, qn, n) * lit(1000000.0)).cast("long")
+      val wk = Window.partitionBy("q").orderBy(col("cos_micro").desc, col("cand").asc)
+      val hard = probeCells(e, cents).join(assigned, "cid")
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id").as("cand"),
+          micro(col("qv"), col("v"), col("qn"), col("n")).as("cos_micro"))
+        .filter(col("cos_micro") < RangeTauMicro)
+        .withColumn("rank", row_number().over(wk))
+        .filter(col("rank") <= HardNegK)
+        .withColumn("kind", lit("hard"))
+      val qs = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn")))
+      val nv = broadcast(e.agg(count(lit(1)).as("nvec")))
+      val rand = qs.crossJoin(nv)
+        .select(col("q"), col("qv"), col("qn"),
+          explode(sequence(lit(0), lit(RandNegK - 1))).as("j"), col("nvec"))
+        .select(col("q"), col("qv"), col("qn"),
+          (Determinism.md5Idx(concat(lit("rng#"), col("q").cast("string"),
+            lit("#"), col("j").cast("string"))) % col("nvec")).as("cand"))
+        .filter(col("cand") =!= col("q"))
+        .join(e.select(col("vec_id").as("cand"), col("v"), col("n")), "cand")
+        .select(col("q"), col("cand"),
+          micro(col("qv"), col("v"), col("qn"), col("n")).as("cos_micro"))
+        .filter(col("cos_micro") < RangeTauMicro)
+        .withColumn("rank", row_number().over(wk))
+        .withColumn("kind", lit("random"))
+      hard.unionByName(rand)
+        .select(col("q"), col("cand"), col("kind"),
+          col("cos_micro"), col("rank").cast("int").as("rank"))
+        .orderBy("q", "kind", "rank")
     }),
 
     // ONION-LAYER decomposition by synchronous k-core peeling — the
@@ -1652,6 +1703,59 @@ object Similarity {
   /** The KNN-graph CTE block (seed draw → assignment → all-vector
     * probes → top-KnnK neighbor list named `knn`) — shared by the
     * s_knn_graph oracle and the s_graph_rank oracle's edge list. */
+  /** SQL mirror of s_negatives: the unrefined-IVF probe CTEs feed the
+    * hard band, the md5-indexed draws feed the random band, both
+    * exact-cosine-scored in the same integer micro-units. */
+  private def sqlNegatives: String =
+    s"""WITH e AS ($sqlVecs),
+       c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
+       assigned AS (
+         SELECT vec_id, v, n, cid FROM (
+           SELECT e.vec_id, e.v, e.n, c0.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                 c0.cid) AS arn
+           FROM e, c0) WHERE arn = 1),
+       probes AS (
+         SELECT q, qv, qn, cid FROM (
+           SELECT e.vec_id AS q, e.v AS qv, e.n AS qn, c0.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                 c0.cid) AS prn
+           FROM e, c0 WHERE e.vec_id < $NQueries) WHERE prn <= $NProbe),
+       hard0 AS (SELECT probes.q, assigned.vec_id AS cand,
+           CAST(floor((${VecOps.sqlDot("probes.qv", "assigned.v")}
+             / (probes.qn * assigned.n)) * 1000000.0) AS BIGINT) AS cos_micro
+         FROM probes JOIN assigned USING (cid)
+         WHERE assigned.vec_id <> probes.q),
+       hard AS (SELECT q, cand, 'hard' AS kind, cos_micro, rank FROM (
+           SELECT q, cand, cos_micro, CAST(row_number() OVER (PARTITION BY q
+             ORDER BY cos_micro DESC, cand) AS INT) AS rank
+           FROM hard0 WHERE cos_micro < $RangeTauMicro)
+         WHERE rank <= $HardNegK),
+       qs AS (SELECT vec_id AS q, v AS qv, n AS qn FROM e
+         WHERE vec_id < $NQueries),
+       nv AS (SELECT count(*) AS nvec FROM e),
+       js AS (SELECT unnest(range(0, $RandNegK)) AS j),
+       rnd0 AS (SELECT qs.q, qs.qv, qs.qn,
+           (${Determinism.sqlMd5Idx(
+             "'rng#' || CAST(qs.q AS VARCHAR) || '#' || CAST(js.j AS VARCHAR)")}
+             % nv.nvec) AS cand
+         FROM qs, js, nv),
+       rnd1 AS (SELECT r.q, r.cand,
+           CAST(floor((${VecOps.sqlDot("r.qv", "e.v")}
+             / (r.qn * e.n)) * 1000000.0) AS BIGINT) AS cos_micro
+         FROM rnd0 r JOIN e ON e.vec_id = r.cand
+         WHERE r.cand <> r.q),
+       rnd AS (SELECT q, cand, 'random' AS kind, cos_micro,
+           CAST(row_number() OVER (PARTITION BY q
+             ORDER BY cos_micro DESC, cand) AS INT) AS rank
+         FROM rnd1 WHERE cos_micro < $RangeTauMicro)
+       SELECT q, cand, kind, cos_micro, rank FROM hard
+       UNION ALL SELECT q, cand, kind, cos_micro, rank FROM rnd
+       ORDER BY q, kind, rank"""
+
   /** SQL mirror of s_kcore_peel: KcoreRounds unrolled synchronous peel
     * stages over the bidirectional knn edge list — each stage computes
     * alive-degrees (both endpoints gated on the previous alive set),
@@ -1980,6 +2084,7 @@ object Similarity {
     ("s_coreset" -> sqlCoreset) +
     ("s_label_prop" -> sqlLabelProp) +
     ("s_kcore_peel" -> sqlKcorePeel) +
+    ("s_negatives" -> sqlNegatives) +
     ("s_filtered_recall" -> {
       val bff = sqlTopk(
         s"""SELECT qs.vec_id AS q, e.vec_id,

@@ -364,6 +364,52 @@ object TextAnalysis {
           size(split(col("chunk"), " ")).as("n_tokens"))
         .orderBy("doc_id", "chunk_id")),
 
+    // T5-STYLE SPAN CORRUPTION — the pretraining-example constructor
+    // for denoising objectives: ~1/MaskGateMod of positions open a
+    // MaskSpanW-word span by a deterministic hash gate (retry-stable,
+    // incremental-safe — appending docs never re-masks old ones),
+    // overlapping spans merge by coverage union, and each maximal run
+    // becomes one <extra_id_k> sentinel: input keeps the sentinel
+    // where the span was, target pairs each sentinel with the masked
+    // words. Entirely row-local until the per-doc reassembly window —
+    // no join, no corpus-wide state; positional reassembly is the
+    // x_span_strip idiom (sorted collect per doc, never a global
+    // sort). Span stats ride along so the noise density is auditable.
+    "x_mask_spans" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "word")))
+      val starts = words.filter(
+        Determinism.md5Idx(concat(lit("msk#"), col("doc_id").cast("string"),
+          lit("#"), col("pos").cast("string"))) % MaskGateMod === 0)
+        .select(col("doc_id"), explode(sequence(col("pos"),
+          col("pos") + MaskSpanW - 1)).as("pos"))
+        .distinct()
+      val wD = Window.partitionBy("doc_id").orderBy("pos")
+      val flags = words
+        .join(starts.withColumn("cv", lit(true)), Seq("doc_id", "pos"), "left")
+        .withColumn("cov", coalesce(col("cv"), lit(false)))
+        .withColumn("st",
+          col("cov") && !coalesce(lag(col("cov"), 1).over(wD), lit(false)))
+        .withColumn("k", sum(col("st").cast("int")).over(wD))
+      val sentinel = concat(lit("<extra_id_"),
+        (col("k") - 1).cast("string"), lit(">"))
+      val inTok = when(!col("cov"), col("word")).when(col("st"), sentinel)
+      val tgTok = when(col("cov"), concat(
+        when(col("st"), concat(sentinel, lit(" "))).otherwise(lit("")),
+        col("word")))
+      flags.groupBy("doc_id").agg(
+          count(lit(1)).cast("int").as("n_words"),
+          sum(col("st").cast("int")).cast("int").as("n_spans"),
+          sum(col("cov").cast("int")).cast("int").as("n_masked"),
+          concat_ws(" ", transform(array_sort(collect_list(
+            when(inTok.isNotNull, struct(col("pos"), inTok.as("t"))))),
+            p => p.getField("t"))).as("input_text"),
+          concat_ws(" ", transform(array_sort(collect_list(
+            when(tgTok.isNotNull, struct(col("pos"), tgTok.as("t"))))),
+            p => p.getField("t"))).as("target_text"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition filter input: within-doc duplicate 3-gram
     // fraction (1 - distinct/total). High dup_frac = boilerplate /
     // degenerate text. Pure scalar pipeline — scales with the scan;
@@ -654,6 +700,9 @@ object TextAnalysis {
   /** x_bloom_membership: bit-space size / hashes per key. */
   private[graft] val BloomM = 32768
   private[graft] val BloomK = 3
+  /** x_mask_spans: 1/gate-mod of positions start a span / span words. */
+  private[graft] val MaskGateMod = 20
+  private[graft] val MaskSpanW = 3
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
@@ -1188,6 +1237,43 @@ object TextAnalysis {
          LEFT JOIN hits h ON h.doc_id = p.doc_id AND h.kind = p.kind
          LEFT JOIN ck ON ck.kh = md5(p.key)
          ORDER BY p.doc_id, p.kind""",
+
+    "x_mask_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         words AS (SELECT doc_id, CAST(t.i - 1 AS INT) AS pos,
+             ws[CAST(t.i AS INT)] AS word
+           FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+         starts AS (SELECT doc_id, pos FROM words
+           WHERE ${Determinism.sqlMd5Idx(
+             "'msk#' || CAST(doc_id AS VARCHAR) || '#' || CAST(pos AS VARCHAR)")}
+             % $MaskGateMod = 0),
+         cov AS (SELECT DISTINCT s.doc_id, CAST(u.p AS INT) AS pos
+           FROM starts s, unnest(range(s.pos, s.pos + $MaskSpanW)) AS u(p)),
+         flags AS (SELECT wd.doc_id, wd.pos, wd.word,
+             c.pos IS NOT NULL AS cov,
+             c.pos IS NOT NULL AND NOT coalesce(
+               lag(c.pos IS NOT NULL) OVER (PARTITION BY wd.doc_id
+                 ORDER BY wd.pos), false) AS st
+           FROM words wd LEFT JOIN cov c
+             ON c.doc_id = wd.doc_id AND c.pos = wd.pos),
+         ks AS (SELECT *, sum(CAST(st AS INT)) OVER (PARTITION BY doc_id
+             ORDER BY pos) AS k FROM flags),
+         toks AS (SELECT doc_id, pos, cov, st,
+             CASE WHEN NOT cov THEN word
+               WHEN st THEN '<extra_id_' || CAST(k - 1 AS VARCHAR) || '>'
+               END AS in_tok,
+             CASE WHEN cov THEN
+               (CASE WHEN st THEN '<extra_id_' || CAST(k - 1 AS VARCHAR)
+                 || '> ' ELSE '' END) || word END AS tg_tok
+           FROM ks)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+           CAST(count(*) FILTER (st) AS INT) AS n_spans,
+           CAST(count(*) FILTER (cov) AS INT) AS n_masked,
+           coalesce(array_to_string(list(in_tok ORDER BY pos)
+             FILTER (in_tok IS NOT NULL), ' '), '') AS input_text,
+           coalesce(array_to_string(list(tg_tok ORDER BY pos)
+             FILTER (tg_tok IS NOT NULL), ' '), '') AS target_text
+         FROM toks GROUP BY doc_id ORDER BY doc_id""",
 
     "x_span_strip" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
