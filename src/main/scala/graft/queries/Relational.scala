@@ -586,6 +586,65 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // MARKOV transition matrix over event sequences — the user-journey
+    // model behind next-action prediction and funnel diagnostics:
+    // per-user event streams pair each event with its successor (one
+    // keyed window, the q_sessionize shuffle shape), then one tiny
+    // (from, to) count aggregate; row probabilities in integer
+    // micro-units (floor division — exact cross-engine, no float sum
+    // ever forms). Scale: the window partitions by user_id; the
+    // transition matrix itself is |event_types|² rows whatever the
+    // corpus.
+    "q_transitions" -> ((s, dir) => {
+      val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(wU))
+        .filter(col("to_type").isNotNull)
+      val cnt = pairs.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      cnt.join(cnt.groupBy("from_type").agg(sum("n").as("tot")), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("CAST((1000000 * n) div tot AS BIGINT)").as("p_micro"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // IQR-fence outlier profile — the data-quality / anomaly screen:
+    // per-customer total spend (the skewed derived metric; raw order
+    // prices are too uniform to have outliers) rolled up by region
+    // through the customer→nation→region star (dims broadcast), exact
+    // per-region quartiles (same rounded-interpolation contract as
+    // q_percentile), Tukey fences at 1.5 IQR, per-region outlier
+    // counts + the worst offender. Two passes over the per-customer
+    // relation by nature (quantiles, then the fence test) with the
+    // 5-row fence table broadcast back; money in integer cents so the
+    // fence test is exact.
+    "q_outliers" -> ((s, dir) => {
+      val spend = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(floor(sum(dec("o_totalprice")) * 100).cast("long").as("cents"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))), "o_custkey")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_regionkey"))), "c_nationkey")
+        .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey").as("n_regionkey"), col("r_name"))), "n_regionkey")
+        .select(col("r_name"), col("cents"))
+      val fences = spend.groupBy("r_name").agg(
+          count(lit(1)).as("n_customers"),
+          round(expr("percentile(cents, 0.25)"), 4).as("q1"),
+          round(expr("percentile(cents, 0.75)"), 4).as("q3"))
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      spend.join(broadcast(fences), "r_name")
+        .groupBy(col("r_name"), col("n_customers"), col("lo"), col("hi"))
+        .agg(
+          sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+          max(when(col("cents") > col("hi"), col("cents"))).as("max_out_cents"))
+        .orderBy("r_name")
+    }),
+
     // SCD TYPE-2 dimension build + point-in-time fact attribution —
     // the warehouse dimension-versioning op: each user's signup events
     // become versions with [valid_from, valid_to) intervals (lead()
@@ -985,6 +1044,45 @@ object Relational {
              // (nn * sxx - sx * sx) AS HUGEINT) * (nn * sxy - sx * sy))
              // (nn * syy - sy * sy) AS BIGINT) AS r2_micro
          FROM g ORDER BY l_returnflag, l_linestatus""",
+
+    "q_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM p
+           WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+         t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY from_type)
+         SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           CAST((1000000 * c.n) // t.tot AS BIGINT) AS p_micro
+         FROM c JOIN t USING (from_type)
+         ORDER BY from_type, to_type""",
+
+    "q_outliers" ->
+      """WITH s AS (SELECT o_custkey,
+             CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+               AS BIGINT) AS cents
+           FROM orders GROUP BY o_custkey),
+         j AS (SELECT r.r_name, s.cents FROM s
+           JOIN customer c ON c.c_custkey = s.o_custkey
+           JOIN nation n ON n.n_nationkey = c.c_nationkey
+           JOIN region r ON r.r_regionkey = n.n_regionkey),
+         f AS (SELECT r_name, count(*) AS n_customers,
+             round(quantile_cont(cents, 0.25), 4) AS q1,
+             round(quantile_cont(cents, 0.75), 4) AS q3
+           FROM j GROUP BY r_name),
+         ff AS (SELECT r_name, n_customers,
+             q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM f)
+         SELECT j.r_name, CAST(ff.n_customers AS BIGINT) AS n_customers,
+           ff.lo, ff.hi,
+           CAST(sum(CASE WHEN j.cents < ff.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low,
+           CAST(sum(CASE WHEN j.cents > ff.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high,
+           max(CASE WHEN j.cents > ff.hi THEN j.cents END) AS max_out_cents
+         FROM j JOIN ff USING (r_name)
+         GROUP BY j.r_name, ff.n_customers, ff.lo, ff.hi
+         ORDER BY j.r_name""",
 
     "q_scd2" ->
       """WITH dim AS (SELECT user_id, ts AS valid_from,
