@@ -40,6 +40,7 @@ object Similarity {
   private val KcoreRounds = 10 // s_kcore_peel: peel-round bound (fixpoint ≤8 at gate scales)
   private[graft] val HardNegK = 5     // s_negatives: hard negatives per query
   private[graft] val RandNegK = 4     // s_negatives: random negative draws per query
+  private val BfsRounds = 9    // s_seed_dist: expansion bound (ecc ≤7 at gate scales)
   private val NCentroids = 24 // IVF cells — FIXED K, constant in corpus size
   private val PqM = 8        // PQ subspaces (64-dim vectors -> 8x8)
   private val PqSub = 8      // dims per subspace
@@ -499,6 +500,27 @@ object Similarity {
         thunk => graft.CacheBook.register(s, "s")(thunk))
       lab.join(lab.groupBy("lbl").agg(count(lit(1)).as("csize")), "lbl")
         .select(col("vec_id"), col("lbl").as("community"), col("csize"))
+        .orderBy("vec_id")
+    }),
+
+    // SEED-DISTANCE labeling — multi-source BFS from the query seeds
+    // over the KNN graph: the proximity-to-trusted-set signal a
+    // curation pipeline ranks by (docs within h hops of a vetted seed
+    // corpus) and the graph-health eccentricity profile. Synchronous
+    // frontier expansion is deterministic; per round one frontier
+    // semi-join + one visited anti-join over the memoized graph —
+    // O(rounds · edges), early-exit when a round finds nothing, each
+    // layer checkpointed once and the visited set a FLAT union of
+    // cached layers (see SeedBfs for the quadratic trap this avoids).
+    // Unreached nodes label -1 so the output stays total; the oracle
+    // unrolls the expansion rounds.
+    "s_seed_dist" -> ((s, dir) => {
+      val und = graft.operators.TriangleCount
+        .canonical(knnGraph(s, dir).select("src", "nbr"))
+      val d = graft.operators.SeedBfs.run(und, col("vec_id") < NQueries,
+        BfsRounds, thunk => graft.CacheBook.register(s, "s")(thunk))
+      d.join(d.groupBy("dist").agg(count(lit(1)).as("n_at_dist")), "dist")
+        .select(col("vec_id"), col("dist"), col("n_at_dist"))
         .orderBy("vec_id")
     }),
 
@@ -1703,6 +1725,38 @@ object Similarity {
   /** The KNN-graph CTE block (seed draw → assignment → all-vector
     * probes → top-KnnK neighbor list named `knn`) — shared by the
     * s_knn_graph oracle and the s_graph_rank oracle's edge list. */
+  /** SQL mirror of s_seed_dist: BfsRounds unrolled frontier-expansion
+    * stages; each stage MATERIALIZEs the newly-discovered layer and
+    * the running visited set the next stage anti-joins. Stages past
+    * exhaustion discover nothing, matching the Spark early exit. */
+  private def sqlSeedDist: String = {
+    val rounds = (1 to BfsRounds).map { t =>
+      val pv = s"v${t - 1}"; val pf = s"f${t - 1}"
+      s"""f$t AS MATERIALIZED (SELECT DISTINCT ed.nbr AS vec_id
+           FROM ed JOIN $pf f ON f.vec_id = ed.src
+           WHERE NOT EXISTS (SELECT 1 FROM $pv v WHERE v.vec_id = ed.nbr)),
+         v$t AS MATERIALIZED (SELECT vec_id, dist FROM $pv
+           UNION ALL SELECT vec_id, $t AS dist FROM f$t)"""
+    }.mkString(",\n")
+    s"""WITH $sqlKnnCtes,
+       und AS MATERIALIZED (SELECT DISTINCT least(src, nbr) AS u,
+           greatest(src, nbr) AS w FROM knn),
+       ed AS MATERIALIZED (SELECT u AS src, w AS nbr FROM und
+         UNION ALL SELECT w AS src, u AS nbr FROM und),
+       nodes AS (SELECT DISTINCT src AS vec_id FROM ed),
+       f0 AS (SELECT vec_id FROM nodes WHERE vec_id < $NQueries),
+       v0 AS (SELECT vec_id, 0 AS dist FROM f0),
+       $rounds,
+       lay AS (SELECT vec_id, dist FROM v$BfsRounds
+         UNION ALL SELECT n.vec_id, -1 AS dist FROM nodes n
+           WHERE NOT EXISTS (SELECT 1 FROM v$BfsRounds v
+             WHERE v.vec_id = n.vec_id))
+       SELECT l.vec_id, CAST(l.dist AS INT) AS dist, c.n_at_dist
+       FROM lay l JOIN (SELECT dist, CAST(count(*) AS BIGINT) AS n_at_dist
+         FROM lay GROUP BY dist) c ON c.dist = l.dist
+       ORDER BY l.vec_id"""
+  }
+
   /** SQL mirror of s_negatives: the unrefined-IVF probe CTEs feed the
     * hard band, the md5-indexed draws feed the random band, both
     * exact-cosine-scored in the same integer micro-units. */
@@ -2085,6 +2139,7 @@ object Similarity {
     ("s_label_prop" -> sqlLabelProp) +
     ("s_kcore_peel" -> sqlKcorePeel) +
     ("s_negatives" -> sqlNegatives) +
+    ("s_seed_dist" -> sqlSeedDist) +
     ("s_filtered_recall" -> {
       val bff = sqlTopk(
         s"""SELECT qs.vec_id AS q, e.vec_id,
