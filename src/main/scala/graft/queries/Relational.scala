@@ -697,7 +697,7 @@ object Relational {
       val li = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
       val bounds = li.agg(min("l_partkey").as("minp"), max("l_partkey").as("maxp"),
         min("l_suppkey").as("mins"), max("l_suppkey").as("maxs"))
-      val g = li.crossJoin(broadcast(bounds)).select(
+      val g = li.join(broadcast(bounds)).select(
         expr("CAST(((l_partkey - minp) * 256) div (maxp - minp + 1) AS INT)").as("gx"),
         expr("CAST(((l_suppkey - mins) * 256) div (maxs - mins + 1) AS INT)").as("gy"))
       val morton = (0 until 8).map(i =>

@@ -553,8 +553,7 @@ object Similarity {
         .withColumn("kind", lit("hard"))
       val qs = broadcast(e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn")))
-      val nv = broadcast(e.agg(count(lit(1)).as("nvec")))
-      val rand = qs.crossJoin(nv)
+      val rand = qs.join(broadcast(e.agg(count(lit(1)).as("nvec"))))
         .select(col("q"), col("qv"), col("qn"),
           explode(sequence(lit(0), lit(RandNegK - 1))).as("j"), col("nvec"))
         .select(col("q"), col("qv"), col("qn"),
