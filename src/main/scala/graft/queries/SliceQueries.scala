@@ -110,6 +110,39 @@ object SliceQueries {
         case ((t, deferred), i) => (i, t, deferred)
       }
       s.createDataFrame(rows).toDF("pos", "table_id", "deferred").orderBy("pos")
+    }),
+
+    // SLICE DIFF — the release-comparison op between two slice scopes
+    // (what a team reviews before swapping a staging dataset for the
+    // previous one): both discoveries walk the same FK graph, then
+    // each table's DISTINCT key sets full-outer join into
+    // added/removed/shared counts. Roots here are disjoint customer
+    // cohorts, so the fact tables diverge completely while the shared
+    // dimensions (nation/region/part/supplier) overlap — exactly the
+    // shape a real scope change produces. Per table cost is one
+    // key-set join; the A side reuses the memoized customer slice.
+    "slice_diff" -> ((s, dir) => {
+      val a = custSlice(s, dir)
+      val b = slicer(s, dir).run(Seq(SliceRoot("customer", "c_custkey % 50 = 23")))
+      val g = SchemaGraph.tpch
+      val frames = g.tables.map(_.id).sorted.map { t =>
+        val kc = g.table(t).key
+        def keySet(r: graft.operators.SliceResult) = r.keys.get(t)
+          .map(_.select(kc.map(col): _*).distinct())
+          .getOrElse(Tables.load(s, dir, t).select(kc.map(col): _*).limit(0))
+        keySet(a).withColumn("ia", lit(1))
+          .join(keySet(b).withColumn("ib", lit(1)), kc, "full_outer")
+          .agg(
+            sum(when(col("ia").isNotNull, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("ib").isNotNull, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("ia").isNotNull && col("ib").isNotNull, 1L)
+              .otherwise(0L)).as("n_common"))
+          .select(lit(t).as("table_id"), col("n_a"), col("n_b"),
+            col("n_common"),
+            (col("n_a") - col("n_common")).as("n_only_a"),
+            (col("n_b") - col("n_common")).as("n_only_b"))
+      }
+      frames.reduce(_ unionByName _).orderBy("table_id")
     })
   )
 
@@ -195,6 +228,47 @@ object SliceQueries {
       """SELECT * FROM (VALUES
         (0, 'part', false), (1, 'region', false), (2, 'nation', false),
         (3, 'customer', false), (4, 'supplier', false), (5, 'orders', false),
-        (6, 'lineitem', false)) AS t(pos, table_id, deferred) ORDER BY pos"""
+        (6, 'lineitem', false)) AS t(pos, table_id, deferred) ORDER BY pos""",
+
+    "slice_diff" -> {
+      // per-scope closure key sets (mirrors the slice_manifest closure,
+      // DISTINCT because the diff compares key SETS)
+      def clos(tag: String, cond: String): Seq[(String, String)] = {
+        val c = s"SELECT c_custkey FROM customer WHERE $cond"
+        val o = s"SELECT o_orderkey FROM orders WHERE o_custkey IN ($c)"
+        val li = s"SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey IN ($o)"
+        val natPred =
+          s"""n_nationkey IN (SELECT c_nationkey FROM customer
+               WHERE c_custkey IN ($c))
+             OR n_nationkey IN (SELECT s_nationkey FROM supplier
+               WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem
+                 WHERE l_orderkey IN ($o)))"""
+        Seq(
+          s"${tag}_customer" -> c,
+          s"${tag}_lineitem" -> s"SELECT DISTINCT * FROM ($li)",
+          s"${tag}_nation" -> s"SELECT n_nationkey FROM nation WHERE $natPred",
+          s"${tag}_orders" -> o,
+          s"${tag}_part" -> s"SELECT DISTINCT l_partkey FROM lineitem WHERE l_orderkey IN ($o)",
+          s"${tag}_region" -> s"SELECT DISTINCT n_regionkey FROM nation WHERE $natPred",
+          s"${tag}_supplier" -> s"SELECT DISTINCT l_suppkey FROM lineitem WHERE l_orderkey IN ($o)")
+      }
+      val ctes = (clos("a", "c_custkey % 50 = 7") ++ clos("b", "c_custkey % 50 = 23"))
+        .map { case (n, q) => s"$n AS MATERIALIZED ($q)" }.mkString(",\n")
+      val rows = Seq("customer", "lineitem", "nation", "orders", "part",
+        "region", "supplier").map { t =>
+        s"""SELECT '$t' AS table_id,
+           CAST((SELECT count(*) FROM a_$t) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b_$t) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM (SELECT * FROM a_$t
+             INTERSECT SELECT * FROM b_$t)) AS BIGINT) AS n_common,
+           CAST((SELECT count(*) FROM a_$t) - (SELECT count(*) FROM
+             (SELECT * FROM a_$t INTERSECT SELECT * FROM b_$t))
+             AS BIGINT) AS n_only_a,
+           CAST((SELECT count(*) FROM b_$t) - (SELECT count(*) FROM
+             (SELECT * FROM a_$t INTERSECT SELECT * FROM b_$t))
+             AS BIGINT) AS n_only_b"""
+      }.mkString(" UNION ALL ")
+      s"WITH $ctes\n$rows ORDER BY table_id"
+    }
   )
 }

@@ -250,4 +250,25 @@ class SlicerSpec extends SparkSpec {
     // b's incoming FK is deferrable -> break the cycle at b, not min("a")
     assert(cyclic.restoreOrder == Seq(("b", true), ("a", false)))
   }
+
+  test("slice_diff carves consistently: disjoint facts, shared dims") {
+    val rows = graft.queries.SliceQueries.queries("slice_diff")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq ==
+      Seq("customer", "lineitem", "nation", "orders", "part", "region", "supplier"))
+    for ((t, na, nb, nc, oa, ob) <- rows) {
+      assert(nc <= math.min(na, nb) && oa == na - nc && ob == nb - nc,
+        s"$t: carve arithmetic broken")
+    }
+    val byT = rows.map(r => r._1 -> r).toMap
+    // disjoint customer cohorts share ZERO fact keys...
+    for (t <- Seq("customer", "orders", "lineitem"))
+      assert(byT(t)._4 == 0, s"$t: disjoint cohorts share keys")
+    // ...but the shared dimensions overlap (disjoint cohorts still buy
+    // from the same parts/suppliers and live in the same regions)
+    for (t <- Seq("nation", "region", "part", "supplier"))
+      assert(byT(t)._4 > 0, s"$t: disjoint cohorts share no dimension keys")
+  }
 }
