@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Onion-layer decomposition by synchronous k-core peeling (Batagelj/
   * Zaversnik flavor): each round simultaneously removes every node
@@ -37,13 +36,7 @@ object KcorePeel {
     * @return (vec_id, peel_layer) for every node in an edge. */
   def run(und: DataFrame, k: Int, maxRounds: Int,
       register: (() => Unit) => Unit): DataFrame = {
-    // a few thousand edges per million nodes of graph do not need 32
-    // shuffle partitions churning every round; keep the relation small
-    val edges = und.select(col("u").as("src"), col("w").as("nbr"))
-      .union(und.select(col("w").as("src"), col("u").as("nbr")))
-      .coalesce(4)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    register(() => { edges.unpersist(false); () })
+    val edges = TriangleCount.bidirectional(und, register)
     var alive = edges.select(col("src").as("vec_id")).distinct()
     var layerFrames = List.empty[DataFrame]
     var t = 1

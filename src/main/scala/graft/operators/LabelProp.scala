@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Community detection by synchronous label propagation (Raghavan et
   * al. 2007) — the soft-clustering sibling of [[ConnectedComponents]]'
@@ -27,10 +26,9 @@ object LabelProp {
     *   per-round checkpoints).
     * @return (vec_id, lbl) for every node that appears in an edge. */
   def run(und: DataFrame, iters: Int, register: (() => Unit) => Unit): DataFrame = {
-    val edges = und.select(col("u").as("src"), col("w").as("nbr"))
-      .union(und.select(col("w").as("src"), col("u").as("nbr")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    register(() => { edges.unpersist(false); () })
+    // coalesceTo = 0: keep the input layout (plan parity with the
+    // committed s_label_prop budget; the loop body is the cost here).
+    val edges = TriangleCount.bidirectional(und, register, coalesceTo = 0)
     var lab = edges.select(col("src").as("vec_id")).distinct()
       .select(col("vec_id"), col("vec_id").as("lbl"))
     val wL = Window.partitionBy("src").orderBy(col("c").desc, col("lbl").asc)

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Multi-source BFS distance labeling over an undirected graph — the
   * proximity-to-seed primitive of curation (how many hops is each
@@ -31,11 +30,7 @@ object SeedBfs {
     *   unreached. */
   def run(und: DataFrame, seedPred: org.apache.spark.sql.Column,
       maxRounds: Int, register: (() => Unit) => Unit): DataFrame = {
-    val edges = und.select(col("u").as("src"), col("w").as("nbr"))
-      .union(und.select(col("w").as("src"), col("u").as("nbr")))
-      .coalesce(4)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    register(() => { edges.unpersist(false); () })
+    val edges = TriangleCount.bidirectional(und, register)
     val nodes = edges.select(col("src").as("vec_id")).distinct()
     val seed = nodes.filter(seedPred)
       .select(col("vec_id"), lit(0).cast("int").as("dist"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Per-node triangle counts over an edge list — the local-clustering
   * primitive behind neighborhood-cohesion stats on a KNN graph.
@@ -26,6 +27,22 @@ object TriangleCount {
       .select(least(col("src"), col("nbr")).as("u"),
         greatest(col("src"), col("nbr")).as("w"))
       .distinct()
+
+  /** Bidirectional (src, nbr) expansion of a canonical undirected edge
+    * relation, persisted and release-registered — the per-round scan
+    * every graph loop (BFS, k-core peel, label propagation) reads.
+    * `coalesceTo` &gt; 0 shrinks the relation's partition count first (a
+    * few thousand edges per million nodes do not need 32 shuffle
+    * partitions churning every round); &le; 0 keeps the input layout. */
+  def bidirectional(und: DataFrame, register: (() => Unit) => Unit,
+      coalesceTo: Int = 4): DataFrame = {
+    val base = und.select(col("u").as("src"), col("w").as("nbr"))
+      .union(und.select(col("w").as("src"), col("u").as("nbr")))
+    val edges = (if (coalesceTo > 0) base.coalesce(coalesceTo) else base)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    register(() => { edges.unpersist(false); () })
+    edges
+  }
 
   /** (vec_id, n_tri) for every node in ≥1 triangle. `und` must be a
     * distinct canonical (u &lt; w) edge relation — see [[canonical]]. */

@@ -602,9 +602,13 @@ object Relational {
           col("event_type").as("from_type"))
         .withColumn("to_type", lead(col("from_type"), 1).over(wU))
         .filter(col("to_type").isNotNull)
-      val cnt = pairs.groupBy("from_type", "to_type")
+      // Row totals via a window over the tiny |event_types|² count
+      // relation — a cnt-vs-cnt.groupBy self-join would evaluate the
+      // per-user lead() window subtree twice (ReuseExchange dedups the
+      // shuffle, not the window+aggregate above it).
+      pairs.groupBy("from_type", "to_type")
         .agg(count(lit(1)).as("n"))
-      cnt.join(cnt.groupBy("from_type").agg(sum("n").as("tot")), "from_type")
+        .withColumn("tot", sum("n").over(Window.partitionBy("from_type")))
         .select(col("from_type"), col("to_type"), col("n"),
           expr("CAST((1000000 * n) div tot AS BIGINT)").as("p_micro"))
         .orderBy("from_type", "to_type")

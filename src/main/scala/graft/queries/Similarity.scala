@@ -1721,9 +1721,6 @@ object Similarity {
        FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id
        GROUP BY bf.q ORDER BY bf.q"""
 
-  /** The KNN-graph CTE block (seed draw → assignment → all-vector
-    * probes → top-KnnK neighbor list named `knn`) — shared by the
-    * s_knn_graph oracle and the s_graph_rank oracle's edge list. */
   /** SQL mirror of s_seed_dist: BfsRounds unrolled frontier-expansion
     * stages; each stage MATERIALIZEs the newly-discovered layer and
     * the running visited set the next stage anti-joins. Stages past
@@ -1848,6 +1845,10 @@ object Similarity {
        ORDER BY l.vec_id"""
   }
 
+  /** The KNN-graph CTE block (seed draw → assignment → all-vector
+    * probes → top-KnnK neighbor list named `knn`) — shared by the
+    * s_knn_graph oracle, the s_graph_rank oracle's edge list, and the
+    * graph-loop oracles (seed-dist BFS, k-core peel, LPA). */
   private val sqlKnnCtes =
     s"""e AS ($sqlVecs),
        c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e

@@ -133,10 +133,13 @@ object SliceQueries {
         keySet(a).withColumn("ia", lit(1))
           .join(keySet(b).withColumn("ib", lit(1)), kc, "full_outer")
           .agg(
-            sum(when(col("ia").isNotNull, 1L).otherwise(0L)).as("n_a"),
-            sum(when(col("ib").isNotNull, 1L).otherwise(0L)).as("n_b"),
-            sum(when(col("ia").isNotNull && col("ib").isNotNull, 1L)
-              .otherwise(0L)).as("n_common"))
+            // count(col), not sum(when): a table empty in BOTH scopes
+            // joins to zero rows and sum() would emit NULL where the
+            // oracle's count(*) says 0.
+            count(col("ia")).as("n_a"),
+            count(col("ib")).as("n_b"),
+            count(when(col("ia").isNotNull && col("ib").isNotNull, 1L))
+              .as("n_common"))
           .select(lit(t).as("table_id"), col("n_a"), col("n_b"),
             col("n_common"),
             (col("n_a") - col("n_common")).as("n_only_a"),
