@@ -717,6 +717,118 @@ object Relational {
           ((col("gx_max") - col("gx_min") + 1) *
             (col("gy_max") - col("gy_min") + 1)).cast("long"))
         .orderBy("zblock")
+    }),
+
+    // A/B EXPERIMENT readout — the experimentation-platform op: users
+    // split into two arms by a deterministic hash gate (the same
+    // md5-idx contract every sampling op uses — assignment is
+    // reproducible and join-free), per-user purchase totals in exact
+    // cents, then ONE conditional aggregation yields both arms' counts
+    // and first two moments; means/variances/lift/Welch-z² come out as
+    // integer micro-unit floor divisions over DECIMAL(38,0) sums — no
+    // float accumulates anywhere, so the readout is bit-identical
+    // cross-engine. Scale shape: one user_id shuffle + one scalar
+    // aggregate; the moment sums fit 38 digits through ~1e12-cent arm
+    // totals (beyond that a platform scales cents to dollars first —
+    // same two-level aggregation, wider headroom).
+    "q_abtest" -> ((s, dir) => {
+      val per = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(floor(sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+        .withColumn("arm",
+          (graft.functions.Determinism.md5Idx(
+            concat(lit("ab#"), col("user_id").cast("string"))) % 2).cast("int"))
+      per.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("cents")).otherwise(0L))
+            .cast("decimal(38,0)").as("s0"),
+          sum(when(col("arm") === 1, col("cents")).otherwise(0L))
+            .cast("decimal(38,0)").as("s1"),
+          sum(when(col("arm") === 0,
+            col("cents").cast("decimal(19,0)") * col("cents"))
+            .otherwise(lit(0).cast("decimal(19,0)"))).as("q0"),
+          sum(when(col("arm") === 1,
+            col("cents").cast("decimal(19,0)") * col("cents"))
+            .otherwise(lit(0).cast("decimal(19,0)"))).as("q1"))
+        .select(col("n0"), col("n1"),
+          col("s0").cast("long").as("s0_cents"),
+          col("s1").cast("long").as("s1_cents"),
+          expr("CAST((1000000 * s0) div n0 AS BIGINT)").as("mean0_micro"),
+          expr("CAST((1000000 * s1) div n1 AS BIGINT)").as("mean1_micro"),
+          expr("CAST((1000000 * (n0 * q0 - s0 * s0)) div (n0 * n0) AS BIGINT)")
+            .as("var0_micro"),
+          expr("CAST((1000000 * (n1 * q1 - s1 * s1)) div (n1 * n1) AS BIGINT)")
+            .as("var1_micro"),
+          expr("CAST((1000000 * (s1 * n0 - s0 * n1)) div (n1 * n0) AS BIGINT)")
+            .as("lift_micro"),
+          expr("""CAST((1000000 * (s1 * n0 - s0 * n1) * (s1 * n0 - s0 * n1)
+              * n1 * n0)
+            div ((n1 * q1 - s1 * s1) * n0 * n0 * n0
+              + (n0 * q0 - s0 * s0) * n1 * n1 * n1) AS BIGINT)""")
+            .as("z2_micro"))
+    }),
+
+    // CHI-SQUARE independence audit over the (lang × source)
+    // contingency table — the data-drift / composition-shift monitor a
+    // corpus pipeline runs between snapshots. One groupBy builds the
+    // observed cells; margins and the grand total are window sums over
+    // that |langs|·|sources|-row relation (tiny whatever the corpus —
+    // the single-partition windows are over cells, never rows).
+    // Expected counts and per-cell contributions are integer
+    // micro-unit floor divisions — contrib = (obs·N − rt·ct)² div
+    // (rt·ct·N), the exact-rational form of (obs−exp)²/exp — summed
+    // AFTER flooring on both engines, so the statistic is
+    // deterministic cross-engine with no float ever formed.
+    "q_chisq" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy("lang", "source")
+        .agg(count(lit(1)).as("obs"))
+        .withColumn("rt", sum("obs").over(Window.partitionBy("lang")))
+        .withColumn("ct", sum("obs").over(Window.partitionBy("source")))
+        .withColumn("nn", sum("obs").over(Window.partitionBy()))
+        .select(col("lang"), col("source"), col("obs"),
+          expr("""CAST((1000000 * CAST(rt AS DECIMAL(38,0)) * ct) div nn
+            AS BIGINT)""").as("exp_micro"),
+          expr("""CAST((1000000
+              * (CAST(obs AS DECIMAL(38,0)) * nn - CAST(rt AS DECIMAL(38,0)) * ct)
+              * (CAST(obs AS DECIMAL(38,0)) * nn - CAST(rt AS DECIMAL(38,0)) * ct))
+            div (CAST(rt AS DECIMAL(38,0)) * ct * nn) AS BIGINT)""")
+            .as("contrib_micro"))
+        .withColumn("chi2_micro",
+          sum("contrib_micro").over(Window.partitionBy()))
+        .orderBy("lang", "source")
+    }),
+
+    // EQUI-DEPTH histogram — the feature-bucketing / range-partition
+    // planning op: 9 interior deciles of the price distribution (same
+    // rounded-interpolation contract as q_percentile/q_outliers) come
+    // from one aggregate, broadcast back as a single bounds row, and
+    // every row bins by counting boundaries strictly below it — a
+    // codegen chain of compares, no sort, no ntile (a global ntile IS
+    // a global sort; boundary-broadcast binning is how a range
+    // partitioner actually scales). Per-bin population + exact min/max
+    // document how even the depths landed.
+    "q_equidepth" -> ((s, dir) => {
+      val c = t(s, dir, "orders")
+        .select(floor(dec("o_totalprice") * 100).cast("long").as("cents"))
+      // ONE array-percentile aggregate, not 9 scalar ones — each
+      // percentile buffer holds the full value multiset per partition,
+      // so 9 separate aggregates cost 9x the aggregation state for the
+      // same answer.
+      val bounds = c.agg(expr(
+          "percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+          .as("bs"))
+        .select((1 to 9).map(k =>
+          round(element_at(col("bs"), k), 4).as(s"b$k")): _*)
+      val bin = (1 to 9).map(k =>
+          when(col("cents") > col(s"b$k"), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+      c.join(broadcast(bounds))
+        .withColumn("bin", bin.cast("int"))
+        .groupBy("bin").agg(count(lit(1)).as("n_rows"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .orderBy("bin")
     })
   )
 
@@ -1123,6 +1235,74 @@ object Relational {
            CAST((max(gx) - min(gx) + 1) * (max(gy) - min(gy) + 1) AS BIGINT)
              AS bbox_area
          FROM z GROUP BY zblock ORDER BY zblock"""
+    },
+
+    "q_abtest" ->
+      s"""WITH pu AS (SELECT user_id,
+             CAST(floor(sum(CAST(value AS DECIMAL(18,2))) * 100) AS BIGINT)
+               AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         a AS (SELECT CAST((${graft.functions.Determinism.sqlMd5Idx(
+               "'ab#' || CAST(user_id AS VARCHAR)")} % 2) AS INT) AS arm,
+             cents FROM pu),
+         m AS (SELECT
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN arm = 0 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s0,
+             sum(CASE WHEN arm = 1 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s1,
+             sum(CASE WHEN arm = 0 THEN CAST(cents AS HUGEINT) * cents
+               ELSE 0 END) AS q0,
+             sum(CASE WHEN arm = 1 THEN CAST(cents AS HUGEINT) * cents
+               ELSE 0 END) AS q1
+           FROM a)
+         SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           CAST(s0 AS BIGINT) AS s0_cents, CAST(s1 AS BIGINT) AS s1_cents,
+           CAST((1000000 * s0) // n0 AS BIGINT) AS mean0_micro,
+           CAST((1000000 * s1) // n1 AS BIGINT) AS mean1_micro,
+           CAST((1000000 * (n0 * q0 - s0 * s0)) // (n0 * n0) AS BIGINT)
+             AS var0_micro,
+           CAST((1000000 * (n1 * q1 - s1 * s1)) // (n1 * n1) AS BIGINT)
+             AS var1_micro,
+           CAST((1000000 * (s1 * n0 - s0 * n1)) // (n1 * n0) AS BIGINT)
+             AS lift_micro,
+           CAST((1000000 * (s1 * n0 - s0 * n1) * (s1 * n0 - s0 * n1)
+               * n1 * n0)
+             // ((n1 * q1 - s1 * s1) * n0 * n0 * n0
+               + (n0 * q0 - s0 * s0) * n1 * n1 * n1) AS BIGINT) AS z2_micro
+         FROM m""",
+
+    "q_chisq" ->
+      """WITH o AS (SELECT lang, source, count(*) AS obs
+           FROM documents GROUP BY lang, source),
+         w AS (SELECT lang, source, obs,
+             sum(obs) OVER (PARTITION BY lang) AS rt,
+             sum(obs) OVER (PARTITION BY source) AS ct,
+             sum(obs) OVER () AS nn
+           FROM o),
+         c AS (SELECT lang, source, CAST(obs AS BIGINT) AS obs,
+             CAST((1000000 * CAST(rt AS HUGEINT) * ct) // nn AS BIGINT)
+               AS exp_micro,
+             CAST((1000000
+                 * (CAST(obs AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct)
+                 * (CAST(obs AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct))
+               // (CAST(rt AS HUGEINT) * ct * nn) AS BIGINT) AS contrib_micro
+           FROM w)
+         SELECT lang, source, obs, exp_micro, contrib_micro,
+           CAST(sum(contrib_micro) OVER () AS BIGINT) AS chi2_micro
+         FROM c ORDER BY lang, source""",
+
+    "q_equidepth" -> {
+      val bs = (1 to 9).map(k =>
+        s"round(quantile_cont(cents, 0.$k), 4) AS b$k").mkString(", ")
+      val bin = (1 to 9).map(k =>
+        s"CASE WHEN cents > b$k THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH c AS (SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))
+             * 100) AS BIGINT) AS cents FROM orders),
+         b AS (SELECT $bs FROM c)
+         SELECT CAST(($bin + 1) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(cents) AS min_cents, max(cents) AS max_cents
+         FROM c, b GROUP BY 1 ORDER BY bin"""
     }
   )
 }

@@ -595,6 +595,29 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
+    // KNN-DISTANCE novelty / outlier scoring — the density-based OOD
+    // screen of embedding curation (Sun et al. 2022 flavor: a point
+    // whose similarity to even its OWN nearest neighbors is low sits
+    // in a sparse region — mislabeled, off-distribution, or noise).
+    // Score = the memoized KNN graph's WORST retained-neighbor cosine
+    // per node in integer micro-units; the outlier flag compares
+    // against the corpus 5th percentile of that score, computed once
+    // and broadcast back (the q_outliers fence idiom — no global
+    // window, no sort). Cost on top of the standing graph: one
+    // per-node aggregate + one scalar broadcast.
+    "s_knn_outlier" -> ((s, dir) => {
+      val kd = knnGraph(s, dir).groupBy("src").agg(
+        count(lit(1)).as("n_nbrs"),
+        floor(min(col("cos")) * lit(1000000.0)).cast("long")
+          .as("kth_cos_micro"))
+      val thr = kd.agg(
+        round(expr("percentile(kth_cos_micro, 0.05)"), 4).as("thr"))
+      kd.join(broadcast(thr))
+        .select(col("src").as("vec_id"), col("n_nbrs"), col("kth_cos_micro"),
+          (col("kth_cos_micro") <= col("thr")).as("is_outlier"))
+        .orderBy("vec_id")
+    }),
+
     // CORESET selection by k-center greedy (Gonzalez farthest-point)
     // — the diversity-first data-selection primitive (seed sets for
     // active learning, eval-set picking, diverse fine-tuning
@@ -2140,6 +2163,16 @@ object Similarity {
     ("s_kcore_peel" -> sqlKcorePeel) +
     ("s_negatives" -> sqlNegatives) +
     ("s_seed_dist" -> sqlSeedDist) +
+    ("s_knn_outlier" ->
+      s"""WITH $sqlKnnCtes,
+         kd AS (SELECT src, count(*) AS n_nbrs,
+             CAST(floor(min(cos) * 1000000.0) AS BIGINT) AS kth_cos_micro
+           FROM knn GROUP BY src),
+         th AS (SELECT round(quantile_cont(kth_cos_micro, 0.05), 4) AS thr
+           FROM kd)
+         SELECT kd.src AS vec_id, CAST(kd.n_nbrs AS BIGINT) AS n_nbrs,
+           kd.kth_cos_micro, kd.kth_cos_micro <= th.thr AS is_outlier
+         FROM kd, th ORDER BY vec_id""") +
     ("s_filtered_recall" -> {
       val bff = sqlTopk(
         s"""SELECT qs.vec_id AS q, e.vec_id,
