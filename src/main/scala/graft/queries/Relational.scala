@@ -829,6 +829,32 @@ object Relational {
         .groupBy("bin").agg(count(lit(1)).as("n_rows"),
           min("cents").as("min_cents"), max("cents").as("max_cents"))
         .orderBy("bin")
+    }),
+
+    // SESSION PATH mining — the user-journey op one level above
+    // q_transitions' bigrams: each session's first 5 event types
+    // become an ordered path string, then the corpus's top-20 paths by
+    // session count. The path assembles via max(when(rn = k)) pivots —
+    // pure codegen, no ordered collect_list (whose sort buffer is the
+    // non-deterministic trap) — and concat_ws skips the NULL slots of
+    // short sessions identically on both engines. Scale shape: the
+    // sessionize window shuffles on user_id once (shared with
+    // q_sessionize), paths aggregate map-side, and the top-20 is
+    // TakeOrdered — never a global sort.
+    "q_paths" -> ((s, dir) => {
+      val wE = Window.partitionBy("user_id", "session_idx")
+        .orderBy("ts", "event_id")
+      val p = Sessionize(t(s, dir, "events"), "user_id", "ts", "event_id",
+          gapSeconds = 1800)
+        .withColumn("rn", row_number().over(wE))
+        .filter(col("rn") <= 5)
+        .groupBy("user_id", "session_idx")
+        .agg(concat_ws(">",
+          (1 to 5).map(k =>
+            max(when(col("rn") === k, col("event_type")))): _*).as("path"))
+      p.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc)
+        .limit(20)
     })
   )
 
@@ -1303,6 +1329,29 @@ object Relational {
            CAST(count(*) AS BIGINT) AS n_rows,
            min(cents) AS min_cents, max(cents) AS max_cents
          FROM c, b GROUP BY 1 ORDER BY bin"""
+    },
+
+    "q_paths" -> {
+      val pivots = (1 to 5).map(k =>
+        s"max(CASE WHEN rn = $k THEN event_type END)").mkString(", ")
+      s"""WITH marked AS (SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_idx
+           FROM marked),
+         fir AS (SELECT user_id, session_idx, event_type,
+             row_number() OVER (PARTITION BY user_id, session_idx
+               ORDER BY ts, event_id) AS rn
+           FROM sess),
+         p AS (SELECT user_id, session_idx, concat_ws('>', $pivots) AS path
+           FROM fir WHERE rn <= 5 GROUP BY user_id, session_idx)
+         SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+         ORDER BY n_sessions DESC, path LIMIT 20"""
     }
   )
 }

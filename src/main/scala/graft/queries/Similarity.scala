@@ -618,6 +618,49 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
+    // EMBEDDING DRIFT per label — the embedding-space shift monitor an
+    // encoder upgrade or data-composition change is audited with: the
+    // corpus splits into two deterministic md5 halves (standing in for
+    // two snapshots), per-(label, dim) centroid means are computed over
+    // the int8-QUANTIZED vectors (the s_int8_topk contract — integer
+    // sums are exact in any order, so the centroids carry zero
+    // float-summation surface), and each label reports its L1 centroid
+    // shift plus the single worst-drifting dimension. Scale shape: one
+    // posexplode to (label, half, dim) cells, one |labels|·dims
+    // aggregate, everything after that is cell-sized.
+    "s_embed_drift" -> ((s, dir) => {
+      val qv = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.Int8Quantize(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v"))))
+      val cells = vecs(s, dir).select(col("label"), qv.as("qv"),
+          (Determinism.md5Idx(concat(lit("dr#"), col("vec_id").cast("string")))
+            % 2).cast("int").as("half"))
+        .select(col("label"), col("half"), posexplode(col("qv")))
+        .toDF("label", "half", "dim", "qval")
+      val byDim = cells.groupBy("label", "dim").agg(
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("half") === 0, col("qval").cast("long")).otherwise(0L))
+            .as("s0"),
+          sum(when(col("half") === 1, col("qval").cast("long")).otherwise(0L))
+            .as("s1"))
+        .select(col("label"), col("dim"), col("c0"), col("c1"),
+          abs(expr("(1000000 * s1) div c1") - expr("(1000000 * s0) div c0"))
+            .as("dmicro"))
+      val wL = Window.partitionBy("label")
+        .orderBy(col("dmicro").desc, col("dim").asc)
+      val tops = byDim.withColumn("rn", row_number().over(wL))
+        .filter(col("rn") === 1)
+        .select(col("label"), col("dim").as("top_dim"),
+          col("dmicro").as("top_drift_micro"))
+      byDim.groupBy("label").agg(max("c0").as("n0"), max("c1").as("n1"),
+          sum("dmicro").as("l1_drift_micro"))
+        .join(tops, "label")
+        .select(col("label"), col("n0"), col("n1"), col("l1_drift_micro"),
+          col("top_dim"), col("top_drift_micro"))
+        .orderBy("label")
+    }),
+
     // CORESET selection by k-center greedy (Gonzalez farthest-point)
     // — the diversity-first data-selection primitive (seed sets for
     // active learning, eval-set picking, diverse fine-tuning
@@ -2163,6 +2206,42 @@ object Similarity {
     ("s_kcore_peel" -> sqlKcorePeel) +
     ("s_negatives" -> sqlNegatives) +
     ("s_seed_dist" -> sqlSeedDist) +
+    ("s_embed_drift" ->
+      s"""WITH e AS ($sqlVecs),
+         qz AS (SELECT vec_id, label,
+             list_transform(v, x -> CAST(floor(x * 127.0 /
+               list_aggregate(list_transform(v, y -> abs(y)), 'max'))
+               AS DOUBLE)) AS qv
+           FROM e),
+         h AS (SELECT label,
+             CAST((${Determinism.sqlMd5Idx(
+               "'dr#' || CAST(vec_id AS VARCHAR)")} % 2) AS INT) AS half, qv
+           FROM qz),
+         x AS (SELECT label, half, CAST(t.i - 1 AS INT) AS dim,
+             CAST(qv[CAST(t.i AS INT)] AS BIGINT) AS qval
+           FROM h, unnest(range(1, len(qv) + 1)) AS t(i)),
+         bd AS (SELECT label, dim,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN half = 0 THEN qval ELSE 0 END) AS s0,
+             sum(CASE WHEN half = 1 THEN qval ELSE 0 END) AS s1
+           FROM x GROUP BY label, dim),
+         dm AS (SELECT label, dim, CAST(c0 AS BIGINT) AS c0,
+             CAST(c1 AS BIGINT) AS c1,
+             abs((1000000 * s1) // c1 - (1000000 * s0) // c0) AS dmicro
+           FROM bd),
+         tops AS (SELECT label, dim AS top_dim,
+             CAST(dmicro AS BIGINT) AS top_drift_micro
+           FROM (SELECT label, dim, dmicro,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY dmicro DESC, dim) AS rn FROM dm)
+           WHERE rn = 1)
+         SELECT g.label, g.n0, g.n1, g.l1_drift_micro,
+           tops.top_dim, tops.top_drift_micro
+         FROM (SELECT label, max(c0) AS n0, max(c1) AS n1,
+             CAST(sum(dmicro) AS BIGINT) AS l1_drift_micro
+           FROM dm GROUP BY label) g
+         JOIN tops USING (label) ORDER BY g.label""") +
     ("s_knn_outlier" ->
       s"""WITH $sqlKnnCtes,
          kd AS (SELECT src, count(*) AS n_nbrs,

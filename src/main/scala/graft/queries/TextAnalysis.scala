@@ -437,6 +437,30 @@ object TextAnalysis {
     "x_gopher_filter" -> ((s, dir) =>
       gopherFilter(docs(s, dir)).orderBy("doc_id")),
 
+    // FILTER CALIBRATION curve — the threshold-tuning audit a curation
+    // run reads before moving a cut line: the heuristic quality score
+    // (x_quality's integer-micro numerator) banded into fixed tenths,
+    // per-band gopher keep rate. A healthy filter's keep rate rises
+    // monotonically with the score band; a flat or inverted curve
+    // means the two signals disagree and one of them is broken. Both
+    // signals are row-local scans, the join is on doc_id, and the
+    // output is ≤11 bands whatever the corpus.
+    "x_quality_calib" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nStop = size(filter(wordsCol, x => x.isInCollection(stopwords)))
+      val q = d.select(col("doc_id"),
+        (least(length(col("text")), lit(500)) * 1000L
+          + floor(nStop * lit(500000L) / size(wordsCol))).cast("long")
+          .as("qmicro"))
+      q.join(gopherFilter(d).select(col("doc_id"), col("keep")), "doc_id")
+        .withColumn("band", expr("CAST(qmicro div 100000 AS INT)"))
+        .groupBy("band").agg(count(lit(1)).as("n_docs"),
+          sum(col("keep").cast("long")).as("n_keep"))
+        .select(col("band"), col("n_docs"), col("n_keep"),
+          expr("(1000000 * n_keep) div n_docs").as("keep_rate_micro"))
+        .orderBy("band")
+    }),
+
     // corpus card: the per-source summary a curation run reports before
     // and after filtering — volume, token mass, vocabulary size,
     // character mass, language spread. One scan feeds a per-source
@@ -540,6 +564,31 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_words"), col("n_tokens"),
           (expr("(ncp * 1000000) div n_tokens") / 1000000.0).as("chars_per_token"))
         .orderBy("doc_id")
+    }),
+
+    // TOKENIZER FERTILITY by language — the standard tokenizer-eval
+    // metric (mean BPE tokens per word, per language): a tokenizer
+    // trained on a mixed corpus over-fragments its minority languages,
+    // and this is the audit that prices it. Rides the memoized
+    // distinct-word vocab (bpeWtok — zero re-training, zero re-encode)
+    // through the same salted word join as x_bpe_encode, then one
+    // per-language aggregate; fertility and chars-per-token in integer
+    // micro-units. Cost on top of the standing vocab: one doc-words
+    // explode + |langs| aggregate rows.
+    "x_fertility" -> ((s, dir) => {
+      val dw = docs(s, dir)
+        .select(col("lang"), col("doc_id"), explode(wordsCol).as("w"))
+        .filter(length(col("w")) > 0)
+      graft.operators.SkewJoin.salted(dw, bpeWtok(s, dir),
+          key = "w", uniqueCol = "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_tok").cast("long").as("n_tokens"),
+          sum(length(col("w"))).cast("long").as("ncp"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          expr("(n_tokens * 1000000) div n_words").as("fertility_micro"),
+          expr("(ncp * 1000000) div n_tokens").as("cpt_micro"))
+        .orderBy("lang")
     }),
 
     // cross-document duplicated-span detection (the exact-substring
@@ -1106,6 +1155,31 @@ object TextAnalysis {
              CASE WHEN r_rep THEN 'repetitive' END) AS reasons FROM r)
          ORDER BY doc_id""",
 
+    "x_quality_calib" ->
+      s"""WITH m AS (SELECT doc_id,
+             len(w) AS n,
+             length(replace(text, ' ', '')) AS wc,
+             len(list_filter(w, x -> x IN ($stopSqlList))) AS n_stop,
+             ${sqlShingles("w", 3)} AS g,
+             CAST(least(length(text), 500) * 1000
+               + floor(len(list_filter(w, x -> x IN ($stopSqlList))) * 500000
+                 / len(w)) AS BIGINT) AS qmicro
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+                 FROM documents)),
+         r AS (SELECT doc_id, qmicro,
+             CASE WHEN (n < 20) OR (n > 90)
+               OR (wc * 1000 < n * 3800 OR wc * 1000 > n * 5000)
+               OR (n_stop < 2)
+               OR ((len(g) - len(list_distinct(g))) * 50 > len(g))
+               THEN 0 ELSE 1 END AS keep
+           FROM m)
+         SELECT CAST(qmicro // 100000 AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_keep,
+           CAST((1000000 * sum(keep)) // count(*) AS BIGINT)
+             AS keep_rate_micro
+         FROM r GROUP BY band ORDER BY band""",
+
     "x_corpus_stats" ->
       """WITH d AS (SELECT *, string_split(text, ' ') AS w FROM documents),
          base AS (SELECT source,
@@ -1300,6 +1374,8 @@ object TextAnalysis {
 
     "x_bpe_encode" -> sqlBpeEncode(10),
 
+    "x_fertility" -> sqlFertility(10),
+
     "x_dup_spans" ->
       s"""WITH spans AS (
            SELECT doc_id, unnest(list_transform(
@@ -1354,6 +1430,29 @@ object TextAnalysis {
            / 1000000.0) AS chars_per_token
        FROM dw JOIN wtok USING (w)
        GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** SQL mirror of x_fertility: the encode pipeline's final vocab
+    * token counts joined to doc words carrying lang, aggregated per
+    * language with the same integer-micro ratios. */
+  private def sqlFertility(k: Int): String = {
+    val US = "chr(31)"
+    s"""WITH ${bpeCtes(k, carryW = true)},
+       wtok AS (SELECT w,
+           CAST(len(string_split(trim(s, $US), $US || $US)) AS INT) AS n_tok
+         FROM v$k),
+       dw AS (SELECT lang, doc_id, w
+         FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents)
+         WHERE length(w) > 0)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST((CAST(sum(n_tok) AS BIGINT) * 1000000 // count(*)) AS BIGINT)
+           AS fertility_micro,
+         CAST((CAST(sum(length(w)) AS BIGINT) * 1000000
+           // CAST(sum(n_tok) AS BIGINT)) AS BIGINT) AS cpt_micro
+       FROM dw JOIN wtok USING (w)
+       GROUP BY lang ORDER BY lang"""
   }
 
   /** The shared k-stage training pipeline: v0 = word-frequency table
