@@ -27,6 +27,26 @@ object Relational {
 
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 
+  /** Shared sessionization CTE block (marked + sess) — the ONE SQL
+    * copy of the [[graft.operators.Sessionize]] contract (30-min gap,
+    * (ts, event_id) order, integer-microsecond compare); q_sessionize
+    * and q_paths both read it, so a gap/tiebreak change cannot leave
+    * the two oracles disagreeing. `cols` appends carried columns. */
+  private def sqlSessionCtes(cols: String = ""): String =
+    s"""marked AS (
+         SELECT user_id, ts, event_id$cols,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_idx
+         FROM marked)"""
+
   private val bloomSessions =
     collection.mutable.Map.empty[SparkSession, SparkSession]
 
@@ -762,12 +782,17 @@ object Relational {
           expr("CAST((1000000 * (n1 * q1 - s1 * s1)) div (n1 * n1) AS BIGINT)")
             .as("var1_micro"),
           expr("CAST((1000000 * (s1 * n0 - s0 * n1)) div (n1 * n0) AS BIGINT)")
-            .as("lift_micro"),
-          expr("""CAST((1000000 * (s1 * n0 - s0 * n1) * (s1 * n0 - s0 * n1)
-              * n1 * n0)
-            div ((n1 * q1 - s1 * s1) * n0 * n0 * n0
-              + (n0 * q0 - s0 * s0) * n1 * n1 * n1) AS BIGINT)""")
-            .as("z2_micro"))
+            .as("lift_micro"))
+        // Welch z² from the ALREADY-FLOORED micro quantities — never
+        // from the raw product form (1e6·d²·n1·n0 / X), whose numerator
+        // needs ~40+ digits at ~1e5 users/arm and silently NULLs the
+        // decimal while DuckDB's int128 errors. lift² tops out at
+        // ~1e36 for 1e12-cent means — inside 38 digits with the same
+        // headroom as the moment sums. The pre-floored denominator
+        // shifts z² by O(1/var_micro) — identically on both engines.
+        .withColumn("z2_micro",
+          expr("""CAST((CAST(lift_micro AS DECIMAL(38,0)) * lift_micro)
+            div (var1_micro div n1 + var0_micro div n0) AS BIGINT)"""))
     }),
 
     // CHI-SQUARE independence audit over the (lang × source)
@@ -777,23 +802,26 @@ object Relational {
     // that |langs|·|sources|-row relation (tiny whatever the corpus —
     // the single-partition windows are over cells, never rows).
     // Expected counts and per-cell contributions are integer
-    // micro-unit floor divisions — contrib = (obs·N − rt·ct)² div
-    // (rt·ct·N), the exact-rational form of (obs−exp)²/exp — summed
-    // AFTER flooring on both engines, so the statistic is
-    // deterministic cross-engine with no float ever formed.
+    // micro-unit floor divisions — dev = (obs·N − rt·ct) div N (the
+    // floored obs−exp), contrib = (1e6·dev²·N) div (rt·ct) — floored
+    // identically on both engines, so the statistic is deterministic
+    // cross-engine with no float ever formed. The dev pre-floor is
+    // what keeps the arithmetic inside 38 digits at ~1e9 documents
+    // (the raw (obs·N − rt·ct)² form needs ~42 and NULLs silently).
     "q_chisq" -> ((s, dir) => {
       t(s, dir, "documents").groupBy("lang", "source")
         .agg(count(lit(1)).as("obs"))
         .withColumn("rt", sum("obs").over(Window.partitionBy("lang")))
         .withColumn("ct", sum("obs").over(Window.partitionBy("source")))
         .withColumn("nn", sum("obs").over(Window.partitionBy()))
+        .withColumn("dev",
+          expr("""(CAST(obs AS DECIMAL(38,0)) * nn
+            - CAST(rt AS DECIMAL(38,0)) * ct) div nn"""))
         .select(col("lang"), col("source"), col("obs"),
           expr("""CAST((1000000 * CAST(rt AS DECIMAL(38,0)) * ct) div nn
             AS BIGINT)""").as("exp_micro"),
-          expr("""CAST((1000000
-              * (CAST(obs AS DECIMAL(38,0)) * nn - CAST(rt AS DECIMAL(38,0)) * ct)
-              * (CAST(obs AS DECIMAL(38,0)) * nn - CAST(rt AS DECIMAL(38,0)) * ct))
-            div (CAST(rt AS DECIMAL(38,0)) * ct * nn) AS BIGINT)""")
+          expr("""CAST((1000000 * CAST(dev AS DECIMAL(38,0)) * dev * nn)
+            div (CAST(rt AS DECIMAL(38,0)) * ct) AS BIGINT)""")
             .as("contrib_micro"))
         .withColumn("chi2_micro",
           sum("contrib_micro").over(Window.partitionBy()))
@@ -1060,17 +1088,7 @@ object Relational {
          ORDER BY step""",
 
     "q_sessionize" ->
-      """WITH marked AS (
-           SELECT user_id, ts, event_id,
-             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-                  THEN 1 ELSE 0 END AS new_s
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         sess AS (
-           SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-           FROM marked)
+      s"""WITH ${sqlSessionCtes()}
          SELECT user_id, session_idx, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end
          FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
@@ -1280,8 +1298,8 @@ object Relational {
                ELSE 0 END) AS q0,
              sum(CASE WHEN arm = 1 THEN CAST(cents AS HUGEINT) * cents
                ELSE 0 END) AS q1
-           FROM a)
-         SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           FROM a),
+         m2 AS (SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
            CAST(s0 AS BIGINT) AS s0_cents, CAST(s1 AS BIGINT) AS s1_cents,
            CAST((1000000 * s0) // n0 AS BIGINT) AS mean0_micro,
            CAST((1000000 * s1) // n1 AS BIGINT) AS mean1_micro,
@@ -1290,12 +1308,11 @@ object Relational {
            CAST((1000000 * (n1 * q1 - s1 * s1)) // (n1 * n1) AS BIGINT)
              AS var1_micro,
            CAST((1000000 * (s1 * n0 - s0 * n1)) // (n1 * n0) AS BIGINT)
-             AS lift_micro,
-           CAST((1000000 * (s1 * n0 - s0 * n1) * (s1 * n0 - s0 * n1)
-               * n1 * n0)
-             // ((n1 * q1 - s1 * s1) * n0 * n0 * n0
-               + (n0 * q0 - s0 * s0) * n1 * n1 * n1) AS BIGINT) AS z2_micro
-         FROM m""",
+             AS lift_micro
+         FROM m)
+         SELECT *, CAST((CAST(lift_micro AS HUGEINT) * lift_micro)
+             // (var1_micro // n1 + var0_micro // n0) AS BIGINT) AS z2_micro
+         FROM m2""",
 
     "q_chisq" ->
       """WITH o AS (SELECT lang, source, count(*) AS obs
@@ -1305,26 +1322,30 @@ object Relational {
              sum(obs) OVER (PARTITION BY source) AS ct,
              sum(obs) OVER () AS nn
            FROM o),
+         wd AS (SELECT *, (CAST(obs AS HUGEINT) * nn
+             - CAST(rt AS HUGEINT) * ct) // nn AS dev FROM w),
          c AS (SELECT lang, source, CAST(obs AS BIGINT) AS obs,
              CAST((1000000 * CAST(rt AS HUGEINT) * ct) // nn AS BIGINT)
                AS exp_micro,
-             CAST((1000000
-                 * (CAST(obs AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct)
-                 * (CAST(obs AS HUGEINT) * nn - CAST(rt AS HUGEINT) * ct))
-               // (CAST(rt AS HUGEINT) * ct * nn) AS BIGINT) AS contrib_micro
-           FROM w)
+             CAST((1000000 * dev * dev * nn)
+               // (CAST(rt AS HUGEINT) * ct) AS BIGINT) AS contrib_micro
+           FROM wd)
          SELECT lang, source, obs, exp_micro, contrib_micro,
            CAST(sum(contrib_micro) OVER () AS BIGINT) AS chi2_micro
          FROM c ORDER BY lang, source""",
 
     "q_equidepth" -> {
-      val bs = (1 to 9).map(k =>
-        s"round(quantile_cont(cents, 0.$k), 4) AS b$k").mkString(", ")
+      // list-form quantile_cont — ONE value-multiset buffer, mirroring
+      // the Spark side's array-percentile contract (9 scalar aggregates
+      // are the 9x-state shape its comment forbids)
+      val bs = (1 to 9).map(k => s"round(qc[$k], 4) AS b$k").mkString(", ")
+      val qlist = (1 to 9).map(k => s"0.$k").mkString(", ")
       val bin = (1 to 9).map(k =>
         s"CASE WHEN cents > b$k THEN 1 ELSE 0 END").mkString(" + ")
       s"""WITH c AS (SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))
              * 100) AS BIGINT) AS cents FROM orders),
-         b AS (SELECT $bs FROM c)
+         b AS (SELECT $bs FROM
+           (SELECT quantile_cont(cents, [$qlist]) AS qc FROM c))
          SELECT CAST(($bin + 1) AS INT) AS bin,
            CAST(count(*) AS BIGINT) AS n_rows,
            min(cents) AS min_cents, max(cents) AS max_cents
@@ -1334,16 +1355,7 @@ object Relational {
     "q_paths" -> {
       val pivots = (1 to 5).map(k =>
         s"max(CASE WHEN rn = $k THEN event_type END)").mkString(", ")
-      s"""WITH marked AS (SELECT user_id, ts, event_id, event_type,
-             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-               THEN 1 ELSE 0 END AS new_s
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         sess AS (SELECT user_id, ts, event_id, event_type,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS session_idx
-           FROM marked),
+      s"""WITH ${sqlSessionCtes(", event_type")},
          fir AS (SELECT user_id, session_idx, event_type,
              row_number() OVER (PARTITION BY user_id, session_idx
                ORDER BY ts, event_id) AS rn

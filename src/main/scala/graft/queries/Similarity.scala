@@ -637,27 +637,29 @@ object Similarity {
             % 2).cast("int").as("half"))
         .select(col("label"), col("half"), posexplode(col("qv")))
         .toDF("label", "half", "dim", "qval")
+        // an all-zero (or NaN-poisoned) vector quantizes to NaN per
+        // component; pin it to 0 EXPLICITLY on both engines — Spark's
+        // silent NaN→0 long cast vs DuckDB's cast error would
+        // otherwise diverge on the first degenerate embedding.
+        .withColumn("q0l",
+          when(isnan(col("qval")), 0L).otherwise(col("qval").cast("long")))
       val byDim = cells.groupBy("label", "dim").agg(
           sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
           sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
-          sum(when(col("half") === 0, col("qval").cast("long")).otherwise(0L))
-            .as("s0"),
-          sum(when(col("half") === 1, col("qval").cast("long")).otherwise(0L))
-            .as("s1"))
+          sum(when(col("half") === 0, col("q0l")).otherwise(0L)).as("s0"),
+          sum(when(col("half") === 1, col("q0l")).otherwise(0L)).as("s1"))
         .select(col("label"), col("dim"), col("c0"), col("c1"),
           abs(expr("(1000000 * s1) div c1") - expr("(1000000 * s0) div c0"))
             .as("dmicro"))
-      val wL = Window.partitionBy("label")
-        .orderBy(col("dmicro").desc, col("dim").asc)
-      val tops = byDim.withColumn("rn", row_number().over(wL))
-        .filter(col("rn") === 1)
-        .select(col("label"), col("dim").as("top_dim"),
-          col("dmicro").as("top_drift_micro"))
+      // top dim folded into the ONE label aggregate via struct-max
+      // (dmicro desc, dim asc tie-break as (dmicro, -dim) max) — a
+      // window + self-join here would re-run the corpus explode twice.
       byDim.groupBy("label").agg(max("c0").as("n0"), max("c1").as("n1"),
-          sum("dmicro").as("l1_drift_micro"))
-        .join(tops, "label")
+          sum("dmicro").as("l1_drift_micro"),
+          max(struct(col("dmicro"), (-col("dim")).as("nd"))).as("top"))
         .select(col("label"), col("n0"), col("n1"), col("l1_drift_micro"),
-          col("top_dim"), col("top_drift_micro"))
+          (-col("top.nd")).cast("int").as("top_dim"),
+          col("top.dmicro").as("top_drift_micro"))
         .orderBy("label")
     }),
 
@@ -2218,7 +2220,8 @@ object Similarity {
                "'dr#' || CAST(vec_id AS VARCHAR)")} % 2) AS INT) AS half, qv
            FROM qz),
          x AS (SELECT label, half, CAST(t.i - 1 AS INT) AS dim,
-             CAST(qv[CAST(t.i AS INT)] AS BIGINT) AS qval
+             CASE WHEN isnan(qv[CAST(t.i AS INT)]) THEN 0
+               ELSE CAST(qv[CAST(t.i AS INT)] AS BIGINT) END AS qval
            FROM h, unnest(range(1, len(qv) + 1)) AS t(i)),
          bd AS (SELECT label, dim,
              sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,

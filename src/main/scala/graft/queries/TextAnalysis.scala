@@ -161,6 +161,32 @@ object TextAnalysis {
     s"""list_transform(range(0, greatest(len($w) - $k, 0) + 1),
         i -> array_to_string($w[CAST(i+1 AS INT):CAST(i+$k AS INT)], ' '))"""
 
+  /** SQL twins of [[gopherRuleFlags]]/[[gopherKeep]] — rule thresholds
+    * exist ONCE per engine side; both the filter oracle and the
+    * calibration oracle read these. The predicates reference the
+    * columns of [[sqlGopherM]]. */
+  private def sqlGopherRules: Seq[(String, String)] = Seq(
+    "too_short" -> "(n < 20)",
+    "too_long" -> "(n > 90)",
+    "word_len" -> "(wc * 1000 < n * 3800 OR wc * 1000 > n * 5000)",
+    "low_stop" -> "(n_stop < 2)",
+    "repetitive" -> "((len(g) - len(list_distinct(g))) * 50 > len(g))")
+
+  private def sqlGopherKeep: String =
+    s"CASE WHEN ${sqlGopherRules.map(_._2).mkString(" OR ")} THEN 0 ELSE 1 END"
+
+  /** The measured-features CTE body both gopher oracles share; `extra`
+    * appends further select items (lateral aliases n/wc/n_stop/g are
+    * in scope). */
+  private def sqlGopherM(extra: String = ""): String =
+    s"""SELECT doc_id,
+         len(w) AS n,
+         length(replace(text, ' ', '')) AS wc,
+         len(list_filter(w, x -> x IN ($stopSqlList))) AS n_stop,
+         ${sqlShingles("w", 3)} AS g$extra
+       FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+             FROM documents)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EXPLICIT text-family build — the one-time memos behind the x_*
     // probes, priced as their own entry exactly like d_build /
@@ -443,16 +469,16 @@ object TextAnalysis {
     // per-band gopher keep rate. A healthy filter's keep rate rises
     // monotonically with the score band; a flat or inverted curve
     // means the two signals disagree and one of them is broken. Both
-    // signals are row-local scans, the join is on doc_id, and the
-    // output is ≤11 bands whatever the corpus.
+    // signals are row-local, so ONE scan computes score and verdict
+    // side by side (a doc_id self-join here would shuffle the corpus
+    // twice for nothing); the output is ≤11 bands whatever the corpus.
     "x_quality_calib" -> ((s, dir) => {
-      val d = docs(s, dir)
       val nStop = size(filter(wordsCol, x => x.isInCollection(stopwords)))
-      val q = d.select(col("doc_id"),
-        (least(length(col("text")), lit(500)) * 1000L
-          + floor(nStop * lit(500000L) / size(wordsCol))).cast("long")
-          .as("qmicro"))
-      q.join(gopherFilter(d).select(col("doc_id"), col("keep")), "doc_id")
+      docs(s, dir).select(
+          (least(length(col("text")), lit(500)) * 1000L
+            + floor(nStop * lit(500000L) / size(wordsCol))).cast("long")
+            .as("qmicro"),
+          gopherKeep.as("keep"))
         .withColumn("band", expr("CAST(qmicro div 100000 AS INT)"))
         .groupBy("band").agg(count(lit(1)).as("n_docs"),
           sum(col("keep").cast("long")).as("n_keep"))
@@ -579,15 +605,20 @@ object TextAnalysis {
       val dw = docs(s, dir)
         .select(col("lang"), col("doc_id"), explode(wordsCol).as("w"))
         .filter(length(col("w")) > 0)
+      // DECIMAL(38,0) sums: these are per-language CORPUS totals, and
+      // (n_tokens * 1e6) in plain longs wraps silently past ~9e12
+      // tokens — far below the design point.
       graft.operators.SkewJoin.salted(dw, bpeWtok(s, dir),
           key = "w", uniqueCol = "doc_id")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_words"),
-          sum("n_tok").cast("long").as("n_tokens"),
-          sum(length(col("w"))).cast("long").as("ncp"))
-        .select(col("lang"), col("n_words"), col("n_tokens"),
-          expr("(n_tokens * 1000000) div n_words").as("fertility_micro"),
-          expr("(ncp * 1000000) div n_tokens").as("cpt_micro"))
+          sum(col("n_tok").cast("decimal(38,0)")).as("toks"),
+          sum(length(col("w")).cast("decimal(38,0)")).as("cp"))
+        .select(col("lang"), col("n_words"),
+          col("toks").cast("long").as("n_tokens"),
+          expr("CAST((toks * 1000000) div n_words AS BIGINT)")
+            .as("fertility_micro"),
+          expr("CAST((cp * 1000000) div toks AS BIGINT)").as("cpt_micro"))
         .orderBy("lang")
     }),
 
@@ -806,25 +837,36 @@ object TextAnalysis {
     * integer cross-multiplication — no division, no float — so the
     * keep/drop decision is bit-identical cross-engine. Row-local
     * scalar pipeline: no join, no aggregation, scales with the scan. */
-  private[graft] def gopherFilter(d: DataFrame): DataFrame = {
+  /** The five gopher rule flags over (text, wordsCol) — the single
+    * place the thresholds exist; the filter query and the calibration
+    * curve both read them (a copy in either would let the curve
+    * silently calibrate against a different filter than the one
+    * deployed). */
+  private def gopherRuleFlags: Seq[(String, Column)] = {
     val w = wordsCol
     val n = size(w)
     val wc = length(translate(col("text"), " ", ""))
     val nStop = size(filter(w, x => x.isInCollection(stopwords)))
     val g = shingles(w, 3)
-    val rShort = n < 20
-    val rLong = n > 90
-    val rWlen = (wc * 1000L < n * 3800L) || (wc * 1000L > n * 5000L)
-    val rStop = nStop < 2
-    val rRep = (size(g) - size(array_distinct(g))).cast("long") * 50L > size(g)
+    Seq(
+      "too_short" -> (n < 20),
+      "too_long" -> (n > 90),
+      "word_len" -> ((wc * 1000L < n * 3800L) || (wc * 1000L > n * 5000L)),
+      "low_stop" -> (nStop < 2),
+      "repetitive" ->
+        ((size(g) - size(array_distinct(g))).cast("long") * 50L > size(g)))
+  }
+
+  /** The keep/drop decision Column of the gopher rules. */
+  private def gopherKeep: Column =
+    when(gopherRuleFlags.map(_._2).reduce(_ || _), 0).otherwise(1).cast("int")
+
+  private[graft] def gopherFilter(d: DataFrame): DataFrame = {
     val reasons = concat_ws(",",
-      when(rShort, "too_short"), when(rLong, "too_long"),
-      when(rWlen, "word_len"), when(rStop, "low_stop"),
-      when(rRep, "repetitive"))
+      gopherRuleFlags.map { case (nm, c) => when(c, nm) }: _*)
     d.select(col("doc_id"),
-      n.cast("int").as("n_words"),
-      when(rShort || rLong || rWlen || rStop || rRep, 0)
-        .otherwise(1).cast("int").as("keep"),
+      size(wordsCol).cast("int").as("n_words"),
+      gopherKeep.as("keep"),
       when(reasons === "", "ok").otherwise(reasons).as("reasons"))
   }
 
@@ -1130,49 +1172,21 @@ object TextAnalysis {
                FROM documents) ORDER BY doc_id""",
 
     "x_gopher_filter" ->
-      s"""WITH m AS (SELECT doc_id,
-             len(w) AS n,
-             length(replace(text, ' ', '')) AS wc,
-             len(list_filter(w, x -> x IN ($stopSqlList))) AS n_stop,
-             ${sqlShingles("w", 3)} AS g
-           FROM (SELECT doc_id, text, string_split(text, ' ') AS w
-                 FROM documents)),
-         r AS (SELECT doc_id, n,
-             (n < 20) AS r_short, (n > 90) AS r_long,
-             (wc * 1000 < n * 3800 OR wc * 1000 > n * 5000) AS r_wlen,
-             (n_stop < 2) AS r_stop,
-             ((len(g) - len(list_distinct(g))) * 50 > len(g)) AS r_rep
+      s"""WITH m AS (${sqlGopherM()}),
+         r AS (SELECT doc_id, n, concat_ws(',', ${sqlGopherRules.map {
+           case (nm, c) => s"CASE WHEN $c THEN '$nm' END"
+         }.mkString(", ")}) AS reasons,
+             CAST($sqlGopherKeep AS INT) AS keep
            FROM m)
-         SELECT doc_id, CAST(n AS INT) AS n_words,
-           CAST(CASE WHEN r_short OR r_long OR r_wlen OR r_stop OR r_rep
-             THEN 0 ELSE 1 END AS INT) AS keep,
+         SELECT doc_id, CAST(n AS INT) AS n_words, keep,
            CASE WHEN reasons = '' THEN 'ok' ELSE reasons END AS reasons
-         FROM (SELECT *, concat_ws(',',
-             CASE WHEN r_short THEN 'too_short' END,
-             CASE WHEN r_long THEN 'too_long' END,
-             CASE WHEN r_wlen THEN 'word_len' END,
-             CASE WHEN r_stop THEN 'low_stop' END,
-             CASE WHEN r_rep THEN 'repetitive' END) AS reasons FROM r)
-         ORDER BY doc_id""",
+         FROM r ORDER BY doc_id""",
 
     "x_quality_calib" ->
-      s"""WITH m AS (SELECT doc_id,
-             len(w) AS n,
-             length(replace(text, ' ', '')) AS wc,
-             len(list_filter(w, x -> x IN ($stopSqlList))) AS n_stop,
-             ${sqlShingles("w", 3)} AS g,
-             CAST(least(length(text), 500) * 1000
-               + floor(len(list_filter(w, x -> x IN ($stopSqlList))) * 500000
-                 / len(w)) AS BIGINT) AS qmicro
-           FROM (SELECT doc_id, text, string_split(text, ' ') AS w
-                 FROM documents)),
-         r AS (SELECT doc_id, qmicro,
-             CASE WHEN (n < 20) OR (n > 90)
-               OR (wc * 1000 < n * 3800 OR wc * 1000 > n * 5000)
-               OR (n_stop < 2)
-               OR ((len(g) - len(list_distinct(g))) * 50 > len(g))
-               THEN 0 ELSE 1 END AS keep
-           FROM m)
+      s"""WITH m AS (${sqlGopherM(
+           """, CAST(least(length(text), 500) * 1000
+             + floor(n_stop * 500000 / n) AS BIGINT) AS qmicro""")}),
+         r AS (SELECT doc_id, qmicro, $sqlGopherKeep AS keep FROM m)
          SELECT CAST(qmicro // 100000 AS INT) AS band,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(keep) AS BIGINT) AS n_keep,
@@ -1447,10 +1461,10 @@ object TextAnalysis {
          WHERE length(w) > 0)
        SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-         CAST((CAST(sum(n_tok) AS BIGINT) * 1000000 // count(*)) AS BIGINT)
+         CAST((sum(n_tok) * 1000000 // count(*)) AS BIGINT)
            AS fertility_micro,
-         CAST((CAST(sum(length(w)) AS BIGINT) * 1000000
-           // CAST(sum(n_tok) AS BIGINT)) AS BIGINT) AS cpt_micro
+         CAST((sum(length(w)) * 1000000 // sum(n_tok)) AS BIGINT)
+           AS cpt_micro
        FROM dw JOIN wtok USING (w)
        GROUP BY lang ORDER BY lang"""
   }
