@@ -27,6 +27,28 @@ object Relational {
 
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 
+  /** Chi-square drift readout over observed (lang, source, obs) cells
+    * — q_chisq's math, shared with the streaming monitor (st_drift)
+    * whose standing cells feed it. All windows run over the
+    * |cells|-row relation, never rows. */
+  private[graft] def chisqReadout(cells: DataFrame): DataFrame =
+    cells
+      .withColumn("rt", sum("obs").over(Window.partitionBy("lang")))
+      .withColumn("ct", sum("obs").over(Window.partitionBy("source")))
+      .withColumn("nn", sum("obs").over(Window.partitionBy()))
+      .withColumn("dev",
+        expr("""(CAST(obs AS DECIMAL(38,0)) * nn
+          - CAST(rt AS DECIMAL(38,0)) * ct) div nn"""))
+      .select(col("lang"), col("source"), col("obs"),
+        expr("""CAST((1000000 * CAST(rt AS DECIMAL(38,0)) * ct) div nn
+          AS BIGINT)""").as("exp_micro"),
+        expr("""CAST((1000000 * CAST(dev AS DECIMAL(38,0)) * dev * nn)
+          div (CAST(rt AS DECIMAL(38,0)) * ct) AS BIGINT)""")
+          .as("contrib_micro"))
+      .withColumn("chi2_micro",
+        sum("contrib_micro").over(Window.partitionBy()))
+      .orderBy("lang", "source")
+
   /** Shared sessionization CTE block (marked + sess) — the ONE SQL
     * copy of the [[graft.operators.Sessionize]] contract (30-min gap,
     * (ts, event_id) order, integer-microsecond compare); q_sessionize
@@ -808,25 +830,9 @@ object Relational {
     // cross-engine with no float ever formed. The dev pre-floor is
     // what keeps the arithmetic inside 38 digits at ~1e9 documents
     // (the raw (obs·N − rt·ct)² form needs ~42 and NULLs silently).
-    "q_chisq" -> ((s, dir) => {
-      t(s, dir, "documents").groupBy("lang", "source")
-        .agg(count(lit(1)).as("obs"))
-        .withColumn("rt", sum("obs").over(Window.partitionBy("lang")))
-        .withColumn("ct", sum("obs").over(Window.partitionBy("source")))
-        .withColumn("nn", sum("obs").over(Window.partitionBy()))
-        .withColumn("dev",
-          expr("""(CAST(obs AS DECIMAL(38,0)) * nn
-            - CAST(rt AS DECIMAL(38,0)) * ct) div nn"""))
-        .select(col("lang"), col("source"), col("obs"),
-          expr("""CAST((1000000 * CAST(rt AS DECIMAL(38,0)) * ct) div nn
-            AS BIGINT)""").as("exp_micro"),
-          expr("""CAST((1000000 * CAST(dev AS DECIMAL(38,0)) * dev * nn)
-            div (CAST(rt AS DECIMAL(38,0)) * ct) AS BIGINT)""")
-            .as("contrib_micro"))
-        .withColumn("chi2_micro",
-          sum("contrib_micro").over(Window.partitionBy()))
-        .orderBy("lang", "source")
-    }),
+    "q_chisq" -> ((s, dir) =>
+      chisqReadout(t(s, dir, "documents").groupBy("lang", "source")
+        .agg(count(lit(1)).as("obs")))),
 
     // EQUI-DEPTH histogram — the feature-bucketing / range-partition
     // planning op: 9 interior deciles of the price distribution (same

@@ -169,6 +169,32 @@ object StreamingQueries {
       st.select(col("o_custkey"), col("n"),
           col("total").cast("double").as("total"), col("lo"), col("hi"))
         .orderBy("o_custkey")
+    }),
+
+    // STREAMING composition-drift monitor — q_chisq's contingency
+    // cells maintained INCREMENTALLY from the document stream (the
+    // st_inc_agg mergeable-state machinery keyed on (lang, source)),
+    // then the chi-square readout runs over the standing cells. The
+    // streamed micro-batch merges must be invisible in the end state:
+    // the oracle is exactly q_chisq's batch SQL. At scale the cells
+    // relation is |langs|·|sources| rows however fast the stream runs
+    // — the monitor's cost is the per-batch cell merge, and the
+    // readout is cell-sized whenever it is asked for.
+    "st_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = s.readStream.schema(StreamingOps.docsRawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val acc = new StreamingOps.IncAggState(Seq("lang", "source"),
+        col("n_chars"))
+      StreamingOps.withStreamConf(s) {
+        val q = StreamingOps.ingest(docs, acc)
+        q.processAllAvailable()
+        q.stop()
+      }
+      val st = acc.current(s, StreamingOps.docsRawSchema)
+      graft.CacheBook.register(s, "st")(() => acc.release())
+      Relational.chisqReadout(
+        st.select(col("lang"), col("source"), col("n").as("obs")))
     })
   )
 
@@ -188,6 +214,10 @@ object StreamingQueries {
              row_number() OVER (PARTITION BY user_id
                ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1 ORDER BY user_id""",
+
+    // streamed cell maintenance must be invisible in the end state:
+    // the drift monitor's oracle IS the batch chi-square's SQL
+    "st_drift" -> Relational.oracleSql("q_chisq"),
 
     // streamed micro-batch merges must be invisible in the end state
     "st_inc_agg" ->
