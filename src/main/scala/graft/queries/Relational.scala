@@ -27,6 +27,58 @@ object Relational {
 
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 
+  /** A/B moment readout over per-user (cents, arm) rows — q_abtest's
+    * math; factored so OverflowHeadroomSpec can drive it with
+    * 38-digit-edge synthetic inputs the sf gates never reach. */
+  private[graft] def abtestReadout(per: DataFrame): DataFrame =
+    per.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("cents")).otherwise(0L))
+            .cast("decimal(38,0)").as("s0"),
+          sum(when(col("arm") === 1, col("cents")).otherwise(0L))
+            .cast("decimal(38,0)").as("s1"),
+          sum(when(col("arm") === 0,
+            col("cents").cast("decimal(19,0)") * col("cents"))
+            .otherwise(lit(0).cast("decimal(19,0)"))).as("q0"),
+          sum(when(col("arm") === 1,
+            col("cents").cast("decimal(19,0)") * col("cents"))
+            .otherwise(lit(0).cast("decimal(19,0)"))).as("q1"))
+        .select(col("n0"), col("n1"),
+          col("s0").cast("long").as("s0_cents"),
+          col("s1").cast("long").as("s1_cents"),
+          expr("CAST((1000000 * s0) div n0 AS BIGINT)").as("mean0_micro"),
+          expr("CAST((1000000 * s1) div n1 AS BIGINT)").as("mean1_micro"),
+        // Variance in WHOLE cents² — a quadratic quantity: the 1e6
+        // micro scaling recovers only ~1e-6 cents² of sub-integer
+        // precision (noise) while costing 6 digits of the BIGINT
+        // output's headroom (micro-variance overflows the output
+        // column once per-user std passes ~$10k; whole cents² holds
+        // to ~$30M — OverflowHeadroomSpec pins the envelope).
+          expr("CAST((n0 * q0 - s0 * s0) div (n0 * n0) AS BIGINT)")
+            .as("var0_cents2"),
+          expr("CAST((n1 * q1 - s1 * s1) div (n1 * n1) AS BIGINT)")
+            .as("var1_cents2"),
+          expr("CAST((1000000 * (s1 * n0 - s0 * n1)) div (n1 * n0) AS BIGINT)")
+            .as("lift_micro"))
+        // Welch z² from the ALREADY-FLOORED quantities — never from
+        // the raw product form (1e6·d²·n1·n0 / X), whose numerator
+        // needs ~40+ digits at ~1e5 users/arm and silently NULLs the
+        // decimal while DuckDB's int128 errors. lift_micro² = 1e12·d²
+        // over 1e6·W gives micro-z² directly; everything stays inside
+        // 38 digits through the documented envelope. The pre-floored
+        // denominator shifts z² by O(1/var) — identically on both
+        // engines.
+        // (`div` always yields BIGINT, so each denominator term
+        // multiplies INSIDE the decimal and must itself fit int64:
+        // z² additionally needs per-arm std ≲ $30k·√n — comfortable
+        // for any experiment with real traffic; the spec pins it.)
+        .withColumn("z2_micro",
+          expr("""CAST((CAST(lift_micro AS DECIMAL(38,0)) * lift_micro)
+            div ((1000000 * CAST(var1_cents2 AS DECIMAL(38,0))) div n1
+              + (1000000 * CAST(var0_cents2 AS DECIMAL(38,0))) div n0)
+            AS BIGINT)"""))
+
   /** Chi-square drift readout over observed (lang, source, obs) cells
     * — q_chisq's math, shared with the streaming monitor (st_drift)
     * whose standing cells feed it. All windows run over the
@@ -773,49 +825,16 @@ object Relational {
     // aggregate; the moment sums fit 38 digits through ~1e12-cent arm
     // totals (beyond that a platform scales cents to dollars first —
     // same two-level aggregation, wider headroom).
-    "q_abtest" -> ((s, dir) => {
-      val per = t(s, dir, "events").filter(col("event_type") === "purchase")
+    "q_abtest" -> ((s, dir) =>
+      abtestReadout(t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(floor(sum(col("value").cast("decimal(18,2)")) * 100)
           .cast("long").as("cents"))
         .withColumn("arm",
           (graft.functions.Determinism.md5Idx(
-            concat(lit("ab#"), col("user_id").cast("string"))) % 2).cast("int"))
-      per.agg(
-          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
-          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
-          sum(when(col("arm") === 0, col("cents")).otherwise(0L))
-            .cast("decimal(38,0)").as("s0"),
-          sum(when(col("arm") === 1, col("cents")).otherwise(0L))
-            .cast("decimal(38,0)").as("s1"),
-          sum(when(col("arm") === 0,
-            col("cents").cast("decimal(19,0)") * col("cents"))
-            .otherwise(lit(0).cast("decimal(19,0)"))).as("q0"),
-          sum(when(col("arm") === 1,
-            col("cents").cast("decimal(19,0)") * col("cents"))
-            .otherwise(lit(0).cast("decimal(19,0)"))).as("q1"))
-        .select(col("n0"), col("n1"),
-          col("s0").cast("long").as("s0_cents"),
-          col("s1").cast("long").as("s1_cents"),
-          expr("CAST((1000000 * s0) div n0 AS BIGINT)").as("mean0_micro"),
-          expr("CAST((1000000 * s1) div n1 AS BIGINT)").as("mean1_micro"),
-          expr("CAST((1000000 * (n0 * q0 - s0 * s0)) div (n0 * n0) AS BIGINT)")
-            .as("var0_micro"),
-          expr("CAST((1000000 * (n1 * q1 - s1 * s1)) div (n1 * n1) AS BIGINT)")
-            .as("var1_micro"),
-          expr("CAST((1000000 * (s1 * n0 - s0 * n1)) div (n1 * n0) AS BIGINT)")
-            .as("lift_micro"))
-        // Welch z² from the ALREADY-FLOORED micro quantities — never
-        // from the raw product form (1e6·d²·n1·n0 / X), whose numerator
-        // needs ~40+ digits at ~1e5 users/arm and silently NULLs the
-        // decimal while DuckDB's int128 errors. lift² tops out at
-        // ~1e36 for 1e12-cent means — inside 38 digits with the same
-        // headroom as the moment sums. The pre-floored denominator
-        // shifts z² by O(1/var_micro) — identically on both engines.
-        .withColumn("z2_micro",
-          expr("""CAST((CAST(lift_micro AS DECIMAL(38,0)) * lift_micro)
-            div (var1_micro div n1 + var0_micro div n0) AS BIGINT)"""))
-    }),
+            concat(lit("ab#"), col("user_id").cast("string"))) % 2)
+            .cast("int")))),
 
     // CHI-SQUARE independence audit over the (lang × source)
     // contingency table — the data-drift / composition-shift monitor a
@@ -1309,15 +1328,17 @@ object Relational {
            CAST(s0 AS BIGINT) AS s0_cents, CAST(s1 AS BIGINT) AS s1_cents,
            CAST((1000000 * s0) // n0 AS BIGINT) AS mean0_micro,
            CAST((1000000 * s1) // n1 AS BIGINT) AS mean1_micro,
-           CAST((1000000 * (n0 * q0 - s0 * s0)) // (n0 * n0) AS BIGINT)
-             AS var0_micro,
-           CAST((1000000 * (n1 * q1 - s1 * s1)) // (n1 * n1) AS BIGINT)
-             AS var1_micro,
+           CAST((n0 * q0 - s0 * s0) // (n0 * n0) AS BIGINT)
+             AS var0_cents2,
+           CAST((n1 * q1 - s1 * s1) // (n1 * n1) AS BIGINT)
+             AS var1_cents2,
            CAST((1000000 * (s1 * n0 - s0 * n1)) // (n1 * n0) AS BIGINT)
              AS lift_micro
          FROM m)
          SELECT *, CAST((CAST(lift_micro AS HUGEINT) * lift_micro)
-             // (var1_micro // n1 + var0_micro // n0) AS BIGINT) AS z2_micro
+             // ((1000000 * CAST(var1_cents2 AS HUGEINT)) // n1
+               + (1000000 * CAST(var0_cents2 AS HUGEINT)) // n0)
+             AS BIGINT) AS z2_micro
          FROM m2""",
 
     "q_chisq" ->
