@@ -649,7 +649,13 @@ object Similarity {
           sum(when(col("half") === 0, col("q0l")).otherwise(0L)).as("s0"),
           sum(when(col("half") === 1, col("q0l")).otherwise(0L)).as("s1"))
         .select(col("label"), col("dim"), col("c0"), col("c1"),
-          abs(expr("(1000000 * s1) div c1") - expr("(1000000 * s0) div c0"))
+          // DECIMAL(38,0) before the 1e6 multiply: the per-(label,
+          // half, dim) sums are corpus-sized, and plain-long (1e6·s)
+          // wraps past ~7e10 vectors per label-half while the DuckDB
+          // mirror's HUGEINT sums sail on — a silent divergence, not
+          // an error.
+          abs(expr("(1000000 * CAST(s1 AS DECIMAL(38,0))) div c1")
+            - expr("(1000000 * CAST(s0 AS DECIMAL(38,0))) div c0"))
             .as("dmicro"))
       // top dim folded into the ONE label aggregate via struct-max
       // (dmicro desc, dim asc tie-break as (dmicro, -dim) max) — a
