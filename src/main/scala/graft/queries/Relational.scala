@@ -704,7 +704,8 @@ object Relational {
         .agg(count(lit(1)).as("n"))
         .withColumn("tot", sum("n").over(Window.partitionBy("from_type")))
         .select(col("from_type"), col("to_type"), col("n"),
-          expr("CAST((1000000 * n) div tot AS BIGINT)").as("p_micro"))
+          expr("CAST((1000000 * CAST(n AS DECIMAL(38,0))) div tot AS BIGINT)")
+            .as("p_micro"))
         .orderBy("from_type", "to_type")
     }),
 
@@ -1239,7 +1240,7 @@ object Relational {
            WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
          t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY from_type)
          SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
-           CAST((1000000 * c.n) // t.tot AS BIGINT) AS p_micro
+           CAST((1000000 * CAST(c.n AS HUGEINT)) // t.tot AS BIGINT) AS p_micro
          FROM c JOIN t USING (from_type)
          ORDER BY from_type, to_type""",
 

@@ -124,8 +124,13 @@ object TextAnalysis {
       val wtab = broadcast(raw.join(tgt, Seq("b"), "left")
         .join(broadcast(tot))
         .select(col("b"),
-          expr("((coalesce(tc, CAST(0 AS BIGINT)) + 1)" +
-            " * ((raw_t * 1000000) div tgt_t)) div (rc + 1)").as("wm")))
+          // DECIMAL through both multiplies: raw_t is the pool's total
+          // feature mass (corpus-sized — 1e6·raw_t wraps a long past
+          // ~9e12 features) and the (tc+1)·ratio product compounds it;
+          // the DuckDB mirror is already HUGEINT end-to-end.
+          expr("(CAST(coalesce(tc, CAST(0 AS BIGINT)) + 1 AS DECIMAL(38,0))" +
+            " * ((CAST(raw_t AS DECIMAL(38,0)) * 1000000) div tgt_t))" +
+            " div (rc + 1)").as("wm")))
       feats.filter(col("doc_id") >= DsirBench).join(wtab, "b")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("nf"), sum("wm").as("sw"))
@@ -483,7 +488,8 @@ object TextAnalysis {
         .groupBy("band").agg(count(lit(1)).as("n_docs"),
           sum(col("keep").cast("long")).as("n_keep"))
         .select(col("band"), col("n_docs"), col("n_keep"),
-          expr("(1000000 * n_keep) div n_docs").as("keep_rate_micro"))
+          expr("(1000000 * CAST(n_keep AS DECIMAL(38,0))) div n_docs")
+            .as("keep_rate_micro"))
         .orderBy("band")
     }),
 
