@@ -909,8 +909,69 @@ object Relational {
       p.groupBy("path").agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path").asc)
         .limit(20)
+    }),
+
+    // BENFORD first-digit audit — the fraud / synthetic-data screen:
+    // leading digit of each order's cent amount vs Benford's law, with
+    // the log10(1+1/d) expectations baked as INTEGER ppm literals
+    // (benfordPpm — one Scala constant table generates BOTH engine
+    // sides, summing to exactly 1e6, so no transcendental ever
+    // evaluates at query time). One scan, a 9-row aggregate, and the
+    // deviation column is the audit: natural spend data tracks the
+    // curve, fabricated or clipped data does not.
+    "q_benford" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(expr("""CAST(substring(CAST(CAST(floor(
+          CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS STRING),
+          1, 1) AS INT)""").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+        .withColumn("obs_ppm",
+          expr("""CAST((1000000 * CAST(n_orders AS DECIMAL(38,0)))
+            div sum(n_orders) OVER () AS BIGINT)"""))
+        .withColumn("benford_ppm",
+          element_at(lit(benfordPpm.toArray), col("digit")))
+        .withColumn("dev_ppm", col("obs_ppm") - col("benford_ppm"))
+        .orderBy("digit")
+    }),
+
+    // PARETO concentration readout — the revenue-concentration audit
+    // (who carries the corpus): per-customer exact cent totals, the
+    // p90/p99 spend fences from one aggregate broadcast back (the
+    // q_outliers idiom — no global sort, no rank), and the share of
+    // total revenue held above each fence in integer ppm. One
+    // customer-keyed shuffle + one scalar pass whatever the corpus.
+    "q_pareto" -> ((s, dir) => {
+      val spend = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(floor(sum(dec("o_totalprice")) * 100).cast("long").as("cents"))
+      val fences = spend.agg(
+        round(expr("percentile(cents, 0.9)"), 4).as("p90"),
+        round(expr("percentile(cents, 0.99)"), 4).as("p99"))
+      spend.join(broadcast(fences))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("cents").cast("decimal(38,0)")).as("tot"),
+          sum(when(col("cents") > col("p90"),
+            col("cents").cast("decimal(38,0)")).otherwise(lit(0)
+              .cast("decimal(38,0)"))).as("t90"),
+          sum(when(col("cents") > col("p99"),
+            col("cents").cast("decimal(38,0)")).otherwise(lit(0)
+              .cast("decimal(38,0)"))).as("t99"),
+          sum(when(col("cents") > col("p90"), 1L).otherwise(0L)).as("n90"),
+          sum(when(col("cents") > col("p99"), 1L).otherwise(0L)).as("n99"))
+        .select(col("n_customers"),
+          col("tot").cast("long").as("total_cents"),
+          col("n90"), col("n99"),
+          expr("CAST((1000000 * t90) div tot AS BIGINT)").as("top10_share_ppm"),
+          expr("CAST((1000000 * t99) div tot AS BIGINT)").as("top1_share_ppm"))
     })
   )
+
+  /** Benford expectations round(log10(1+1/d)·1e6), d = 1..9 — they sum
+    * to exactly 1e6. ONE table feeds the Column tree and the oracle
+    * SQL, so the two engines cannot drift. */
+  private[graft] val benfordPpm: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L,
+      45757L)
 
   private val rev = "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))"
 
@@ -1392,6 +1453,44 @@ object Relational {
            FROM fir WHERE rn <= 5 GROUP BY user_id, session_idx)
          SELECT path, count(*) AS n_sessions FROM p GROUP BY path
          ORDER BY n_sessions DESC, path LIMIT 20"""
-    }
+    },
+
+    "q_benford" -> {
+      val benfordCase = benfordPpm.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+      s"""WITH d AS (SELECT CAST(substring(CAST(CAST(floor(
+             CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS VARCHAR), 1, 1) AS INT) AS digit FROM orders),
+         g AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY digit)
+         SELECT digit, CAST(n_orders AS BIGINT) AS n_orders,
+           CAST((1000000 * CAST(n_orders AS HUGEINT))
+             // sum(n_orders) OVER () AS BIGINT) AS obs_ppm,
+           CAST(CASE digit $benfordCase END AS BIGINT) AS benford_ppm,
+           CAST((1000000 * CAST(n_orders AS HUGEINT))
+             // sum(n_orders) OVER () AS BIGINT)
+             - CAST(CASE digit $benfordCase END AS BIGINT) AS dev_ppm
+         FROM g ORDER BY digit"""
+    },
+
+    "q_pareto" ->
+      """WITH s AS (SELECT o_custkey,
+             CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+               AS BIGINT) AS cents
+           FROM orders GROUP BY o_custkey),
+         f AS (SELECT round(quantile_cont(cents, 0.9), 4) AS p90,
+             round(quantile_cont(cents, 0.99), 4) AS p99 FROM s)
+         SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN cents > p90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n90,
+           CAST(sum(CASE WHEN cents > p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n99,
+           CAST((1000000 * sum(CASE WHEN cents > p90
+             THEN CAST(cents AS HUGEINT) ELSE 0 END)) // sum(cents)
+             AS BIGINT) AS top10_share_ppm,
+           CAST((1000000 * sum(CASE WHEN cents > p99
+             THEN CAST(cents AS HUGEINT) ELSE 0 END)) // sum(cents)
+             AS BIGINT) AS top1_share_ppm
+         FROM s, f"""
   )
 }
