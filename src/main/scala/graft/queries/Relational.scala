@@ -963,8 +963,37 @@ object Relational {
           col("n90"), col("n99"),
           expr("CAST((1000000 * t90) div tot AS BIGINT)").as("top10_share_ppm"),
           expr("CAST((1000000 * t99) div tot AS BIGINT)").as("top1_share_ppm"))
-    })
+    }),
+
+    "q_mad" -> ((s, dir) => madQuery(s, dir))
   )
+
+  /** MAD robust-outlier screen — the heavy-tail-safe sibling of
+    * q_outliers' IQR fences (mean/std are useless under the spend
+    * skew; median/MAD are 50%-breakdown robust): per-user purchase
+    * cents, the median attached by one broadcast (scalar-attach), the
+    * median absolute deviation by a SECOND single-row broadcast over
+    * the deviations, then an exact flag count above the 5·MAD fence.
+    * Two scalar aggregates + two one-row broadcasts — never a sort,
+    * never a rank — so the chain survives any corpus size; the same
+    * rounded-percentile contract as every quantile op here. */
+  private def madQuery(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "events").filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(floor(sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val med = spend.agg(round(expr("percentile(cents, 0.5)"), 4).as("med"))
+    val dev = spend.join(broadcast(med))
+      .withColumn("adev", abs(col("cents") - col("med")))
+    val mad = dev.agg(round(expr("percentile(adev, 0.5)"), 4).as("mad"))
+    dev.join(broadcast(mad))
+      .agg(count(lit(1)).as("n_users"),
+        max("med").as("med"), max("mad").as("mad"),
+        sum(when(col("adev") > col("mad") * 5, 1L).otherwise(0L))
+          .as("n_out"),
+        max(when(col("adev") > col("mad") * 5, col("cents")))
+          .as("max_out_cents"))
+  }
 
   /** Benford expectations round(log10(1+1/d)·1e6), d = 1..9 — they sum
     * to exactly 1e6. ONE table feeds the Column tree and the oracle
@@ -1491,6 +1520,21 @@ object Relational {
            CAST((1000000 * sum(CASE WHEN cents > p99
              THEN CAST(cents AS HUGEINT) ELSE 0 END)) // sum(cents)
              AS BIGINT) AS top1_share_ppm
-         FROM s, f"""
+         FROM s, f""",
+
+    "q_mad" ->
+      """WITH s AS (SELECT user_id,
+             CAST(floor(sum(CAST(value AS DECIMAL(18,2))) * 100) AS BIGINT)
+               AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         m AS (SELECT round(quantile_cont(cents, 0.5), 4) AS med FROM s),
+         d AS (SELECT cents, med, abs(cents - med) AS adev FROM s, m),
+         md AS (SELECT round(quantile_cont(adev, 0.5), 4) AS mad FROM d)
+         SELECT CAST(count(*) AS BIGINT) AS n_users,
+           max(med) AS med, max(mad) AS mad,
+           CAST(sum(CASE WHEN adev > mad * 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out,
+           max(CASE WHEN adev > mad * 5 THEN cents END) AS max_out_cents
+         FROM d, md"""
   )
 }

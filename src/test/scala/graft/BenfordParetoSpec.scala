@@ -31,6 +31,20 @@ class BenfordParetoSpec extends SparkSpec {
       s"observed ppm mass $ppmSum drifts from 1e6")
   }
 
+  test("q_mad flags a sane robust-outlier tail") {
+    // sf0.01: the 5-MAD fence (robust-z 3.5 ≈ 5.2·MAD) needs a real
+    // tail to bite — sf0.001 has only ~15 purchase users
+    val r = Relational.queries("q_mad")(spark, "/root/testdata/sf0.01")
+      .collect().head
+    val (n, med, mad, nOut) = (r.getLong(0), r.getDouble(1), r.getDouble(2),
+      r.getLong(3))
+    assert(n > 0 && med > 0 && mad > 0)
+    assert(nOut > 0, "the 5-MAD fence flags nothing — spend data has a tail")
+    assert(nOut < n / 5, s"the fence flags $nOut of $n — not an outlier screen")
+    if (!r.isNullAt(4))
+      assert(r.getLong(4) > med + 5 * mad, "flagged max not past the fence")
+  }
+
   test("q_pareto shares nest: top-1% inside top-10% inside everything") {
     val r = Relational.queries("q_pareto")(spark, dir).collect().head
     val (n, total, n90, n99, s10, s1) = (r.getLong(0), r.getLong(1),
