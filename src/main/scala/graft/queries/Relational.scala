@@ -920,10 +920,16 @@ object Relational {
     // deviation column is the audit: natural spend data tracks the
     // curve, fabricated or clipped data does not.
     "q_benford" -> ((s, dir) => {
+      // non-positive amounts have no leading digit and are excluded
+      // ON BOTH SIDES (a zero-cent row would index element_at at 0 —
+      // an error — and a refund's '-' would NULL on Spark but error
+      // on DuckDB); audit refunds as their own population.
       t(s, dir, "orders")
-        .select(expr("""CAST(substring(CAST(CAST(floor(
-          CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS STRING),
-          1, 1) AS INT)""").as("digit"))
+        .select(expr("""CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))
+          * 100) AS BIGINT)""").as("cents"))
+        .filter(col("cents") >= 1L)
+        .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)")
+          .as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("n_orders"))
         .withColumn("obs_ppm",
           expr("""CAST((1000000 * CAST(n_orders AS DECIMAL(38,0)))
@@ -1487,9 +1493,10 @@ object Relational {
     "q_benford" -> {
       val benfordCase = benfordPpm.zipWithIndex
         .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
-      s"""WITH d AS (SELECT CAST(substring(CAST(CAST(floor(
-             CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
-             AS VARCHAR), 1, 1) AS INT) AS digit FROM orders),
+      s"""WITH c AS (SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))
+             * 100) AS BIGINT) AS cents FROM orders),
+         d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT)
+             AS digit FROM c WHERE cents >= 1),
          g AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY digit)
          SELECT digit, CAST(n_orders AS BIGINT) AS n_orders,
            CAST((1000000 * CAST(n_orders AS HUGEINT))

@@ -41,8 +41,10 @@ class BenfordParetoSpec extends SparkSpec {
     assert(n > 0 && med > 0 && mad > 0)
     assert(nOut > 0, "the 5-MAD fence flags nothing — spend data has a tail")
     assert(nOut < n / 5, s"the fence flags $nOut of $n — not an outlier screen")
+    // the fence is two-sided: the flagged max may sit below the median
     if (!r.isNullAt(4))
-      assert(r.getLong(4) > med + 5 * mad, "flagged max not past the fence")
+      assert(math.abs(r.getLong(4) - med) > 5 * mad,
+        "flagged max not past the fence")
   }
 
   test("q_pareto shares nest: top-1% inside top-10% inside everything") {
