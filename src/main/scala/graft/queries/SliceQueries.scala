@@ -146,10 +146,24 @@ object SliceQueries {
             (col("n_b") - col("n_common")).as("n_only_b"))
       }
       frames.reduce(_ unionByName _).orderBy("table_id")
-    })
+    }),
+
+    // FK REFERENTIAL-INTEGRITY audit — the pre-slice data-quality
+    // gate: per FK edge of the schema graph, total child rows, legal
+    // NULL FKs, and ORPHANS (non-null FK with no parent key). A
+    // database with dangling FKs produces a slice that will not
+    // restore; this says so before any dump runs. One anti-join per
+    // edge, co-partitioned on the FK at scale; the oracle SQL is
+    // GENERATED from the same SchemaGraph object, so the two engines
+    // cannot audit different schemas.
+    "slice_fk_audit" -> ((s, dir) =>
+      graft.operators.FkAudit.run(SchemaGraph.tpch,
+        t => Tables.load(s, dir, t)))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "slice_fk_audit" ->
+      graft.operators.FkAudit.oracleSql(SchemaGraph.tpch),
     "slice_fwd_orders" ->
       s"""SELECT * FROM customer WHERE c_custkey IN
          (SELECT o_custkey FROM orders WHERE o_orderkey % 100 < 2)
