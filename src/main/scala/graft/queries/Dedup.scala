@@ -539,6 +539,20 @@ object Dedup {
     "d_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(s, dir).orderBy("a", "b")),
 
+    // SIMILARITY-BAND tuning curve — the threshold-picking audit a
+    // dedup rollout reads before moving its cut line: the (memoized)
+    // exact-Jaccard pair relation banded into tenths, pair counts and
+    // the exact jac range per band. Where the histogram's knee sits
+    // IS the threshold decision (cut below the knee = drop near-misses,
+    // above = keep real dups); cost on top of the standing pair
+    // relation is one |pairs|-row aggregate into ≤9 bands.
+    "d_jaccard_bands" -> ((s, dir) =>
+      jaccardPairs(s, dir)
+        .withColumn("band", floor(col("jac") * 10).cast("int"))
+        .groupBy("band").agg(count(lit(1)).as("n_pairs"),
+          min("jac").as("min_jac"), max("jac").as("max_jac"))
+        .orderBy("band")),
+
     // MinHash(8) + LSH: 4 bands x 2 rows -> candidates share a band;
     // exact-Jaccard verify stage keeps only true near-dups. The hash
     // family is universal hashing over the ALREADY-HASHED shingles
@@ -882,6 +896,20 @@ object Dedup {
          WHERE (inter / (sa + sb - inter)) >= 0.2 ORDER BY a, b""",
 
     "d_minhash_lsh" -> sqlMinhash(""),
+
+    "d_jaccard_bands" ->
+      s"""WITH sh AS ($sqlShingleSets),
+         pairs AS (
+           SELECT len(list_intersect(a.sh, b.sh)) AS inter,
+             len(a.sh) AS sa, len(b.sh) AS sb
+           FROM sh a JOIN sh b
+           ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id),
+         j AS (SELECT (inter / (sa + sb - inter)) AS jac FROM pairs
+           WHERE (inter / (sa + sb - inter)) >= 0.2)
+         SELECT CAST(floor(jac * 10) AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           min(jac) AS min_jac, max(jac) AS max_jac
+         FROM j GROUP BY band ORDER BY band""",
 
     // from-scratch pipeline restricted to pairs touching the new batch
     // (the incremental path's result contract)

@@ -71,4 +71,18 @@ class JaccardPairsSpec extends SparkSpec {
     assert(got == expected,
       s"missing=${expected -- got} extra=${got -- expected}")
   }
+
+  test("the band curve conserves the pair relation it tunes") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = Dedup.queries("d_ngram_jaccard")(spark, dir).collect()
+    val bands = Dedup.queries("d_jaccard_bands")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(bands.map(_._2).sum == pairs.length.toLong,
+      "bands lose pairs — the curve would mis-tune the threshold")
+    for ((band, _, lo, hi) <- bands) {
+      assert(lo <= hi && band >= 2 && band <= 10, s"band $band range")
+      assert(math.floor(lo * 10).toInt == band || lo * 10 == band.toDouble,
+        s"band $band holds a pair below its floor: $lo")
+    }
+  }
 }
