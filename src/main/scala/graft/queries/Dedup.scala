@@ -401,6 +401,22 @@ object Dedup {
           x -> ${Determinism.sqlMd5IdxK("x", 12)})) AS sh
         FROM documents"""
 
+  /** The blocked exact-Jaccard pair CTE chain (sh → pairs → j with
+    * the ≥0.2 threshold applied) — the ONE SQL copy of the pair
+    * relation both d_ngram_jaccard and d_jaccard_bands read, so the
+    * band curve can never tune a different relation than the pair
+    * query reports (the conservation JaccardPairsSpec pins). */
+  private def sqlJacCtes: String =
+    s"""sh AS ($sqlShingleSets),
+       pairs AS (
+         SELECT a.doc_id AS a, b.doc_id AS b,
+           len(list_intersect(a.sh, b.sh)) AS inter,
+           len(a.sh) AS sa, len(b.sh) AS sb
+         FROM sh a JOIN sh b
+         ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id),
+       j AS (SELECT a, b, (inter / (sa + sb - inter)) AS jac FROM pairs
+         WHERE (inter / (sa + sb - inter)) >= 0.2)"""
+
   /** The banding → candidate-equi-join CTE chain (sh, ex, sig, bands,
     * cand) — shared by the MinHash oracles and the edit-distance
     * verify oracle, which diverge only in the verify stage. */
@@ -885,27 +901,13 @@ object Dedup {
          WHERE doc_id <> dup_of ORDER BY doc_id""",
 
     "d_ngram_jaccard" ->
-      s"""WITH sh AS ($sqlShingleSets),
-         pairs AS (
-           SELECT a.doc_id AS a, b.doc_id AS b,
-             len(list_intersect(a.sh, b.sh)) AS inter,
-             len(a.sh) AS sa, len(b.sh) AS sb
-           FROM sh a JOIN sh b
-           ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
-         SELECT a, b, (inter / (sa + sb - inter)) AS jac FROM pairs
-         WHERE (inter / (sa + sb - inter)) >= 0.2 ORDER BY a, b""",
+      s"""WITH $sqlJacCtes
+         SELECT a, b, jac FROM j ORDER BY a, b""",
 
     "d_minhash_lsh" -> sqlMinhash(""),
 
     "d_jaccard_bands" ->
-      s"""WITH sh AS ($sqlShingleSets),
-         pairs AS (
-           SELECT len(list_intersect(a.sh, b.sh)) AS inter,
-             len(a.sh) AS sa, len(b.sh) AS sb
-           FROM sh a JOIN sh b
-           ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id),
-         j AS (SELECT (inter / (sa + sb - inter)) AS jac FROM pairs
-           WHERE (inter / (sa + sb - inter)) >= 0.2)
+      s"""WITH $sqlJacCtes
          SELECT CAST(floor(jac * 10) AS INT) AS band,
            CAST(count(*) AS BIGINT) AS n_pairs,
            min(jac) AS min_jac, max(jac) AS max_jac

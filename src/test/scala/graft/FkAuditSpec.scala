@@ -39,6 +39,29 @@ class FkAuditSpec extends SparkSpec {
     assert(out("f_e") == ((3L, 1L, 1L)), s"f_e got ${out("f_e")}")
   }
 
+  test("an empty child table reports zeros, never NULLs") {
+    import spark.implicits._
+    val g = SchemaGraph(
+      tables = Seq(TableDef("p", Seq("pk")), TableDef("c", Seq("id"))),
+      references = Seq(Reference("c_p", "c", Seq("fk"), "p", Seq("pk"))))
+    val frames: Map[String, DataFrame] = Map(
+      "p" -> Seq(1L).toDF("pk"),
+      "c" -> Seq.empty[(Long, Option[Long])].toDF("id", "fk"))
+    val r = FkAudit.run(g, frames(_)).collect().head
+    assert(!(3 to 5).exists(r.isNullAt), s"NULL count in ${r.mkString(",")}")
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((0L, 0L, 0L)))
+  }
+
+  test("an FK-free graph yields an empty frame and valid oracle SQL") {
+    val g = SchemaGraph(tables = Seq(TableDef("solo", Seq("id"))),
+      references = Seq.empty)
+    val out = FkAudit.run(g, t => fail(s"loader called for $t"))
+    assert(out.columns.toSeq == Seq("ref_id", "child_table", "parent_table",
+      "n_child", "n_null_fk", "n_orphans"))
+    assert(out.count() == 0L)
+    assert(FkAudit.oracleSql(g).trim.startsWith("SELECT"))
+  }
+
   test("the real schema audits clean at sf0.001") {
     val rows = FkAudit.run(SchemaGraph.tpch,
         t => Tables.load(spark, "/root/testdata/sf0.001", t)).collect()
