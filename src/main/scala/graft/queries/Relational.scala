@@ -729,10 +729,15 @@ object Relational {
         .join(broadcast(t(s, dir, "region")
           .select(col("r_regionkey").as("n_regionkey"), col("r_name"))), "n_regionkey")
         .select(col("r_name"), col("cents"))
-      val fences = spend.groupBy("r_name").agg(
-          count(lit(1)).as("n_customers"),
-          round(expr("percentile(cents, 0.25)"), 4).as("q1"),
-          round(expr("percentile(cents, 0.75)"), 4).as("q3"))
+      // two-pass bounded-histogram exact quartiles — same interpolation
+      // contract as percentile(), but the per-region state is
+      // domain/width buckets + width in-bucket values, never the full
+      // distinct multiset of per-customer totals (BoundedPercentile)
+      val fences = graft.operators.BoundedPercentile.fences(spend,
+          Seq("r_name"), "cents",
+          Seq(graft.operators.BoundedPercentile.Spec("q1", 1, 4),
+            graft.operators.BoundedPercentile.Spec("q3", 3, 4)),
+          width = 1L << 16, countCol = Some("n_customers"))
         .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
         .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
       spend.join(broadcast(fences), "r_name")
@@ -866,15 +871,14 @@ object Relational {
     "q_equidepth" -> ((s, dir) => {
       val c = t(s, dir, "orders")
         .select(floor(dec("o_totalprice") * 100).cast("long").as("cents"))
-      // ONE array-percentile aggregate, not 9 scalar ones — each
-      // percentile buffer holds the full value multiset per partition,
-      // so 9 separate aggregates cost 9x the aggregation state for the
-      // same answer.
-      val bounds = c.agg(expr(
-          "percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
-          .as("bs"))
-        .select((1 to 9).map(k =>
-          round(element_at(col("bs"), k), 4).as(s"b$k")): _*)
+      // all 9 deciles from ONE two-pass bounded histogram — pass 1 and
+      // pass 2 are shared across the specs, and no percentile() buffer
+      // of the full cent multiset ever forms (BoundedPercentile).
+      val bounds = graft.operators.BoundedPercentile.fences(c,
+        Seq.empty, "cents",
+        (1 to 9).map(k =>
+          graft.operators.BoundedPercentile.Spec(s"b$k", k, 10)),
+        width = 1L << 16)
       val bin = (1 to 9).map(k =>
           when(col("cents") > col(s"b$k"), 1).otherwise(0))
         .reduce(_ + _) + lit(1)
@@ -949,9 +953,13 @@ object Relational {
     "q_pareto" -> ((s, dir) => {
       val spend = t(s, dir, "orders").groupBy("o_custkey")
         .agg(floor(sum(dec("o_totalprice")) * 100).cast("long").as("cents"))
-      val fences = spend.agg(
-        round(expr("percentile(cents, 0.9)"), 4).as("p90"),
-        round(expr("percentile(cents, 0.99)"), 4).as("p99"))
+      // bounded two-pass exact p90/p99 (BoundedPercentile): the fence
+      // state never holds the per-customer distinct-total multiset
+      val fences = graft.operators.BoundedPercentile.fences(spend,
+        Seq.empty, "cents",
+        Seq(graft.operators.BoundedPercentile.Spec("p90", 9, 10),
+          graft.operators.BoundedPercentile.Spec("p99", 99, 100)),
+        width = 1L << 16)
       spend.join(broadcast(fences))
         .agg(
           count(lit(1)).as("n_customers"),
@@ -980,18 +988,31 @@ object Relational {
     * cents, the median attached by one broadcast (scalar-attach), the
     * median absolute deviation by a SECOND single-row broadcast over
     * the deviations, then an exact flag count above the 5·MAD fence.
-    * Two scalar aggregates + two one-row broadcasts — never a sort,
-    * never a rank — so the chain survives any corpus size; the same
-    * rounded-percentile contract as every quantile op here. */
+    * Two bounded two-pass medians (BoundedPercentile — the distinct
+    * per-user totals never buffer in one aggregate node) + two one-row
+    * broadcasts — never a sort, never a rank — so the chain survives
+    * any corpus size; the same rounded-percentile contract as every
+    * quantile op here. The second median runs over DOUBLED deviations
+    * (adev is a half-integer: |long − median|, median interpolates at
+    * .5) so the helper's long-domain contract holds exactly; halving
+    * the doubled median back is exact in binary. */
   private def madQuery(s: SparkSession, dir: String): DataFrame = {
     val spend = t(s, dir, "events").filter(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(floor(sum(col("value").cast("decimal(18,2)")) * 100)
         .cast("long").as("cents"))
-    val med = spend.agg(round(expr("percentile(cents, 0.5)"), 4).as("med"))
+    val med = graft.operators.BoundedPercentile.fences(spend,
+      Seq.empty, "cents",
+      Seq(graft.operators.BoundedPercentile.Spec("med", 1, 2)),
+      width = 1L << 16)
     val dev = spend.join(broadcast(med))
       .withColumn("adev", abs(col("cents") - col("med")))
-    val mad = dev.agg(round(expr("percentile(adev, 0.5)"), 4).as("mad"))
+    val mad = graft.operators.BoundedPercentile.fences(
+        dev.withColumn("adev2", (col("adev") * 2).cast("long")),
+        Seq.empty, "adev2",
+        Seq(graft.operators.BoundedPercentile.Spec("mad2", 1, 2)),
+        width = 1L << 16)
+      .select(round(col("mad2") / 2, 4).as("mad"))
     dev.join(broadcast(mad))
       .agg(count(lit(1)).as("n_users"),
         max("med").as("med"), max("mad").as("mad"),

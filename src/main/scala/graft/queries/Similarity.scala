@@ -610,8 +610,14 @@ object Similarity {
         count(lit(1)).as("n_nbrs"),
         floor(min(col("cos")) * lit(1000000.0)).cast("long")
           .as("kth_cos_micro"))
-      val thr = kd.agg(
-        round(expr("percentile(kth_cos_micro, 0.05)"), 4).as("thr"))
+      // bounded two-pass exact p05 (BoundedPercentile): cosines span
+      // [-1e6, 1e6] micro-units, so the offset shifts the domain
+      // nonnegative for the div-bucketing and is subtracted back
+      // exactly; no percentile() buffer of the per-node score multiset
+      val thr = graft.operators.BoundedPercentile.fences(kd,
+        Seq.empty, "kth_cos_micro",
+        Seq(graft.operators.BoundedPercentile.Spec("thr", 1, 20)),
+        width = 1L << 12, offset = 1000000L)
       kd.join(broadcast(thr))
         .select(col("src").as("vec_id"), col("n_nbrs"), col("kth_cos_micro"),
           (col("kth_cos_micro") <= col("thr")).as("is_outlier"))
