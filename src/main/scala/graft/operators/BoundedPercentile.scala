@@ -35,13 +35,27 @@ import org.apache.spark.sql.functions._
   * and the scaled value v_lo·den + (v_hi−v_lo)·rem is a plain long —
   * one final double division by `den` (true percentiles here are
   * multiples of 1/den, so `round(·, 4)` lands on the same 4-decimal
-  * value DuckDB's `round(quantile_cont(·), 4)` produces).
+  * value DuckDB's `round(quantile_cont(·), 4)` produces). The double
+  * conversion before that division caps exactness at |v_lo·den| < 2⁵³
+  * — the same magnitude limit as the `percentile()` double result this
+  * replaces, stated here so nobody reads "exact" as "128-bit".
   *
   * Memory bound: histogram ≤ domain/width rows per key, pass 2 ≤ width
   * distinct values per boundary bucket — pick width ≈ √domain. Values
-  * must be LONGs; `offset` shifts a signed domain nonnegative before
-  * bucketing (`div` truncates toward zero — a negative v would bucket
-  * with its mirror image) and is subtracted back exactly in the output.
+  * must be LONGs. Negative values stay EXACT without any offset:
+  * `div` truncates toward zero, which is still monotone non-decreasing
+  * in v, so buckets remain contiguous ranges — bucket 0 just spans
+  * (−width, width), doubling its pass-2 bound to ≤ 2·width−1 distinct
+  * values. `offset` (subtracted back exactly in the output) exists to
+  * keep that bound tight on signed domains, not for correctness.
+  *
+  * COST contract: the input is scanned TWICE (pass-1 histogram, pass-2
+  * boundary probe) and most call sites scan it a third time for the
+  * fence test — pass a materialized relation ([[memoInput]]). The
+  * pass-1 cumulative relation is eagerly checkpointed here (it feeds
+  * the totals, targets and boundary subtrees — uncheckpointed it
+  * would re-run the histogram aggregate 3-4×), released via
+  * [[graft.CacheBook]] under `scope`.
   */
 object BoundedPercentile {
 
@@ -50,19 +64,36 @@ object BoundedPercentile {
     require(num >= 0 && num <= den && den > 0, s"bad percentile $num/$den")
   }
 
-  /** @param df      input relation
+  /** Eagerly materialize a fence input once (localCheckpoint) and
+    * register its release under the family `scope` — the memo
+    * discipline the d_* and s_* families follow. Call sites that scan the
+    * same relation for the downstream fence test share this one
+    * materialization instead of re-running the upstream pipeline per
+    * pass (q_mad's per-user aggregate was re-computed ~5-6× before). */
+  def memoInput(df: DataFrame, scope: String): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    graft.CacheBook.register(cp.sparkSession, scope)(
+      () => graft.CacheBook.unpersistCheckpoint(cp))
+    cp
+  }
+
+  /** @param df      input relation (pass a materialized one — see the
+    *                COST contract above and [[memoInput]])
     * @param keys    group-by key columns (empty = one global group)
-    * @param vcol    LONG value column; vcol + offset must be ≥ 0
+    * @param vcol    LONG value column
     * @param specs   percentiles to emit
     * @param width   bucket width (≈ √domain); bounds both passes
     * @param offset  added before bucketing, subtracted back in output
+    *                (keeps the bucket-0 pass-2 bound tight on signed
+    *                domains; correctness holds without it)
     * @param countCol also emit the group row count under this name
+    * @param scope   CacheBook scope releasing the internal checkpoint
     * @return one row per key group: keys ++ [countCol] ++ spec names
     *         (round-4 DOUBLEs, the repo's quantile output contract)
     */
   def fences(df: DataFrame, keys: Seq[String], vcol: String,
       specs: Seq[Spec], width: Long, offset: Long = 0L,
-      countCol: Option[String] = None): DataFrame = {
+      countCol: Option[String] = None, scope: String = "q"): DataFrame = {
     require(specs.nonEmpty && width > 0)
     val kc = keys.map(col)
     val joinOn = keys :+ "__bkt"
@@ -71,14 +102,17 @@ object BoundedPercentile {
       .withColumn("__bkt", expr(s"__v div ${width}L"))
 
     // pass 1: bounded bucket histogram + cumulative counts (the window
-    // runs over ≤ domain/width rows per key — postcard-sized at 100 TB)
+    // runs over ≤ domain/width rows per key — postcard-sized at 100 TB).
+    // Checkpointed EAGERLY: three downstream subtrees (totals, targets,
+    // boundary) consume it, and each would otherwise re-run the full
+    // histogram aggregate over the input.
     val hist = b.groupBy(joinOn.dropRight(1).map(col) :+ col("__bkt"): _*)
       .agg(count(lit(1)).as("__cnt"))
-    val hcum = hist
+    val hcum = memoInput(hist
       .withColumn("__cum",
         sum("__cnt").over(Window.partitionBy(kc: _*).orderBy("__bkt")))
       .withColumn("__n", sum("__cnt").over(Window.partitionBy(kc: _*)))
-      .withColumn("__cb", col("__cum") - col("__cnt"))
+      .withColumn("__cb", col("__cum") - col("__cnt")), scope)
 
     // per-key totals and the 2·|specs| target ranks (lo = ⌊h⌋+1;
     // hi = lo+1 clamped to n — unused when the fraction is 0)
@@ -109,8 +143,7 @@ object BoundedPercentile {
       .agg(count(lit(1)).as("__c"))
       .withColumn("__ci",
         sum("__c").over(Window.partitionBy(joinOn.map(col): _*).orderBy("__v")))
-    val picked = (if (keys.isEmpty) vh.join(broadcast(boundary), Seq("__bkt"))
-      else vh.join(broadcast(boundary), joinOn))
+    val picked = vh.join(broadcast(boundary), joinOn)
       .filter(col("__ci") - col("__c") < col("__lr") && col("__lr") <= col("__ci"))
       .select(kc :+ col("__tag") :+ col("__v"): _*)
 

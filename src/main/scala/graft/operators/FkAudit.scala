@@ -12,11 +12,16 @@ import graft.plans.SchemaGraph
   *
   * Per reference edge: total child rows, rows with a NULL FK (legal —
   * optional references), and ORPHANS (non-null FK with no matching
-  * parent key). ONE child scan per edge: a row-preserving left join
-  * against the DISTINCT parent keys (so non-unique keys audit
-  * correctly, and each child row matches at most once) feeds a single
-  * conditional aggregate — co-partitioned on the key at scale,
-  * exactly the shuffle the restore's own FK validation would pay.
+  * parent key). ONE child scan per CHILD TABLE, not per edge: the
+  * edges of a child (lineitem carries three) chain as row-preserving
+  * left joins against each edge's DISTINCT parent keys (distinct on
+  * the full key tuple + full-tuple equi-join = at most one match per
+  * edge, so the chain never inflates row counts even with non-unique
+  * source keys), all feeding a single conditional aggregate whose
+  * per-edge counters explode back to one output row per edge — the
+  * q_dq_profile idiom. A 100-TB fact table is read once however many
+  * FKs it carries; each join still co-partitions on its own key,
+  * exactly the shuffles the restore's FK validation would pay.
   * Counts use count(when(...)), never sum(when(...)): an EMPTY child
   * table must report 0s, not NULLs (sum over zero rows is NULL).
   * Output is |references| rows however large the tables are.
@@ -34,28 +39,43 @@ object FkAudit {
       import spark.implicits._
       Seq.empty[(String, String, String, Long, Long, Long)]
         .toDF(outCols: _*)
-    } else g.references.sortBy(_.id).map { r =>
-      val child = load(r.table).select(r.columns.map(col): _*)
-      val fkNotNull = r.columns.map(c => col(c).isNotNull).reduce(_ && _)
-      val parentKeys = load(r.refTable)
-        .select(r.refColumns.zipWithIndex.map { case (c, i) =>
-          col(c).as(s"__p$i")
-        }: _*)
-        .distinct()
-      val cond = r.columns.zipWithIndex
-        .map { case (c, i) => col(c) === col(s"__p$i") }
-        .reduce(_ && _)
-      // matched rows carry a non-null __p0 (the join equates it to a
-      // non-null FK); unmatched rows carry NULL — so the orphan test
-      // is fk-not-null AND __p0-null, all in one pass
-      child.join(parentKeys, cond, "left_outer")
-        .agg(count(lit(1)).as("n_child"),
-          count(when(!fkNotNull, 1)).as("n_null_fk"),
-          count(when(fkNotNull && col("__p0").isNull, 1)).as("n_orphans"))
-        .select(lit(r.id).as("ref_id"),
-          lit(r.table).as("child_table"), lit(r.refTable).as("parent_table"),
-          col("n_child"), col("n_null_fk"), col("n_orphans"))
-    }.reduce(_ unionByName _).orderBy("ref_id")
+    } else g.references.groupBy(_.table).toSeq.sortBy(_._1)
+      .map { case (childTable, refs) =>
+        val edges = refs.sortBy(_.id)
+        val fkCols = edges.flatMap(_.columns).distinct
+        val child = load(childTable).select(fkCols.map(col): _*)
+        // chain one row-preserving left join per edge; matched rows
+        // carry a non-null __p<e>_0 (the join equates it to a non-null
+        // FK), unmatched rows carry NULL — so each edge's orphan test
+        // is fk-not-null AND __p<e>_0-null, all in ONE child pass
+        val joined = edges.zipWithIndex.foldLeft(child) { case (acc, (r, e)) =>
+          val parentKeys = load(r.refTable)
+            .select(r.refColumns.zipWithIndex.map { case (c, i) =>
+              col(c).as(s"__p${e}_$i")
+            }: _*)
+            .distinct()
+          val cond = r.columns.zipWithIndex
+            .map { case (c, i) => col(c) === col(s"__p${e}_$i") }
+            .reduce(_ && _)
+          acc.join(parentKeys, cond, "left_outer")
+        }
+        val perEdge = edges.zipWithIndex.flatMap { case (r, e) =>
+          val fkNotNull = r.columns.map(c => col(c).isNotNull).reduce(_ && _)
+          Seq(count(when(!fkNotNull, 1)).as(s"__nn_$e"),
+            count(when(fkNotNull && col(s"__p${e}_0").isNull, 1)).as(s"__orph_$e"))
+        }
+        val aggs = count(lit(1)).as("__n_child") +: perEdge
+        joined.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(edges.zipWithIndex.map { case (r, e) =>
+            struct(lit(r.id).as("ref_id"),
+              lit(r.table).as("child_table"),
+              lit(r.refTable).as("parent_table"),
+              col("__n_child").as("n_child"),
+              col(s"__nn_$e").as("n_null_fk"),
+              col(s"__orph_$e").as("n_orphans"))
+          }: _*)).as("__e"))
+          .select("__e.*")
+      }.reduce(_ unionByName _).orderBy("ref_id")
 
   /** DuckDB mirror generated from the SAME graph object, so the two
     * sides cannot audit different schemas. An FK-free graph yields a

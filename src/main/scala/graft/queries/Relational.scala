@@ -527,18 +527,34 @@ object Relational {
 
     // t-digest sketch coverage: approx_percentile vs exact, validated
     // by bound (same pattern as q_distinct's approx_ok — a hash compare
-    // can't check an approximation; a tolerance can).
-    "q_approx_quantile" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+    // can't check an approximation; a tolerance can). The EXACT side is
+    // BoundedPercentile over integer cents (prices carry 2 decimals, so
+    // the cent percentile divided by 100 IS the price percentile) — the
+    // last exact-percentile() fence outside the deliberate q_percentile
+    // gate entry is gone; only the t-digest sketch itself buffers.
+    "q_approx_quantile" -> ((s, dir) => {
+      val li = graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("price"),
+          floor(dec("l_extendedprice") * 100).cast("long").as("cents")),
+        "q")
+      val exact = graft.operators.BoundedPercentile.fences(li,
+        Seq("l_returnflag"), "cents",
+        Seq(graft.operators.BoundedPercentile.Spec("med_c", 1, 2),
+          graft.operators.BoundedPercentile.Spec("p90_c", 9, 10)),
+        width = 1L << 16)
+      li.groupBy("l_returnflag")
         .agg(
-          (abs(expr("approx_percentile(l_extendedprice, 0.5, 1000)")
-            - expr("percentile(l_extendedprice, 0.5)"))
-            / expr("percentile(l_extendedprice, 0.5)") < 0.01).as("median_ok"),
-          (abs(expr("approx_percentile(l_extendedprice, 0.9, 1000)")
-            - expr("percentile(l_extendedprice, 0.9)"))
-            / expr("percentile(l_extendedprice, 0.9)") < 0.01).as("p90_ok"))
-        .orderBy("l_returnflag")),
+          expr("approx_percentile(price, 0.5, 1000)").as("am"),
+          expr("approx_percentile(price, 0.9, 1000)").as("a9"))
+        .join(broadcast(exact), "l_returnflag")
+        .select(col("l_returnflag"),
+          (abs(col("am") - col("med_c") / 100) / (col("med_c") / 100) < 0.01)
+            .as("median_ok"),
+          (abs(col("a9") - col("p90_c") / 100) / (col("p90_c") / 100) < 0.01)
+            .as("p90_ok"))
+        .orderBy("l_returnflag")
+    }),
 
     // data-quality PROFILE — the pre-flight check a pipeline runs before
     // trusting a source: per-column row/null/distinct counts and
@@ -720,7 +736,11 @@ object Relational {
     // 5-row fence table broadcast back; money in integer cents so the
     // fence test is exact.
     "q_outliers" -> ((s, dir) => {
-      val spend = t(s, dir, "orders").groupBy("o_custkey")
+      // the per-customer star is consumed three times (fence pass 1,
+      // fence pass 2, the fence test): materialize it ONCE (memoInput —
+      // released with the "q" scope), never re-run the groupBy+joins
+      val spend = graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "orders").groupBy("o_custkey")
         .agg(floor(sum(dec("o_totalprice")) * 100).cast("long").as("cents"))
         .join(broadcast(t(s, dir, "customer")
           .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))), "o_custkey")
@@ -728,7 +748,7 @@ object Relational {
           .select(col("n_nationkey").as("c_nationkey"), col("n_regionkey"))), "c_nationkey")
         .join(broadcast(t(s, dir, "region")
           .select(col("r_regionkey").as("n_regionkey"), col("r_name"))), "n_regionkey")
-        .select(col("r_name"), col("cents"))
+        .select(col("r_name"), col("cents")), "q")
       // two-pass bounded-histogram exact quartiles — same interpolation
       // contract as percentile(), but the per-region state is
       // domain/width buckets + width in-bucket values, never the full
@@ -869,8 +889,12 @@ object Relational {
     // partitioner actually scales). Per-bin population + exact min/max
     // document how even the depths landed.
     "q_equidepth" -> ((s, dir) => {
-      val c = t(s, dir, "orders")
-        .select(floor(dec("o_totalprice") * 100).cast("long").as("cents"))
+      // the cent projection feeds both fence passes AND the binning
+      // scan: one materialization (memoInput, "q"-scoped release)
+      val c = graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "orders")
+          .select(floor(dec("o_totalprice") * 100).cast("long").as("cents")),
+        "q")
       // all 9 deciles from ONE two-pass bounded histogram — pass 1 and
       // pass 2 are shared across the specs, and no percentile() buffer
       // of the full cent multiset ever forms (BoundedPercentile).
@@ -951,8 +975,12 @@ object Relational {
     // total revenue held above each fence in integer ppm. One
     // customer-keyed shuffle + one scalar pass whatever the corpus.
     "q_pareto" -> ((s, dir) => {
-      val spend = t(s, dir, "orders").groupBy("o_custkey")
-        .agg(floor(sum(dec("o_totalprice")) * 100).cast("long").as("cents"))
+      // per-customer totals feed both fence passes + the share scan:
+      // one materialization (memoInput, "q"-scoped release)
+      val spend = graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "orders").groupBy("o_custkey")
+          .agg(floor(sum(dec("o_totalprice")) * 100).cast("long").as("cents")),
+        "q")
       // bounded two-pass exact p90/p99 (BoundedPercentile): the fence
       // state never holds the per-customer distinct-total multiset
       val fences = graft.operators.BoundedPercentile.fences(spend,
@@ -997,16 +1025,23 @@ object Relational {
     * .5) so the helper's long-domain contract holds exactly; halving
     * the doubled median back is exact in binary. */
   private def madQuery(s: SparkSession, dir: String): DataFrame = {
-    val spend = t(s, dir, "events").filter(col("event_type") === "purchase")
-      .groupBy("user_id")
-      .agg(floor(sum(col("value").cast("decimal(18,2)")) * 100)
-        .cast("long").as("cents"))
+    // the per-user aggregate feeds BOTH medians and the final readout
+    // (5-6 scans before this materialization — the r10 2.6× regression);
+    // dev likewise feeds the second median twice plus the readout
+    val spend = graft.operators.BoundedPercentile.memoInput(
+      t(s, dir, "events").filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(floor(sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents")),
+      "q")
     val med = graft.operators.BoundedPercentile.fences(spend,
       Seq.empty, "cents",
       Seq(graft.operators.BoundedPercentile.Spec("med", 1, 2)),
       width = 1L << 16)
-    val dev = spend.join(broadcast(med))
-      .withColumn("adev", abs(col("cents") - col("med")))
+    val dev = graft.operators.BoundedPercentile.memoInput(
+      spend.join(broadcast(med))
+        .withColumn("adev", abs(col("cents") - col("med"))),
+      "q")
     val mad = graft.operators.BoundedPercentile.fences(
         dev.withColumn("adev2", (col("adev") * 2).cast("long")),
         Seq.empty, "adev2",

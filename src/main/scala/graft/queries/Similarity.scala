@@ -606,10 +606,18 @@ object Similarity {
     // window, no sort). Cost on top of the standing graph: one
     // per-node aggregate + one scalar broadcast.
     "s_knn_outlier" -> ((s, dir) => {
-      val kd = knnGraph(s, dir).groupBy("src").agg(
-        count(lit(1)).as("n_nbrs"),
-        floor(min(col("cos")) * lit(1000000.0)).cast("long")
-          .as("kth_cos_micro"))
+      // the per-node score relation feeds both fence passes + the flag
+      // join: materialize it once off the standing graph memo
+      // (memoInput, released with the "s" family scope). min(cos) is
+      // clamped into [-1, 1] before micro-scaling so a float cosine a
+      // hair past -1 can't floor to -1000001 and leave the fence
+      // helper's tight-bucket offset domain.
+      val kd = graft.operators.BoundedPercentile.memoInput(
+        knnGraph(s, dir).groupBy("src").agg(
+          count(lit(1)).as("n_nbrs"),
+          floor(greatest(least(min(col("cos")), lit(1.0)), lit(-1.0))
+            * lit(1000000.0)).cast("long").as("kth_cos_micro")),
+        "s")
       // bounded two-pass exact p05 (BoundedPercentile): cosines span
       // [-1e6, 1e6] micro-units, so the offset shifts the domain
       // nonnegative for the div-bucketing and is subtracted back
@@ -617,7 +625,7 @@ object Similarity {
       val thr = graft.operators.BoundedPercentile.fences(kd,
         Seq.empty, "kth_cos_micro",
         Seq(graft.operators.BoundedPercentile.Spec("thr", 1, 20)),
-        width = 1L << 12, offset = 1000000L)
+        width = 1L << 12, offset = 1000000L, scope = "s")
       kd.join(broadcast(thr))
         .select(col("src").as("vec_id"), col("n_nbrs"), col("kth_cos_micro"),
           (col("kth_cos_micro") <= col("thr")).as("is_outlier"))
@@ -2260,7 +2268,8 @@ object Similarity {
     ("s_knn_outlier" ->
       s"""WITH $sqlKnnCtes,
          kd AS (SELECT src, count(*) AS n_nbrs,
-             CAST(floor(min(cos) * 1000000.0) AS BIGINT) AS kth_cos_micro
+             CAST(floor(greatest(least(min(cos), 1.0), -1.0) * 1000000.0)
+               AS BIGINT) AS kth_cos_micro
            FROM knn GROUP BY src),
          th AS (SELECT round(quantile_cont(kth_cos_micro, 0.05), 4) AS thr
            FROM kd)

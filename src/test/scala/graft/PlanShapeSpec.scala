@@ -275,4 +275,32 @@ class PlanShapeSpec extends SparkSpec {
       "exactly two scans: postings + the NQueries phrase slice")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("slice_fk_audit: one scan per child table, not per FK edge") {
+    // 7 edges over 5 child tables + 7 parent-key scans = 12 scans;
+    // the per-edge shape scanned lineitem three times (14 total)
+    val p = planOf("slice_fk_audit")
+    assert(p.split("Scan parquet").length - 1 == 12,
+      s"expected 12 scans (5 children + 7 parents), plan:\n${p.take(600)}")
+  }
+
+  test("quantile fences plan NO Percentile aggregate (bounded-histogram only)") {
+    // the unbounded `percentile()` fence idiom buffers the full
+    // distinct-value multiset in ONE aggregate node — the scale-killer
+    // BoundedPercentile replaced. These five plans must never regress
+    // to it. (The deliberate exceptions remain q_percentile — the gate
+    // entry FOR the exact aggregate — and q_approx_quantile's
+    // error-bound validation, both over bounded TPC-H column domains.)
+    for (name <- Seq("q_outliers", "q_equidepth", "q_pareto", "q_mad",
+        "s_knn_outlier")) {
+      val p = planOf(name)
+      assert(!p.toLowerCase.contains("percentile("),
+        s"$name must fence via BoundedPercentile, found percentile() in plan")
+      // the fence input and the pass-1 cumulative relation are
+      // checkpointed — the plan must read them, not recompute
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name must read its checkpointed fence relations")
+    }
+    graft.CacheBook.releaseAll(spark)
+  }
 }
