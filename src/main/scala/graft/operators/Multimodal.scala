@@ -126,7 +126,16 @@ object Multimodal {
     * gray(x, y) = (id + 3x + 5y) % 256 — encoded with ImageIO. The
     * formula is the shared contract between the encoder, the decoder's
     * oracle, and the ScalaTest reference. */
-  def syntheticPng(docId: Long): Array[Byte] = {
+  def syntheticPng(docId: Long): Array[Byte] = syntheticPng(docId, perturb = false)
+
+  /** As [[syntheticPng]]; with `perturb` the (0, 0) pixel is forced to
+    * 255 — a one-pixel retouch that lands within a few hamming bits of
+    * the original after the real encode→decode→hash round trip (pixel
+    * (0, 0) is thumbnail cell 0's sample for every w, h ≥ 8, so bit 0
+    * flips unless the original pixel already voted 1, and the Σp shift
+    * can flip a handful of near-threshold bits) — the NEAR-duplicate
+    * generator behind m_phash_near's gate data. */
+  def syntheticPng(docId: Long, perturb: Boolean): Array[Byte] = {
     val w = (16 + docId % 32).toInt
     val h = (16 + (docId * 7) % 32).toInt
     val img = new java.awt.image.BufferedImage(w, h,
@@ -141,6 +150,7 @@ object Multimodal {
       }
       y += 1
     }
+    if (perturb) raster.setSample(0, 0, 0, 255)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -213,12 +223,43 @@ object Multimodal {
 
   /** Encode→decode→perceptual-hash over the id column, batched like
     * [[decodeSynthetic]]. The hash is the image-dedup KEY: exact-match
-    * groups are duplicate images (at scale, near-dup at hamming ≤ t
-    * goes through band-grouping the 64 bits — the d_simhash shape). */
+    * groups are duplicate images; near-dup at hamming ≤ t band-groups
+    * the 64 bits ([[phashNearCorpus]] — the d_simhash shape). */
   def phashSynthetic(ids: Dataset[Long]): Dataset[PHash] = {
     import ids.sparkSession.implicits._
     ids.mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
       PHash(id, phashPng(syntheticPng(id)))
+    }))
+  }
+
+  /** The 64-bit average-hash packed as four 16-bit chunk values: bit k
+    * of the hash (row-major thumbnail cell, [[phashPng]]) is bit
+    * (k mod 16) of chunk (k div 16). The chunks are BOTH the band keys
+    * and the popcount operands of the near-dup join — only
+    * (doc_id, 4 longs) ever crosses a shuffle, never pixels. */
+  def phashChunks(bytes: Array[Byte]): Array[Long] = {
+    val bits = phashPng(bytes)
+    Array.tabulate(4) { ci =>
+      (0 until 16).foldLeft(0L) { (acc, j) =>
+        if (bits.charAt(ci * 16 + j) == '1') acc | (1L << j) else acc
+      }
+    }
+  }
+
+  final case class PHashC(doc_id: Long, c0: Long, c1: Long, c2: Long, c3: Long)
+
+  /** Hash-chunk relation over the corpus PLUS a perturbed twin per
+    * image (doc_id + 100000, the d_simhash twin convention): each id's
+    * synthetic PNG and its one-pixel retouch both run the REAL
+    * encode→decode→hash path, so hamming-near pairs exist in the gate
+    * data by construction. Batched like [[decodeSynthetic]]. */
+  def phashNearCorpus(ids: Dataset[Long]): Dataset[PHashC] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { id =>
+      val b = phashChunks(syntheticPng(id))
+      val t = phashChunks(syntheticPng(id, perturb = true))
+      Seq(PHashC(id, b(0), b(1), b(2), b(3)),
+        PHashC(id + 100000L, t(0), t(1), t(2), t(3)))
     }))
   }
 }

@@ -73,6 +73,37 @@ object MultimodalQueries {
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy("phash")).cast("int"))
         .orderBy("doc_id")
+    }),
+
+    // IMAGE NEAR-DUP at hamming ≤ 3 — real image dedup is hamming-
+    // banded, not hash-equality: the 64-bit average-hash splits into
+    // four 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk
+    // identical), candidates share a chunk, and the verify popcount is
+    // four xor+bit_count terms over longs — the d_simhash shape lifted
+    // to decoded images. The corpus is each document's synthetic PNG
+    // plus a one-pixel-retouched twin (real encode→decode→hash both
+    // sides), so true near-pairs exist at gate scale; only
+    // (doc_id, 4 longs) crosses the candidate shuffle, never pixels,
+    // and candidate volume is band-bucket-bounded at any corpus size.
+    "m_phash_near" -> ((s, dir) => {
+      import s.implicits._
+      val ph = Multimodal.phashNearCorpus(
+        Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]).toDF()
+      val chunks = ph.select(col("doc_id"),
+          col("c0"), col("c1"), col("c2"), col("c3"),
+          explode(array((0 to 3).map(ci =>
+            struct(lit(ci).as("ci"), col(s"c$ci").as("cv"))): _*)).as("ch"))
+        .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+      chunks.as("x").join(chunks.as("y"),
+          col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          (0 to 3).map(ci => bit_count(col(s"x.c$ci")
+            .bitwiseXOR(col(s"y.c$ci")))).reduce(_ + _).cast("int").as("dist"))
+        .distinct()
+        .filter(col("dist") <= 3)
+        .orderBy("a", "b")
     })
   )
 
@@ -163,6 +194,47 @@ object MultimodalQueries {
            FROM th JOIN s USING (doc_id) GROUP BY th.doc_id),
          grp AS (SELECT phash, count(*) AS n_dup FROM ph GROUP BY phash)
          SELECT ph.doc_id, ph.phash, CAST(grp.n_dup AS INT) AS n_dup
-         FROM ph JOIN grp USING (phash) ORDER BY ph.doc_id"""
+         FROM ph JOIN grp USING (phash) ORDER BY ph.doc_id""",
+
+    // corpus + retouched twin (img pixel (0,0) -> 255, only thumbnail
+    // cell 0 samples it since w,h >= 16); chunk ci packs bits
+    // [ci*16, ci*16+16) little-endian — the same packing phashChunks
+    // uses — and the candidate/verify pipeline mirrors the Spark plan
+    "m_phash_near" ->
+      """WITH base AS (SELECT doc_id, doc_id AS img, false AS tw FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, doc_id, true FROM documents),
+         dims AS (SELECT doc_id, img, tw,
+             CAST(16 + img % 32 AS INT) AS w,
+             CAST(16 + (img * 7) % 32 AS INT) AS h
+           FROM base),
+         th AS (SELECT doc_id, k.i AS k,
+             CASE WHEN tw AND (((k.i % 8) * w) // 8) = 0
+                 AND (((k.i // 8) * h) // 8) = 0 THEN 255
+               ELSE (img + 3 * (((k.i % 8) * w) // 8)
+                 + 5 * (((k.i // 8) * h) // 8)) % 256 END AS p
+           FROM dims, unnest(range(0, 64)) AS k(i)),
+         s AS (SELECT doc_id, sum(p) AS sp FROM th GROUP BY doc_id),
+         ch AS (SELECT th.doc_id, th.k // 16 AS ci,
+             CAST(sum(CASE WHEN th.p * 64 > s.sp
+               THEN 1 << (th.k % 16) ELSE 0 END) AS BIGINT) AS cv
+           FROM th JOIN s USING (doc_id) GROUP BY th.doc_id, th.k // 16),
+         ph AS (SELECT doc_id,
+             max(CASE WHEN ci = 0 THEN cv END) AS c0,
+             max(CASE WHEN ci = 1 THEN cv END) AS c1,
+             max(CASE WHEN ci = 2 THEN cv END) AS c2,
+             max(CASE WHEN ci = 3 THEN cv END) AS c3
+           FROM ch GROUP BY doc_id),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM ch x JOIN ch y
+           ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id)
+         SELECT a, b, dist FROM (
+           SELECT cand.a, cand.b,
+             CAST(bit_count(xor(pa.c0, pb.c0)) + bit_count(xor(pa.c1, pb.c1))
+               + bit_count(xor(pa.c2, pb.c2)) + bit_count(xor(pa.c3, pb.c3))
+               AS INT) AS dist
+           FROM cand JOIN ph pa ON pa.doc_id = cand.a
+             JOIN ph pb ON pb.doc_id = cand.b)
+         WHERE dist <= 3 ORDER BY a, b"""
   )
 }

@@ -284,19 +284,45 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
-    // PII redaction: emails/URLs replaced by tags, occurrences counted.
-    // The corpus has none, so every 5th doc gets a synthetic contact
-    // line (mirrored by the oracle) to prove redaction fires.
+    // PII redaction — the release-gate detector set: emails, URLs,
+    // phone numbers, IPv4 addresses and 16-digit card numbers replaced
+    // by tags with per-kind counts; card candidates additionally run an
+    // UNROLLED integer Luhn checksum (sixteen static CAST+CASE terms —
+    // no interpreted lambda arithmetic) so n_cards_luhn counts only
+    // checksum-valid numbers, the signal that separates a real pan
+    // from a random digit run. The corpus has no PII, so deterministic
+    // doc_id strata inject each kind (mirrored by the oracle; the card
+    // line carries one Luhn-VALID and one Luhn-INVALID number to prove
+    // the checksum discriminates). All scalar regex work — scales with
+    // the scan, no shuffle but the final ordering.
     "x_redact_pii" -> ((s, dir) => {
-      val withPii = when(col("doc_id") % 5 === 0,
-        concat(col("text"), lit(" contact bob@example.com or https://example.com/x")))
-        .otherwise(col("text"))
+      val t0 = col("text")
+      val t1 = when(col("doc_id") % 5 === 0,
+        concat(t0, lit(" contact bob@example.com or https://example.com/x")))
+        .otherwise(t0)
+      val t2 = when(col("doc_id") % 7 === 0,
+        concat(t1, lit(" call 555-867-5309"))).otherwise(t1)
+      val t3 = when(col("doc_id") % 9 === 0,
+        concat(t2, lit(" from 192.168.10.42"))).otherwise(t2)
+      val withPii = when(col("doc_id") % 11 === 0,
+        concat(t3, lit(" card 4111111111111111 or card 4111111111111112")))
+        .otherwise(t3)
       docs(s, dir).select(col("doc_id"), withPii.as("t"))
         .select(
           col("doc_id"),
           size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
           size(regexp_extract_all(col("t"), lit(UrlRe), lit(0))).as("n_urls"),
-          regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+          size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).as("n_phones"),
+          size(regexp_extract_all(col("t"), lit(IpRe), lit(0))).as("n_ips"),
+          size(regexp_extract_all(col("t"), lit(CardRe), lit(0))).as("n_cards"),
+          // the SQL literal needs the backslashes doubled: Spark's SQL
+          // parser processes escapes inside '...' (DuckDB's does not)
+          expr(s"""size(filter(regexp_extract_all(t,
+            '${CardRe.replace("\\", "\\\\")}', 0),
+            c -> (${luhnSum("c")}) % 10 = 0))""").cast("int").as("n_cards_luhn"),
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(col("t"), EmailRe, "<EMAIL>"), UrlRe, "<URL>"),
+            CardRe, "<CARD>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
             .as("redacted"))
         .orderBy("doc_id")
     }),
@@ -380,6 +406,34 @@ object TextAnalysis {
               concat(lit("dsm#"), col("doc_id").cast("string")), 12).cast("double")
             / greatest(col("dsir_micro"), lit(1L)).cast("double")).as("priority"))
         .orderBy("priority", "doc_id").limit(DsirSampleK)),
+
+    // LEARNED quality classifier — the fasttext-style linear scorer
+    // production curation runs alongside the rule filter
+    // (x_gopher_filter) and the importance weights (x_dsir): averaged
+    // bag-of-hashed-ngrams features × an EMBEDDED integer-micro weight
+    // vector (qclfWeights — the whole model is a 512-long literal
+    // array, codegen element_at lookup per feature, never a join or a
+    // broadcast), thresholded into keep/drop with the margin exposed
+    // for calibration. Scale shape: the feature stream is the scan +
+    // one explode; the per-doc mean is one map-side-combinable
+    // aggregation; the model rides the closure at ANY corpus size.
+    "x_qclf" -> ((s, dir) =>
+      docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(concat(shingleHashes(wordsCol, 1), shingleHashes(wordsCol, 2)))
+            .as("h"))
+        .select(col("doc_id"),
+          element_at(lit(qclfWeights),
+            (pmod(col("h"), lit(QclfBuckets.toLong)) + 1).cast("int")).as("wm"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nf"), sum("wm").as("sw"))
+        .select(col("doc_id"), col("nf").cast("int").as("n_feats"),
+          expr("sw div nf").as("qclf_micro"),
+          when(expr("sw div nf") >= QclfThresholdMicro, 1).otherwise(0)
+            .cast("int").as("kept"),
+          (expr("sw div nf") - lit(QclfThresholdMicro)).as("margin_micro"))
+        .orderBy("doc_id")),
 
     // chunking: 50-token windows, stride 40 (10-token overlap) — the
     // pretraining tokenize-and-pack precursor. WordWindows builds every
@@ -792,6 +846,22 @@ object TextAnalysis {
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
+  private val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val CardRe = "\\b[0-9]{16}\\b"
+
+  /** Unrolled Luhn checksum over a 16-digit string expression `v` —
+    * sixteen static CAST+CASE terms (digit k from the LEFT of a
+    * 16-char string sits at even position from the right exactly when
+    * k is odd, so odd-k digits double, subtracting 9 past 9 via the
+    * d >= 5 branch). Pure integer SQL both engines parse identically —
+    * no lambda-interpreted arithmetic, no string reversal. */
+  private def luhnSum(v: String): String =
+    (1 to 16).map { k =>
+      val d = s"CAST(substring($v, $k, 1) AS INT)"
+      if (k % 2 == 1) s"(CASE WHEN $d >= 5 THEN 2 * $d - 9 ELSE 2 * $d END)"
+      else d
+    }.mkString(" + ")
   /** x_line_dedup: words per synthesized "line" / max document
     * frequency a line may have and still be kept (df > LineDfMax =
     * boilerplate, dropped). */
@@ -836,6 +906,32 @@ object TextAnalysis {
   private[queries] val DsirBench = 50
   /** x_dsir_sample: resample size (k smallest priorities). */
   private[queries] val DsirSampleK = 25
+
+  /** x_qclf: hashed-feature dimensionality of the embedded linear
+    * quality model — FIXED whatever the corpus (the x_dsir bucket
+    * trick), so the whole model is [[qclfWeights]] and never a join. */
+  private[queries] val QclfBuckets = 512
+  private[queries] val QclfThresholdMicro = 1000000L
+  /** The embedded "trained" fasttext-style linear model: one integer
+    * micro-unit weight per hashed unigram/bigram bucket. Weights are
+    * derived deterministically (jvmMd5Idx — the benfordPpm pattern:
+    * ONE Scala table feeds both the Column tree and the oracle SQL);
+    * the buckets of the stopword unigrams carry a +0.8 boost, so the
+    * score correlates with natural-prose stopword mass the way a
+    * fluency-trained classifier does (hash collisions boost whatever
+    * else shares those buckets — exactly how hashed linear models
+    * behave in production). All weights are NONNEGATIVE by
+    * construction: the per-doc mean stays in truncating-division
+    * agreement across engines (Spark `div` truncates toward zero,
+    * DuckDB `//` floors — they only agree at ≥ 0). */
+  private[graft] val qclfWeights: Array[Long] = {
+    val boosted = stopwords
+      .map(w => Determinism.jvmMd5Idx(w, 12) % QclfBuckets).toSet
+    Array.tabulate(QclfBuckets) { b =>
+      Determinism.jvmMd5Idx(s"qw#$b", 12) % 1200001L +
+        (if (boosted(b.toLong)) 800000L else 0L)
+    }
+  }
 
   /** Gopher-rules core shared by the x_gopher_filter gate query and
     * GopherFilterSpec: per doc (n_words, keep, reasons) with
@@ -1114,13 +1210,31 @@ object TextAnalysis {
       s"""SELECT doc_id,
            CAST(len(regexp_extract_all(t, '$EmailRe')) AS INT) AS n_emails,
            CAST(len(regexp_extract_all(t, '$UrlRe')) AS INT) AS n_urls,
-           regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
-             '$UrlRe', '<URL>', 'g') AS redacted
+           CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '$IpRe')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '$CardRe')) AS INT) AS n_cards,
+           CAST(len(list_filter(regexp_extract_all(t, '$CardRe'),
+             c -> (${luhnSum("c")}) % 10 = 0)) AS INT) AS n_cards_luhn,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+             '$UrlRe', '<URL>', 'g'), '$CardRe', '<CARD>', 'g'),
+             '$PhoneRe', '<PHONE>', 'g'), '$IpRe', '<IP>', 'g') AS redacted
          FROM (SELECT doc_id,
-             CASE WHEN doc_id % 5 = 0
-               THEN text || ' contact bob@example.com or https://example.com/x'
-               ELSE text END AS t
-           FROM documents) ORDER BY doc_id""",
+             CASE WHEN doc_id % 11 = 0 THEN t3
+                 || ' card 4111111111111111 or card 4111111111111112'
+               ELSE t3 END AS t
+           FROM (SELECT doc_id,
+               CASE WHEN doc_id % 9 = 0 THEN t2 || ' from 192.168.10.42'
+                 ELSE t2 END AS t3
+             FROM (SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN t1 || ' call 555-867-5309'
+                   ELSE t1 END AS t2
+               FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text
+                     || ' contact bob@example.com or https://example.com/x'
+                     ELSE text END AS t1
+                 FROM documents))))
+         ORDER BY doc_id""",
 
     "x_sample_strata" -> {
       val rateSql = "CASE lang " + SampleRates.map { case (l, r) =>
@@ -1147,6 +1261,24 @@ object TextAnalysis {
            CAST(sw // nf AS BIGINT) AS dsir_micro,
            CAST(sw // nf AS BIGINT) / 1000000.0 AS dsir,
            CAST(CASE WHEN sw // nf >= 1000000 THEN 1 ELSE 0 END AS INT) AS kept
+         FROM scored ORDER BY doc_id""",
+
+    // the 512 weight literals come from the SAME Scala table the Column
+    // tree embeds (qclfWeights), so the two engines cannot drift
+    "x_qclf" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         feats AS (SELECT doc_id,
+             (${Determinism.sqlMd5IdxK("x", 12)} % $QclfBuckets) AS b
+           FROM (SELECT doc_id, unnest(list_concat(
+             ${sqlShingles("w", 1)}, ${sqlShingles("w", 2)})) AS x FROM w)),
+         scored AS (SELECT doc_id, count(*) AS nf,
+             sum((${qclfWeights.mkString("[", ", ", "]")})[CAST(b + 1 AS INT)]) AS sw
+           FROM feats GROUP BY doc_id)
+         SELECT doc_id, CAST(nf AS INT) AS n_feats,
+           CAST(sw // nf AS BIGINT) AS qclf_micro,
+           CAST(CASE WHEN sw // nf >= $QclfThresholdMicro THEN 1 ELSE 0 END
+             AS INT) AS kept,
+           CAST(sw // nf - $QclfThresholdMicro AS BIGINT) AS margin_micro
          FROM scored ORDER BY doc_id""",
 
     "x_dsir_sample" ->

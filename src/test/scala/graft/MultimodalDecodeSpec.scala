@@ -67,4 +67,72 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(Multimodal.phashPng(Multimodal.syntheticPng(5L)) !=
       Multimodal.phashPng(Multimodal.syntheticPng(6L)))
   }
+
+  private def hamming(a: Array[Long], b: Array[Long]): Int =
+    (0 until 4).map(i => java.lang.Long.bitCount(a(i) ^ b(i))).sum
+
+  test("phashChunks packs the 64 bits little-endian per 16-bit chunk") {
+    for (id <- Seq(0L, 3L, 77L, 511L)) {
+      val bits = Multimodal.phashPng(Multimodal.syntheticPng(id))
+      val ch = Multimodal.phashChunks(Multimodal.syntheticPng(id))
+      for (k <- 0 until 64)
+        assert(((ch(k / 16) >> (k % 16)) & 1L) ==
+          (if (bits.charAt(k) == '1') 1L else 0L), s"id=$id bit $k")
+    }
+  }
+
+  test("the retouched twin is a GENUINE near-duplicate: 0 < hamming <= 3 exists") {
+    // the one-pixel perturbation must produce pairs that exact-hash
+    // dedup misses and hamming-banding catches — the whole point of
+    // m_phash_near's gate data
+    val dists = (0L until 64L).map { id =>
+      hamming(Multimodal.phashChunks(Multimodal.syntheticPng(id)),
+        Multimodal.phashChunks(Multimodal.syntheticPng(id, perturb = true)))
+    }
+    assert(dists.exists(d => d > 0 && d <= 3),
+      s"no near-twin in 0..63 (dists: ${dists.distinct.sorted})")
+    assert(dists.forall(_ <= 8), "retouch must stay a NEAR dup, not a rewrite")
+  }
+
+  test("m_phash_near banding finds EXACTLY the brute-force hamming<=3 pairs") {
+    // pigeonhole completeness: hamming <= 3 over 4 chunks forces at
+    // least one identical chunk, so the band join misses nothing; the
+    // verify filter drops everything else — band-recall is 1.0 at t=3
+    import SparkSpec.session.implicits._
+    val n = 96L
+    val corpus = (0L until n).flatMap { id =>
+      Seq(id -> Multimodal.phashChunks(Multimodal.syntheticPng(id)),
+        (id + 100000L) -> Multimodal.phashChunks(
+          Multimodal.syntheticPng(id, perturb = true)))
+    }
+    val brute = (for {
+      (a, ca) <- corpus; (b, cb) <- corpus
+      if a < b && hamming(ca, cb) <= 3
+    } yield (a, b, hamming(ca, cb))).toSet
+    assert(brute.nonEmpty)
+    val ph = Multimodal.phashNearCorpus(
+      SparkSpec.session.range(0, n).select($"id".as("doc_id")).as[Long]).toDF()
+    val chunks = ph.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("c0"),
+        org.apache.spark.sql.functions.col("c1"),
+        org.apache.spark.sql.functions.col("c2"),
+        org.apache.spark.sql.functions.col("c3"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.array((0 to 3).map(ci =>
+            org.apache.spark.sql.functions.struct(
+              org.apache.spark.sql.functions.lit(ci).as("ci"),
+              org.apache.spark.sql.functions.col(s"c$ci").as("cv"))): _*)).as("ch"))
+      .select("doc_id", "c0", "c1", "c2", "c3", "ch.ci", "ch.cv")
+    import org.apache.spark.sql.functions.{bit_count, col}
+    val got = chunks.as("x").join(chunks.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (0 to 3).map(ci => bit_count(col(s"x.c$ci")
+          .bitwiseXOR(col(s"y.c$ci")))).reduce(_ + _).cast("int").as("dist"))
+      .distinct()
+      .filter(col("dist") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+  }
 }
