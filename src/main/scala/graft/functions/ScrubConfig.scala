@@ -53,8 +53,10 @@ object ScrubConfig {
   private[functions] def resolve(transforms: Map[String, String],
       inst: String): Column => Column = {
     val tpe = transforms.getOrElse(inst, inst)
-    val builder = Transforms.byNameWith.getOrElse(tpe,
-      sys.error(s"unknown transform '$tpe'; one of ${Transforms.byNameWith.keys.toSeq.sorted.mkString(", ")}"))
+    // builtins first, then Transforms.registerCustom entries (the
+    // reference's custom-module registry); unknown names fail fast
+    val builder = Transforms.resolveName(tpe).getOrElse(
+      sys.error(s"unknown transform '$tpe'; one of ${Transforms.knownNames.mkString(", ")}"))
     c => builder(c, Transforms.Pepper + inst)
   }
 

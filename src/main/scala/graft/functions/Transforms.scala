@@ -70,6 +70,41 @@ object Transforms {
   lazy val byName: Map[String, Column => Column] =
     byNameWith.map { case (k, f) => k -> ((c: Column) => f(c, Pepper)) }
 
+  /** CUSTOM transform registry — the reference's custom-module
+    * extension point (reference README "Custom transforms";
+    * slice_db/transform.py's Transform protocol resolves any
+    * importable `module:Class` path): library users register a
+    * `(Column, effectivePepper) => Column` builder under a name, and
+    * [[ScrubConfig]] resolves it exactly like a builtin — the pepper
+    * argument arrives instance-scoped (`Pepper + instanceName`), so a
+    * custom transform participates in the same re-keying contract.
+    * Builtin names cannot be shadowed: a config that silently swapped
+    * `null` or `given_name` for user code would ship data the operator
+    * believes is scrubbed. Unknown names still fail fast at config
+    * parse, now listing custom names too. */
+  private val customTransforms =
+    scala.collection.concurrent.TrieMap.empty[String, (Column, String) => Column]
+
+  def registerCustom(name: String)(builder: (Column, String) => Column): Unit = {
+    require(!byNameWith.contains(name),
+      s"cannot shadow builtin transform '$name'")
+    customTransforms.put(name, builder)
+    ()
+  }
+
+  def unregisterCustom(name: String): Unit = {
+    customTransforms.remove(name)
+    ()
+  }
+
+  /** Builtin-first name resolution (builtins are not shadowable). */
+  def resolveName(name: String): Option[(Column, String) => Column] =
+    byNameWith.get(name).orElse(customTransforms.get(name))
+
+  /** Every resolvable transform name — the fail-fast error's menu. */
+  def knownNames: Seq[String] =
+    (byNameWith.keys ++ customTransforms.keys).toSeq.sorted
+
   private def seed(v: Column, salt: String, pepper: String): Column =
     concat(upper(v), lit(salt + pepper))
 

@@ -248,6 +248,83 @@ object Multimodal {
 
   final case class PHashC(doc_id: Long, c0: Long, c1: Long, c2: Long, c3: Long)
 
+  // ---- REAL audio decode path (javax.sound.sampled — in the JDK) ----
+
+  /** Real decoded-audio features: sample count + rate from the parsed
+    * WAV header, peak/mean absolute amplitude and mean square power
+    * from the DECODED 16-bit PCM frames. Like [[DecodedPng]], the
+    * synthetic sample function is reproducible in SQL, so the entry is
+    * decode-VERIFIED by its oracle. mean_square stays in whole base
+    * units (amplitude², ≤ 2³⁰) — micro-scaling a quadratic would burn
+    * int64 headroom for nothing (the OverflowHeadroomSpec rule). */
+  final case class DecodedWav(doc_id: Long, n_samples: Int, sample_rate: Int,
+      peak_abs: Int, mean_abs: Double, mean_square: Long)
+
+  private val WavRate = 8000f
+
+  /** Deterministic synthetic WAV: n = 256 + (id·13) mod 512 mono
+    * 16-bit little-endian PCM frames at 8 kHz, sample(i) =
+    * ((id + 11·i) mod 65536) − 32768 — encoded through
+    * javax.sound.sampled (a real RIFF/WAVE artifact, not a byte
+    * template). The formula is the shared contract between encoder,
+    * decoder oracle and ScalaTest reference, like [[syntheticPng]]. */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val n = (256 + (docId * 13) % 512).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((docId + 11L * i) % 65536L) - 32768L).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(WavRate, 16, 1,
+      /* signed = */ true, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Parse `bytes` with AudioSystem and fold the decoded PCM stream:
+    * every output value derives from the decoder's own header fields
+    * and frame bytes. mean_abs is integer micro-units with one final
+    * division ([[decodePng]]'s contract — bit-identical cross-engine). */
+  def decodeWav(docId: Long, bytes: Array[Byte]): DecodedWav = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+      && !fmt.isBigEndian, s"unexpected WAV shape: $fmt")
+    val data = ais.readAllBytes()
+    val n = data.length / 2
+    var sumAbs = 0L
+    var sumSq = 0L
+    var peak = 0
+    var i = 0
+    while (i < n) {
+      val v = (((data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)).toShort).toInt
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumAbs += a
+      sumSq += v.toLong * v
+      i += 1
+    }
+    DecodedWav(docId, n, fmt.getSampleRate.toInt, peak,
+      (sumAbs * 1000000L / n) / 1000000.0, sumSq / n)
+  }
+
+  /** Encode→decode pipeline over the id column — the audio twin of
+    * [[decodeSynthetic]], same batched mapPartitions shape. */
+  def decodeSyntheticWav(ids: Dataset[Long]): Dataset[DecodedWav] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
+      decodeWav(id, syntheticWav(id))
+    }))
+  }
+
   /** Hash-chunk relation over the corpus PLUS a perturbed twin per
     * image (doc_id + 100000, the d_simhash twin convention): each id's
     * synthetic PNG and its one-pixel retouch both run the REAL

@@ -75,6 +75,20 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL audio decode (javax.sound.sampled — WAV PCM needs no
+    // external codec): deterministic synthetic 16-bit mono WAVs are
+    // encoded AND decoded inside the batched pipeline; sample count +
+    // rate come from the parsed RIFF header, peak/mean amplitude and
+    // mean square power from decoded frames. The synthetic sample
+    // function is reproducible in SQL — the second decode-VERIFIED
+    // modality next to m_decode's PNG path.
+    "m_audio" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeSyntheticWav(
+        Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])
+        .toDF().orderBy("doc_id")
+    }),
+
     // IMAGE NEAR-DUP at hamming ≤ 3 — real image dedup is hamming-
     // banded, not hash-equality: the 64-bit average-hash splits into
     // four 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk
@@ -195,6 +209,25 @@ object MultimodalQueries {
          grp AS (SELECT phash, count(*) AS n_dup FROM ph GROUP BY phash)
          SELECT ph.doc_id, ph.phash, CAST(grp.n_dup AS INT) AS n_dup
          FROM ph JOIN grp USING (phash) ORDER BY ph.doc_id""",
+
+    // sample(i) = ((id + 11i) % 65536) - 32768 over n = 256+(id*13)%512
+    // frames — summed directly, verifying the DECODED pcm, not a stub
+    "m_audio" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(256 + (doc_id * 13) % 512 AS INT) AS n
+           FROM documents),
+         sm AS (SELECT doc_id, n,
+             ((doc_id + 11 * i.i) % 65536) - 32768 AS v
+           FROM d, unnest(range(0, n)) AS i(i)),
+         ag AS (SELECT doc_id, max(n) AS n, max(abs(v)) AS pk,
+             sum(abs(v)) AS sa, sum(v * v) AS sq
+           FROM sm GROUP BY doc_id)
+         SELECT doc_id, CAST(n AS INT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(pk AS INT) AS peak_abs,
+           (((sa * 1000000) // n) / 1000000.0) AS mean_abs,
+           CAST(sq // n AS BIGINT) AS mean_square
+         FROM ag ORDER BY doc_id""",
 
     // corpus + retouched twin (img pixel (0,0) -> 255, only thumbnail
     // cell 0 samples it since w,h >= 16); chunk ci packs bits

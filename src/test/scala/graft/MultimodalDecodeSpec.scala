@@ -68,6 +68,31 @@ class MultimodalDecodeSpec extends SparkSpec {
       Multimodal.phashPng(Multimodal.syntheticPng(6L)))
   }
 
+  test("WAV encode is a real RIFF artifact and decode matches the sample formula") {
+    for (id <- Seq(0L, 7L, 300L, 499L)) {
+      val bytes = Multimodal.syntheticWav(id)
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+      val n = (256 + (id * 13) % 512).toInt
+      val samples = (0 until n).map(i => (((id + 11L * i) % 65536L) - 32768L).toInt)
+      val d = Multimodal.decodeWav(id, bytes)
+      assert(d.n_samples == n && d.sample_rate == 8000)
+      assert(d.peak_abs == samples.map(math.abs).max)
+      val sa = samples.map(v => math.abs(v).toLong).sum
+      assert(d.mean_abs == (sa * 1000000L / n) / 1000000.0)
+      assert(d.mean_square == samples.map(v => v.toLong * v).sum / n)
+    }
+  }
+
+  test("decodeSyntheticWav runs distributed with the batched partition shape") {
+    import SparkSpec.session.implicits._
+    val ids = SparkSpec.session.range(0, 150).select($"id".as("doc_id")).as[Long]
+    val out = Multimodal.decodeSyntheticWav(ids).collect()
+    assert(out.length == 150)
+    val d9 = out.find(_.doc_id == 9L).get
+    assert(d9 == Multimodal.decodeWav(9L, Multimodal.syntheticWav(9L)))
+  }
+
   private def hamming(a: Array[Long], b: Array[Long]): Int =
     (0 until 4).map(i => java.lang.Long.bitCount(a(i) ^ b(i))).sum
 
