@@ -350,6 +350,11 @@ final class SliceResult(
 
   private def keyCols(t: String): Seq[String] = graph.table(t).key
 
+  /** Declared key columns of a sliced table — the default bucket /
+    * co-location key for warehouse-landing writers
+    * ([[graft.sources.SliceWriter]]'s bucketed layout). */
+  def keyColumns(table: String): Seq[String] = keyCols(table)
+
   /** Rows behind a table's discovered keys. The broadcast hint is gated
     * by the key count discovery already measured: a big slice's key set
     * scales with the slice itself, and an unconditional broadcast would

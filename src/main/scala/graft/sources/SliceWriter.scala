@@ -42,6 +42,39 @@ object SliceWriter {
     Files.writeString(Paths.get(s"$outDir/manifest.json"), json)
   }
 
+  /** Bucketed-layout slice dump — the WAREHOUSE-landing format next to
+    * `write`'s archive format: each table lands as a managed bucketed
+    * table (`bucketBy(n, key).sortBy(key)`) in `database`, so a
+    * restored slice is immediately co-located — repeated fact-fact
+    * joins on the bucket key plan with NO shuffle exchange (the
+    * DEPLOY.md "Joins" recipe; BucketedJoinSpec holds the generic plan
+    * shape, SliceBucketedSpec holds it for a real slice dump including
+    * a bucket-key override).
+    *
+    * Bucket keys default to each table's declared slice key; override
+    * per table to co-locate a child on its JOIN key instead (e.g.
+    * lineitem bucketed by l_orderkey to join orders shuffle-free).
+    * Scrubs run while dumping, before bucketing, so both sides of a
+    * later join hash the same (scrubbed) values. `numBuckets` is a
+    * layout decision: size it so bucket × table ≈ executor-memory-sized
+    * files at the target scale, and keep it IDENTICAL across tables
+    * meant to join (Spark only elides the exchange when bucket counts
+    * match). */
+  def writeBucketed(result: SliceResult, database: String, numBuckets: Int,
+      bucketKeys: Map[String, Seq[String]] = Map.empty,
+      scrub: (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+        (_, df) => df): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    result.allRows.foreach { case (table, df) =>
+      val keys = bucketKeys.getOrElse(table, result.keyColumns(table))
+      scrub(table, df).write.mode("overwrite").format("parquet")
+        .bucketBy(numBuckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(s"$database.$table")
+    }
+  }
+
   /** Schema sections alongside the data (reference: pg_dump pre/post
     * sections embedded in the archive, slice_db/dump.py:112,174) so the
     * slice restores into an EMPTY database. Pure metadata — DataFrame
