@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache backs every encode/decode with a
+    * temp FILE — syscall-heavy, and badly contended when 32 task
+    * threads hammer the temp dir (measured on this container: 296 →
+    * 1514 µs per encode+decode going 1 → 32 threads with the file
+    * cache, vs 149 → 162 µs with memory-cached streams). The blobs
+    * here are tiny, so cache-off is strictly better serially too.
+    * Object-init runs once per executor JVM, exactly where the tasks
+    * run. */
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media blob: id + bytes + claimed kind. */
   final case class Blob(doc_id: Long, bytes: Array[Byte], kind: String)
 
@@ -103,6 +113,19 @@ object Multimodal {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.grouped(BatchSize).flatMap(sampleBatch(_, stride)))
   }
+
+  /** Row-balanced repartition for the id-driven decode stages: decode
+    * cost scales with ROWS (each id encodes+decodes real media in the
+    * JVM), not input bytes, so the byte-balanced parquet split
+    * (maxPartitionBytes) under-parallelizes a small id column driving
+    * heavy per-row work — at sf0.1 the whole documents table is one
+    * ~600 KB split, which serialized ~9 cpu-s of ImageIO on one core in
+    * m_phash_near. Shuffling the bare longs costs 8 bytes/row; the
+    * blob-input stages above are deliberately NOT rebalanced (that
+    * would push media bytes through a shuffle — the thing this module
+    * never does). */
+  private def rebalance(ids: Dataset[Long]): Dataset[Long] =
+    ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
 
   /** Blob table from documents: the text bytes stand in for media bytes. */
   def blobs(spark: SparkSession, docs: DataFrame): Dataset[Blob] = {
@@ -196,7 +219,7 @@ object Multimodal {
     * through ImageIO before computing features. */
   def decodeSynthetic(ids: Dataset[Long], target: Int = 64): Dataset[DecodedPng] = {
     import ids.sparkSession.implicits._
-    ids.mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
+    rebalance(ids).mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
       decodePng(id, syntheticPng(id), target)
     }))
   }
@@ -227,7 +250,7 @@ object Multimodal {
     * the 64 bits ([[phashNearCorpus]] — the d_simhash shape). */
   def phashSynthetic(ids: Dataset[Long]): Dataset[PHash] = {
     import ids.sparkSession.implicits._
-    ids.mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
+    rebalance(ids).mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
       PHash(id, phashPng(syntheticPng(id)))
     }))
   }
@@ -262,6 +285,56 @@ object Multimodal {
 
   private val WavRate = 8000f
 
+  /** WAV SPI providers resolved ONCE per executor JVM.
+    * `AudioSystem.write` / `getAudioInputStream` re-run provider
+    * discovery under a global class lock on EVERY call
+    * (JDK13Services.getProviders is synchronized), which serializes
+    * the whole decode stage across task threads — measured ~1.15-way
+    * effective parallelism at 32 threads on this container. Calling
+    * the cached provider directly is the same public
+    * javax.sound.sampled.spi contract minus the lock (~24 µs/op,
+    * near-linear scaling). Providers are selected by CAPABILITY, not
+    * class name: the writer must accept a 16-bit mono PCM probe (the
+    * float-WAV writer rejects it), the reader must round-trip the
+    * writer's own probe artifact back to the same PCM shape. */
+  private def probePcm(): javax.sound.sampled.AudioInputStream = {
+    val fmt = new javax.sound.sampled.AudioFormat(WavRate, 16, 1,
+      /* signed = */ true, /* bigEndian = */ false)
+    new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](4)), fmt, 2L)
+  }
+
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.find { w =>
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          w.write(probePcm(), javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          bos.size() > 0
+        } catch { case _: Exception => false }
+      }
+      .getOrElse(sys.error("no PCM WAVE AudioFileWriter SPI on this JVM"))
+  }
+
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    val probe = {
+      val bos = new java.io.ByteArrayOutputStream()
+      wavWriter.write(probePcm(), javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.find { r =>
+        try {
+          val f = r.getAudioInputStream(
+            new java.io.ByteArrayInputStream(probe)).getFormat
+          f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian
+        } catch { case _: Exception => false }
+      }
+      .getOrElse(sys.error("no PCM WAVE AudioFileReader SPI on this JVM"))
+  }
+
   /** Deterministic synthetic WAV: n = 256 + (id·13) mod 512 mono
     * 16-bit little-endian PCM frames at 8 kHz, sample(i) =
     * ((id + 11·i) mod 65536) − 32768 — encoded through
@@ -283,8 +356,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -293,7 +365,7 @@ object Multimodal {
     * and frame bytes. mean_abs is integer micro-units with one final
     * division ([[decodePng]]'s contract — bit-identical cross-engine). */
   def decodeWav(docId: Long, bytes: Array[Byte]): DecodedWav = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    val ais = wavReader.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
@@ -320,7 +392,7 @@ object Multimodal {
     * [[decodeSynthetic]], same batched mapPartitions shape. */
   def decodeSyntheticWav(ids: Dataset[Long]): Dataset[DecodedWav] = {
     import ids.sparkSession.implicits._
-    ids.mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
+    rebalance(ids).mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
       decodeWav(id, syntheticWav(id))
     }))
   }
@@ -332,7 +404,7 @@ object Multimodal {
     * data by construction. Batched like [[decodeSynthetic]]. */
   def phashNearCorpus(ids: Dataset[Long]): Dataset[PHashC] = {
     import ids.sparkSession.implicits._
-    ids.mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { id =>
+    rebalance(ids).mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { id =>
       val b = phashChunks(syntheticPng(id))
       val t = phashChunks(syntheticPng(id, perturb = true))
       Seq(PHashC(id, b(0), b(1), b(2), b(3)),

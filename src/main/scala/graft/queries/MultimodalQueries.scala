@@ -97,27 +97,66 @@ object MultimodalQueries {
     // to decoded images. The corpus is each document's synthetic PNG
     // plus a one-pixel-retouched twin (real encode→decode→hash both
     // sides), so true near-pairs exist at gate scale; only
-    // (doc_id, 4 longs) crosses the candidate shuffle, never pixels,
-    // and candidate volume is band-bucket-bounded at any corpus size.
+    // (doc_id, 4 longs) crosses the candidate shuffle, never pixels.
+    //
+    // EXACT GROUPS COLLAPSE FIRST, banding runs over DISTINCT-hash
+    // representatives only: identical-hash cliques (heavy in any real
+    // dup-laden corpus, degenerate in this synthetic one) would
+    // otherwise inflate the banded self-join by Σ|clique|² rows ×4
+    // bands and force a distinct() over the multiplied candidates. On
+    // representatives, a pair is emitted only from its LOWEST matching
+    // band (earlier-chunks-differ predicate) — no post-join dedup at
+    // all — and the member×member expansion happens exactly once, at
+    // output, where it IS the contract (all doc pairs at hamming ≤ 3;
+    // within-group pairs are dist 0 by construction).
     "m_phash_near" -> ((s, dir) => {
       import s.implicits._
+      // the hash relation is tiny ((doc_id, 4 longs) × 2N rows) but its
+      // decode subtree is ~40k ImageIO calls — materialize it ONCE so
+      // the group/band/expand subtrees read the checkpoint instead of
+      // re-running the decode per plan reference
       val ph = Multimodal.phashNearCorpus(
-        Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]).toDF()
-      val chunks = ph.select(col("doc_id"),
-          col("c0"), col("c1"), col("c2"), col("c3"),
+        Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])
+        .toDF().localCheckpoint(true)
+      graft.CacheBook.register(s, "m")(() =>
+        graft.CacheBook.unpersistCheckpoint(ph))
+      val hk = Seq("c0", "c1", "c2", "c3")
+      val grp = ph.groupBy(hk.map(col): _*).agg(min("doc_id").as("rep"))
+      val bands = grp.select(col("rep") +: hk.map(col) :+
           explode(array((0 to 3).map(ci =>
-            struct(lit(ci).as("ci"), col(s"c$ci").as("cv"))): _*)).as("ch"))
-        .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
-          col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-      chunks.as("x").join(chunks.as("y"),
+            struct(lit(ci).as("ci"), col(s"c$ci").as("cv"))): _*)).as("ch"): _*)
+        .select(col("rep") +: hk.map(col) :+
+          col("ch.ci").as("ci") :+ col("ch.cv").as("cv"): _*)
+      // lowest-matching-band emit: bands 1..3 additionally require every
+      // earlier chunk to DIFFER, so each rep pair survives exactly once
+      val firstBand = when(col("x.ci") === 0, lit(true))
+        .when(col("x.ci") === 1, col("x.c0") =!= col("y.c0"))
+        .when(col("x.ci") === 2,
+          col("x.c0") =!= col("y.c0") && col("x.c1") =!= col("y.c1"))
+        .otherwise(col("x.c0") =!= col("y.c0")
+          && col("x.c1") =!= col("y.c1") && col("x.c2") =!= col("y.c2"))
+      val repPairs = bands.as("x").join(bands.as("y"),
           col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          (0 to 3).map(ci => bit_count(col(s"x.c$ci")
-            .bitwiseXOR(col(s"y.c$ci")))).reduce(_ + _).cast("int").as("dist"))
-        .distinct()
+            && col("x.rep") < col("y.rep") && firstBand)
+        .select(hk.map(c => col(s"x.$c").as(s"x$c"))
+          ++ hk.map(c => col(s"y.$c").as(s"y$c"))
+          :+ hk.map(c => bit_count(col(s"x.$c").bitwiseXOR(col(s"y.$c"))))
+            .reduce(_ + _).cast("int").as("dist"): _*)
         .filter(col("dist") <= 3)
-        .orderBy("a", "b")
+      // expand rep-level near-pairs to member pairs (each unordered doc
+      // pair is one (member-of-A, member-of-B) combination — no dedup)
+      val cross = repPairs
+        .join(ph.as("ma"), hk.map(c => col(s"ma.$c") === col(s"x$c")).reduce(_ && _))
+        .join(ph.as("mb"), hk.map(c => col(s"mb.$c") === col(s"y$c")).reduce(_ && _))
+        .select(least(col("ma.doc_id"), col("mb.doc_id")).as("a"),
+          greatest(col("ma.doc_id"), col("mb.doc_id")).as("b"), col("dist"))
+      // identical-hash members: all within-group pairs at dist 0
+      val within = ph.as("u").join(ph.as("v"),
+          hk.map(c => col(s"u.$c") === col(s"v.$c")).reduce(_ && _)
+            && col("u.doc_id") < col("v.doc_id"))
+        .select(col("u.doc_id").as("a"), col("v.doc_id").as("b"),
+          lit(0).cast("int").as("dist"))
+      cross.union(within).orderBy("a", "b")
     })
   )
 
