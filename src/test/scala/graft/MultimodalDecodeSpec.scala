@@ -160,4 +160,33 @@ class MultimodalDecodeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == brute)
   }
+
+  test("the m_phash_near QUERY (rep-collapsed banding) == brute-force pairs") {
+    // the registered query collapses exact-hash groups before banding
+    // (reps band with lowest-matching-band emit, members expand at
+    // output) — assert the END RESULT is still exactly the brute-force
+    // hamming<=3 pair set, including the dist column, driving the same
+    // entry the gate runs
+    import SparkSpec.session.implicits._
+    val n = 96L
+    val tmp = java.nio.file.Files.createTempDirectory("phash_near_q").toString
+    SparkSpec.session.range(0, n).select($"id".as("doc_id"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val corpus = (0L until n).flatMap { id =>
+      Seq(id -> Multimodal.phashChunks(Multimodal.syntheticPng(id)),
+        (id + 100000L) -> Multimodal.phashChunks(
+          Multimodal.syntheticPng(id, perturb = true)))
+    }
+    val brute = (for {
+      (a, ca) <- corpus; (b, cb) <- corpus
+      if a < b && hamming(ca, cb) <= 3
+    } yield (a, b, hamming(ca, cb))).toSet
+    val got = SparkEntry.queries("m_phash_near")(SparkSpec.session, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+    // and the within-group legs really contribute: identical-hash dup
+    // pairs (dist 0) exist in this corpus and must all be present
+    assert(brute.exists(_._3 == 0) && got.exists(_._3 == 0))
+    graft.CacheBook.release(SparkSpec.session, "m")
+  }
 }
