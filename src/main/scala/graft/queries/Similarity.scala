@@ -171,24 +171,43 @@ object Similarity {
     * top-`width` per query, with a per-round local checkpoint (each
     * round references the beam twice — unchecked, the plan nests
     * exponentially). Shared by the flat and hierarchical searches. */
+  private val walkConfLock = new Object
+
   private def beamWalk(s: SparkSession, e: DataFrame, qs: DataFrame,
-      edges: DataFrame, seed: DataFrame, rounds: Int, width: Int): DataFrame = {
-    var beam = cosRerank(e, qs, seed)
-      .filter(col("brn") <= width).select("q", "vec_id")
-    for (_ <- 1 to rounds) {
-      val expanded = beam
-        .union(beam.join(edges, Seq("vec_id"))
-          .select(col("q"), col("nbr").as("vec_id")))
-        .distinct()
-      beam = cosRerank(e, qs, expanded).filter(col("brn") <= width)
-        .select("q", "vec_id")
-      val cp = beam.localCheckpoint(true)
-      graft.CacheBook.register(s, "s")(() =>
-        graft.CacheBook.unpersistCheckpoint(cp))
-      beam = cp
+      edges: DataFrame, seed: DataFrame, rounds: Int, width: Int): DataFrame =
+    walkConfLock.synchronized {
+      // beam frames are NQueries × width rows — a few KB — yet every
+      // round's exchanges inherit the SESSION shuffle width, which a
+      // cluster sizes to the 100 TB fact tables (DEPLOY.md: 8000): an
+      // unscoped walk would fan each tiny round into thousands of
+      // tasks. Scope the width to the walk (the ConnectedComponents/
+      // Slicer knob pattern; SPARK_GRAFT_WALK_PARTITIONS to retune).
+      // On local[32] this is wall-neutral (A/B-measured — round latency
+      // there is per-job scheduling, not task count); the scope exists
+      // for the cluster default. The memoized KNN graph is built
+      // EAGERLY by its memo cell before any caller reaches here, so
+      // the scope never captures a corpus-scale build.
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_WALK_PARTITIONS", "8"))
+      try {
+        var beam = cosRerank(e, qs, seed)
+          .filter(col("brn") <= width).select("q", "vec_id")
+        for (_ <- 1 to rounds) {
+          val expanded = beam
+            .union(beam.join(edges, Seq("vec_id"))
+              .select(col("q"), col("nbr").as("vec_id")))
+            .distinct()
+          beam = cosRerank(e, qs, expanded).filter(col("brn") <= width)
+            .select("q", "vec_id")
+          val cp = beam.localCheckpoint(true)
+          graft.CacheBook.register(s, "s")(() =>
+            graft.CacheBook.unpersistCheckpoint(cp))
+          beam = cp
+        }
+        beam
+      } finally s.conf.set(key, prev)
     }
-    beam
-  }
 
   private val bfCache = collection.mutable
     .Map.empty[(SparkSession, String), graft.Once[DataFrame]]
