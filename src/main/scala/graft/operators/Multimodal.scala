@@ -224,6 +224,29 @@ object Multimodal {
     }))
   }
 
+  /** Real ImageIO decode over FILE-sourced blobs
+    * ([[graft.sources.MediaSource]] rows): the same batched partition
+    * shape as [[decodeSynthetic]], but the bytes come from the blob
+    * column instead of the synthetic encoder — the production
+    * ingestion path. No rebalance here: MediaSource.blobs already
+    * row-balanced, and re-shuffling media bytes is the caller's
+    * explicit decision, never an operator default. */
+  def decodeBlobs(blobs: Dataset[Blob], target: Int = 64): Dataset[DecodedPng] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.grouped(BatchSize).flatMap(_.map { b =>
+      decodePng(b.doc_id, b.bytes, target)
+    }))
+  }
+
+  /** Audio twin of [[decodeBlobs]]: WAV PCM decode over file-sourced
+    * blob rows, batched like [[decodeSyntheticWav]]. */
+  def decodeWavBlobs(blobs: Dataset[Blob]): Dataset[DecodedWav] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.grouped(BatchSize).flatMap(_.map { b =>
+      decodeWav(b.doc_id, b.bytes)
+    }))
+  }
+
   /** Perceptual average-hash of a decoded image: nearest-neighbor 8×8
     * thumbnail (source pixel of (i, j) is (i·w div 8, j·h div 8) — the
     * same resample rule as [[decodePng]]), bit k (row-major, k = j·8+i)
