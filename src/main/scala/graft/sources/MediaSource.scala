@@ -61,6 +61,42 @@ object MediaSource {
       .load(dir)
       .select(col("path"), col("length"), col("modificationTime"))
 
+  /** POINTER-read decode input — the path for media past the
+    * binaryFile content cap (long video, raw audio masters): rows
+    * carry (path, offset, nbytes) and each task RANGE-reads its slice
+    * straight from the file system (HDFS/object store via the Hadoop
+    * FS API — `seek` + bounded read, never the whole file). Bytes thus
+    * never cross a shuffle and never exceed `nbytes` per row in task
+    * memory; parallelism is ROW count (one pointer per segment/chunk),
+    * not file count, so a single 100 GB master fans out over its
+    * segment pointers. Input columns: `doc_id` LONG, `path` STRING,
+    * `offset` LONG, `nbytes` LONG (≤ a sane per-task bound enforced
+    * here — a mis-sized pointer must fail loudly, not OOM). */
+  def blobsByPointer(pointers: DataFrame, kind: String,
+      maxBytes: Long = 64L << 20): Dataset[Multimodal.Blob] = {
+    import pointers.sparkSession.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      pointers.sparkSession.sparkContext.hadoopConfiguration)
+    pointers.select(col("doc_id").cast("long"), col("path"),
+        col("offset").cast("long"), col("nbytes").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, path, off, n) =>
+          require(n >= 0 && n <= maxBytes,
+            s"pointer $path@$off asks for $n bytes (cap $maxBytes)")
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(conf.value)
+          val in = fs.open(p)
+          try {
+            in.seek(off)
+            val buf = new Array[Byte](n.toInt)
+            in.readFully(buf)
+            Multimodal.Blob(id, buf, kind)
+          } finally in.close()
+        }
+      }
+  }
+
   /** Bridge into the Multimodal pipeline: file rows become [[Multimodal.Blob]]s
     * keyed by a stable id parsed from the file name's trailing digits
     * (the `img_000123.png` convention; files without one get a

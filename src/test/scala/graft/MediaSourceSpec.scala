@@ -76,6 +76,44 @@ class MediaSourceSpec extends SparkSpec {
     }
   }
 
+  test("pointer reads: segments of ONE packed file decode independently") {
+    // the >cap path: many media segments packed in a single large file,
+    // each row range-reading exactly its slice — here 25 PNGs
+    // concatenated, addressed by (offset, nbytes)
+    import SparkSpec.session.implicits._
+    val ids = 0L until 25L
+    val segs = ids.map(id => id -> Multimodal.syntheticPng(id))
+    val root = Files.createTempDirectory("media_ptr")
+    val packed = root.resolve("pack.bin")
+    val bos = new java.io.ByteArrayOutputStream()
+    val pointers = segs.map { case (id, bytes) =>
+      val off = bos.size().toLong
+      bos.write(bytes)
+      (id, packed.toUri.toString, off, bytes.length.toLong)
+    }
+    Files.write(packed, bos.toByteArray)
+    val ptrDf = pointers.toDF("doc_id", "path", "offset", "nbytes")
+    val got = Multimodal.decodeBlobs(
+      MediaSource.blobsByPointer(ptrDf, "image/png"))
+      .collect().map(d => d.doc_id -> d).toMap
+    ids.foreach { id =>
+      assert(got(id) == Multimodal.decodePng(id, Multimodal.syntheticPng(id), 64))
+    }
+  }
+
+  test("a mis-sized pointer fails loudly instead of OOMing the task") {
+    import SparkSpec.session.implicits._
+    val root = corpus((1L, "img_000001.png", Multimodal.syntheticPng(1L)))
+    val f = root.resolve("shard=1").resolve("img_000001.png")
+    val ptr = Seq((1L, f.toUri.toString, 0L, 1L << 40))
+      .toDF("doc_id", "path", "offset", "nbytes")
+    val e = intercept[org.apache.spark.SparkException] {
+      MediaSource.blobsByPointer(ptr, "image/png").collect()
+    }
+    assert(e.getMessage.contains("cap") ||
+      Option(e.getCause).exists(_.getMessage.contains("cap")))
+  }
+
   test("a file without trailing digits gets a stable content-hash id") {
     val root = corpus((7L, "cover.png", Multimodal.syntheticPng(7L)))
     val b1 = MediaSource.blobs(SparkSpec.session, root.toString, "*.png", "image/png")
