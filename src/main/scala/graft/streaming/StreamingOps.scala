@@ -256,6 +256,61 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming MEDIA ingestion — the landing-zone shape: watch a
+    * directory through the binaryFile streaming source (each
+    * micro-batch is exactly the newly arrived files; the source
+    * tracks seen files in its checkpoint), decode on the executors,
+    * append decoded features to the feature store. Stateless —
+    * no watermark, no state store; `maxFilesPerTrigger` bounds a
+    * micro-batch so one bulk drop of a million files cannot become
+    * one giant batch. Decode parallelism inside a batch is
+    * file-count-bound like any binaryFile read — the blob bridge
+    * row-balances before the ImageIO fan-out
+    * ([[graft.sources.MediaSource.blobs]] semantics, inlined here on
+    * the batch frame). */
+  def mediaIngest(spark: SparkSession, dir: String, glob: String,
+      outPath: String, checkpoint: String, maxFilesPerTrigger: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    // the binaryFile schema is FIXED by the source; streaming reads
+    // must state it (no inference pass on a stream)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(schema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          import s.implicits._
+          val idStr = regexp_extract(col("path"), "(\\d+)\\.[A-Za-z0-9]+$", 1)
+          val blobs = batch.select(
+              coalesce(when(idStr =!= lit(""), idStr.cast("long")),
+                abs(xxhash64(col("content")))).as("doc_id"),
+              col("content").as("bytes"),
+              lit("image/png").as("kind"))
+            .repartition(s.sparkContext.defaultParallelism)
+            .as[graft.operators.Multimodal.Blob]
+          graft.operators.Multimodal.decodeBlobs(blobs).toDF()
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+      .start()
+  }
+
   /** Run `body` with the stream-scoped SQL conf every bounded
     * streaming query here uses ([[runToMemory]] documents why: state
     * stores pay per-commit IO per shuffle partition every micro-batch,

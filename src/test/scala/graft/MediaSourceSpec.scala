@@ -114,6 +114,37 @@ class MediaSourceSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("cap")))
   }
 
+  test("streaming media ingestion decodes arrivals incrementally, exactly once") {
+    val in = Files.createTempDirectory("media_land")
+    val out = Files.createTempDirectory("media_feat").resolve("features").toString
+    val ck = Files.createTempDirectory("media_ck").toString
+    def drop(ids: Range): Unit = ids.foreach { i =>
+      Files.write(in.resolve(f"img_$i%06d.png"), Multimodal.syntheticPng(i.toLong))
+    }
+    drop(0 until 10)
+    val q = graft.streaming.StreamingOps.mediaIngest(
+      SparkSpec.session, in.toString, "*.png", out, ck, maxFilesPerTrigger = 4)
+    try {
+      q.processAllAvailable()
+      drop(10 until 20) // second arrival wave — only the delta decodes
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = SparkSpec.session.read.parquet(out).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == (0L until 20L),
+      "every arrival decoded exactly once")
+    rows.foreach { r =>
+      val want = Multimodal.decodePng(r.getAs[Long]("doc_id"),
+        Multimodal.syntheticPng(r.getAs[Long]("doc_id")), 64)
+      assert(r.getAs[Int]("width") == want.width
+        && r.getAs[Double]("mean_gray") == want.mean_gray
+        && r.getAs[Double]("resized_mean_gray") == want.resized_mean_gray)
+    }
+    // the second wave landed in later micro-batches than the first
+    val byWave = rows.groupBy(_.getAs[Long]("doc_id") >= 10L)
+      .view.mapValues(_.map(_.getAs[Long]("batch_id"))).toMap
+    assert(byWave(true).min > byWave(false).max)
+  }
+
   test("a file without trailing digits gets a stable content-hash id") {
     val root = corpus((7L, "cover.png", Multimodal.syntheticPng(7L)))
     val b1 = MediaSource.blobs(SparkSpec.session, root.toString, "*.png", "image/png")
