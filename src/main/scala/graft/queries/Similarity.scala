@@ -47,6 +47,8 @@ object Similarity {
   private val PqKsub = 16    // codes per subspace codebook
   private val Dim = 64       // embedding dimensionality
   private val LloydIters = 2 // k-means refinement rounds (IVF + PQ)
+  private val RescoreC = 50  // coarse candidates per query before exact rescore
+  private val MrlDim = 16    // Matryoshka prefix dims for the coarse pass
 
   /** Fixed left-to-right chains over 1-based sub-array positions —
     * unrolled so Spark's codegen arithmetic and DuckDB's expression
@@ -62,6 +64,30 @@ object Similarity {
     }.reduceLeft(_ + _)
   private def sqlSubL2(a: String, b: String): String =
     (1 to PqSub).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])").mkString(" + ")
+
+  /** Prefix dot over the first `d` dims — the Matryoshka coarse score.
+    * Same unrolled left-to-right IEEE chain as [[VecOps.dot]], so the
+    * coarse ranking is bit-exact cross-engine too. */
+  private def prefixDot(a: Column, b: Column, d: Int): Column =
+    (1 to d).map(i => element_at(a, i) * element_at(b, i)).reduceLeft(_ + _)
+  private def sqlPrefixDot(a: String, b: String, d: Int): String =
+    (1 to d).map(i => s"$a[$i] * $b[$i]").mkString("(", " + ", ")")
+
+  /** Binary-quantization signature: 32 sign bits (dims lo+1..lo+32,
+    * 1-based; bit i set iff v[lo+i+1] > 0 — the [[VecOps.lshBucket]]
+    * sign convention) packed into ONE nonneg long. Two halves per
+    * 64-dim vector rather than one 64-bit word: bit 63 would make the
+    * packed value negative, and keeping both engines' literals small
+    * positive integers removes every signed-shift/overflow edge from
+    * the contract. Integer-exact cross-engine by construction. */
+  private[graft] def bqSig(v: Column, lo: Int): Column =
+    (0 until 32).map(i =>
+      when(element_at(v, lo + i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduceLeft(_ + _)
+  private def sqlBqSig(v: String, lo: Int): String =
+    (0 until 32).map(i =>
+      s"(CASE WHEN $v[${lo + i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+      .mkString("(", " + ", ")")
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -351,6 +377,73 @@ object Similarity {
         .select(col("q"), col("vec_id"),
           (VecOps.dot(col("qqv"), col("qv")) / (col("qqn") * col("qn"))).as("cos")))
     }),
+
+    // BINARY-quantized two-stage retrieval — the 1-bit scale path: each
+    // vector compresses to its 64 sign bits (two nonneg 32-bit halves;
+    // 16 bytes vs 512 — a 100 TB float corpus's signature table is
+    // ~3 TB and memory-resident on a modest cluster), the coarse pass
+    // ranks by hamming distance (TWO xor+bit_count codegen ops per
+    // pair instead of 64 mul-adds), and only the RescoreC nearest
+    // signatures per query pay the exact float cosine. The candidate
+    // frame that crosses the shuffle is (q, vec_id, ham) — vectors
+    // never ride through the coarse window; the rescore joins them
+    // back. Hamming ties break on vec_id, so the candidate set — and
+    // therefore the final ranking — is deterministic cross-engine.
+    "s_bq_topk" -> memoAnn("s_bq_topk")((s, dir) => {
+      val e = vecs(s, dir)
+        .withColumn("s1", bqSig(col("v"), 0))
+        .withColumn("s2", bqSig(col("v"), 32))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.register(s, "s")(() => { e.unpersist(false); () })
+      val q = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn"),
+          col("s1").as("t1"), col("s2").as("t2")))
+      val wc = Window.partitionBy("q").orderBy(col("ham").asc, col("vec_id").asc)
+      val cand = q.join(e, col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          (bit_count(col("t1").bitwiseXOR(col("s1")))
+            + bit_count(col("t2").bitwiseXOR(col("s2")))).as("ham"))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") <= RescoreC)
+        .select("q", "vec_id")
+      topk(cand.join(e.select(col("vec_id"), col("v"), col("n")), "vec_id")
+        .join(q.select(col("q"), col("qv"), col("qn")), "q")
+        .select(col("q"), col("vec_id"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
+    }),
+
+    "s_bq_recall" -> recallOf("s_bq_topk"),
+
+    // MATRYOSHKA (prefix-dim) two-stage retrieval — the adaptive-dim
+    // scale path for MRL-trained embeddings: the coarse pass scores
+    // cosine over only the FIRST MrlDim dims (a 4x cheaper dot and a
+    // 4x smaller coarse working set — at 100 TB the prefix table is
+    // the only full scan), the exact full-dim cosine re-ranks the
+    // RescoreC survivors. Same slim candidate frame + join-back shape
+    // as s_bq_topk; prefix cosines use the same unrolled IEEE chain as
+    // every other cosine here, so the coarse cut is bit-exact too.
+    "s_mrl_topk" -> memoAnn("s_mrl_topk")((s, dir) => {
+      val e = vecs(s, dir)
+        .withColumn("pn", sqrt(prefixDot(col("v"), col("v"), MrlDim)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.register(s, "s")(() => { e.unpersist(false); () })
+      val q = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn"),
+          col("pn").as("qpn")))
+      val wc = Window.partitionBy("q").orderBy(col("pcos").desc, col("vec_id").asc)
+      val cand = q.join(e, col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          (prefixDot(col("qv"), col("v"), MrlDim) / (col("qpn") * col("pn"))).as("pcos"))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") <= RescoreC)
+        .select("q", "vec_id")
+      topk(cand.join(e.select(col("vec_id"), col("v"), col("n")), "vec_id")
+        .join(q.select(col("q"), col("qv"), col("qn")), "q")
+        .select(col("q"), col("vec_id"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
+    }),
+
+    "s_mrl_recall" -> recallOf("s_mrl_topk"),
 
     // ANN evaluation: recall@K of the LSH index vs the brute-force
     // baseline, per query. Both rankings are bit-exact deterministic, so
@@ -1733,6 +1826,41 @@ object Similarity {
            ON e.vec_id <> qs.vec_id
          WHERE qs.vec_id < $NQueries"""),
 
+    // binary quantization: sign-bit halves + hamming coarse rank, exact
+    // rescore of the RescoreC survivors (the Spark pipeline verbatim)
+    "s_bq_topk" -> sqlTopk(
+      s"""WITH b AS (SELECT vec_id, v, n,
+             ${sqlBqSig("v", 0)} AS s1, ${sqlBqSig("v", 32)} AS s2
+           FROM ($sqlVecs)),
+         cand AS (SELECT q, vec_id FROM (
+             SELECT qs.vec_id AS q, e.vec_id,
+               row_number() OVER (PARTITION BY qs.vec_id
+                 ORDER BY (bit_count(xor(qs.s1, e.s1))
+                   + bit_count(xor(qs.s2, e.s2))) ASC, e.vec_id ASC) AS crn
+             FROM b qs JOIN b e ON e.vec_id <> qs.vec_id
+             WHERE qs.vec_id < $NQueries) WHERE crn <= $RescoreC)
+         SELECT c.q, e.vec_id,
+           (${VecOps.sqlDot("qs.v", "e.v")} / (qs.n * e.n)) AS cos
+         FROM cand c JOIN b e ON e.vec_id = c.vec_id
+           JOIN b qs ON qs.vec_id = c.q"""),
+
+    // Matryoshka: prefix-dim coarse cosine, exact full-dim rescore
+    "s_mrl_topk" -> sqlTopk(
+      s"""WITH b AS (SELECT vec_id, v, n,
+             sqrt(${sqlPrefixDot("v", "v", MrlDim)}) AS pn
+           FROM ($sqlVecs)),
+         cand AS (SELECT q, vec_id FROM (
+             SELECT qs.vec_id AS q, e.vec_id,
+               row_number() OVER (PARTITION BY qs.vec_id
+                 ORDER BY (${sqlPrefixDot("qs.v", "e.v", MrlDim)}
+                   / (qs.pn * e.pn)) DESC, e.vec_id ASC) AS crn
+             FROM b qs JOIN b e ON e.vec_id <> qs.vec_id
+             WHERE qs.vec_id < $NQueries) WHERE crn <= $RescoreC)
+         SELECT c.q, e.vec_id,
+           (${VecOps.sqlDot("qs.v", "e.v")} / (qs.n * e.n)) AS cos
+         FROM cand c JOIN b e ON e.vec_id = c.vec_id
+           JOIN b qs ON qs.vec_id = c.q"""),
+
     "s_ivf_ann" -> sqlIvf(refine = false),
     "s_ivf_kmeans" -> sqlIvf(refine = true),
 
@@ -2341,6 +2469,8 @@ object Similarity {
     ("s_ivf_kmeans_recall" -> sqlRecall("s_ivf_kmeans")) +
     ("s_pq_recall" -> sqlRecall("s_pq_ann")) +
     ("s_ivfpq_recall" -> sqlRecall("s_ivfpq_ann")) +
+    ("s_bq_recall" -> sqlRecall("s_bq_topk")) +
+    ("s_mrl_recall" -> sqlRecall("s_mrl_topk")) +
     ("s_hybrid_rrf" ->
       s"""WITH dw AS (SELECT DISTINCT id, w FROM (
              SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w
