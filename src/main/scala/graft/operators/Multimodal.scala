@@ -114,6 +114,25 @@ object Multimodal {
     blobs.mapPartitions(_.grouped(BatchSize).flatMap(sampleBatch(_, stride)))
   }
 
+  final case class FrameLevel(doc_id: Long, frame_idx: Int, level: Int)
+
+  /** EVERY frame's INTEGER signature level (0..255) — the scene-cut
+    * input. Same determinism contract as [[sampleBatch]] (level is the
+    * integer [[Frame.brightness]] scales by 1/255; a real build would
+    * compute a decoded-frame statistic here), emitted as an int so the
+    * cut threshold downstream compares integers, never floats. */
+  def frameLevels(blobs: Dataset[Blob]): Dataset[FrameLevel] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { b =>
+      val h = md5Hex(b.bytes)
+      val n = (1 + idx6(md5Hex((h + "f").getBytes("UTF-8"))) % 64).toInt
+      (0 until n).map { i =>
+        FrameLevel(b.doc_id, i,
+          (idx6(md5Hex((h + "#" + i).getBytes("UTF-8"))) % 256).toInt)
+      }
+    }))
+  }
+
   /** Row-balanced repartition for the id-driven decode stages: decode
     * cost scales with ROWS (each id encodes+decodes real media in the
     * JVM), not input bytes, so the byte-balanced parquet split

@@ -576,6 +576,32 @@ object Dedup {
     // identically, replacing 8 md5 calls per (doc, shingle) row.
     "d_minhash_lsh" -> ((s, dir) => minhashPairs(s, dir).orderBy("a", "b")),
 
+    // FUZZY eval-set DECONTAMINATION — the release gate exact n-gram
+    // overlap (x_contamination) cannot close: a paraphrased or
+    // lightly-edited benchmark leak shares few exact 5-grams but keeps
+    // a high shingle-Jaccard. Benchmark = the first 50 docs (the
+    // x_contamination eval-set convention), and its band table is a
+    // BROADCAST side (50 docs x 4 bands, whatever the corpus), so the
+    // pool only ever equi-joins a tiny frame — candidate volume is
+    // band-collision-bounded, never pool x bench. Verified at
+    // Jaccard >= 0.5 (the leak bar, above near-dup's 0.2); output is
+    // the drop list a training run subtracts: pool doc, how many
+    // benchmark docs it leaks, the worst leak.
+    "d_decontaminate" -> ((s, dir) => {
+      val sh = shingleSets(s, dir)
+      val bands = bandsMemo(sh)
+      val bench = broadcast(bands.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("b"), col("bi"), col("bk")))
+      val cand = bands.filter(col("doc_id") >= 50)
+        .join(bench, Seq("bi", "bk"))
+        .select(col("doc_id").as("a"), col("b")).distinct()
+      verifyPairs(sh, cand, 0.5)
+        .groupBy("a")
+        .agg(count(lit(1)).as("n_bench"), max(col("jac")).as("max_jac"))
+        .select(col("a").as("doc_id"), col("n_bench"), col("max_jac"))
+        .orderBy("doc_id")
+    }),
+
     // INCREMENTAL dedup — what a nightly 100-TB ingest actually runs:
     // the last 20% of doc ids play the "new batch"; only their
     // signatures probe the standing band table, producing exactly the
@@ -1037,6 +1063,18 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = oracleBase +
+    // fuzzy decontamination: the generic band-collision candidate set
+    // (x < y, so bench = a, pool = b) filtered to bench-pool pairs,
+    // verified at the 0.5 leak bar, grouped into the per-pool drop list
+    ("d_decontaminate" ->
+      s"""WITH $sqlCandCtes,
+         v AS (SELECT a, b, ${sqlJaccard("sa.sh", "sb.sh")} AS jac
+           FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+           WHERE a < 50 AND b >= 50
+             AND ${sqlJaccard("sa.sh", "sb.sh")} >= 0.5)
+         SELECT b AS doc_id, CAST(count(*) AS BIGINT) AS n_bench,
+           max(jac) AS max_jac
+         FROM v GROUP BY b ORDER BY doc_id""") +
     // build-size counts: band rows = 4 per doc with a non-empty shingle
     // set; pair counts re-derive from the same pipelines the pair
     // queries answer to

@@ -43,6 +43,32 @@ object MultimodalQueries {
         Multimodal.blobs(s, Tables.load(s, dir, "documents")), stride = 8)
         .toDF().orderBy("doc_id", "frame_idx")),
 
+    // SCENE segmentation — the step BEFORE frame sampling in a real
+    // video pipeline (sample per scene, not per stride, or dedup
+    // within a scene): every frame's integer signature level streams
+    // through a per-video window; a cut opens where consecutive levels
+    // jump by >= half the range, and the running cut count is the
+    // scene id (the sessionize shape over media). The window
+    // partitions by doc_id — per-video frame counts are codec-bounded
+    // (here <= 64, in production minutes x fps), so no partition ever
+    // scales with the corpus, and only (doc_id, frame_idx, level)
+    // rows cross the shuffle, never frames. All integer arithmetic.
+    "m_scenes" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      Multimodal.frameLevels(
+        Multimodal.blobs(s, Tables.load(s, dir, "documents")))
+        .toDF()
+        .withColumn("cut",
+          when(abs(col("level") - lag(col("level"), 1).over(w)) >= 128, 1)
+            .otherwise(0))
+        .withColumn("scene_id", sum(col("cut")).over(w).cast("int"))
+        .groupBy("doc_id", "scene_id")
+        .agg(min(col("frame_idx")).as("start_frame"),
+          count(lit(1)).as("n_frames"))
+        .orderBy("doc_id", "scene_id")
+    }),
+
     // REAL image decode (javax.imageio — PNG needs no external codec):
     // deterministic synthetic PNGs are encoded AND decoded inside the
     // batched pipeline, and every output value — dimensions, full-image
@@ -197,6 +223,27 @@ object MultimodalQueries {
            ((${f("md5(text) || '#' || CAST(i AS VARCHAR)")} % 256) / 255.0) AS brightness
          FROM nf, unnest(range(0, n, 8)) AS t(i)
          ORDER BY doc_id, frame_idx""",
+
+    // every frame's integer level -> lag-jump cuts -> running scene id
+    "m_scenes" ->
+      s"""WITH nf AS (SELECT doc_id, text,
+             CAST(1 + ${f("md5(text) || 'f'")} % 64 AS INT) AS n
+           FROM documents),
+         fr AS (SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             CAST(${f("md5(text) || '#' || CAST(i AS VARCHAR)")} % 256 AS INT) AS level
+           FROM nf, unnest(range(0, n, 1)) AS t(i)),
+         c AS (SELECT doc_id, frame_idx,
+             CASE WHEN abs(level - lag(level) OVER
+                 (PARTITION BY doc_id ORDER BY frame_idx)) >= 128
+               THEN 1 ELSE 0 END AS cut
+           FROM fr),
+         sc AS (SELECT doc_id, frame_idx,
+             CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS INT)
+               AS scene_id
+           FROM c)
+         SELECT doc_id, scene_id, CAST(min(frame_idx) AS INT) AS start_frame,
+           CAST(count(*) AS BIGINT) AS n_frames
+         FROM sc GROUP BY doc_id, scene_id ORDER BY doc_id, scene_id""",
 
     // the synthetic pixel function gray(x,y) = (id + 3x + 5y) % 256 over
     // w = 16 + id%32, h = 16 + (id*7)%32 — summed directly, so the oracle
