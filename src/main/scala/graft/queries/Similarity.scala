@@ -89,7 +89,7 @@ object Similarity {
       s"(CASE WHEN $v[${lo + i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
       .mkString("(", " + ", ")")
 
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("n", VecOps.norm(col("v")))
@@ -481,6 +481,30 @@ object Similarity {
     "s_ivf_kmeans" -> memoAnn("s_ivf_kmeans")((s, dir) => ivfAnn(s, dir, refine = true)),
 
     "s_ivf_kmeans_recall" -> recallOf("s_ivf_kmeans"),
+
+    // INCREMENTAL index maintenance — the nightly-embedding-ingest path
+    // that completes the standing-index lifecycle (build → store →
+    // health → probe → UPSERT): the last 20% of vec_ids play the new
+    // batch. The standing index predates the batch, so its hash-ordered
+    // centroid draw sees only OLD vectors; upserting assigns ONLY the
+    // delta against the standing K-row broadcast centroids (O(delta·K);
+    // the standing assignment — in production the AnnIndexStore
+    // artifact — is reused, never recomputed) and unions the cells.
+    // Queries then probe the merged index exactly like s_ivf_ann.
+    // IvfUpsertSpec proves merged == from-scratch rebuild against the
+    // same centroids (per-vector argmax is independent), so nightly
+    // upserts never drift from a rebuild.
+    "s_ivf_upsert" -> memoAnn("s_ivf_upsert")((s, dir) => {
+      val e = vecs(s, dir)
+      val tNew = e.agg(max("vec_id")).head().getLong(0) * 4 / 5
+      val seed = e.filter(col("vec_id") < tNew)
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(NCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn"))
+      queryIvf(s, dir, seed, upsertAssign(e, seed, tNew))
+    }),
+
+    "s_ivf_upsert_recall" -> recallOf("s_ivf_upsert"),
 
     // FILTERED ANN — the vector-DB "filtered search" mode: top-K among
     // candidates satisfying a metadata predicate (label % 3 == 0),
@@ -1409,6 +1433,26 @@ object Similarity {
           VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
   }
 
+  /** Assign a vector frame to a standing centroid table (argmax cosine,
+    * cid tie-break) — the per-vector-independent kernel shared by the
+    * delta upsert and the rebuild-equivalence spec. */
+  private[graft] def assignTo(part: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    part.join(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("v"), col("n"), col("cid"),
+        VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("ccos"))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") === 1)
+      .select("vec_id", "label", "v", "n", "cid")
+  }
+
+  /** The upsert itself: standing assignment (old vectors, in production
+    * the stored artifact) ∪ delta assignment (new batch only). */
+  private[graft] def upsertAssign(e: DataFrame, cents: DataFrame,
+      tNew: Long): DataFrame =
+    assignTo(e.filter(col("vec_id") < tNew), cents)
+      .unionByName(assignTo(e.filter(col("vec_id") >= tNew), cents))
+
   /** NProbe nearest cells per query, with the query vector along for
     * the ride — the probe half shared by [[queryIvf]] (in-cell exact
     * cosine needs qv/qn) and the IVF-PQ body (cell ids only). */
@@ -1863,6 +1907,34 @@ object Similarity {
 
     "s_ivf_ann" -> sqlIvf(refine = false),
     "s_ivf_kmeans" -> sqlIvf(refine = true),
+
+    // upsert: the centroid draw sees only pre-batch vectors; assignment
+    // covers the full corpus (old standing + delta in one argmax — the
+    // per-vector independence the Spark-side union relies on)
+    "s_ivf_upsert" -> sqlTopk(
+      s"""WITH e AS ($sqlVecs),
+         t AS (SELECT max(vec_id) * 4 // 5 AS tnew FROM e),
+         c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+           WHERE vec_id < (SELECT tnew FROM t)
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
+         assigned AS (
+           SELECT vec_id, v, n, cid FROM (
+             SELECT e.vec_id, e.v, e.n, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS arn
+             FROM e, c0) WHERE arn = 1),
+         probes AS (
+           SELECT q, qv, qn, cid FROM (
+             SELECT e.vec_id AS q, e.v AS qv, e.n AS qn, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS prn
+             FROM e, c0 WHERE e.vec_id < $NQueries) WHERE prn <= $NProbe)
+         SELECT probes.q, assigned.vec_id,
+           (${VecOps.sqlDot("probes.qv", "assigned.v")} / (probes.qn * assigned.n)) AS cos
+         FROM probes JOIN assigned USING (cid)
+         WHERE assigned.vec_id <> probes.q"""),
 
     // the store probe round-trips the same unrefined index through
     // parquet (doubles are bit-exact through parquet), so its oracle is
@@ -2471,6 +2543,7 @@ object Similarity {
     ("s_ivfpq_recall" -> sqlRecall("s_ivfpq_ann")) +
     ("s_bq_recall" -> sqlRecall("s_bq_topk")) +
     ("s_mrl_recall" -> sqlRecall("s_mrl_topk")) +
+    ("s_ivf_upsert_recall" -> sqlRecall("s_ivf_upsert")) +
     ("s_hybrid_rrf" ->
       s"""WITH dw AS (SELECT DISTINCT id, w FROM (
              SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w
