@@ -506,6 +506,46 @@ object Similarity {
 
     "s_ivf_upsert_recall" -> recallOf("s_ivf_upsert"),
 
+    // PROBE-COUNT tuning curve — the d_jaccard_bands of the vector
+    // index: recall@K per query at nprobe = 1..4 in ONE pass. The
+    // candidate relation is scored once at the widest setting; each
+    // candidate then fans out to every sweep point that would include
+    // it (nprobe >= its cell's probe rank — an explode of a <=4-int
+    // sequence, not four probe pipelines), and per-(nprobe, q) windows
+    // rank the fanned frame. This is the query a capacity review runs
+    // to set the probes knob: the marginal recall of each extra probe
+    // against its candidate volume, priced on the standing index.
+    "s_probe_sweep" -> ((s, dir) => {
+      val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
+      val e = vecs(s, dir)
+      val qRaw = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn"))
+      val wProbe = Window.partitionBy("q").orderBy(col("pcos").desc, col("cid").asc)
+      val ranked = broadcast(qRaw.join(cents)
+        .select(col("q"), col("qv"), col("qn"), col("cid"),
+          VecOps.cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("pcos"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 4))
+      val cand = ranked.join(assigned, "cid")
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("prn"), col("vec_id"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos"))
+        .withColumn("nprobe", explode(sequence(col("prn"), lit(4))))
+      val wb = Window.partitionBy("nprobe", "q")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val ann = cand.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= K)
+        .select(col("nprobe"), col("q"), col("vec_id"), lit(1).as("hit"))
+      val bfp = bfTopk(s, dir).select("q", "vec_id")
+        .withColumn("nprobe", explode(sequence(lit(1), lit(4))))
+      bfp.join(ann, Seq("nprobe", "q", "vec_id"), "left")
+        .groupBy("nprobe", "q")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
+        .select(col("nprobe"), col("q"), col("hits"),
+          (col("hits") / lit(K.toDouble)).as("recall"))
+        .orderBy("nprobe", "q")
+    }),
+
     // FILTERED ANN — the vector-DB "filtered search" mode: top-K among
     // candidates satisfying a metadata predicate (label % 3 == 0),
     // via POST-filtering the probed IVF cells. The label rides in the
@@ -2544,6 +2584,40 @@ object Similarity {
     ("s_bq_recall" -> sqlRecall("s_bq_topk")) +
     ("s_mrl_recall" -> sqlRecall("s_mrl_topk")) +
     ("s_ivf_upsert_recall" -> sqlRecall("s_ivf_upsert")) +
+    ("s_probe_sweep" ->
+      s"""WITH e AS ($sqlVecs),
+         c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
+         assigned AS (
+           SELECT vec_id, v, n, cid FROM (
+             SELECT e.vec_id, e.v, e.n, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS arn
+             FROM e, c0) WHERE arn = 1),
+         pr AS (SELECT q, qv, qn, cid, prn FROM (
+             SELECT e.vec_id AS q, e.v AS qv, e.n AS qn, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS prn
+             FROM e, c0 WHERE e.vec_id < $NQueries) WHERE prn <= 4),
+         cand AS (SELECT pr.q, pr.prn, a.vec_id,
+             (${VecOps.sqlDot("pr.qv", "a.v")} / (pr.qn * a.n)) AS cos
+           FROM pr JOIN assigned a USING (cid) WHERE a.vec_id <> pr.q),
+         sw AS (SELECT CAST(p AS INT) AS nprobe, q, vec_id, cos
+           FROM cand, unnest(range(prn, 5)) AS t(p)),
+         ann AS (SELECT nprobe, q, vec_id FROM (
+             SELECT nprobe, q, vec_id, row_number() OVER (
+               PARTITION BY nprobe, q ORDER BY cos DESC, vec_id) AS rn
+             FROM sw) WHERE rn <= $K),
+         bf AS (${oracleBase("s_cosine_topk")}),
+         bfp AS (SELECT CAST(p AS INT) AS nprobe, q, vec_id
+           FROM bf, unnest(range(1, 5)) AS t(p))
+         SELECT bfp.nprobe, bfp.q, CAST(count(ann.vec_id) AS INT) AS hits,
+           (count(ann.vec_id) / ${K}.0) AS recall
+         FROM bfp LEFT JOIN ann ON ann.nprobe = bfp.nprobe
+           AND ann.q = bfp.q AND ann.vec_id = bfp.vec_id
+         GROUP BY bfp.nprobe, bfp.q ORDER BY bfp.nprobe, bfp.q""") +
     ("s_hybrid_rrf" ->
       s"""WITH dw AS (SELECT DISTINCT id, w FROM (
              SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w

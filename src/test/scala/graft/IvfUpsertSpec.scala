@@ -35,4 +35,20 @@ class IvfUpsertSpec extends SparkSpec {
     val cids = seed.select("cid").as[Long].collect()
     assert(cids.forall(_ < tNew))
   }
+
+  test("probe sweep: recall monotone non-decreasing in nprobe") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.Similarity.queries("s_probe_sweep")(spark, dir)
+      .as[(Int, Long, Int, Double)].collect()
+    assert(rows.length == 20) // 4 sweep points x 5 queries
+    rows.groupBy(_._2).foreach { case (q, rs) =>
+      val byProbe = rs.sortBy(_._1).map(_._3)
+      assert(byProbe.zip(byProbe.tail).forall { case (a, b) => a <= b },
+        s"q=$q hits not monotone: ${byProbe.toSeq}")
+    }
+    // teeth: the sweep must show a real trade somewhere (nprobe=1
+    // strictly worse than nprobe=4 for at least one query)
+    assert(rows.filter(_._1 == 1).map(_._3).sum <
+      rows.filter(_._1 == 4).map(_._3).sum)
+  }
 }
