@@ -21,7 +21,7 @@ object Similarity {
   private val K = 5          // neighbors returned per query
   private[graft] val NQueries = 5   // queries = vec_id < NQueries
   private val PhraseLen = 3  // s_phrase: first PhraseLen tokens of each query doc
-  private val NProbe = 2     // IVF probes
+  private[graft] val NProbe = 2     // IVF probes
   private val KnnK = 3       // neighbors per vector in the KNN graph
   private val RankIters = 3  // PageRank power iterations (s_graph_rank)
   private val DescentRounds = 2 // NN-descent rounds (s_nn_descent_k)
@@ -41,7 +41,7 @@ object Similarity {
   private[graft] val HardNegK = 5     // s_negatives: hard negatives per query
   private[graft] val RandNegK = 4     // s_negatives: random negative draws per query
   private val BfsRounds = 9    // s_seed_dist: expansion bound (ecc ≤7 at gate scales)
-  private val NCentroids = 24 // IVF cells — FIXED K, constant in corpus size
+  private[graft] val NCentroids = 24 // IVF cells — FIXED K, constant in corpus size
   private val PqM = 8        // PQ subspaces (64-dim vectors -> 8x8)
   private val PqSub = 8      // dims per subspace
   private val PqKsub = 16    // codes per subspace codebook

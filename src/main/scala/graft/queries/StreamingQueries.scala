@@ -19,6 +19,65 @@ object StreamingQueries {
       out.orderBy("wstart", "event_type")
     }),
 
+    // STREAMING ANN probe-on-ingest — the query half of real-time
+    // index maintenance (StreamingOps.annIngest is the write half):
+    // every newly arrived embedding immediately retrieves its standing
+    // near-neighbors above the radius bar (online semantic dedup /
+    // alerting). The standing index predates the stream: the
+    // old-seeded centroid table is COLLECTED into the plan as literals
+    // (<= NCentroids rows BY DESIGN — the executor-shipped index
+    // snapshot every vector DB ships; the per-row probe is then a
+    // stateless scalar sort over a 24-element literal array — no
+    // window, no state store), and the old assignment is the static
+    // join side, persisted once for the run. The stream-static
+    // equi-join on cid keeps candidates cell-bounded; the radius
+    // compares in floored micro-units (integer-exact cross-engine).
+    // New and old id domains are disjoint, so no self-pair exists.
+    "st_ann_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val name = synchronized { runId += 1; s"st_ann_ingest_$runId" }
+      val S = Similarity
+      val e = S.vecs(s, dir)
+      val tNew = e.agg(max("vec_id")).head().getLong(0) * 4 / 5
+      val old = e.filter(col("vec_id") < tNew)
+      val seed = old
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(S.NCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn"))
+      val cents = seed.collect() // bounded: NCentroids rows by design
+      val standing = S.assignTo(old, seed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.register(s, "s")(() => { standing.unpersist(false); () })
+      val newVecs = s.readStream.schema(StreamingOps.embRawSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") >= tNew)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("n", graft.functions.VecOps.norm(col("v")))
+      // negated cosine sorts asc == cosine desc; ties break to cid asc
+      val cellArr = array(cents.map { r =>
+        val cv = r.getSeq[Double](1)
+        struct(
+          (-(graft.functions.VecOps.dotPlane(col("v"), cv)
+            / (col("n") * lit(r.getDouble(2))))).as("nc"),
+          lit(r.getLong(0)).as("cid"))
+      }.toIndexedSeq: _*)
+      val probed = newVecs
+        .withColumn("cell",
+          explode(slice(array_sort(cellArr), 1, S.NProbe)))
+        .select(col("vec_id").as("q"), col("v").as("qv"),
+          col("n").as("qn"), col("cell.cid").as("cid"))
+      val matches = probed.join(standing, "cid")
+        .select(col("q"), col("vec_id"),
+          graft.functions.VecOps.cosine(
+            col("qv"), col("v"), col("qn"), col("n")).as("cos"))
+        .filter(floor(col("cos") * lit(1000000.0)).cast("long")
+          >= S.RangeTauMicro)
+      StreamingOps.runToMemory(s, matches, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("q", "vec_id")
+    }),
+
     // Streaming dedup with watermark-bounded state: distinct
     // (user_id, hour) pairs emitted in append mode; the batch oracle is
     // a plain SELECT DISTINCT over the same projection.
@@ -203,6 +262,41 @@ object StreamingQueries {
       """SELECT date_trunc('hour', ts) AS wstart, event_type,
            count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
+
+    // batch mirror of the probe-on-ingest stream: old-seeded centroid
+    // draw, old-only assignment, new vectors probe NProbe cells, radius
+    // filter in floored micro-units
+    "st_ann_ingest" -> {
+      import graft.functions.VecOps
+      val cos = s"(${VecOps.sqlDot("probes.qv", "assigned.v")}" +
+        s" / (probes.qn * assigned.n))"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             ${VecOps.sqlNorm("CAST(embedding AS DOUBLE[])")} AS n
+           FROM embeddings),
+         t AS (SELECT max(vec_id) * 4 // 5 AS tnew FROM e),
+         c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+           WHERE vec_id < (SELECT tnew FROM t)
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT ${Similarity.NCentroids}),
+         assigned AS (SELECT vec_id, v, n, cid FROM (
+             SELECT e.vec_id, e.v, e.n, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS arn
+             FROM e, c0 WHERE e.vec_id < (SELECT tnew FROM t)) WHERE arn = 1),
+         probes AS (SELECT q, qv, qn, cid FROM (
+             SELECT e.vec_id AS q, e.v AS qv, e.n AS qn, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS prn
+             FROM e, c0 WHERE e.vec_id >= (SELECT tnew FROM t))
+           WHERE prn <= ${Similarity.NProbe})
+         SELECT probes.q, assigned.vec_id, $cos AS cos
+         FROM probes JOIN assigned USING (cid)
+         WHERE CAST(floor($cos * 1000000.0) AS BIGINT)
+           >= ${Similarity.RangeTauMicro}
+         ORDER BY q, vec_id"""
+    },
 
     "st_dedup" ->
       """SELECT DISTINCT user_id, date_trunc('hour', ts) AS h

@@ -28,6 +28,12 @@ object StreamingOps {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** embeddings schema as stored — the ANN probe-on-ingest source. */
+  val embRawSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
   /** File-source stream over the events parquet with proper timestamps.
     * The stored schema is probed from the footer via a batch read (one
     * driver-side metadata call) so the stream works against both corpus
