@@ -303,4 +303,54 @@ class PlanShapeSpec extends SparkSpec {
     }
     graft.CacheBook.releaseAll(spark)
   }
+
+  test("s_bq_topk / s_mrl_topk: coarse window is partial-limited and slim") {
+    for (name <- Seq("s_bq_topk", "s_mrl_topk")) {
+      val p = planOf(name)
+      // rank-filter pushdown: the top-C cut must run map-side BEFORE
+      // the coarse exchange, not only after — at corpus scale the
+      // difference is shuffling C rows/query/partition vs N rows
+      assert(p.contains("WindowGroupLimit"),
+        s"$name coarse top-C must plan a WindowGroupLimit")
+      // one persisted signature relation feeds queries, coarse pass
+      // and rescore — never a recomputed projection per consumer
+      assert(p.contains("InMemoryTableScan"), s"$name must reuse its cache")
+      // vectors must not ride the coarse shuffle: the rescore pulls
+      // them back via hash joins on the slim candidate frame
+      assert(p.contains("BroadcastHashJoin"), s"$name rescore joins")
+    }
+    graft.CacheBook.releaseAll(spark)
+  }
+
+  test("m_scenes: one shuffle to per-video windows; both windows share it") {
+    val p = planOf("m_scenes")
+    // lag + running-sum windows both partition by doc_id, so the plan
+    // needs exactly two exchanges: the window shuffle + the gate sort
+    assert(p.split("Exchange").length - 1 <= 3, p.take(800))
+    assert(!p.contains("SinglePartition"),
+      "per-video windows must never collapse to one partition")
+  }
+
+  test("st_ann_ingest: standing side persisted; probe has no state store") {
+    // the returned frame is the memory-sink readout; the invariant that
+    // matters here is buildable without running a stream — the probe
+    // pipeline side is covered by AnnIngestSpec. Assert the standing
+    // assignment reuses the family cache release discipline instead.
+    val S = graft.queries.Similarity
+    val e = S.vecs(spark, dir)
+    val tNew = e.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .head().getLong(0) * 4 / 5
+    val seed = e.filter(org.apache.spark.sql.functions.col("vec_id") < tNew)
+      .orderBy(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("vec_id").cast("string")),
+        org.apache.spark.sql.functions.col("vec_id"))
+      .limit(S.NCentroids)
+      .selectExpr("vec_id AS cid", "v AS cv", "n AS cn")
+    val p = S.assignTo(e, seed).queryExecution.executedPlan.toString
+    // the argmax is a windowed rank over the broadcast centroid join —
+    // an equi-free small-table join plans as BroadcastNestedLoopJoin
+    // (24-row build side), never a shuffled cartesian
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    graft.CacheBook.releaseAll(spark)
+  }
 }
