@@ -57,7 +57,8 @@ object MultimodalQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("doc_id").orderBy("frame_idx")
       Multimodal.frameLevels(
-        Multimodal.blobs(s, Tables.load(s, dir, "documents")))
+        Multimodal.blobs(s, Tables.load(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)))
         .toDF()
         .withColumn("cut",
           when(abs(col("level") - lag(col("level"), 1).over(w)) >= 128, 1)
