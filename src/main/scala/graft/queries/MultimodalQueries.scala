@@ -56,9 +56,13 @@ object MultimodalQueries {
     "m_scenes" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      // blob-input stage: deliberately NOT rebalanced (media bytes
+      // never cross a shuffle — the module invariant). The single-split
+      // serialization seen locally is a tiny-testfile artifact; real
+      // corpora carry thousands of splits (or arrive file-per-row via
+      // MediaSource, where parallelism comes from the listing).
       Multimodal.frameLevels(
-        Multimodal.blobs(s, Tables.load(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)))
+        Multimodal.blobs(s, Tables.load(s, dir, "documents")))
         .toDF()
         .withColumn("cut",
           when(abs(col("level") - lag(col("level"), 1).over(w)) >= 128, 1)

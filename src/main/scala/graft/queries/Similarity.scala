@@ -495,13 +495,8 @@ object Similarity {
     // same centroids (per-vector argmax is independent), so nightly
     // upserts never drift from a rebuild.
     "s_ivf_upsert" -> memoAnn("s_ivf_upsert")((s, dir) => {
-      val e = vecs(s, dir)
-      val tNew = e.agg(max("vec_id")).head().getLong(0) * 4 / 5
-      val seed = e.filter(col("vec_id") < tNew)
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(NCentroids)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn"))
-      queryIvf(s, dir, seed, upsertAssign(e, seed, tNew))
+      val (tNew, seed) = oldSeed(s, dir)
+      queryIvf(s, dir, seed, upsertAssign(vecs(s, dir), seed, tNew))
     }),
 
     "s_ivf_upsert_recall" -> recallOf("s_ivf_upsert"),
@@ -1472,6 +1467,35 @@ object Similarity {
         .select(col("q"), col("vec_id"),
           VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
   }
+
+  private val seedCache = collection.mutable
+    .Map.empty[(SparkSession, String), graft.Once[(Long, DataFrame)]]
+
+  /** The nightly-delta convention shared by s_ivf_upsert and the
+    * streaming probe-on-ingest (st_ann_ingest): new batch = last 20%
+    * of vec_ids, standing centroid draw sees only pre-batch vectors.
+    * The K-row seed is persisted + counted ONCE per (session, corpus)
+    * — its lineage is a full-corpus md5 sort that every broadcast
+    * consumer (probe, old assignment, delta assignment) would
+    * otherwise re-run (the buildIvfIndex cents0 discipline). */
+  private[graft] def oldSeed(s: SparkSession, dir: String): (Long, DataFrame) =
+    synchronized { seedCache.getOrElseUpdate((s, dir), new graft.Once(() => {
+      val e = vecs(s, dir)
+      val tNew = e.agg(max("vec_id")).head().getLong(0) * 4 / 5
+      val seed = e.filter(col("vec_id") < tNew)
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(NCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try seed.count()
+      catch { case t: Throwable => seed.unpersist(false); throw t }
+      graft.CacheBook.register(s, "s") { () =>
+        Similarity.synchronized { seedCache.remove((s, dir)) }
+        seed.unpersist(false)
+        ()
+      }
+      (tNew, seed)
+    })) }.value
 
   /** Assign a vector frame to a standing centroid table (argmax cosine,
     * cid tie-break) — the per-vector-independent kernel shared by the

@@ -37,13 +37,8 @@ object StreamingQueries {
       import org.apache.spark.sql.functions._
       val name = synchronized { runId += 1; s"st_ann_ingest_$runId" }
       val S = Similarity
-      val e = S.vecs(s, dir)
-      val tNew = e.agg(max("vec_id")).head().getLong(0) * 4 / 5
-      val old = e.filter(col("vec_id") < tNew)
-      val seed = old
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(S.NCentroids)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn"))
+      val (tNew, seed) = S.oldSeed(s, dir) // shared delta convention, persisted once
+      val old = S.vecs(s, dir).filter(col("vec_id") < tNew)
       val cents = seed.collect() // bounded: NCentroids rows by design
       val standing = S.assignTo(old, seed)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
