@@ -257,6 +257,36 @@ object Curation {
           coalesce(col("old_fp"), lit("")).as("old_fp"),
           coalesce(col("new_fp"), lit("")).as("new_fp"))
         .orderBy("doc_id")
+    }),
+
+    // DIFFERENTIALLY-PRIVATE composition release — the privacy sibling
+    // of t_kanon_audit for publishing corpus statistics: per-(lang,
+    // source) counts released under the DISCRETE LAPLACE (two-sided
+    // geometric) mechanism, ε = ln 2 at sensitivity 1. The noise draw
+    // is the textbook construction G₁ − G₂ with Gᵢ ~ Geometric(1/2),
+    // and each geometric is the TRAILING-ONES count of an md5-derived
+    // integer (bit_count(v XOR (v+1)) − 1): pure integer ops both
+    // engines evaluate identically — no transcendental, no float, no
+    // rejection loop. Released counts clamp at 0. Cost: one map-side-
+    // combined aggregate + a scalar projection over |cells| rows.
+    // Stated caveat (DpReleaseSpec doc too): the SEEDED draw makes the
+    // release reproducible — the determinism contract every graft op
+    // keeps, right for regression-tested test-env releases; a
+    // production privacy release draws fresh randomness per release
+    // and pays its ε from a tracked budget per re-release.
+    "x_dp_release" -> ((s, dir) => {
+      def geom(tag: String): org.apache.spark.sql.Column = {
+        val v = Determinism.md5IdxK(
+          concat(lit(tag), col("lang"), lit("|"), col("source")), 6)
+        bit_count(v.bitwiseXOR(v + lit(1L))) - lit(1)
+      }
+      docs(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("noise",
+          (geom("dpA#") - geom("dpB#")).cast("long"))
+        .select(col("lang"), col("source"),
+          greatest(col("n") + col("noise"), lit(0L)).as("n_noisy"))
+        .orderBy("lang", "source")
     })
   )
 
@@ -364,6 +394,20 @@ object Curation {
            coalesce(new_fp, '') AS new_fp
          FROM old FULL OUTER JOIN neu USING (doc_id)
          WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // discrete-Laplace noise as trailing-ones(geometric) difference;
+    // pure integer ops mirror the Column tree exactly
+    "x_dp_release" -> {
+      def g(tag: String) = {
+        val v = Determinism.sqlMd5IdxK(s"'$tag' || lang || '|' || source", 6)
+        s"(bit_count(xor($v, $v + 1)) - 1)"
+      }
+      s"""WITH c AS (SELECT lang, source, count(*) AS n
+           FROM documents GROUP BY 1, 2)
+         SELECT lang, source,
+           greatest(n + (${g("dpA#")} - ${g("dpB#")}), 0) AS n_noisy
+         FROM c ORDER BY lang, source"""
+    }
   )
 }
