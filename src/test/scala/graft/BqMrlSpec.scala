@@ -83,6 +83,27 @@ class BqMrlSpec extends SparkSpec {
       s"diff=${(got diff finalTopk(cands)).take(3)}")
   }
 
+  test("sig packing: distributed bqSig == plain-Scala over random vectors") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 300).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    def half(v: Array[Double], lo: Int): Long =
+      (0 until 32).map(j => if (v(lo + j) > 0) 1L << j else 0L).sum
+    val expected = vecs.map { case (id, v) => (id, half(v, 0), half(v, 32)) }.toSet
+
+    val df = vecs.toDF("vec_id", "v")
+    val got = df.select(col("vec_id"),
+        graft.queries.Similarity.bqSig(col("v"), 0).as("s1"),
+        graft.queries.Similarity.bqSig(col("v"), 32).as("s2"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected, s"diff=${(got diff expected).take(3)}")
+    // signatures are nonneg 32-bit halves by construction — the
+    // signed-shift/overflow edge the two-half packing exists to avoid
+    assert(got.forall(t => t._2 >= 0 && t._2 < (1L << 32)
+      && t._3 >= 0 && t._3 < (1L << 32)))
+  }
+
   test("recall evals count exactly |bf ∩ ann| per query") {
     val bf = (0L until NQ.toLong).map { q =>
       q -> vs.keys.filter(_ != q).toSeq
