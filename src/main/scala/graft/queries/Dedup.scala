@@ -319,6 +319,29 @@ object Dedup {
       col("sha"), col("shb"), minJac)
   }
 
+  /** Fuzzy decontamination against an EXTERNAL benchmark corpus: the
+    * pool doc_ids whose shingle-Jaccard to ANY benchmark doc reaches
+    * `minJac` — the drop list a training run subtracts. The benchmark
+    * band table BROADCASTS (eval sets are small by nature — |bench| x 4
+    * rows whatever the pool size), pool candidates come from band
+    * collisions, the verify is exact Jaccard. This is the
+    * d_decontaminate shape with the benchmark as its own corpus
+    * (the gate query keeps the intra-corpus first-50-docs convention
+    * so it can share the memoized family band table). */
+  def contaminatedIds(poolSh: DataFrame, benchSh: DataFrame,
+      minJac: Double): DataFrame = {
+    val pb = bandsOf(poolSh)
+    val bb = broadcast(bandsOf(benchSh)
+      .select(col("doc_id").as("b"), col("bi"), col("bk")))
+    val cand = pb.join(bb, Seq("bi", "bk"))
+      .select(col("doc_id").as("a"), col("b")).distinct()
+    val sa = poolSh.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val sb = benchSh.select(col("doc_id").as("b"), col("sh").as("shb"))
+    jaccardVerified(cand.join(sa, "a").join(sb, "b"),
+      col("sha"), col("shb"), minJac)
+      .select(col("a").as("doc_id")).distinct()
+  }
+
   /** The verify column chain itself — staged (inter, |A|, |B|)
     * projection (the intersect computes ONCE per pair), threshold
     * filter, then (a, b, jac). Shared by the batch [[verifyPairs]] and

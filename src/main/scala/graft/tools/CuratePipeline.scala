@@ -11,19 +11,23 @@ import graft.Tables
   *   documents → quality filter → language filter → exact dedup →
   *   line-level boilerplate strip (corpus df threshold, positional
   *   reassembly) → MinHash-LSH near-dedup (canonical = highest
-  *   quality) → exact-substring span strip (owner keeps; RefinedWeb
-  *   order, after doc-level dedup) → token stats → curated parquet +
-  *   a one-line report.
+  *   quality) → eval-set DECONTAMINATION (when a benchmark corpus is
+  *   given: fuzzy shingle-Jaccard at the 0.5 leak bar, broadcast
+  *   bench bands — the d_decontaminate contract) → exact-substring
+  *   span strip (owner keeps; RefinedWeb order, after doc-level
+  *   dedup) → token stats → curated parquet + a one-line report.
   *
   * Every stage is a DataFrame transform from the query packs; nothing
   * collects to the driver except the final counts. At 100 TB the only
   * shuffles are the dedup group-bys/band-joins, all bucket-bounded.
   *
   * Usage: CuratePipeline <sfDir> <outDir> [minQuality] [parquet|jsonl]
+  *        [benchDir]
   */
 object CuratePipeline {
 
-  def curate(spark: SparkSession, dir: String, minQuality: Double): (DataFrame, Map[String, Long]) = {
+  def curate(spark: SparkSession, dir: String, minQuality: Double,
+      benchDir: Option[String] = None): (DataFrame, Map[String, Long]) = {
     val docs = Tables.load(spark, dir, "documents")
     val stages = collection.mutable.LinkedHashMap[String, Long]("input" -> docs.count())
 
@@ -90,8 +94,28 @@ object CuratePipeline {
       .select((-col("m.nid")).as("doc_id"))
     val dupIds = labels.select(col("id").as("doc_id"))
       .join(keepIds, Seq("doc_id"), "left_anti")
-    val near = lineDeduped.join(dupIds, Seq("doc_id"), "left_anti")
-    stages += "after_near_dedup" -> near.count()
+    val near0 = lineDeduped.join(dupIds, Seq("doc_id"), "left_anti")
+    stages += "after_near_dedup" -> near0.count()
+
+    // 4b'. eval-set DECONTAMINATION (when a benchmark corpus is
+    // given): drop every surviving pool doc whose shingle-Jaccard to
+    // ANY benchmark doc reaches the 0.5 leak bar — the release gate
+    // exact n-gram overlap cannot close (a paraphrased leak shares
+    // few exact 5-grams but keeps a high Jaccard). The benchmark is
+    // an EXTERNAL input (its docs are never emitted); its band table
+    // broadcasts, so the stage costs one band probe over survivors.
+    val near = benchDir match {
+      case Some(bd) =>
+        val benchSh = Tables.load(spark, bd, "documents")
+          .select(col("doc_id"), graft.queries.Dedup.shingleHashCol(col("text")).as("sh"))
+        val poolSh = near0.select(col("doc_id"),
+          graft.queries.Dedup.shingleHashCol(col("text")).as("sh"))
+        val leaked = graft.queries.Dedup.contaminatedIds(poolSh, benchSh, minJac = 0.5)
+        val kept = near0.join(leaked, Seq("doc_id"), "left_anti")
+        stages += "after_decontaminate" -> kept.count()
+        kept
+      case None => near0
+    }
 
     // 4b. exact-substring strip (the x_span_strip contract) AFTER
     // doc-level near-dedup — the RefinedWeb order: whole-doc copies
@@ -158,6 +182,7 @@ object CuratePipeline {
     val Array(sfDir, outDir) = args.take(2)
     val minQuality = if (args.length > 2) args(2).toDouble else 0.3
     val format = if (args.length > 3) args(3) else "parquet"
+    val benchDir = if (args.length > 4) Some(args(4)) else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
@@ -165,7 +190,7 @@ object CuratePipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (curated, stages) = curate(spark, sfDir, minQuality)
+    val (curated, stages) = curate(spark, sfDir, minQuality, benchDir)
     curated.write.mode("overwrite").parquet(s"$outDir/curated")
     // partition dirs are the unit a training reader consumes (and the
     // unit of write parallelism — each (split, shard) is one task's
@@ -174,7 +199,10 @@ object CuratePipeline {
     // coalesce: sum over an empty curated set is NULL, not 0
     val toks = curated.agg(coalesce(sum("n_tokens"), lit(0L))).collect()(0).getLong(0)
     println(("input" :: "after_quality" :: "after_exact_dedup"
-        :: "after_line_dedup" :: "after_near_dedup" :: "after_span_strip" :: Nil)
+        :: "after_line_dedup" :: "after_near_dedup" :: Nil)
+      .++(if (stages.contains("after_decontaminate"))
+        Seq("after_decontaminate") else Nil)
+      .:+("after_span_strip")
       .map(k => s"$k=${stages(k)}").mkString("[curate] ", " ", s" total_tokens=$toks"))
     spark.stop()
   }

@@ -130,4 +130,36 @@ class CuratePipelineSpec extends SparkSpec {
     assert(!texts.contains(12L))
     graft.CacheBook.release(spark, "curate")
   }
+
+  test("decontamination stage drops a paraphrased benchmark leak") {
+    val words = (0 until 40).map(i => s"tok$i")
+    val benchText = words.mkString(" ")
+    // pool doc 20 paraphrases the benchmark (2 word swaps — minority
+    // exact 5-gram overlap, Jaccard ~0.86); 21 is unrelated
+    val leak = words.updated(10, "swapA").updated(30, "swapB").mkString(" ")
+    val clean = (0 until 40).map(i => s"other$i").mkString(" ")
+    val pool = Seq((20L, leak), (21L, clean))
+      .map { case (id, t) => (id, t, "en", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val bench = Seq((900L, benchText))
+      .map { case (id, t) => (id, t, "en", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val dir = Files.createTempDirectory("curate-pool").toString
+    val bdir = Files.createTempDirectory("curate-bench").toString
+    pool.write.parquet(s"$dir/documents.parquet")
+    bench.write.parquet(s"$bdir/documents.parquet")
+
+    val (curated, stages) =
+      CuratePipeline.curate(spark, dir, minQuality = 0.03, Some(bdir))
+    assert(stages("after_near_dedup") == 2L, "pool docs are not near-dups")
+    assert(stages("after_decontaminate") == 1L, "the leak drops")
+    val kept = curated.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(21L), s"got $kept")
+
+    // without a benchmark the stage is absent and nothing drops
+    val (c2, s2) = CuratePipeline.curate(spark, dir, minQuality = 0.03)
+    assert(!s2.contains("after_decontaminate"))
+    assert(c2.select("doc_id").as[Long].collect().toSet == Set(20L, 21L))
+    graft.CacheBook.release(spark, "curate")
+  }
 }
