@@ -17,5 +17,5 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} java -Xmx8g $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "$CP" graft.Verify "$SF" "$OUT"
+  -cp "$CP" graft.Verify "$SF" "$OUT" "$@"
 python3 /root/repo/tools/check.py "$SF" "$OUT" "$@"
