@@ -19,6 +19,35 @@ object StreamingQueries {
       out.orderBy("wstart", "event_type")
     }),
 
+    // STREAMING quality gate — x_qclf's learned classifier applied ON
+    // INGEST (the scoring a landing zone runs before anything lands):
+    // the per-doc score computes as ONE per-row scalar fold over the
+    // hashed unigram+bigram features against the embedded weight
+    // vector — no explode, no aggregation, NO STATE STORE, so the
+    // gate runs in append mode and restarts are trivially safe. Every
+    // doc streams through with its score and keep/drop decision (the
+    // synthetic gate corpus scores entirely below the natural-prose
+    // keep bar, so a kept-only emission would be a zero-row gate);
+    // the oracle is the batch x_qclf pipeline, so the entry proves
+    // streamed scalar fold == batch explode+groupBy doc for doc.
+    "st_qclf_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val name = synchronized { runId += 1; s"st_qclf_gate_$runId" }
+      val stream = s.readStream.schema(StreamingOps.docsRawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val scored = stream
+        .select(col("doc_id"),
+          TextAnalysis.qclfParts(split(col("text"), " ")).as("p"))
+        .select(col("doc_id"), col("p.nf").cast("int").as("n_feats"),
+          expr("p.sw div p.nf").as("qclf_micro"))
+        .withColumn("kept",
+          when(col("qclf_micro") >= TextAnalysis.QclfThresholdMicro, 1)
+            .otherwise(0).cast("int"))
+      StreamingOps.runToMemory(s, scored, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("doc_id")
+    }),
+
     // STREAMING ANN probe-on-ingest — the query half of real-time
     // index maintenance (StreamingOps.annIngest is the write half):
     // every newly arrived embedding immediately retrieves its standing
@@ -257,6 +286,13 @@ object StreamingQueries {
       """SELECT date_trunc('hour', ts) AS wstart, event_type,
            count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""",
+
+    // the batch x_qclf pipeline (minus its margin column) — the gate
+    // proves the streamed scalar fold == batch explode+groupBy
+    "st_qclf_gate" ->
+      s"""SELECT doc_id, n_feats, qclf_micro, kept
+         FROM (${TextAnalysis.oracleSql("x_qclf")})
+         ORDER BY doc_id""",
 
     // batch mirror of the probe-on-ingest stream: old-seeded centroid
     // draw, old-only assignment, new vectors probe NProbe cells, radius

@@ -912,6 +912,23 @@ object TextAnalysis {
     * trick), so the whole model is [[qclfWeights]] and never a join. */
   private[queries] val QclfBuckets = 512
   private[queries] val QclfThresholdMicro = 1000000L
+
+  /** Scalar (per-row) form of the x_qclf scorer for STREAMS: the same
+    * hashed unigram+bigram feature mean over the embedded weight
+    * vector, computed as ONE higher-order fold instead of
+    * explode+groupBy — STATELESS on a stream, so the quality gate
+    * runs in append mode with no state store. The interpreted-lambda
+    * fold is the accepted delta-side trade (the streamBands
+    * contract); batch entries keep the codegen explode+groupBy path.
+    * Returns struct(nf, sw) — score = sw div nf, the x_qclf contract. */
+  private[queries] def qclfParts(words: Column): Column = {
+    val feats = concat(shingleHashes(words, 1), shingleHashes(words, 2))
+    struct(
+      size(feats).cast("long").as("nf"),
+      aggregate(feats, lit(0L), (acc, h) =>
+        acc + element_at(lit(qclfWeights),
+          (pmod(h, lit(QclfBuckets.toLong)) + 1).cast("int"))).as("sw"))
+  }
   /** The embedded "trained" fasttext-style linear model: one integer
     * micro-unit weight per hashed unigram/bigram bucket. Weights are
     * derived deterministically (jvmMd5Idx — the benfordPpm pattern:
