@@ -51,6 +51,21 @@ object SliceQueries {
         .run(Seq(SliceRoot("orders", "o_orderkey % 100 < 2")))
         .rows("customer").orderBy("c_custkey")),
 
+    // HASH-SAMPLED slice — the most common production use of the
+    // reference ("give me a consistent N% of prod"): roots are a
+    // deterministic md5 draw over the root key (the reference does
+    // this with a WHERE on the root; the sample is stable across
+    // re-runs and across row additions — a key's membership never
+    // changes), and the FK walk pulls each sampled customer's FULL
+    // transactional closure, so the sample is referentially
+    // consistent, not a per-table row sample (the thing naive
+    // TABLESAMPLE gets wrong). Returns the sampled cohort's orders.
+    "slice_sample_orders" -> ((s, dir) =>
+      slicer(s, dir)
+        .run(Seq(SliceRoot("customer",
+          "substring(md5(cast(c_custkey as string)), 1, 1) = '0'")))
+        .rows("orders").orderBy("o_orderkey")),
+
     // Reverse refs: customer roots pull their orders, orders their
     // lineitems; returns the sliced lineitem rows.
     "slice_rev_lineitem" -> ((s, dir) =>
@@ -168,6 +183,12 @@ object SliceQueries {
       s"""SELECT * FROM customer WHERE c_custkey IN
          (SELECT o_custkey FROM orders WHERE o_orderkey % 100 < 2)
          ORDER BY c_custkey""",
+
+    "slice_sample_orders" ->
+      s"""SELECT * FROM orders WHERE o_custkey IN
+         (SELECT c_custkey FROM customer
+          WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0')
+         ORDER BY o_orderkey""",
 
     "slice_rev_lineitem" -> s"$liSql ORDER BY l_orderkey, l_linenumber",
 
