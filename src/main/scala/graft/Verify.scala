@@ -4,12 +4,16 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. Optional
   * args beyond (sfDir, outDir) name a query subset — the local dev
-  * loop (tools/gate.sh q1 q2) dumps only those instead of all ~200;
-  * the driver's two-arg contract is unchanged. */
+  * loop (tools/gate.sh <sfDir> <outDir> q1 q2) dumps only those
+  * instead of all ~200; the driver's two-arg contract is unchanged.
+  * Unknown names fail fast: a typo'd subset would otherwise dump
+  * nothing and let check.py report a green "0 pass, 0 fail". */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

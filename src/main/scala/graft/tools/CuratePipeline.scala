@@ -110,7 +110,15 @@ object CuratePipeline {
           .select(col("doc_id"), graft.queries.Dedup.shingleHashCol(col("text")).as("sh"))
         val poolSh = near0.select(col("doc_id"),
           graft.queries.Dedup.shingleHashCol(col("text")).as("sh"))
-        val leaked = graft.queries.Dedup.contaminatedIds(poolSh, benchSh, minJac = 0.5)
+        // the drop list is a tiny doc_id set whose plan embeds the
+        // whole pipeline-so-far twice (both band sides) — checkpoint
+        // it so the downstream count/strip/export actions re-read a
+        // materialized set instead of re-running near-dedup per action
+        val leaked = graft.queries.Dedup
+          .contaminatedIds(poolSh, benchSh, minJac = 0.5)
+          .localCheckpoint(true)
+        graft.CacheBook.register(spark, "curate")(
+          () => graft.CacheBook.unpersistCheckpoint(leaked))
         val kept = near0.join(leaked, Seq("doc_id"), "left_anti")
         stages += "after_decontaminate" -> kept.count()
         kept
