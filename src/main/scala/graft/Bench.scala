@@ -25,26 +25,29 @@ import org.apache.spark.sql.SparkSession
   * SECOND time and both samples are reported — `queries` always keeps
   * the first (honest) sample; `retries`/`retryCpuSec` carry the warm
   * second sample. A transient contention spike shows a fast retry; a
-  * real regression stays slow twice. `retryKind` qualifies each retry:
-  * "cache-read" when the query's family scope held live memoized
-  * caches at retry time (the retry read warm state the first sample
-  * built — fast-retry then proves nothing about a regression, and a
-  * reader must not treat it as a clean re-run), "clean" otherwise.
-  * NOTE "cache-read" means "the family scope held live caches", not
-  * "this query read one" — a conservative over-label (a per-query
-  * memo-touch set would be precise).
+  * real regression stays slow twice. `retryKind` qualifies each retry
+  * PRECISELY (round 12): the warm retry runs under a CacheBook touch
+  * trace, and it is "cache-read" iff it actually READ at least one
+  * named memo that was live when it started (fast-retry then proves
+  * nothing about a regression), "clean" otherwise. `retryTouched`
+  * carries the touched live memo names per retry, so a slow
+  * "cache-read" retry is diagnosable from the artifact (which warm
+  * state it read — and, by elimination, which expensive subtree the
+  * memos do NOT cover).
   *
   * CLEAN RETRIES: a cache-read retry cannot falsify a regression on a
   * memoized/build query (every r08 retry was cache-read — the
   * over-budget build entries stayed undecidable). So whenever the warm
-  * retry ran cache-read, the family scope is RELEASED (CacheBook holds
-  * every thunk) and a third, `clean` sample re-runs the query from
-  * cold: regression vs contention is then decidable from the artifact
-  * alone (`retriesClean` / `retriesCleanCpuSec` / `retriesCleanJobs`).
-  * The clean retry rebuilds — and re-registers — whatever memos the
-  * query actually uses, so later family entries still find those
-  * caches; memos it does NOT touch rebuild lazily in their next
-  * consumer (visible there as wall+cpu up together).
+  * retry ran cache-read, EXACTLY the touched live memos are released
+  * ([[CacheBook.releaseNamed]]) and a third, `clean` sample re-runs
+  * the query from cold: regression vs contention is then decidable
+  * from the artifact alone (`retriesClean` / `retriesCleanCpuSec` /
+  * `retriesCleanJobs`). The clean retry rebuilds — and re-registers —
+  * every memo it touches, and NO OTHER memo moves: the r9-r11 cascade
+  * (a whole-family release on one flake re-pricing every later
+  * same-family entry as a first touch) is structurally impossible —
+  * a forced flake on one entry changes no downstream entry's job
+  * count (BenchRetrySpec pins this against live memos).
   *
   * READING a clean retry: for a *_build entry (whose budget already
   * includes its builds) the clean sample compares directly against
@@ -53,6 +56,17 @@ import org.apache.spark.sql.SparkSession
   * touches — compare its cpuSec against the corresponding *_build
   * budget cpu plus the probe budget, not the probe budget alone. */
 object Bench {
+
+  /** The retry-classification/release contract, factored out so
+    * BenchRetrySpec can pin it: a warm retry is a cache-read iff its
+    * traced touches intersect the memos live at its start, and the
+    * clean retry releases EXACTLY that intersection — never a whole
+    * scope. (Memos the retry built itself — impossible after a
+    * successful first sample, but defensively — are not released:
+    * they are not pre-existing warm state.) */
+  def retryReleaseSet(liveBefore: Set[(String, String)],
+      touched: Seq[(String, String)]): Set[(String, String)] =
+    touched.toSet.intersect(liveBefore)
 
   private final class Metrics extends SparkListener {
     val jobs = new AtomicLong
@@ -171,6 +185,7 @@ object Bench {
     }
     val retries = collection.mutable.Map.empty[String, Sample]
     val retryKind = collection.mutable.Map.empty[String, String]
+    val retryTouched = collection.mutable.Map.empty[String, String]
     val retriesClean = collection.mutable.Map.empty[String, Sample]
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val s1 = timed(name, fn)
@@ -183,15 +198,15 @@ object Bench {
       if (!errors.contains(name)
           && budget.get(name).exists(b =>
             s1.sec > math.max(retryK * b, retryFloor))) {
-        // warm-state honesty: if the family scope holds live memoized
-        // caches, this retry reads state the first sample built — its
-        // timing is a cache-read, NOT a clean re-run, and must be
-        // labeled so the driver's reading rules don't compare it.
-        // ("cache-read" = the family scope was live, not proof THIS
-        // query read a cache — conservative over-label.)
-        val warmScope = CacheBook.liveScopes(spark).contains(family(name))
-        val kind = if (warmScope) "cache-read" else "clean"
-        val r = timed(name, fn)
+        // warm-state honesty, measured not guessed: trace which named
+        // memos the retry actually READS. It is a cache-read iff its
+        // touch set intersects the memos live when it started — a
+        // query whose warm state never covered its expensive subtree
+        // (the r11 d_dedup_eval mislabel) now classifies by evidence.
+        val liveBefore = CacheBook.liveNamed(spark)
+        val (r, touched) = CacheBook.traced { timed(name, fn) }
+        val hits = Bench.retryReleaseSet(liveBefore, touched)
+        val kind = if (hits.nonEmpty) "cache-read" else "clean"
         if (errors.contains(name)) {
           System.err.println(
             s"[bench] diagnostic retry of $name failed: ${errors(name)} — " +
@@ -199,12 +214,18 @@ object Bench {
           errors.remove(name)
         } else {
           retries(name) = r; retryKind(name) = kind
+          if (hits.nonEmpty)
+            retryTouched(name) = hits.toSeq.sorted
+              .map { case (sc, nm) => s"$sc/$nm" }.mkString(",")
           // a cache-read retry can't falsify a regression on a memoized
-          // query: release the family's caches and take a CLEAN sample
-          // too — the rebuild re-registers every memo the query uses,
-          // so later family entries still find their caches
-          if (warmScope) {
-            CacheBook.release(spark, family(name)); System.gc()
+          // query: release EXACTLY the memos it touched (no other
+          // entry's warm state moves — the whole-family release
+          // cascaded first-touch rebuilds through every later
+          // same-family entry in r9-r11) and take a CLEAN sample; the
+          // re-run rebuilds and re-registers those same memos, so
+          // every later consumer still finds them standing.
+          if (hits.nonEmpty) {
+            CacheBook.releaseNamed(spark, hits); System.gc()
             val rc = timed(name, fn)
             if (errors.contains(name)) {
               System.err.println(
@@ -239,13 +260,14 @@ object Bench {
     val rs = obj(retries.toSeq.sortBy(_._1).map { case (k, s) => k -> sec(s.sec) })
     val rcs = obj(retries.toSeq.sortBy(_._1).map { case (k, s) => k -> sec(s.cpuSec) })
     val rks = obj(retryKind.toSeq.sortBy(_._1).map { case (k, v) => k -> q(v) })
+    val rts = obj(retryTouched.toSeq.sortBy(_._1).map { case (k, v) => k -> q(v) })
     val rcl = obj(retriesClean.toSeq.sortBy(_._1).map { case (k, s) => k -> sec(s.sec) })
     val rclc = obj(retriesClean.toSeq.sortBy(_._1).map { case (k, s) => k -> sec(s.cpuSec) })
     val rclj = obj(retriesClean.toSeq.sortBy(_._1).map { case (k, s) => k -> s.jobs.toString })
     val es = obj(errors.toSeq.sortBy(_._1).map { case (k, v) => k -> q(v) })
     val total = results.map(_._2.sec).sum
     val json =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"jobs":$js,"cpuSec":$cs,"retries":$rs,"retryCpuSec":$rcs,"retryKind":$rks,"retriesClean":$rcl,"retriesCleanCpuSec":$rclc,"retriesCleanJobs":$rclj,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"jobs":$js,"cpuSec":$cs,"retries":$rs,"retryCpuSec":$rcs,"retryKind":$rks,"retryTouched":$rts,"retriesClean":$rcl,"retriesCleanCpuSec":$rclc,"retriesCleanJobs":$rclj,"errors":$es,"sf":"$sfDir"}"""
     // a line-capture of stdout can truncate a long JSON line (BENCH_r03
     // lost 9 queries + the total that way) — ALSO persist it to a file
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

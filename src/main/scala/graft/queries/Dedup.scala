@@ -65,10 +65,10 @@ object Dedup {
     * build-side dedup memos live in bench scope "d" (released after the
     * d_* family); the final label table lives in scope "x" (x_canon, the
     * alphabetically-late consumer, still needs it). */
-  private def book(s: SparkSession, dir: String, scope: String,
+  private def book(s: SparkSession, dir: String, scope: String, name: String,
       cache: collection.mutable.Map[(SparkSession, String), graft.Once[DataFrame]],
       df: DataFrame, checkpointed: Boolean = false): DataFrame = {
-    graft.CacheBook.register(s, scope) { () =>
+    graft.CacheBook.register(s, scope, name) { () =>
       Dedup.synchronized { cache.remove((s, dir)) }
       if (checkpointed) graft.CacheBook.unpersistCheckpoint(df)
       else df.unpersist(false)
@@ -77,7 +77,8 @@ object Dedup {
     df
   }
 
-  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+  private def shingleSets(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheBook.touch(s, "d", "shingles")
     synchronized { shCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       // One custom codegen Expression builds the sorted distinct hash
       // array per doc (ShingleHashSet; spec-verified identical to the
@@ -107,8 +108,9 @@ object Dedup {
       // only after a successful count)
       try sh.count()
       catch { case e: Throwable => sh.unpersist(false); throw e }
-      book(s, dir, "d", shCache, sh)
+      book(s, dir, "d", "shingles", shCache, sh)
     })) }.value
+  }
 
   private val jacCache =
     collection.mutable.Map.empty[(SparkSession, String), graft.Once[DataFrame]]
@@ -143,7 +145,8 @@ object Dedup {
     * blocks — shared verbatim by d_ngram_jaccard (reports them) and
     * d_cluster (uses them as edges). Post-threshold the relation is
     * tiny, so it persists whole. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheBook.touch(s, "d", "jaccard")
     synchronized { jacCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       import s.implicits._
       val sh = boundedBlocks(shingleSets(s, dir), BlockCap)
@@ -202,8 +205,9 @@ object Dedup {
       // race and compute the pairwise join several times
       try pairs.count()
       catch { case e: Throwable => pairs.unpersist(false); throw e }
-      book(s, dir, "d", jacCache, pairs)
+      book(s, dir, "d", "jaccard", jacCache, pairs)
     })) }.value
+  }
 
   private val mhCache =
     collection.mutable.Map.empty[(SparkSession, String), graft.Once[DataFrame]]
@@ -212,15 +216,17 @@ object Dedup {
     * → exact-Jaccard verify) — shared by d_minhash_lsh (reports them)
     * and d_dedup_eval (compares them against the blocked pass), so the
     * signature aggregation runs once per (session, corpus). */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheBook.touch(s, "d", "minhash")
     synchronized { mhCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val pairs = lshPairs(shingleSets(s, dir), minJac = 0.2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // eager: consumers fan out into racing union branches
       try pairs.count()
       catch { case e: Throwable => pairs.unpersist(false); throw e }
-      book(s, dir, "d", mhCache, pairs)
+      book(s, dir, "d", "minhash", mhCache, pairs)
     })) }.value
+  }
 
   /** MinHash-LSH near-dup pairs over any (doc_id, sh) frame where `sh`
     * is a SORTED distinct shingle-hash array (ShingleHashSet output):
@@ -275,13 +281,17 @@ object Dedup {
     val s = sh.sparkSession
     val key = (s, System.identityHashCode(sh.queryExecution.logical),
       sh.semanticHash())
+    // the touch/release name carries the full key: several band tables
+    // can be live at once (d_dedup_eval's variants), and a clean retry
+    // must drop only the one the retried query read
+    graft.CacheBook.touch(s, "d", s"bands:${key._2}:${key._3}")
     synchronized {
       bandCache.getOrElseUpdate(key, new graft.Once(() => {
         val b = bandsOf(sh)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try b.count()
         catch { case e: Throwable => b.unpersist(false); throw e }
-        graft.CacheBook.register(s, "d") { () =>
+        graft.CacheBook.register(s, "d", s"bands:${key._2}:${key._3}") { () =>
           Dedup.synchronized { bandCache.remove(key) }
           b.unpersist(false)
           ()
@@ -361,14 +371,16 @@ object Dedup {
     * queries share it. */
   private val tNewCache =
     collection.mutable.Map.empty[(SparkSession, String), graft.Once[Long]]
-  private def newDocThreshold(s: SparkSession, dir: String): Long =
+  private def newDocThreshold(s: SparkSession, dir: String): Long = {
+    graft.CacheBook.touch(s, "d", "tnew")
     synchronized { tNewCache.getOrElseUpdate((s, dir), new graft.Once(() => {
-      graft.CacheBook.register(s, "d") { () =>
+      graft.CacheBook.register(s, "d", "tnew") { () =>
         Dedup.synchronized { tNewCache.remove((s, dir)) }
         ()
       }
       docs(s, dir).agg(max("doc_id")).head().getLong(0) * 4 / 5
     })) }.value
+  }
 
   private val oldLblCache =
     collection.mutable.Map.empty[(SparkSession, String), graft.Once[DataFrame]]
@@ -379,20 +391,22 @@ object Dedup {
     * incremental job READS last night's labels, it never recomputes
     * them, so their construction is a build artifact (priced in
     * d_build), not incremental-query latency. */
-  private def standingLabels(s: SparkSession, dir: String): DataFrame =
+  private def standingLabels(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheBook.touch(s, "d", "standing_labels")
     synchronized { oldLblCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val t = newDocThreshold(s, dir)
       // a < b on every pair, so "both endpoints old" is just b < t
       val lbl = ConnectedComponents.run(
         minhashPairs(s, dir).filter(col("b") < t).select("a", "b"))
         .localCheckpoint(true)
-      graft.CacheBook.register(s, "d") { () =>
+      graft.CacheBook.register(s, "d", "standing_labels") { () =>
         Dedup.synchronized { oldLblCache.remove((s, dir)) }
         graft.CacheBook.unpersistCheckpoint(lbl)
         ()
       }
       lbl
     })) }.value
+  }
 
   private val exactCache =
     collection.mutable.Map.empty[(SparkSession, String), graft.Once[DataFrame]]
@@ -400,7 +414,8 @@ object Dedup {
   /** Memoized exact-dup pairs over the twin corpus (normalize → hash →
     * window-min canonical) — shared by d_exact (reports them) and
     * d_cluster (uses them as edges). */
-  private def exactPairs(s: SparkSession, dir: String): DataFrame =
+  private def exactPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheBook.touch(s, "d", "exact_pairs")
     synchronized { exactCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val d = docs(s, dir)
       val corpus = d.select(col("doc_id"), col("text"))
@@ -411,12 +426,13 @@ object Dedup {
       // canonical-per-group via a window: ONE shuffle on the hash, no
       // groupBy + self-join (which scans and md5s the corpus twice)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
-      book(s, dir, "d", exactCache,
+      book(s, dir, "d", "exact_pairs", exactCache,
         hashed.withColumn("dup_of", min("doc_id").over(w))
           .filter(col("doc_id") =!= col("dup_of"))
           .select("doc_id", "dup_of")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })) }.value
+  }
 
   private val sqlShingleSets =
     s"""SELECT doc_id, lang, n_chars // 100 AS lb,
@@ -855,14 +871,16 @@ object Dedup {
     * pairs) — d_cluster and d_cluster_stars run different component
     * algorithms over the SAME edges, so the union is checkpointed once
     * per (session, corpus). */
-  private def clusterEdges(s: SparkSession, dir: String): DataFrame =
+  private def clusterEdges(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheBook.touch(s, "d", "cluster_edges")
     synchronized { edgeCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val ePairs = exactPairs(s, dir)
         .select(col("dup_of").as("a"), col("doc_id").as("b"))
-      book(s, dir, "d", edgeCache,
+      book(s, dir, "d", "cluster_edges", edgeCache,
         ePairs.union(jaccardPairs(s, dir).select("a", "b")).localCheckpoint(true),
         checkpointed = true)
     })) }.value
+  }
 
   private val labelCache =
     collection.mutable.Map.empty[(SparkSession, String), graft.Once[DataFrame]]
@@ -883,7 +901,8 @@ object Dedup {
     * canonical). At corpus scale the exact stars are the bulk of the
     * edge volume, so the propagation loop runs on a graph orders of
     * magnitude smaller — the standard production-dedup shape. */
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheBook.touch(s, "x", "cluster_labels")
     synchronized { labelCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       // prefetch the heavy memoized inputs BEFORE taking the conf lock:
       // holding confLock through a shingle/Jaccard build would block
@@ -897,10 +916,11 @@ object Dedup {
         val widthKey = "spark.sql.shuffle.partitions"
         val prevWidth = s.conf.get(widthKey)
         s.conf.set(widthKey, sys.env.getOrElse("SPARK_GRAFT_CC_PARTITIONS", "8"))
-        try book(s, dir, "x", labelCache, clusterLabelsBody(s, dir), checkpointed = true)
+        try book(s, dir, "x", "cluster_labels", labelCache, clusterLabelsBody(s, dir), checkpointed = true)
         finally s.conf.set(widthKey, prevWidth)
       }
     })) }.value
+  }
 
   private def clusterLabelsBody(s: SparkSession, dir: String): DataFrame = {
       val ex = exactPairs(s, dir) // (doc_id, dup_of): non-canonical members only

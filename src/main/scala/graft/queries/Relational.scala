@@ -134,7 +134,10 @@ object Relational {
       // evict with the "q" family scope: a long-lived JVM cycling
       // parent sessions must not pin each one's child SessionState in
       // this static map forever (rebuilding the child later is cheap)
-      graft.CacheBook.register(s, "q") { () =>
+      // named but UNTOUCHED: a planner-conf child session is not data
+      // warm state — it must not classify a q_bloom_join retry as
+      // cache-read, and a clean retry has nothing to gain by dropping it
+      graft.CacheBook.register(s, "q", "bloom_session") { () =>
         Relational.synchronized { bloomSessions.remove(s) }
         ()
       }

@@ -250,30 +250,34 @@ object Similarity {
     * exactly once per session however many entries consume it. */
   private def memoAnn(name: String)(
       body: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
-    (s, dir) => synchronized {
-      annCache.getOrElseUpdate((s, dir, name), new graft.Once(() => {
-        val r = body(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // unpersist on a failed materialization: otherwise partially
-        // cached blocks linger with no registered release and the retry
-        // persists a SECOND plan over the leaked one
-        try r.count()
-        catch { case e: Throwable => r.unpersist(false); throw e }
-        graft.CacheBook.register(s, "s") { () =>
-          Similarity.synchronized { annCache.remove((s, dir, name)) }
-          r.unpersist(false)
-          ()
-        }
-        r
-      }))
-    }.value
+    (s, dir) => {
+      graft.CacheBook.touch(s, "s", s"ann:$name")
+      synchronized {
+        annCache.getOrElseUpdate((s, dir, name), new graft.Once(() => {
+          val r = body(s, dir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // unpersist on a failed materialization: otherwise partially
+          // cached blocks linger with no registered release and the retry
+          // persists a SECOND plan over the leaked one
+          try r.count()
+          catch { case e: Throwable => r.unpersist(false); throw e }
+          graft.CacheBook.register(s, "s", s"ann:$name") { () =>
+            Similarity.synchronized { annCache.remove((s, dir, name)) }
+            r.unpersist(false)
+            ()
+          }
+          r
+        }))
+      }.value
+    }
 
   /** Memoized brute-force cosine top-k — the ground-truth ranking. Five
     * recall queries compare an ANN path against this same baseline, so
     * it materializes once per (session, corpus) (computing ground truth
     * once and reusing it across evals is the standard ANN-benchmark
     * shape); released with the "s" family scope. */
-  private def bfTopk(s: SparkSession, dir: String): DataFrame =
+  private def bfTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheBook.touch(s, "s", "bf_topk")
     synchronized { bfCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val e = vecs(s, dir)
       val q = broadcast(e.filter(col("vec_id") < NQueries)
@@ -284,13 +288,14 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try r.count()
       catch { case e2: Throwable => r.unpersist(false); throw e2 }
-      graft.CacheBook.register(s, "s") { () =>
+      graft.CacheBook.register(s, "s", "bf_topk") { () =>
         Similarity.synchronized { bfCache.remove((s, dir)) }
         r.unpersist(false)
         ()
       }
       r
     })) }.value
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
       Map[String, (SparkSession, String) => DataFrame](
@@ -1386,12 +1391,14 @@ object Similarity {
     * artifact once per (session, corpus) — the temp-dir stand-in for
     * the nightly build's output location. Released with the "s" scope
     * (artifact deleted, next call rewrites). */
-  private def ivfStorePath(s: SparkSession, dir: String): String = synchronized {
+  private def ivfStorePath(s: SparkSession, dir: String): String = {
+    graft.CacheBook.touch(s, "s", "ivf_store")
+    synchronized {
     storeCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
       val path = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString
       graft.sources.AnnIndexStore.write(path, cents, assigned)
-      graft.CacheBook.register(s, "s") { () =>
+      graft.CacheBook.register(s, "s", "ivf_store") { () =>
         Similarity.synchronized { storeCache.remove((s, dir)) }
         // Hadoop delete, not java.io: the store path is a filesystem
         // URI in production (hdfs://, s3a://)
@@ -1402,6 +1409,7 @@ object Similarity {
       path
     }))
   }.value
+  }
 
   private val ivfCache = collection.mutable
     .Map.empty[(SparkSession, String, Boolean), graft.Once[(DataFrame, DataFrame)]]
@@ -1418,7 +1426,9 @@ object Similarity {
     * the same assignment — in one session the O(N*K) build runs once,
     * not three times. */
   def buildIvfIndex(s: SparkSession, dir: String,
-      refine: Boolean = false): (DataFrame, DataFrame) = synchronized {
+      refine: Boolean = false): (DataFrame, DataFrame) = {
+    graft.CacheBook.touch(s, "s", s"ivf:$refine")
+    synchronized {
     ivfCache.getOrElseUpdate((s, dir, refine), new graft.Once(() => {
       val e = vecs(s, dir)
       val seed = e
@@ -1445,7 +1455,7 @@ object Similarity {
         .select("vec_id", "label", "v", "n", "cid")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       assigned.count()
-      graft.CacheBook.register(s, "s") { () =>
+      graft.CacheBook.register(s, "s", s"ivf:$refine") { () =>
         Similarity.synchronized { ivfCache.remove((s, dir, refine)) }
         assigned.unpersist(false); cents0.unpersist(false)
         ()
@@ -1453,6 +1463,7 @@ object Similarity {
       (cents, assigned)
     }))
   }.value
+  }
 
   /** Query-many half: probe the NProbe nearest cells per query, exact
     * search within. `cents`/`assigned` may be freshly built or reloaded
@@ -1478,7 +1489,8 @@ object Similarity {
     * — its lineage is a full-corpus md5 sort that every broadcast
     * consumer (probe, old assignment, delta assignment) would
     * otherwise re-run (the buildIvfIndex cents0 discipline). */
-  private[graft] def oldSeed(s: SparkSession, dir: String): (Long, DataFrame) =
+  private[graft] def oldSeed(s: SparkSession, dir: String): (Long, DataFrame) = {
+    graft.CacheBook.touch(s, "s", "old_seed")
     synchronized { seedCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val e = vecs(s, dir)
       val tNew = e.agg(max("vec_id")).head().getLong(0) * 4 / 5
@@ -1489,13 +1501,14 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try seed.count()
       catch { case t: Throwable => seed.unpersist(false); throw t }
-      graft.CacheBook.register(s, "s") { () =>
+      graft.CacheBook.register(s, "s", "old_seed") { () =>
         Similarity.synchronized { seedCache.remove((s, dir)) }
         seed.unpersist(false)
         ()
       }
       (tNew, seed)
     })) }.value
+  }
 
   /** Assign a vector frame to a standing centroid table (argmax cosine,
     * cid tie-break) — the per-vector-independent kernel shared by the
@@ -1562,19 +1575,21 @@ object Similarity {
     * (scoring restricted to the IVF-probed cells). Memoized per
     * (session, corpus), released with the "s" family scope: the Lloyd
     * loop + encoding is the expensive half of every PQ query. */
-  private def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.CacheBook.touch(s, "s", "pq_model")
     synchronized { pqCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val (codes, lut) = pqModelBody(s, dir)
       val codesP = codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lutP = lut.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       codesP.count(); lutP.count()
-      graft.CacheBook.register(s, "s") { () =>
+      graft.CacheBook.register(s, "s", "pq_model") { () =>
         Similarity.synchronized { pqCache.remove((s, dir)) }
         codesP.unpersist(false); lutP.unpersist(false)
         ()
       }
       (codesP, lutP)
     })) }.value
+  }
 
   private def pqModelBody(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
       val e = vecs(s, dir)

@@ -27,17 +27,19 @@ object SliceQueries {
     * the BFS actions, it holds no row data). */
   private val custSlices =
     collection.mutable.Map.empty[(SparkSession, String), graft.operators.SliceResult]
-  private def custSlice(s: SparkSession, dir: String): graft.operators.SliceResult =
+  private def custSlice(s: SparkSession, dir: String): graft.operators.SliceResult = {
+    graft.CacheBook.touch(s, "slice", "cust_slice")
     custSlices.synchronized {
       custSlices.getOrElseUpdate((s, dir), {
         // evicted together with the Slicer-registered key frames: after a
         // "slice"-scope release the compacted checkpoints are gone, so a
         // stale SliceResult handle must not survive the frames it wraps
-        graft.CacheBook.register(s, "slice")(() =>
+        graft.CacheBook.register(s, "slice", "cust_slice")(() =>
           { custSlices.synchronized { custSlices.remove((s, dir)) }; () })
         slicer(s, dir).run(custRoots)
       })
     }
+  }
   // DuckDB mirrors of each hop of the custRoots discovery
   private val custSql = "SELECT c_custkey FROM customer WHERE c_custkey % 50 = 7"
   private val ordSql  = s"SELECT o_orderkey FROM orders WHERE o_custkey IN ($custSql)"

@@ -36,23 +36,26 @@ object TextAnalysis {
     .Map.empty[(SparkSession, String, String), graft.Once[DataFrame]]
   private def memoX(name: String)(
       body: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
-    (s, dir) => TextAnalysis.synchronized {
-      xCache.getOrElseUpdate((s, dir, name), new graft.Once(() => {
-        val r = body(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // unpersist on a failed materialization: otherwise partially
-        // cached blocks linger with no registered release and the retry
-        // persists a SECOND plan over the leaked one
-        try r.count()
-        catch { case e: Throwable => r.unpersist(false); throw e }
-        graft.CacheBook.register(s, "x") { () =>
-          TextAnalysis.synchronized { xCache.remove((s, dir, name)) }
-          r.unpersist(false)
-          ()
-        }
-        r
-      }))
-    }.value
+    (s, dir) => {
+      graft.CacheBook.touch(s, "x", s"x:$name")
+      TextAnalysis.synchronized {
+        xCache.getOrElseUpdate((s, dir, name), new graft.Once(() => {
+          val r = body(s, dir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // unpersist on a failed materialization: otherwise partially
+          // cached blocks linger with no registered release and the retry
+          // persists a SECOND plan over the leaked one
+          try r.count()
+          catch { case e: Throwable => r.unpersist(false); throw e }
+          graft.CacheBook.register(s, "x", s"x:$name") { () =>
+            TextAnalysis.synchronized { xCache.remove((s, dir, name)) }
+            r.unpersist(false)
+            ()
+          }
+          r
+        }))
+      }.value
+    }
 
   /** Corpus bigram occurrences — BOTH sides of x_lm_score's salted
     * count join consume this relation. */
@@ -112,7 +115,7 @@ object TextAnalysis {
             .as("h"))
         .select(col("doc_id"), pmod(col("h"), lit(DsirBuckets.toLong)).as("b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.CacheBook.register(s, "x")(() => { feats.unpersist(false); () })
+      graft.CacheBook.register(s, "x", "x:dsir")(() => { feats.unpersist(false); () })
       val tgt = feats.filter(col("doc_id") < DsirBench)
         .groupBy("b").agg(count(lit(1)).as("tc"))
       val raw = feats.filter(col("doc_id") >= DsirBench)
@@ -1050,16 +1053,18 @@ object TextAnalysis {
     * the map entry. */
   private val bpeMemo = collection.mutable
     .Map.empty[(SparkSession, String), graft.Once[Seq[(String, String, Long)]]]
-  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String, Long)] =
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String, Long)] = {
+    graft.CacheBook.touch(s, "x", "bpe_merges")
     TextAnalysis.synchronized {
       bpeMemo.getOrElseUpdate((s, dir), {
-        graft.CacheBook.register(s, "x") { () =>
+        graft.CacheBook.register(s, "x", "bpe_merges") { () =>
           TextAnalysis.synchronized { bpeMemo.remove((s, dir)) }
           ()
         }
         new graft.Once(() => graft.operators.BpeVocab.learn(docs(s, dir), "text", 10))
       })
     }.value
+  }
 
   /** Separator character wrapping each BPE symbol in the string-encoded
     * form — absent from the corpus, so replace() on the wrapped pair
