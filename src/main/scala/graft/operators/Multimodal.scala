@@ -383,12 +383,17 @@ object Multimodal {
     * javax.sound.sampled (a real RIFF/WAVE artifact, not a byte
     * template). The formula is the shared contract between encoder,
     * decoder oracle and ScalaTest reference, like [[syntheticPng]]. */
-  def syntheticWav(docId: Long): Array[Byte] = {
+  def syntheticWav(docId: Long, perturb: Boolean = false): Array[Byte] = {
     val n = (256 + (docId * 13) % 512).toInt
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val v = (((docId + 11L * i) % 65536L) - 32768L).toInt
+      // perturb: nudge the first four samples' generator phase (+500,
+      // same mod wrap) — a sub-window retouch, so the fingerprint
+      // ([[audioFpChunks]]) moves by at most the two delta bits that
+      // reference window 0 (hamming <= 2, always band-findable)
+      val bump = if (perturb && i < 4) 500L else 0L
+      val v = (((docId + 11L * i + bump) % 65536L) - 32768L).toInt
       pcm(2 * i) = (v & 0xff).toByte
       pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
@@ -436,6 +441,55 @@ object Multimodal {
     import ids.sparkSession.implicits._
     rebalance(ids).mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
       decodeWav(id, syntheticWav(id))
+    }))
+  }
+
+  /** 64-bit audio fingerprint of a DECODED WAV, packed as four 16-bit
+    * chunks (the [[phashChunks]] layout, so the same banding serves
+    * both modalities): the PCM stream folds into 64 equal windows of
+    * summed |amplitude| (window of sample i is (i·64) div n — exact
+    * integer boundaries, n from the decoder's own frame count), and
+    * bit w is the ENERGY DELTA e(w) > e((w+1) mod 64) — the
+    * chromaprint shape (per-window feature, delta-coded, hamming
+    * compared) on the energy feature the decode path already proves.
+    * Delta coding is what localizes edits: a retouch confined to one
+    * window moves only the two bits that reference it. */
+  def audioFpChunks(bytes: Array[Byte]): Array[Long] = {
+    val ais = wavReader.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+      && !fmt.isBigEndian, s"unexpected WAV shape: $fmt")
+    val data = ais.readAllBytes()
+    val n = data.length / 2
+    val en = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val v = (((data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)).toShort).toInt
+      en(i * 64 / n) += math.abs(v)
+      i += 1
+    }
+    Array.tabulate(4) { ci =>
+      (0 until 16).foldLeft(0L) { (acc, j) =>
+        val w = ci * 16 + j
+        if (en(w) > en((w + 1) % 64)) acc | (1L << j) else acc
+      }
+    }
+  }
+
+  /** Fingerprint-chunk relation over the corpus PLUS a perturbed twin
+    * per clip (doc_id + 100000, the [[phashNearCorpus]] twin
+    * convention): each id's synthetic WAV and its four-sample retouch
+    * both run the REAL encode→decode→fingerprint path, so
+    * hamming-near audio pairs exist in the gate data by construction.
+    * Batched like [[decodeSyntheticWav]]. */
+  def audioFpCorpus(ids: Dataset[Long]): Dataset[PHashC] = {
+    import ids.sparkSession.implicits._
+    rebalance(ids).mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { id =>
+      val b = audioFpChunks(syntheticWav(id))
+      val t = audioFpChunks(syntheticWav(id, perturb = true))
+      Seq(PHashC(id, b(0), b(1), b(2), b(3)),
+        PHashC(id + 100000L, t(0), t(1), t(2), t(3)))
     }))
   }
 

@@ -30,6 +30,12 @@ object Curation {
   val DomainCap = 30
   /** x_weighted_sample: global sample size. */
   val SampleK = 25
+  /** x_dp_release noise-seed key (GRAFT_DP_PEPPER). Default "" =
+    * UNKEYED: the noise is then publicly invertible and the entry
+    * demonstrates only the mechanism's arithmetic — see the entry's
+    * caveat. Read once at class init so the Spark Columns and the
+    * emitted oracle SQL bake in the same key. */
+  private val DpPepper = sys.env.getOrElse("GRAFT_DP_PEPPER", "")
   /** Synthetic provenance vocab (the corpus carries no URLs — same
     * synthesize-then-operate pattern as x_redact_pii's contact lines):
     * registrable domains and the subdomain decoration the
@@ -269,15 +275,24 @@ object Curation {
     // engines evaluate identically — no transcendental, no float, no
     // rejection loop. Released counts clamp at 0. Cost: one map-side-
     // combined aggregate + a scalar projection over |cells| rows.
-    // Stated caveat (DpReleaseSpec doc too): the SEEDED draw makes the
-    // release reproducible — the determinism contract every graft op
-    // keeps, right for regression-tested test-env releases; a
-    // production privacy release draws fresh randomness per release
-    // and pays its ε from a tracked budget per re-release.
+    // PRIVACY caveat, stated bluntly (DpReleaseSpec doc too): with the
+    // default empty pepper the noise seed is md5 of the PUBLIC cell
+    // key — anyone can recompute both geometric draws and subtract the
+    // noise back out, so the release has NO privacy (ε = ∞ in effect);
+    // the entry then demonstrates only the mechanism's integer
+    // arithmetic, cross-engine-exact. Set GRAFT_DP_PEPPER to key the
+    // seed secretly — then a single release carries the stated ε = ln 2
+    // — but ANY deterministic per-key noise still breaks DP under
+    // composition: re-releasing after the data changes, or publishing
+    // two peppered variants, leaks through the fixed draw. A
+    // production release draws fresh randomness per release and pays
+    // its ε from a tracked budget; the pepper (when set) is baked into
+    // the emitted oracle SQL, so treat the oracle dump as test-env
+    // material, never a publishable artifact.
     "x_dp_release" -> ((s, dir) => {
       def geom(tag: String): org.apache.spark.sql.Column = {
         val v = Determinism.md5IdxK(
-          concat(lit(tag), col("lang"), lit("|"), col("source")), 6)
+          concat(lit(DpPepper), lit(tag), col("lang"), lit("|"), col("source")), 6)
         bit_count(v.bitwiseXOR(v + lit(1L))) - lit(1)
       }
       docs(s, dir).groupBy("lang", "source")
@@ -400,7 +415,8 @@ object Curation {
     // pure integer ops mirror the Column tree exactly
     "x_dp_release" -> {
       def g(tag: String) = {
-        val v = Determinism.sqlMd5IdxK(s"'$tag' || lang || '|' || source", 6)
+        val v = Determinism.sqlMd5IdxK(
+          s"'${DpPepper.replace("'", "''")}' || '$tag' || lang || '|' || source", 6)
         s"(bit_count(xor($v, $v + 1)) - 1)"
       }
       s"""WITH c AS (SELECT lang, source, count(*) AS n

@@ -64,9 +64,12 @@ object MultimodalQueries {
       Multimodal.frameLevels(
         Multimodal.blobs(s, Tables.load(s, dir, "documents")))
         .toDF()
+        // coalesce makes the first-frame contract EXPLICIT (lag is null
+        // there; a null diff is "no cut", not an accident of three-valued
+        // logic falling through to otherwise)
         .withColumn("cut",
-          when(abs(col("level") - lag(col("level"), 1).over(w)) >= 128, 1)
-            .otherwise(0))
+          when(coalesce(abs(col("level") - lag(col("level"), 1).over(w)),
+            lit(0)) >= 128, 1).otherwise(0))
         .withColumn("scene_id", sum(col("cut")).over(w).cast("int"))
         .groupBy("doc_id", "scene_id")
         .agg(min(col("frame_idx")).as("start_frame"),
@@ -151,6 +154,105 @@ object MultimodalQueries {
         .toDF().localCheckpoint(true)
       graft.CacheBook.register(s, "m")(() =>
         graft.CacheBook.unpersistCheckpoint(ph))
+      chunkNearDup(ph)
+    }),
+
+    // AUDIO NEAR-DUP at hamming ≤ 3 — the m_phash_near discipline on
+    // the audio modality: each clip's REAL-decoded PCM folds into a
+    // 64-bit per-window energy-delta fingerprint (chromaprint shape,
+    // operators/Multimodal.audioFpChunks), packed as the same four
+    // 16-bit chunks, so the identical pigeonhole banding finds every
+    // pair at hamming ≤ 3 with only (doc_id, 4 longs) crossing the
+    // shuffle — never PCM. The corpus is each document's synthetic WAV
+    // plus a four-sample-retouched twin (both through the real
+    // encode→decode path), so true near-pairs exist at gate scale; the
+    // retouch is sub-window, so delta coding bounds the twin's hamming
+    // at 2 (AudioFpSpec proves band recall on exactly that).
+    "m_audio_near" -> ((s, dir) => {
+      import s.implicits._
+      // same single-materialization discipline as m_phash_near: the
+      // fingerprint relation is tiny but its subtree is ~40k WAV
+      // encode+decode calls
+      val fp = Multimodal.audioFpCorpus(
+        Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])
+        .toDF().localCheckpoint(true)
+      graft.CacheBook.register(s, "m")(() =>
+        graft.CacheBook.unpersistCheckpoint(fp))
+      chunkNearDup(fp)
+    }),
+
+    // SCENE-KEYFRAME VIDEO DEDUP — how video dedup actually runs:
+    // m_scenes' segmentation picks each scene's keyframe, a 64-bit
+    // keyframe fingerprint (64 content-derived patch levels, delta-
+    // coded — the audioFp bit rule at frame granularity) packs into
+    // the same four 16-bit chunks, and the m_phash_near banding finds
+    // CROSS-VIDEO scene pairs at hamming ≤ 3. Only (scene id, 4 longs)
+    // crosses the candidate shuffle — never frames, never pixels; the
+    // per-video window is codec-bounded exactly as in m_scenes. The
+    // corpus adds a twin per video (same frames, every keyframe's
+    // patch 0 retouched) so true shared-scene pairs exist at gate
+    // scale; delta coding bounds each twin scene's hamming at 2.
+    "m_scene_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      val lv0 = Multimodal.frameLevels(
+        Multimodal.blobs(s, Tables.load(s, dir, "documents"))).toDF()
+      // twin = the SAME frame stream re-tagged (+100000): scenes align
+      // exactly, so near-dup pairs are decided at the keyframe layer
+      val lv = lv0.unionByName(lv0.select((col("doc_id") + 100000L).as("doc_id"),
+        col("frame_idx"), col("level")))
+      val scenes = lv
+        .withColumn("cut",
+          when(coalesce(abs(col("level") - lag(col("level"), 1).over(w)),
+            lit(0)) >= 128, 1).otherwise(0))
+        .withColumn("scene_id", sum(col("cut")).over(w).cast("int"))
+        .groupBy("doc_id", "scene_id")
+        .agg(min(col("frame_idx")).as("start_frame"))
+      val vh0 = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      val vh = vh0.unionByName(vh0.select((col("doc_id") + 100000L).as("doc_id"), col("h")))
+      // 64 patch levels per keyframe off the video content hash (the
+      // frameLevels determinism contract at patch granularity); the
+      // twin's patch 0 is retouched — a sub-signature edit, like
+      // m_phash_near's one-pixel retouch
+      def patch(idx: org.apache.spark.sql.Column) = {
+        val base = pmod(graft.functions.Determinism.md5IdxK(
+          concat(col("h"), lit("#"), col("start_frame").cast("string"),
+            lit(":"), idx.cast("string")), 6), lit(256L))
+        when(col("doc_id") >= 100000L && idx === 0,
+          pmod(base + 8, lit(256L))).otherwise(base)
+      }
+      val pj = scenes.join(vh, "doc_id")
+        .select(col("doc_id"), col("scene_id"), col("start_frame"), col("h"),
+          explode(sequence(lit(0), lit(63))).as("j"))
+      val bits = pj.withColumn("bit",
+        (patch(col("j")) > patch(pmod(col("j") + 1, lit(64)))).cast("long"))
+      val chunkAggs = (0 to 3).map(ci =>
+        sum(when(col("j").between(ci * 16, ci * 16 + 15),
+          col("bit") * expr("shiftleft(1L, CAST(j % 16 AS INT))"))
+          .otherwise(0L)).as(s"c$ci"))
+      val sigs = bits.groupBy("doc_id", "scene_id")
+        .agg(chunkAggs.head, chunkAggs.tail: _*)
+      // flatten (video, scene) into one band id (scene_id < 64 << 1000)
+      val sid = sigs.select((col("doc_id") * 1000 + col("scene_id")).as("doc_id"),
+        col("c0"), col("c1"), col("c2"), col("c3"))
+      chunkNearDup(sid)
+        .filter(expr("a div 1000") =!= expr("b div 1000")) // cross-video only
+        .select(expr("a div 1000").as("video_a"),
+          (col("a") % 1000).cast("int").as("scene_a"),
+          expr("b div 1000").as("video_b"),
+          (col("b") % 1000).cast("int").as("scene_b"), col("dist"))
+        .orderBy("video_a", "scene_a", "video_b", "scene_b")
+    })
+  )
+
+  /** The shared 4×16-bit-chunk near-dup pipeline behind m_phash_near
+    * and m_audio_near: collapse identical-chunk groups to a
+    * representative, band on each chunk (pigeonhole-complete for
+    * hamming ≤ 3), verify with four xor+popcount terms, expand back to
+    * member pairs. Input: (doc_id, c0, c1, c2, c3). Output:
+    * (a, b, dist) at dist ≤ 3. */
+  private def chunkNearDup(ph: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val hk = Seq("c0", "c1", "c2", "c3")
       val grp = ph.groupBy(hk.map(col): _*).agg(min("doc_id").as("rep"))
       val bands = grp.select(col("rep") +: hk.map(col) :+
@@ -188,8 +290,7 @@ object MultimodalQueries {
         .select(col("u.doc_id").as("a"), col("v.doc_id").as("b"),
           lit(0).cast("int").as("dist"))
       cross.union(within).orderBy("a", "b")
-    })
-  )
+  }
 
   private def f(seedSql: String): String = Determinism.sqlMd5IdxK(seedSql, 6)
 
@@ -359,6 +460,108 @@ object MultimodalQueries {
                AS INT) AS dist
            FROM cand JOIN ph pa ON pa.doc_id = cand.a
              JOIN ph pb ON pb.doc_id = cand.b)
-         WHERE dist <= 3 ORDER BY a, b"""
+         WHERE dist <= 3 ORDER BY a, b""",
+
+    // audio fingerprint near-dup: regenerate each clip's PCM from the
+    // shared sample formula (the decode oracle's contract), fold the
+    // 64 window energies, delta-code the bits, then the same banded
+    // candidate + popcount verify as m_phash_near
+    "m_audio_near" ->
+      """WITH base AS (SELECT doc_id, doc_id AS id, false AS tw FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, doc_id, true FROM documents),
+         smp AS (SELECT b.doc_id,
+             abs(((b.id + 11 * t.i
+               + CASE WHEN b.tw AND t.i < 4 THEN 500 ELSE 0 END) % 65536)
+               - 32768) AS av,
+             ((t.i * 64) // (256 + (b.id * 13) % 512)) AS w
+           FROM base b, unnest(range(0, 256 + (b.id * 13) % 512)) AS t(i)),
+         en AS (SELECT doc_id, w, sum(av) AS e FROM smp GROUP BY doc_id, w),
+         bits AS (SELECT a.doc_id, a.w,
+             CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+           FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.w = (a.w + 1) % 64),
+         ch AS (SELECT doc_id, w // 16 AS ci,
+             CAST(sum(CASE WHEN bit = 1 THEN 1 << (w % 16) ELSE 0 END)
+               AS BIGINT) AS cv
+           FROM bits GROUP BY doc_id, w // 16),
+         ph AS (SELECT doc_id,
+             max(CASE WHEN ci = 0 THEN cv END) AS c0,
+             max(CASE WHEN ci = 1 THEN cv END) AS c1,
+             max(CASE WHEN ci = 2 THEN cv END) AS c2,
+             max(CASE WHEN ci = 3 THEN cv END) AS c3
+           FROM ch GROUP BY doc_id),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM ch x JOIN ch y
+           ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id)
+         SELECT a, b, dist FROM (
+           SELECT cand.a, cand.b,
+             CAST(bit_count(xor(pa.c0, pb.c0)) + bit_count(xor(pa.c1, pb.c1))
+               + bit_count(xor(pa.c2, pb.c2)) + bit_count(xor(pa.c3, pb.c3))
+               AS INT) AS dist
+           FROM cand JOIN ph pa ON pa.doc_id = cand.a
+             JOIN ph pb ON pb.doc_id = cand.b)
+         WHERE dist <= 3 ORDER BY a, b""",
+
+    // scene-keyframe dedup: the m_scenes CTEs segment base + twin,
+    // 64 delta-coded patch levels fingerprint each keyframe (twin's
+    // patch 0 retouched +8), then the m_phash_near band/verify over
+    // (video*1000+scene) ids, cross-video pairs only
+    "m_scene_dedup" -> {
+      val fh = (seed: String) => Determinism.sqlMd5IdxK(seed, 6)
+      s"""WITH nf AS (SELECT doc_id, md5(text) AS h,
+             CAST(1 + ${fh("md5(text) || 'f'")} % 64 AS INT) AS n
+           FROM documents),
+         vids AS (SELECT doc_id, h, n, false AS tw FROM nf
+           UNION ALL SELECT doc_id + 100000, h, n, true FROM nf),
+         fr AS (SELECT v.doc_id, v.h, v.tw, CAST(t.i AS INT) AS frame_idx,
+             CAST(${fh("v.h || '#' || CAST(t.i AS VARCHAR)")} % 256 AS INT) AS level
+           FROM vids v, unnest(range(0, v.n, 1)) AS t(i)),
+         cfr AS (SELECT doc_id, h, tw, frame_idx,
+             CASE WHEN abs(level - lag(level) OVER
+                 (PARTITION BY doc_id ORDER BY frame_idx)) >= 128
+               THEN 1 ELSE 0 END AS cut
+           FROM fr),
+         sc AS (SELECT doc_id, h, tw, frame_idx,
+             CAST(sum(cut) OVER
+                 (PARTITION BY doc_id ORDER BY frame_idx) AS INT) AS scene_id
+           FROM cfr),
+         kf AS (SELECT doc_id, h, tw, scene_id,
+             CAST(min(frame_idx) AS INT) AS start_frame
+           FROM sc GROUP BY doc_id, h, tw, scene_id),
+         pat AS (SELECT doc_id, scene_id, t.j AS pidx,
+             CASE WHEN tw AND t.j = 0
+               THEN (${fh("kf.h || '#' || CAST(kf.start_frame AS VARCHAR) || ':' || CAST(t.j AS VARCHAR)")} % 256 + 8) % 256
+               ELSE ${fh("kf.h || '#' || CAST(kf.start_frame AS VARCHAR) || ':' || CAST(t.j AS VARCHAR)")} % 256
+             END AS p
+           FROM kf, unnest(range(0, 64, 1)) AS t(j)),
+         bits AS (SELECT a.doc_id, a.scene_id, a.pidx AS j,
+             CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit
+           FROM pat a JOIN pat b ON b.doc_id = a.doc_id
+             AND b.scene_id = a.scene_id AND b.pidx = (a.pidx + 1) % 64),
+         chs AS (SELECT doc_id * 1000 + scene_id AS sid, j // 16 AS ci,
+             CAST(sum(CASE WHEN bit = 1 THEN 1 << (j % 16) ELSE 0 END)
+               AS BIGINT) AS cv
+           FROM bits GROUP BY doc_id * 1000 + scene_id, j // 16),
+         phs AS (SELECT sid,
+             max(CASE WHEN ci = 0 THEN cv END) AS c0,
+             max(CASE WHEN ci = 1 THEN cv END) AS c1,
+             max(CASE WHEN ci = 2 THEN cv END) AS c2,
+             max(CASE WHEN ci = 3 THEN cv END) AS c3
+           FROM chs GROUP BY sid),
+         cand AS (SELECT DISTINCT x.sid AS a, y.sid AS b
+           FROM chs x JOIN chs y
+           ON x.ci = y.ci AND x.cv = y.cv AND x.sid < y.sid)
+         SELECT a // 1000 AS video_a, CAST(a % 1000 AS INT) AS scene_a,
+           b // 1000 AS video_b, CAST(b % 1000 AS INT) AS scene_b, dist
+         FROM (
+           SELECT cand.a, cand.b,
+             CAST(bit_count(xor(pa.c0, pb.c0)) + bit_count(xor(pa.c1, pb.c1))
+               + bit_count(xor(pa.c2, pb.c2)) + bit_count(xor(pa.c3, pb.c3))
+               AS INT) AS dist
+           FROM cand JOIN phs pa ON pa.sid = cand.a
+             JOIN phs pb ON pb.sid = cand.b)
+         WHERE dist <= 3 AND a // 1000 <> b // 1000
+         ORDER BY video_a, scene_a, video_b, scene_b"""
+    }
   )
 }

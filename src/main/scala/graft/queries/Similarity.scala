@@ -238,6 +238,37 @@ object Similarity {
   private val bfCache = collection.mutable
     .Map.empty[(SparkSession, String), graft.Once[DataFrame]]
 
+  private val sigCache = collection.mutable
+    .Map.empty[(SparkSession, String), graft.Once[DataFrame]]
+
+  /** ONE shared signature-augmented corpus projection — vecs plus the
+    * two 32-bit sign-signature halves (s1, s2) AND the Matryoshka
+    * prefix norm (pn) — persisted once per (session, corpus) and read
+    * by s_bq_topk, s_mrl_topk and s_ivf_bq's query side. Each of those
+    * entries used to persist its OWN full-corpus projection (two extra
+    * resident scans of the same base data); one base relation with all
+    * three derived columns costs 24 bytes/row over the vectors and
+    * follows the buildIvfIndex single-cache discipline. Released with
+    * the "s" family scope. */
+  private def sigBase(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheBook.touch(s, "s", "sig_base")
+    synchronized { sigCache.getOrElseUpdate((s, dir), new graft.Once(() => {
+      val e = vecs(s, dir)
+        .withColumn("s1", bqSig(col("v"), 0))
+        .withColumn("s2", bqSig(col("v"), 32))
+        .withColumn("pn", sqrt(prefixDot(col("v"), col("v"), MrlDim)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try e.count()
+      catch { case t: Throwable => e.unpersist(false); throw t }
+      graft.CacheBook.register(s, "s", "sig_base") { () =>
+        Similarity.synchronized { sigCache.remove((s, dir)) }
+        e.unpersist(false)
+        ()
+      }
+      e
+    })) }.value
+  }
+
   private val annCache = collection.mutable
     .Map.empty[(SparkSession, String, String), graft.Once[DataFrame]]
 
@@ -395,11 +426,7 @@ object Similarity {
     // back. Hamming ties break on vec_id, so the candidate set — and
     // therefore the final ranking — is deterministic cross-engine.
     "s_bq_topk" -> memoAnn("s_bq_topk")((s, dir) => {
-      val e = vecs(s, dir)
-        .withColumn("s1", bqSig(col("v"), 0))
-        .withColumn("s2", bqSig(col("v"), 32))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.CacheBook.register(s, "s")(() => { e.unpersist(false); () })
+      val e = sigBase(s, dir) // shared sig-augmented base — one cache, not one per entry
       val q = broadcast(e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn"),
           col("s1").as("t1"), col("s2").as("t2")))
@@ -428,10 +455,7 @@ object Similarity {
     // as s_bq_topk; prefix cosines use the same unrolled IEEE chain as
     // every other cosine here, so the coarse cut is bit-exact too.
     "s_mrl_topk" -> memoAnn("s_mrl_topk")((s, dir) => {
-      val e = vecs(s, dir)
-        .withColumn("pn", sqrt(prefixDot(col("v"), col("v"), MrlDim)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.CacheBook.register(s, "s")(() => { e.unpersist(false); () })
+      val e = sigBase(s, dir) // shared sig-augmented base — one cache, not one per entry
       val q = broadcast(e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn"),
           col("pn").as("qpn")))
@@ -449,6 +473,49 @@ object Similarity {
     }),
 
     "s_mrl_recall" -> recallOf("s_mrl_topk"),
+
+    // IVF-BOUNDED binary-quantized retrieval — the production
+    // composition the flat s_bq_topk signature scan stands in for:
+    // hamming runs only over the NProbe probed cells' signatures (the
+    // s_ivfpq candidate shape applied to sign bits), so the coarse
+    // term is CELL-bounded — N/K × NProbe signatures per query instead
+    // of N — and the exact rescore still touches only RescoreC
+    // survivors. The per-cell signatures derive once per vector from
+    // the persisted IVF assignment (the in-memory analog of storing
+    // the 16-byte sigs IN the index cells — AnnIndexStore's cell
+    // parquet would carry them as two BIGINT columns); query-side sigs
+    // come off the shared sigBase cache. Hamming ties break on vec_id,
+    // so the candidate set and final ranking stay deterministic
+    // cross-engine.
+    "s_ivf_bq" -> memoAnn("s_ivf_bq")((s, dir) => {
+      val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
+      val sigCells = assigned.select(col("vec_id"), col("cid"),
+        bqSig(col("v"), 0).as("s1"), bqSig(col("v"), 32).as("s2"))
+      val e = vecs(s, dir)
+      val qsig = broadcast(sigBase(s, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("s1").as("t1"), col("s2").as("t2")))
+      val wc = Window.partitionBy("q").orderBy(col("ham").asc, col("vec_id").asc)
+      val cand = probeCells(e, cents).select("q", "cid")
+        .join(qsig, "q")
+        .join(sigCells, "cid")
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"),
+          (bit_count(col("t1").bitwiseXOR(col("s1")))
+            + bit_count(col("t2").bitwiseXOR(col("s2")))).as("ham"))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") <= RescoreC)
+        .select("q", "vec_id")
+      val qs = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn")))
+      topk(cand.join(e.select(col("vec_id"), col("v"), col("n")), "vec_id")
+        .join(qs, "q")
+        .select(col("q"), col("vec_id"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
+    }),
+
+    // recall@K of the cell-bounded BQ pass vs brute force — priced next
+    // to s_bq_recall so the IVF bound's accuracy cost is a read-off.
+    "s_ivf_bq_recall" -> recallOf("s_ivf_bq"),
 
     // ANN evaluation: recall@K of the LSH index vs the brute-force
     // baseline, per query. Both rankings are bit-exact deterministic, so
@@ -1967,6 +2034,41 @@ object Similarity {
          FROM cand c JOIN b e ON e.vec_id = c.vec_id
            JOIN b qs ON qs.vec_id = c.q"""),
 
+    // IVF-bounded BQ: the s_ivfpq probe/assignment CTEs generate the
+    // cell-bounded candidate set; hamming over sign signatures ranks
+    // it; exact cosine rescores the RescoreC survivors
+    "s_ivf_bq" -> sqlTopk(
+      s"""WITH e AS ($sqlVecs),
+         c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
+         assigned AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS arn
+             FROM e, c0) WHERE arn = 1),
+         probes AS (SELECT q, cid FROM (
+             SELECT e.vec_id AS q, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS prn
+             FROM e, c0 WHERE e.vec_id < $NQueries) WHERE prn <= $NProbe),
+         b AS (SELECT vec_id, ${sqlBqSig("v", 0)} AS s1, ${sqlBqSig("v", 32)} AS s2
+           FROM e),
+         cand AS (SELECT q, vec_id FROM (
+             SELECT p.q, a.vec_id,
+               row_number() OVER (PARTITION BY p.q
+                 ORDER BY (bit_count(xor(qb.s1, eb.s1))
+                   + bit_count(xor(qb.s2, eb.s2))) ASC, a.vec_id ASC) AS crn
+             FROM probes p JOIN assigned a USING (cid)
+               JOIN b eb ON eb.vec_id = a.vec_id
+               JOIN b qb ON qb.vec_id = p.q
+             WHERE a.vec_id <> p.q) WHERE crn <= $RescoreC)
+         SELECT c.q, e.vec_id,
+           (${VecOps.sqlDot("qs.v", "e.v")} / (qs.n * e.n)) AS cos
+         FROM cand c JOIN e ON e.vec_id = c.vec_id
+           JOIN e qs ON qs.vec_id = c.q"""),
+
     // Matryoshka: prefix-dim coarse cosine, exact full-dim rescore
     "s_mrl_topk" -> sqlTopk(
       s"""WITH b AS (SELECT vec_id, v, n,
@@ -2621,6 +2723,7 @@ object Similarity {
     ("s_pq_recall" -> sqlRecall("s_pq_ann")) +
     ("s_ivfpq_recall" -> sqlRecall("s_ivfpq_ann")) +
     ("s_bq_recall" -> sqlRecall("s_bq_topk")) +
+    ("s_ivf_bq_recall" -> sqlRecall("s_ivf_bq")) +
     ("s_mrl_recall" -> sqlRecall("s_mrl_topk")) +
     ("s_ivf_upsert_recall" -> sqlRecall("s_ivf_upsert")) +
     ("s_probe_sweep" ->
