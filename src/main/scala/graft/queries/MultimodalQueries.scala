@@ -181,6 +181,63 @@ object MultimodalQueries {
       chunkNearDup(fp)
     }),
 
+    // INCREMENTAL image near-dup — the nightly media-ingest shape the
+    // d_incremental / s_ivf_upsert entries establish, applied to the m
+    // family: the last 20% of doc ids play tonight's batch, the old
+    // hash-chunk relation plays the standing index (at a deployment it
+    // is last night's persisted chunk table), and ONLY delta bands
+    // join the full relation — candidate volume is DELTA-bounded, the
+    // standing side is probed never self-joined. Emits exactly the
+    // pairs with >= 1 new endpoint (new-new + new-old): the increment
+    // to the pair set, which IncPhashSpec proves equal to the full
+    // m_phash_near recompute restricted to those pairs. Identical-hash
+    // pairs arrive through band 0 (chunk equality IS a band match), so
+    // no separate within-group pass is needed on the delta-bounded
+    // volume.
+    "m_phash_inc" -> ((s, dir) => {
+      import s.implicits._
+      val docsT = Tables.load(s, dir, "documents")
+      // the nightly boundary — one bounded scalar action, the
+      // newDocThreshold convention (underlying id: twins share their
+      // base's novelty)
+      val tNew = docsT.agg(max("doc_id")).head().getLong(0) * 4 / 5
+      val ph = Multimodal.phashNearCorpus(
+        docsT.select(col("doc_id")).as[Long])
+        .toDF().localCheckpoint(true)
+      graft.CacheBook.register(s, "m")(() =>
+        graft.CacheBook.unpersistCheckpoint(ph))
+      val isNew = (col("doc_id") % 100000L) >= tNew
+      val hk = Seq("c0", "c1", "c2", "c3")
+      def bandsOf(df: DataFrame) = df.select(col("doc_id") +: hk.map(col) :+
+          explode(array((0 to 3).map(ci =>
+            struct(lit(ci).as("ci"), col(s"c$ci").as("cv"))): _*)).as("ch"): _*)
+        .select(col("doc_id") +: hk.map(col) :+
+          col("ch.ci").as("ci") :+ col("ch.cv").as("cv"): _*)
+      val deltaB = bandsOf(ph.filter(isNew))
+      val allB = bandsOf(ph)
+      // lowest-matching-band emit (the m_phash_near discipline) keeps
+      // each pair exactly once without a post-join distinct
+      val firstBand = when(col("x.ci") === 0, lit(true))
+        .when(col("x.ci") === 1, col("x.c0") =!= col("y.c0"))
+        .when(col("x.ci") === 2,
+          col("x.c0") =!= col("y.c0") && col("x.c1") =!= col("y.c1"))
+        .otherwise(col("x.c0") =!= col("y.c0")
+          && col("x.c1") =!= col("y.c1") && col("x.c2") =!= col("y.c2"))
+      // both-new pairs would arrive twice (each side is in the delta):
+      // order them; new-old pairs arrive once (y old)
+      val once = (col("y.doc_id") % 100000L < tNew) ||
+        col("x.doc_id") < col("y.doc_id")
+      deltaB.as("x").join(allB.as("y"),
+          col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv")
+            && col("x.doc_id") =!= col("y.doc_id") && firstBand && once)
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+          hk.map(c => bit_count(col(s"x.$c").bitwiseXOR(col(s"y.$c"))))
+            .reduce(_ + _).cast("int").as("dist"))
+        .filter(col("dist") <= 3)
+        .orderBy("a", "b")
+    }),
+
     // SCENE-KEYFRAME VIDEO DEDUP — how video dedup actually runs:
     // m_scenes' segmentation picks each scene's keyframe, a 64-bit
     // keyframe fingerprint (64 content-derived patch levels, delta-
@@ -468,6 +525,51 @@ object MultimodalQueries {
            FROM cand JOIN ph pa ON pa.doc_id = cand.a
              JOIN ph pb ON pb.doc_id = cand.b)
          WHERE dist <= 3 ORDER BY a, b""",
+
+    // incremental = the full near-dup pair set restricted to pairs
+    // with >= 1 new endpoint (underlying id past the 80% boundary);
+    // the oracle states the CONTRACT, the Spark side must reach it
+    // with delta-bounded work
+    "m_phash_inc" ->
+      """WITH t AS (SELECT max(doc_id) * 4 // 5 AS tnew FROM documents),
+         base AS (SELECT doc_id, doc_id AS img, false AS tw FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, doc_id, true FROM documents),
+         dims AS (SELECT doc_id, img, tw,
+             CAST(16 + img % 32 AS INT) AS w,
+             CAST(16 + (img * 7) % 32 AS INT) AS h
+           FROM base),
+         th AS (SELECT doc_id, k.i AS k,
+             CASE WHEN tw AND (((k.i % 8) * w) // 8) = 0
+                 AND (((k.i // 8) * h) // 8) = 0 THEN 255
+               ELSE (img + 3 * (((k.i % 8) * w) // 8)
+                 + 5 * (((k.i // 8) * h) // 8)) % 256 END AS p
+           FROM dims, unnest(range(0, 64)) AS k(i)),
+         s AS (SELECT doc_id, sum(p) AS sp FROM th GROUP BY doc_id),
+         ch AS (SELECT th.doc_id, th.k // 16 AS ci,
+             CAST(sum(CASE WHEN th.p * 64 > s.sp
+               THEN 1 << (th.k % 16) ELSE 0 END) AS BIGINT) AS cv
+           FROM th JOIN s USING (doc_id) GROUP BY th.doc_id, th.k // 16),
+         ph AS (SELECT doc_id,
+             max(CASE WHEN ci = 0 THEN cv END) AS c0,
+             max(CASE WHEN ci = 1 THEN cv END) AS c1,
+             max(CASE WHEN ci = 2 THEN cv END) AS c2,
+             max(CASE WHEN ci = 3 THEN cv END) AS c3
+           FROM ch GROUP BY doc_id),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM ch x JOIN ch y
+           ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id)
+         SELECT a, b, dist FROM (
+           SELECT cand.a, cand.b,
+             CAST(bit_count(xor(pa.c0, pb.c0)) + bit_count(xor(pa.c1, pb.c1))
+               + bit_count(xor(pa.c2, pb.c2)) + bit_count(xor(pa.c3, pb.c3))
+               AS INT) AS dist
+           FROM cand JOIN ph pa ON pa.doc_id = cand.a
+             JOIN ph pb ON pb.doc_id = cand.b)
+         WHERE dist <= 3
+           AND (a % 100000 >= (SELECT tnew FROM t)
+             OR b % 100000 >= (SELECT tnew FROM t))
+         ORDER BY a, b""",
 
     // audio fingerprint near-dup: regenerate each clip's PCM from the
     // shared sample formula (the decode oracle's contract), fold the

@@ -517,6 +517,40 @@ object Similarity {
     // to s_bq_recall so the IVF bound's accuracy cost is a read-off.
     "s_ivf_bq_recall" -> recallOf("s_ivf_bq"),
 
+    // IVF-BOUNDED Matryoshka retrieval — the same cell-bounding applied
+    // to the prefix-dim coarse pass (the verdict named the gap for BOTH
+    // flat scans): the 16-dim prefix cosine ranks only the NProbe
+    // probed cells' vectors, prefix norms ride in from the shared
+    // sigBase cache, and the exact full-dim cosine rescores the
+    // RescoreC survivors. Same slim (q, vec_id) candidate frame as
+    // s_ivf_bq — full vectors join back only for the rescore.
+    "s_ivf_mrl" -> memoAnn("s_ivf_mrl")((s, dir) => {
+      val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
+      val pn = sigBase(s, dir).select(col("vec_id"), col("pn"))
+      val e = vecs(s, dir)
+      val qp = broadcast(sigBase(s, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv2"), col("pn").as("qpn")))
+      val wc = Window.partitionBy("q").orderBy(col("pcos").desc, col("vec_id").asc)
+      val cand = probeCells(e, cents).select("q", "cid")
+        .join(qp, "q")
+        .join(assigned.select(col("vec_id"), col("cid"), col("v")), "cid")
+        .filter(col("vec_id") =!= col("q"))
+        .join(pn, "vec_id")
+        .select(col("q"), col("vec_id"),
+          (prefixDot(col("qv2"), col("v"), MrlDim) / (col("qpn") * col("pn"))).as("pcos"))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") <= RescoreC)
+        .select("q", "vec_id")
+      val qs = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn")))
+      topk(cand.join(e.select(col("vec_id"), col("v"), col("n")), "vec_id")
+        .join(qs, "q")
+        .select(col("q"), col("vec_id"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
+    }),
+
+    "s_ivf_mrl_recall" -> recallOf("s_ivf_mrl"),
+
     // ANN evaluation: recall@K of the LSH index vs the brute-force
     // baseline, per query. Both rankings are bit-exact deterministic, so
     // recall is an exact integer ratio — the oracle recomputes BOTH
@@ -2069,6 +2103,40 @@ object Similarity {
          FROM cand c JOIN e ON e.vec_id = c.vec_id
            JOIN e qs ON qs.vec_id = c.q"""),
 
+    // IVF-bounded Matryoshka: the s_ivf_bq probe/assignment CTEs with
+    // the prefix-dim cosine as the coarse rank
+    "s_ivf_mrl" -> sqlTopk(
+      s"""WITH e AS ($sqlVecs),
+         c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
+         assigned AS (SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS arn
+             FROM e, c0) WHERE arn = 1),
+         probes AS (SELECT q, cid FROM (
+             SELECT e.vec_id AS q, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS prn
+             FROM e, c0 WHERE e.vec_id < $NQueries) WHERE prn <= $NProbe),
+         b AS (SELECT vec_id, v,
+             sqrt(${sqlPrefixDot("v", "v", MrlDim)}) AS pn FROM e),
+         cand AS (SELECT q, vec_id FROM (
+             SELECT p.q, a.vec_id,
+               row_number() OVER (PARTITION BY p.q
+                 ORDER BY (${sqlPrefixDot("qb.v", "eb.v", MrlDim)}
+                   / (qb.pn * eb.pn)) DESC, a.vec_id ASC) AS crn
+             FROM probes p JOIN assigned a USING (cid)
+               JOIN b eb ON eb.vec_id = a.vec_id
+               JOIN b qb ON qb.vec_id = p.q
+             WHERE a.vec_id <> p.q) WHERE crn <= $RescoreC)
+         SELECT c.q, e.vec_id,
+           (${VecOps.sqlDot("qs.v", "e.v")} / (qs.n * e.n)) AS cos
+         FROM cand c JOIN e ON e.vec_id = c.vec_id
+           JOIN e qs ON qs.vec_id = c.q"""),
+
     // Matryoshka: prefix-dim coarse cosine, exact full-dim rescore
     "s_mrl_topk" -> sqlTopk(
       s"""WITH b AS (SELECT vec_id, v, n,
@@ -2724,6 +2792,7 @@ object Similarity {
     ("s_ivfpq_recall" -> sqlRecall("s_ivfpq_ann")) +
     ("s_bq_recall" -> sqlRecall("s_bq_topk")) +
     ("s_ivf_bq_recall" -> sqlRecall("s_ivf_bq")) +
+    ("s_ivf_mrl_recall" -> sqlRecall("s_ivf_mrl")) +
     ("s_mrl_recall" -> sqlRecall("s_mrl_topk")) +
     ("s_ivf_upsert_recall" -> sqlRecall("s_ivf_upsert")) +
     ("s_probe_sweep" ->

@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions.{broadcast, col, row_number}
   * directory-sized operation, not an index rebuild. */
 object AnnIndexStore {
 
+  /** Cell projection: the base (vec_id, v, n) plus any FILTERABLE /
+    * RANKABLE payload columns the build shipped — today the two
+    * sign-signature halves (s1, s2) that make the cells directly
+    * probeable by s_ivf_bq's hamming pass without a corpus-side join
+    * (the "sigs live IN the index files" contract), tomorrow whatever
+    * metadata filtered search wants — ending with the cid partition
+    * column. */
+  private val Payload = Seq("s1", "s2", "label")
+  private def cellCols(df: DataFrame): Seq[String] =
+    (Seq("vec_id", "v", "n") ++ Payload.filter(df.columns.contains)) :+ "cid"
+
   /** Generation-staged + pointer-committed ([[StagedWrite]]): a
     * nightly rebuild killed mid-write must not take the live index
     * with it, on HDFS or on an object store. */
@@ -39,10 +50,10 @@ object AnnIndexStore {
     val cents = s.read
       .parquet(s"${StagedWrite.resolve(s, path, "centroids")}/centroids")
       .select("cid", "cv", "cn")
-    val cells = s.read
+    val raw = s.read
       .parquet(s"${StagedWrite.resolve(s, path, "cells")}/cells")
       .withColumn("cid", col("cid").cast("long"))
-      .select("vec_id", "v", "n", "cid")
+    val cells = raw.select(cellCols(raw).map(col): _*)
     (cents, cells)
   }
 
@@ -54,13 +65,14 @@ object AnnIndexStore {
   def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cid").asc)
+    val keep = Seq("vec_id", "v", "n") ++ Payload.filter(vecs.columns.contains)
     vecs.join(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("n"), col("cid"),
+      .select(keep.map(col) :+ col("cid") :+
         graft.functions.VecOps.cosine(col("v"), col("cv"), col("n"), col("cn"))
-          .as("ccos"))
+          .as("ccos"): _*)
       .withColumn("arn", row_number().over(w))
       .filter(col("arn") === 1)
-      .select("vec_id", "v", "n", "cid")
+      .select(keep.map(col) :+ col("cid"): _*)
   }
 
   /** Append one embedding batch to the standing index: new vectors are
@@ -104,9 +116,10 @@ object AnnIndexStore {
     * PartitionFilters entry and the scan reads only those cells'
     * directories — the probe-side contract that makes the standing
     * index sub-linear at 100 TB (plan-asserted in AnnIndexStoreSpec). */
-  def readCells(s: SparkSession, path: String, cids: Seq[Long]): DataFrame =
-    s.read.parquet(s"${StagedWrite.resolve(s, path, "cells")}/cells")
+  def readCells(s: SparkSession, path: String, cids: Seq[Long]): DataFrame = {
+    val raw = s.read.parquet(s"${StagedWrite.resolve(s, path, "cells")}/cells")
       .filter(col("cid").isin(cids: _*))
       .withColumn("cid", col("cid").cast("long"))
-      .select("vec_id", "v", "n", "cid")
+    raw.select(cellCols(raw).map(col): _*)
+  }
 }

@@ -125,6 +125,22 @@ object CuratePipeline {
       case None => near0
     }
 
+    // 4c. IMAGE dedup — the multimodal doc-level stage: each surviving
+    // doc's image runs the REAL decode → perceptual-hash path (the
+    // m_phash contract; here the synthetic PNG stands in for the
+    // media column a production corpus carries via MediaSource) and
+    // exact-phash groups collapse to the min-id canonical. Sits at
+    // the doc-level dedup layer, before passage stripping; only
+    // (doc_id, 64-char hash) ever crosses a shuffle — never pixels.
+    val imgDeduped = locally {
+      import spark.implicits._
+      val ph = graft.operators.Multimodal.phashSynthetic(
+        near.select(col("doc_id")).as[Long]).toDF()
+      val keepImg = ph.groupBy("phash").agg(min("doc_id").as("doc_id"))
+      near.join(keepImg.select("doc_id"), Seq("doc_id"), "left_semi")
+    }
+    stages += "after_image_dedup" -> imgDeduped.count()
+
     // 4b. exact-substring strip (the x_span_strip contract) AFTER
     // doc-level near-dedup — the RefinedWeb order: whole-doc copies
     // are already gone, this removes the remaining cross-doc copied
@@ -132,8 +148,8 @@ object CuratePipeline {
     // doc_id keeping the one surviving copy. A doc entirely covered
     // by spans owned by others (a mosaic of copies) drops out, like
     // the all-boilerplate case in 3b.
-    val strip = graft.queries.TextAnalysis.spanStrip(near)
-    val stripped = near.drop("text")
+    val strip = graft.queries.TextAnalysis.spanStrip(imgDeduped)
+    val stripped = imgDeduped.drop("text")
       .join(strip.filter(col("n_removed") < col("n_words"))
         .select(col("doc_id"), col("cleaned").as("text")), "doc_id")
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -210,7 +226,7 @@ object CuratePipeline {
         :: "after_line_dedup" :: "after_near_dedup" :: Nil)
       .++(if (stages.contains("after_decontaminate"))
         Seq("after_decontaminate") else Nil)
-      .:+("after_span_strip")
+      .:+("after_image_dedup").:+("after_span_strip")
       .map(k => s"$k=${stages(k)}").mkString("[curate] ", " ", s" total_tokens=$toks"))
     spark.stop()
   }

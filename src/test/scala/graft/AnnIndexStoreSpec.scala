@@ -110,4 +110,30 @@ class AnnIndexStoreSpec extends SparkSpec {
       s"expected cid partition pruning in:\n$plan")
     assert(probe.count() > 0)
   }
+
+  test("sig-augmented cells round-trip: the BQ payload lives IN the index files") {
+    // the s_ivf_bq docstring's claim made real: write the cells WITH
+    // the two sign-signature halves, and the store hands them back —
+    // both on a full read and on the pruned probe path — so a query
+    // session can run the hamming pass straight off the index files,
+    // no corpus-side join
+    val (cents, cells) = Similarity.buildIvfIndex(spark, dir)
+    val sigCells = cells
+      .withColumn("s1", Similarity.bqSig(col("v"), 0))
+      .withColumn("s2", Similarity.bqSig(col("v"), 32))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-sig").toString
+    AnnIndexStore.write(tmp, cents, sigCells)
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "s1", "s2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (_, back) = AnnIndexStore.read(spark, tmp)
+    assert(back.columns.contains("s1") && back.columns.contains("s2"))
+    assert(sigsOf(back) == sigsOf(sigCells))
+    val cids = cents.select("cid").orderBy("cid").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    val pruned = AnnIndexStore.readCells(spark, tmp, cids)
+    assert(pruned.columns.contains("s1") && pruned.columns.contains("s2"))
+    assert(sigsOf(pruned) == sigsOf(sigCells.filter(col("cid").isin(cids: _*))))
+    CacheBook.releaseAll(spark)
+  }
 }

@@ -38,6 +38,8 @@ class CuratePipelineSpec extends SparkSpec {
     // higher-QUALITY member (doc 3: one extra word = higher length
     // score), not the min id; 4 untouched
     assert(kept == Set(3L, 4L), s"got $kept")
+    // image dedup: ids 3 and 4 render distinct synthetic images
+    assert(stages("after_image_dedup") == 2L, "distinct images both survive")
     // span strip after near-dedup: survivors {3,4} share no window
     assert(stages("after_span_strip") == 2L, "nothing left to strip")
 
@@ -129,6 +131,26 @@ class CuratePipelineSpec extends SparkSpec {
     assert(texts(11L) == ws(20, "b"), "non-owner loses exactly the passage")
     assert(!texts.contains(12L))
     graft.CacheBook.release(spark, "curate")
+  }
+
+  test("image-dedup stage collapses docs whose images hash identically") {
+    // ids congruent mod 256 render IDENTICAL synthetic images (the
+    // m_phash contract) while these texts are distinct and non-near:
+    // the multimodal stage must keep the min-id canonical of the
+    // image group and drop the other doc even though its TEXT is new
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8),
+      (266L, "one two three four five six seven eight nine ten " * 8))
+      .map { case (id, text) => (id, text.trim, "en", text.trim.length) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val dir = Files.createTempDirectory("curate-img").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val (curated, stages) = CuratePipeline.curate(spark, dir, minQuality = 0.3)
+    assert(stages("after_near_dedup") == 2L, "texts are not near-dups")
+    assert(stages("after_image_dedup") == 1L, "shared image collapses")
+    assert(curated.select("doc_id").as[Long].collect().toSet == Set(10L),
+      "min-id canonical keeps the image group")
+    CacheBook.releaseAll(spark)
   }
 
   test("decontamination stage drops a paraphrased benchmark leak") {
