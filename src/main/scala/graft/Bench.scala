@@ -152,12 +152,12 @@ object Bench {
     val retryK = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_K")
       .flatMap(_.toDoubleOption).getOrElse(3.0)
     // absolute retry floor: sub-second probe entries (budget 0.1-0.3 s)
-    // cross 3x their budget on pure window contention, and each
-    // cache-read retry RELEASES the family memo scope — one noisy
-    // window then cascades rebuilds through every later same-family
-    // entry (12 spurious retries observed in one contended run, all
-    // proven transient by fast retries). A regression on a tiny probe
-    // that actually matters clears the floor anyway.
+    // cross 3x their budget on pure window contention. Since round 12 a
+    // spurious retry can no longer CASCADE (the clean retry releases
+    // only the memos the query touched, which its own re-run rebuilds),
+    // so the floor now guards only against wasted retry + clean-sample
+    // work in a noisy window. A regression on a tiny probe that
+    // actually matters clears the floor anyway.
     val retryFloor = sys.env.get("SPARK_GRAFT_BENCH_RETRY_FLOOR")
       .flatMap(_.toDoubleOption).getOrElse(1.0)
     val only = args.toSet // optional query-name filter for local iteration

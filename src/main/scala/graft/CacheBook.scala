@@ -59,14 +59,39 @@ object CacheBook {
   // and those builds' touches belong to the traced query.
   private var traceBuf: mutable.LinkedHashSet[(String, String)] = null
 
+  // Build context: while a NAMED memo's build runs (see [[building]]),
+  // anonymous registrations in the same (session, scope) attach to the
+  // building name — the memo's per-call build-side persists/checkpoints
+  // (Slicer key frames, beamWalk round checkpoints, body-local persists)
+  // then release WITH the memo on a releaseNamed, instead of lingering
+  // to the family boundary while the clean retry builds a second
+  // generation on top. Thread-local: concurrent fan-out builds
+  // (d_build's futures) each carry their own context on their own
+  // thread.
+  private val buildCtx = new ThreadLocal[List[(SparkSession, String, String)]] {
+    override def initialValue(): List[(SparkSession, String, String)] = Nil
+  }
+
+  /** Run a named memo's BUILD under its attachment context. */
+  def building[T](s: SparkSession, scope: String, name: String)(body: => T): T = {
+    buildCtx.set((s, scope, name) :: buildCtx.get())
+    try body finally buildCtx.set(buildCtx.get().tail)
+  }
+
   /** Register an ANONYMOUS release thunk for `scope` on `s` — per-call
-    * persists/checkpoints with no cross-invocation warm state. The
-    * thunk must be idempotent (release may race a session-wide
-    * releaseAll). */
-  def register(s: SparkSession, scope: String)(thunk: () => Unit): Unit =
+    * persists/checkpoints with no cross-invocation warm state. Inside a
+    * [[building]] block for the same (session, scope) the thunk attaches
+    * to the building memo's name instead (see above). The thunk must be
+    * idempotent (release may race a session-wide releaseAll). */
+  def register(s: SparkSession, scope: String)(thunk: () => Unit): Unit = {
+    val name = buildCtx.get().collectFirst {
+      case (bs, bscope, n) if (bs eq s) && bscope == scope => n
+    }.getOrElse("")
     synchronized {
-      book.getOrElseUpdate((s, scope), mutable.ListBuffer.empty) += Entry("", thunk)
+      book.getOrElseUpdate((s, scope), mutable.ListBuffer.empty) += Entry(name, thunk)
     }
+    ()
+  }
 
   /** Register a NAMED release thunk — map-backed memo state that stays
     * warm across invocations. Callers pair this with a [[touch]] at

@@ -200,7 +200,14 @@ object MultimodalQueries {
       // the nightly boundary — one bounded scalar action, the
       // newDocThreshold convention (underlying id: twins share their
       // base's novelty)
-      val tNew = docsT.agg(max("doc_id")).head().getLong(0) * 4 / 5
+      val maxId = docsT.agg(max("doc_id")).head().getLong(0)
+      // the +100000 twin convention (phashNearCorpus, the d_* twins)
+      // reserves the id space above 100000 — novelty recovery by
+      // doc_id % 100000 is only sound below it, so fail LOUDLY rather
+      // than silently misclassifying on a larger corpus
+      require(maxId < 100000L,
+        s"twin id convention requires base doc_id < 100000, got max $maxId")
+      val tNew = maxId * 4 / 5
       val ph = Multimodal.phashNearCorpus(
         docsT.select(col("doc_id")).as[Long])
         .toDF().localCheckpoint(true)
@@ -297,9 +304,17 @@ object MultimodalQueries {
           .otherwise(0L)).as(s"c$ci"))
       val sigs = bits.groupBy("doc_id", "scene_id")
         .agg(chunkAggs.head, chunkAggs.tail: _*)
-      // flatten (video, scene) into one band id (scene_id < 64 << 1000)
+      // flatten (video, scene) into one band id (scene_id < 64 << 1000),
+      // and MATERIALIZE once — the m_phash_near/m_audio_near discipline:
+      // chunkNearDup references its input five times, and this input's
+      // subtree is the whole decode + 5.7M-patch-md5 + window pipeline
+      // (uncheckpointed it recomputed per reference: 37 cpu-s for a
+      // ~7 cpu-s fingerprint stage — the round-12 review catch)
       val sid = sigs.select((col("doc_id") * 1000 + col("scene_id")).as("doc_id"),
         col("c0"), col("c1"), col("c2"), col("c3"))
+        .localCheckpoint(true)
+      graft.CacheBook.register(s, "m")(() =>
+        graft.CacheBook.unpersistCheckpoint(sid))
       chunkNearDup(sid)
         .filter(expr("a div 1000") =!= expr("b div 1000")) // cross-video only
         .select(expr("a div 1000").as("video_a"),

@@ -284,7 +284,8 @@ object Similarity {
     (s, dir) => {
       graft.CacheBook.touch(s, "s", s"ann:$name")
       synchronized {
-        annCache.getOrElseUpdate((s, dir, name), new graft.Once(() => {
+        annCache.getOrElseUpdate((s, dir, name), new graft.Once(() =>
+          graft.CacheBook.building(s, "s", s"ann:$name") {
           val r = body(s, dir)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // unpersist on a failed materialization: otherwise partially
@@ -301,6 +302,10 @@ object Similarity {
         }))
       }.value
     }
+  // (the building(...) wrapper above attaches the body's per-call
+  // anonymous registrations — beamWalk checkpoints, body-local
+  // persists — to this memo's name, so a clean-retry releaseNamed
+  // frees them with the memo instead of leaking them to family end)
 
   /** Memoized brute-force cosine top-k — the ground-truth ranking. Five
     * recall queries compare an ANN path against this same baseline, so

@@ -36,7 +36,12 @@ object SliceQueries {
         // stale SliceResult handle must not survive the frames it wraps
         graft.CacheBook.register(s, "slice", "cust_slice")(() =>
           { custSlices.synchronized { custSlices.remove((s, dir)) }; () })
-        slicer(s, dir).run(custRoots)
+        // building(...): the Slicer's per-run anonymous key-frame
+        // registrations attach to this memo's name, so a clean-retry
+        // releaseNamed frees the frames WITH the stale SliceResult
+        graft.CacheBook.building(s, "slice", "cust_slice") {
+          slicer(s, dir).run(custRoots)
+        }
       })
     }
   }

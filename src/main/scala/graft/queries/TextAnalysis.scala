@@ -39,7 +39,8 @@ object TextAnalysis {
     (s, dir) => {
       graft.CacheBook.touch(s, "x", s"x:$name")
       TextAnalysis.synchronized {
-        xCache.getOrElseUpdate((s, dir, name), new graft.Once(() => {
+        xCache.getOrElseUpdate((s, dir, name), new graft.Once(() =>
+          graft.CacheBook.building(s, "x", s"x:$name") {
           val r = body(s, dir)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // unpersist on a failed materialization: otherwise partially

@@ -17,14 +17,16 @@ import org.apache.spark.sql.functions.{broadcast, col, row_number}
   * directory-sized operation, not an index rebuild. */
 object AnnIndexStore {
 
-  /** Cell projection: the base (vec_id, v, n) plus any FILTERABLE /
-    * RANKABLE payload columns the build shipped — today the two
-    * sign-signature halves (s1, s2) that make the cells directly
-    * probeable by s_ivf_bq's hamming pass without a corpus-side join
-    * (the "sigs live IN the index files" contract), tomorrow whatever
-    * metadata filtered search wants — ending with the cid partition
-    * column. */
-  private val Payload = Seq("s1", "s2", "label")
+  /** Cell projection: the base (vec_id, v, n) plus any RANKABLE
+    * payload columns the build shipped — today the two sign-signature
+    * halves (s1, s2) that make the cells directly probeable by
+    * s_ivf_bq's hamming pass without a corpus-side join (the "sigs
+    * live IN the index files" contract) — ending with the cid
+    * partition column. Deliberately NOT label: historical stores carry
+    * a label column their append batches never shipped, so surfacing
+    * it would trip [[append]]'s mixed-schema guard on every existing
+    * ingest flow (reads drop it, exactly as before round 12). */
+  private val Payload = Seq("s1", "s2")
   private def cellCols(df: DataFrame): Seq[String] =
     (Seq("vec_id", "v", "n") ++ Payload.filter(df.columns.contains)) :+ "cid"
 
@@ -87,8 +89,19 @@ object AnnIndexStore {
     * append-then-read equals a one-shot assignment of the union
     * (AnnIndexStoreSpec holds the equivalence). */
   def append(s: SparkSession, path: String, newVecs: DataFrame): Unit = {
-    val (cents, _) = read(s, path)
-    assign(newVecs, cents)
+    val (cents, cells) = read(s, path)
+    val batch = assign(newVecs, cents)
+    // schema guard: appending a batch whose payload columns differ
+    // from the standing files would leave the cells directories with
+    // MIXED parquet schemas — without mergeSchema the reload then
+    // nondeterministically drops the payload or nulls it on appended
+    // rows. A sig-bearing store demands sig-bearing batches; fail
+    // loudly at the write, not silently at some later probe.
+    require(batch.columns.toSet == cells.columns.toSet,
+      s"append batch columns ${batch.columns.sorted.mkString(",")} != " +
+        s"standing cell columns ${cells.columns.sorted.mkString(",")} — " +
+        "ship the same payload (s1/s2/label) the index was built with")
+    batch
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid")
       .parquet(s"${StagedWrite.resolve(s, path, "cells")}/cells")

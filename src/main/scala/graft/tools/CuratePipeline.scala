@@ -136,8 +136,16 @@ object CuratePipeline {
       import spark.implicits._
       val ph = graft.operators.Multimodal.phashSynthetic(
         near.select(col("doc_id")).as[Long]).toDF()
+      // the keep set is a tiny id frame whose plan embeds the
+      // full-corpus image DECODE over the pipeline-so-far — checkpoint
+      // it so every downstream action (stage counts, span strip's two
+      // references, export) re-reads ids instead of re-decoding the
+      // corpus (the `leaked` discipline above)
       val keepImg = ph.groupBy("phash").agg(min("doc_id").as("doc_id"))
-      near.join(keepImg.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select("doc_id").localCheckpoint(true)
+      graft.CacheBook.register(spark, "curate")(
+        () => graft.CacheBook.unpersistCheckpoint(keepImg))
+      near.join(keepImg, Seq("doc_id"), "left_semi")
     }
     stages += "after_image_dedup" -> imgDeduped.count()
 

@@ -22,6 +22,12 @@ object Rca {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail fast on a typo'd query name BEFORE replaying anything — a
+    // NoSuchElementException mid-sequence would discard the expensive
+    // session state the run was meant to diagnose (the Verify rule)
+    val unknown = args.filterNot(a =>
+      a.startsWith("RELEASE:") || a == "GC" || graft.SparkEntry.queries.contains(a))
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val jobs = new AtomicLong; val cpuNs = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }

@@ -134,6 +134,16 @@ class AnnIndexStoreSpec extends SparkSpec {
     val pruned = AnnIndexStore.readCells(spark, tmp, cids)
     assert(pruned.columns.contains("s1") && pruned.columns.contains("s2"))
     assert(sigsOf(pruned) == sigsOf(sigCells.filter(col("cid").isin(cids: _*))))
+
+    // mixed-schema guard: appending a batch WITHOUT the payload into a
+    // sig-bearing store must fail loudly at the write (a silent append
+    // would leave the cell directories with mixed parquet schemas and
+    // a nondeterministic reload)
+    val raw = cells.select("vec_id", "v", "n").limit(3)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexStore.append(spark, tmp, raw)
+    }
+    assert(e.getMessage.contains("payload"))
     CacheBook.releaseAll(spark)
   }
 }

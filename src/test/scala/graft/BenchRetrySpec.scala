@@ -92,6 +92,23 @@ class BenchRetrySpec extends SparkSpec {
     CacheBook.releaseAll(spark)
   }
 
+  test("anonymous registrations during a named build attach to the memo") {
+    // the clean-retry leak fix: a memo's build-side per-call state
+    // (Slicer key frames, beamWalk checkpoints) must release WITH the
+    // memo on releaseNamed, not linger to the family boundary
+    var attached = false
+    var outside = false
+    CacheBook.building(spark, "zb", "memoA") {
+      CacheBook.register(spark, "zb")(() => attached = true)
+    }
+    CacheBook.register(spark, "zb")(() => outside = true) // truly anonymous
+    CacheBook.releaseNamed(spark, Set(("zb", "memoA")))
+    assert(attached && !outside,
+      "build-side thunk must release with the memo; outside thunk must not")
+    CacheBook.release(spark, "zb")
+    assert(outside)
+  }
+
   test("releaseNamed leaves anonymous (per-call) registrations standing") {
     var anon = false; var named = false
     CacheBook.register(spark, "ztest")(() => anon = true)
