@@ -861,6 +861,65 @@ object Dedup {
           VecOps.cosine(col("x.v"), col("y.v"), col("x.n"), col("y.n")).as("cos"))
         .filter(col("cos") >= 0.99)
         .orderBy("a", "b")
+    }),
+
+    // EXACT set-similarity self-join via prefix filtering (AllPairs,
+    // Bayardo et al. 2007, + PPJoin's positional filter, Xiao et al.
+    // 2008) — the deterministic complement to the probabilistic paths:
+    // d_minhash_lsh can miss a true pair (banding recall < 1) and
+    // d_ngram_jaccard only compares within (lang, length) blocks; this
+    // entry finds EVERY pair at Jaccard >= 0.5 corpus-wide with zero
+    // recall loss, no blocking assumption, and still no all-pairs term.
+    // The bound: order tokens globally by ASCENDING document frequency
+    // (rarest first); a pair at J >= t MUST collide on its first
+    // n - ceil(t*n) + 1 tokens in that order (prefix-filter theorem),
+    // so the candidate join runs only over prefixes — dominated by
+    // df~1 tokens, which is what makes the equi-join linear-ish: a hot
+    // token's df pushes it OUT of every prefix, so the join key skew
+    // is bounded by the algorithm itself, not by a salting patch. The
+    // positional filter then drops collisions whose best-case overlap
+    // (min remaining suffix + 1) can't reach ceil(t*max(n)). 4-word
+    // shingles (vs the family's 3) keep the token space sparse enough
+    // that prefixes actually discriminate; t = 0.5 is binary-exact so
+    // ceil(t*n) = (n+1) div 2 is pure integer arithmetic cross-engine.
+    // Verify = the family's exact sorted-intersection Jaccard. At
+    // 100 TB: tokens/df/prefixes are linear scans + one bounded-skew
+    // equi-join; production would collapse exact dups first (d_exact)
+    // and shard df as a standing relation — both orthogonal here.
+    "d_allpairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // the 4-gram hashed shingle relation is read by BOTH the prefix
+      // pipeline and the verify join — persist the md5 scan once
+      val sh = docs(s, dir)
+        .select(col("doc_id"),
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            graft.functions.ShingleHashSet(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+                wordsOf(col("text"))), 4, 12)).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.register(s, "d")(() => { sh.unpersist(false); () })
+      val tok = sh.select(col("doc_id"), explode(col("sh")).as("s"),
+        size(col("sh")).as("n"))
+      val dfRel = tok.groupBy("s").agg(count(lit(1)).as("df"))
+      // df lookup joins plain (not salted): prefix filtering is itself
+      // the skew guard downstream, and here the token space is sparse
+      // by construction (4-grams) so no key carries corpus-scale df
+      val wOrd = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+      val pre = tok.join(dfRel, "s")
+        .withColumn("rn", row_number().over(wOrd))
+        .filter(col("rn") <= expr("n - ((n + 1) div 2) + 1"))
+        .select("doc_id", "s", "n", "rn")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.register(s, "d")(() => { pre.unpersist(false); () })
+      val cand = pre.as("x").join(pre.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id")
+            && lit(2) * col("y.n") >= col("x.n")
+            && lit(2) * col("x.n") >= col("y.n"))
+        .filter(expr("least(x.n - x.rn, y.n - y.rn) + 1")
+          >= expr("(greatest(x.n, y.n) + 1) div 2"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      verifyPairs(sh, cand, 0.5).orderBy("a", "b")
     })
   )
 
@@ -1164,5 +1223,31 @@ object Dedup {
          UNION ALL
          SELECT 'only_lsh', CAST((SELECT count(*) FROM mh
            WHERE NOT EXISTS (SELECT 1 FROM jac WHERE jac.a = mh.a AND jac.b = mh.b)) AS BIGINT)
-         ORDER BY part""")
+         ORDER BY part""") +
+    // AllPairs prefix-filter mirror: 4-gram hashed shingles, global
+    // (df, token) order, prefix = n - ceil(n/2) + 1 in pure integer
+    // arithmetic, PPJoin positional filter, exact-Jaccard verify
+    ("d_allpairs" ->
+      s"""WITH sh AS (SELECT doc_id,
+           list_distinct(list_transform(
+             list_transform(range(0, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+               i -> array_to_string(string_split(text, ' ')[CAST(i+1 AS INT):CAST(i+4 AS INT)], ' ')),
+             x -> ${Determinism.sqlMd5IdxK("x", 12)})) AS sh
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh),
+         df AS (SELECT s, count(*) AS df FROM tok GROUP BY s),
+         ord AS (SELECT t.doc_id, t.s, t.n,
+             row_number() OVER (PARTITION BY t.doc_id ORDER BY df.df, t.s) AS rn
+           FROM tok t JOIN df ON t.s = df.s),
+         pre AS (SELECT doc_id, s, n, rn FROM ord
+           WHERE rn <= n - ((n + 1) // 2) + 1),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM pre x JOIN pre y ON x.s = y.s AND x.doc_id < y.doc_id
+           WHERE 2 * y.n >= x.n AND 2 * x.n >= y.n
+             AND least(x.n - x.rn, y.n - y.rn) + 1
+               >= (greatest(x.n, y.n) + 1) // 2)
+         SELECT a, b, ${sqlJaccard("sa.sh", "sb.sh")} AS jac
+         FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+         WHERE ${sqlJaccard("sa.sh", "sb.sh")} >= 0.5
+         ORDER BY a, b""")
 }

@@ -1214,6 +1214,72 @@ object Similarity {
 
     "s_hnsw_search_recall" -> recallOf("s_hnsw_search"),
 
+    // INCREMENTAL graph-index upsert — the graph-ANN sibling of
+    // s_ivf_upsert (IVF got its nightly-delta path in r11; the graph
+    // family's standing artifact had none): the standing KNN graph is
+    // built over the OLD corpus only (the same pre-batch boundary and
+    // centroid draw as oldSeed — at a deployment it is last night's
+    // persisted edge list), and tonight's batch inserts WITHOUT a
+    // rebuild by the classic navigable-graph insert (Malkov & Yashunin's
+    // HNSW insert, single-layer form): each new vector beam-searches
+    // the standing graph for its KnnK nearest residents, links
+    // BIDIRECTIONALLY, and every touched node re-prunes to its KnnK
+    // best by cosine (the shrink-connections step) — so a new near-dup
+    // displaces a resident's weakest edge and becomes reachable. The
+    // entry then runs the standard fixed-seed search over the UPSERTED
+    // graph; recall (s_graph_upsert_recall) is priced against brute
+    // force over the FULL corpus, so unreachable new vectors show up
+    // as lost recall — the metric a nightly insert actually watches.
+    // Scale shape: the insert walk is per-new-vector independent
+    // (rounds x beam x KnnK edge lookups, corpus-independent — in
+    // production the delta shards into bounded sub-batches), the merge
+    // + prune touches only base edges ∪ 2x|delta|xKnnK new edges, and
+    // the base graph builds cell-bounded like knnGraph. The delta
+    // query frame broadcasts like the NQueries frame (bounded by the
+    // nightly window, not the corpus).
+    "s_graph_upsert" -> memoAnn("s_graph_upsert")((s, dir) => {
+      val e = vecs(s, dir)
+      val (tNew, _) = oldSeed(s, dir)
+      val eOld = e.filter(col("vec_id") < tNew)
+      val gBase = knnBase(s, dir)
+      val seeds = broadcast(eOld
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(SearchSeeds).select("vec_id"))
+      // 1) insert walk: the delta plays the query side, re-ranked
+      // against the OLD corpus only (a new vector cannot route through
+      // tonight's other arrivals — matches the sequential-insert
+      // semantics a streaming writer would produce)
+      val qNew = broadcast(e.filter(col("vec_id") >= tNew)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn")))
+      val found = beamWalk(s, eOld, qNew,
+        gBase.select(col("src").as("vec_id"), col("nbr")),
+        qNew.select("q").join(seeds), SearchRounds, SearchBeam)
+      val newOut = cosRerank(eOld, qNew, found)
+        .filter(col("brn") <= KnnK)
+        .select(col("q").as("src"), col("vec_id").as("nbr"), col("cos"))
+      // 2) merge + prune: base ∪ new-out ∪ reverse(new-out), top-KnnK
+      // per src by (cos desc, nbr) — the three edge sets are disjoint
+      // by id-domain (old→old / new→old / old→new), so no distinct
+      val wp = Window.partitionBy("src").orderBy(col("cos").desc, col("nbr").asc)
+      val gUp = gBase.select("src", "nbr", "cos")
+        .unionByName(newOut)
+        .unionByName(newOut.select(col("nbr").as("src"),
+          col("src").as("nbr"), col("cos")))
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= KnnK)
+        .select(col("src").as("vec_id"), col("nbr"))
+      // 3) the standard fixed-seed search, now over the upserted graph
+      // and re-ranked against the FULL corpus (new nodes may enter)
+      val qs = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn")))
+      val beam = beamWalk(s, e, qs, gUp,
+        qs.select("q").join(seeds), SearchRounds, SearchBeam)
+      topk(cosRerank(e, qs, beam.filter(col("vec_id") =!= col("q")))
+        .select("q", "vec_id", "cos"))
+    }),
+
+    "s_graph_upsert_recall" -> recallOf("s_graph_upsert"),
+
     // MMR — maximal-marginal-relevance diversified re-rank (Carbonell &
     // Goldstein 1998), the standard result-diversification step between
     // retrieval and consumption (RAG context assembly, dedup-aware
@@ -1824,6 +1890,37 @@ object Similarity {
     * graph consumers price probe-only cost, not a hidden build. */
   private def knnGraph(s: SparkSession, dir: String): DataFrame =
     memoAnn("s_knn_graph")((s2, d2) => knnGraphBody(s2, d2))(s, dir)
+
+  /** Memoized STANDING graph for the upsert path: the knnGraphBody
+    * shape restricted to the pre-batch corpus, with the cells drawn
+    * from the same standing old-seeded centroid table s_ivf_upsert and
+    * st_ann_ingest probe (oldSeed) — one coherent "last night's index"
+    * artifact family. Kept separate from [[knnGraph]] because the two
+    * relations answer different questions: knnGraph is the full-corpus
+    * graph the search entries walk; this is the graph that EXISTED
+    * before tonight's batch, which the upsert extends. */
+  private def knnBase(s: SparkSession, dir: String): DataFrame =
+    memoAnn("s_knn_base")((s2, d2) => {
+      val (tNew, seed) = oldSeed(s2, d2)
+      val eOld = vecs(s2, d2).filter(col("vec_id") < tNew)
+      val wp = Window.partitionBy("src").orderBy(col("pcos").desc, col("cid").asc)
+      val probes = eOld.join(broadcast(seed))
+        .select(col("vec_id").as("src"), col("v").as("qv"), col("n").as("qn"),
+          col("cid"),
+          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("pcos"))
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= NProbe)
+        .select("src", "qv", "qn", "cid")
+      val assignedOld = assignTo(eOld, seed)
+      val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("nbr").asc)
+      probes.join(assignedOld, "cid")
+        .filter(col("vec_id") =!= col("src"))
+        .select(col("src"), col("vec_id").as("nbr"),
+          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos"))
+        .withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= KnnK)
+        .select("src", "nbr", "cos")
+    })(s, dir)
 
   /** Memoized edges⋈deg relation behind s_graph_rank: one deg
     * aggregation per session, persisted, released with the "s" scope.
@@ -2607,6 +2704,104 @@ object Similarity {
     * redundancy/argmax CTE rounds (MATERIALIZED — each round references
     * the selected set twice; inlined, the pool pipeline would re-expand
     * per round). */
+  /** SQL mirror of s_graph_upsert: old-corpus base graph (the
+    * sqlKnnCtes shape restricted to vec_id < tnew with the old-seeded
+    * c0), delta insert walk re-ranked against the old corpus only,
+    * bidirectional link + per-src KnnK prune, then the standard search
+    * walk over the upserted edges re-ranked against the full corpus.
+    * The walk generator parameterizes the corpus/query CTE names the
+    * [[sqlGraphSearch]] rounds hardcode. */
+  private def sqlGraphUpsert: String = {
+    def cosOf(q: String, x: String) =
+      s"(${VecOps.sqlDot(s"$q.qv", s"$x.v")} / ($q.qn * $x.n))"
+    def walk(pfx: String, edges: String, seed: String, corpus: String,
+        qtab: String, rounds: Int, width: Int): String =
+      (1 to rounds).map { r =>
+        val prev = if (r == 1) seed else s"${pfx}b${r - 1}"
+        s"""${pfx}x$r AS (SELECT DISTINCT q, vec_id FROM (
+             SELECT q, vec_id FROM $prev
+             UNION ALL
+             SELECT b.q, k.nbr AS vec_id FROM $prev b
+               JOIN $edges k ON k.src = b.vec_id)),
+           ${pfx}b$r AS MATERIALIZED (SELECT q, vec_id FROM (
+             SELECT x.q, x.vec_id,
+               row_number() OVER (PARTITION BY x.q ORDER BY
+                 ${cosOf(qtab, corpus)} DESC, x.vec_id) AS brn
+             FROM ${pfx}x$r x JOIN $corpus ON $corpus.vec_id = x.vec_id
+               JOIN $qtab ON $qtab.q = x.q)
+             WHERE brn <= $width)"""
+      }.mkString(",\n")
+    s"""WITH e AS ($sqlVecs),
+       t AS (SELECT max(vec_id) * 4 // 5 AS tnew FROM e),
+       eold AS MATERIALIZED (SELECT * FROM e
+         WHERE vec_id < (SELECT tnew FROM t)),
+       c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM eold
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
+       aold AS (SELECT vec_id, v, n, cid FROM (
+         SELECT eold.vec_id, eold.v, eold.n, c0.cid,
+           row_number() OVER (PARTITION BY eold.vec_id
+             ORDER BY (${VecOps.sqlDot("eold.v", "c0.cv")} / (eold.n * c0.cn)) DESC,
+               c0.cid) AS arn
+         FROM eold, c0) WHERE arn = 1),
+       probes AS (SELECT src, qv, qn, cid FROM (
+         SELECT eold.vec_id AS src, eold.v AS qv, eold.n AS qn, c0.cid,
+           row_number() OVER (PARTITION BY eold.vec_id
+             ORDER BY (${VecOps.sqlDot("eold.v", "c0.cv")} / (eold.n * c0.cn)) DESC,
+               c0.cid) AS prn
+         FROM eold, c0) WHERE prn <= $NProbe),
+       gbase AS MATERIALIZED (SELECT src, nbr, cos FROM (
+         SELECT src, nbr, cos,
+           row_number() OVER (PARTITION BY src ORDER BY cos DESC, nbr) AS rn
+         FROM (SELECT probes.src, aold.vec_id AS nbr,
+             (${VecOps.sqlDot("probes.qv", "aold.v")}
+               / (probes.qn * aold.n)) AS cos
+           FROM probes JOIN aold USING (cid)
+           WHERE aold.vec_id <> probes.src))
+         WHERE rn <= $KnnK),
+       dq AS MATERIALIZED (SELECT vec_id AS q, v AS qv, n AS qn FROM e
+         WHERE vec_id >= (SELECT tnew FROM t)),
+       seeds AS (SELECT vec_id FROM eold
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $SearchSeeds),
+       ib0 AS MATERIALIZED (SELECT q, vec_id FROM (
+         SELECT dq.q, eold.vec_id,
+           row_number() OVER (PARTITION BY dq.q ORDER BY
+             ${cosOf("dq", "eold")} DESC, eold.vec_id) AS brn
+         FROM dq, seeds s JOIN eold ON eold.vec_id = s.vec_id)
+         WHERE brn <= $SearchBeam),
+       ${walk("i", "gbase", "ib0", "eold", "dq", SearchRounds, SearchBeam)},
+       newout AS (SELECT q AS src, vec_id AS nbr, cos FROM (
+         SELECT b.q, b.vec_id, ${cosOf("dq", "eold")} AS cos,
+           row_number() OVER (PARTITION BY b.q ORDER BY
+             ${cosOf("dq", "eold")} DESC, b.vec_id) AS krn
+         FROM ib$SearchRounds b JOIN eold ON eold.vec_id = b.vec_id
+           JOIN dq ON dq.q = b.q)
+         WHERE krn <= $KnnK),
+       merged AS (SELECT src, nbr, cos FROM gbase
+         UNION ALL SELECT src, nbr, cos FROM newout
+         UNION ALL SELECT nbr AS src, src AS nbr, cos FROM newout),
+       gup AS MATERIALIZED (SELECT src, nbr FROM (
+         SELECT src, nbr,
+           row_number() OVER (PARTITION BY src ORDER BY cos DESC, nbr) AS rn
+         FROM merged) WHERE rn <= $KnnK),
+       qs AS MATERIALIZED (SELECT vec_id AS q, v AS qv, n AS qn FROM e
+         WHERE vec_id < $NQueries),
+       b0 AS MATERIALIZED (SELECT q, vec_id FROM (
+         SELECT qs.q, e.vec_id,
+           row_number() OVER (PARTITION BY qs.q ORDER BY
+             ${cosOf("qs", "e")} DESC, e.vec_id) AS brn
+         FROM qs, seeds s JOIN e ON e.vec_id = s.vec_id)
+         WHERE brn <= $SearchBeam),
+       ${walk("", "gup", "b0", "e", "qs", SearchRounds, SearchBeam)}
+       SELECT q, vec_id, cos, rn FROM (
+         SELECT b.q, b.vec_id, ${cosOf("qs", "e")} AS cos,
+           CAST(row_number() OVER (PARTITION BY b.q ORDER BY
+             ${cosOf("qs", "e")} DESC, b.vec_id) AS INT) AS rn
+         FROM b$SearchRounds b JOIN e ON e.vec_id = b.vec_id
+           JOIN qs ON qs.q = b.q
+         WHERE b.vec_id <> b.q)
+       WHERE rn <= $K ORDER BY q, rn"""
+  }
+
   private def sqlMmr: String = {
     val rounds = (2 to MmrK).map { t =>
       val prev = s"sel${t - 1}"
@@ -2800,6 +2995,14 @@ object Similarity {
     ("s_ivf_mrl_recall" -> sqlRecall("s_ivf_mrl")) +
     ("s_mrl_recall" -> sqlRecall("s_mrl_topk")) +
     ("s_ivf_upsert_recall" -> sqlRecall("s_ivf_upsert")) +
+    ("s_graph_upsert" -> sqlGraphUpsert) +
+    ("s_graph_upsert_recall" ->
+      s"""WITH bf AS (${oracleBase("s_cosine_topk")}),
+         ann AS ($sqlGraphUpsert)
+         SELECT bf.q, CAST(count(ann.vec_id) AS INT) AS hits,
+           (count(ann.vec_id) / ${K}.0) AS recall
+         FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id
+         GROUP BY bf.q ORDER BY bf.q""") +
     ("s_probe_sweep" ->
       s"""WITH e AS ($sqlVecs),
          c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
