@@ -373,6 +373,37 @@ object MultimodalQueries {
 
   private def f(seedSql: String): String = Determinism.sqlMd5IdxK(seedSql, 6)
 
+  /** The twin-corpus hash-chunk CTE chain (base → dims → th → s → ch →
+    * ph): every image (each doc + its retouched twin) reduced to its
+    * four 16-bit average-hash chunks — the ONE SQL copy of the
+    * synthetic-pixel + hash pipeline that m_phash_near, m_phash_inc and
+    * st_media_dedup all band over. */
+  private[queries] val sqlPhashChunkCtes: String =
+    """base AS (SELECT doc_id, doc_id AS img, false AS tw FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, doc_id, true FROM documents),
+         dims AS (SELECT doc_id, img, tw,
+             CAST(16 + img % 32 AS INT) AS w,
+             CAST(16 + (img * 7) % 32 AS INT) AS h
+           FROM base),
+         th AS (SELECT doc_id, k.i AS k,
+             CASE WHEN tw AND (((k.i % 8) * w) // 8) = 0
+                 AND (((k.i // 8) * h) // 8) = 0 THEN 255
+               ELSE (img + 3 * (((k.i % 8) * w) // 8)
+                 + 5 * (((k.i // 8) * h) // 8)) % 256 END AS p
+           FROM dims, unnest(range(0, 64)) AS k(i)),
+         s AS (SELECT doc_id, sum(p) AS sp FROM th GROUP BY doc_id),
+         ch AS (SELECT th.doc_id, th.k // 16 AS ci,
+             CAST(sum(CASE WHEN th.p * 64 > s.sp
+               THEN 1 << (th.k % 16) ELSE 0 END) AS BIGINT) AS cv
+           FROM th JOIN s USING (doc_id) GROUP BY th.doc_id, th.k // 16),
+         ph AS (SELECT doc_id,
+             max(CASE WHEN ci = 0 THEN cv END) AS c0,
+             max(CASE WHEN ci = 1 THEN cv END) AS c1,
+             max(CASE WHEN ci = 2 THEN cv END) AS c2,
+             max(CASE WHEN ci = 3 THEN cv END) AS c3
+           FROM ch GROUP BY doc_id)"""
+
   val oracleSql: Map[String, String] = Map(
     // strlen (bytes), not length (characters): Spark's length(blob)
     // counts BYTES of the UTF-8 cast, so the two agree only while the
@@ -505,30 +536,7 @@ object MultimodalQueries {
     // [ci*16, ci*16+16) little-endian — the same packing phashChunks
     // uses — and the candidate/verify pipeline mirrors the Spark plan
     "m_phash_near" ->
-      """WITH base AS (SELECT doc_id, doc_id AS img, false AS tw FROM documents
-           UNION ALL
-           SELECT doc_id + 100000, doc_id, true FROM documents),
-         dims AS (SELECT doc_id, img, tw,
-             CAST(16 + img % 32 AS INT) AS w,
-             CAST(16 + (img * 7) % 32 AS INT) AS h
-           FROM base),
-         th AS (SELECT doc_id, k.i AS k,
-             CASE WHEN tw AND (((k.i % 8) * w) // 8) = 0
-                 AND (((k.i // 8) * h) // 8) = 0 THEN 255
-               ELSE (img + 3 * (((k.i % 8) * w) // 8)
-                 + 5 * (((k.i // 8) * h) // 8)) % 256 END AS p
-           FROM dims, unnest(range(0, 64)) AS k(i)),
-         s AS (SELECT doc_id, sum(p) AS sp FROM th GROUP BY doc_id),
-         ch AS (SELECT th.doc_id, th.k // 16 AS ci,
-             CAST(sum(CASE WHEN th.p * 64 > s.sp
-               THEN 1 << (th.k % 16) ELSE 0 END) AS BIGINT) AS cv
-           FROM th JOIN s USING (doc_id) GROUP BY th.doc_id, th.k // 16),
-         ph AS (SELECT doc_id,
-             max(CASE WHEN ci = 0 THEN cv END) AS c0,
-             max(CASE WHEN ci = 1 THEN cv END) AS c1,
-             max(CASE WHEN ci = 2 THEN cv END) AS c2,
-             max(CASE WHEN ci = 3 THEN cv END) AS c3
-           FROM ch GROUP BY doc_id),
+      s"""WITH $sqlPhashChunkCtes,
          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
            FROM ch x JOIN ch y
            ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id)
@@ -546,31 +554,8 @@ object MultimodalQueries {
     // the oracle states the CONTRACT, the Spark side must reach it
     // with delta-bounded work
     "m_phash_inc" ->
-      """WITH t AS (SELECT max(doc_id) * 4 // 5 AS tnew FROM documents),
-         base AS (SELECT doc_id, doc_id AS img, false AS tw FROM documents
-           UNION ALL
-           SELECT doc_id + 100000, doc_id, true FROM documents),
-         dims AS (SELECT doc_id, img, tw,
-             CAST(16 + img % 32 AS INT) AS w,
-             CAST(16 + (img * 7) % 32 AS INT) AS h
-           FROM base),
-         th AS (SELECT doc_id, k.i AS k,
-             CASE WHEN tw AND (((k.i % 8) * w) // 8) = 0
-                 AND (((k.i // 8) * h) // 8) = 0 THEN 255
-               ELSE (img + 3 * (((k.i % 8) * w) // 8)
-                 + 5 * (((k.i // 8) * h) // 8)) % 256 END AS p
-           FROM dims, unnest(range(0, 64)) AS k(i)),
-         s AS (SELECT doc_id, sum(p) AS sp FROM th GROUP BY doc_id),
-         ch AS (SELECT th.doc_id, th.k // 16 AS ci,
-             CAST(sum(CASE WHEN th.p * 64 > s.sp
-               THEN 1 << (th.k % 16) ELSE 0 END) AS BIGINT) AS cv
-           FROM th JOIN s USING (doc_id) GROUP BY th.doc_id, th.k // 16),
-         ph AS (SELECT doc_id,
-             max(CASE WHEN ci = 0 THEN cv END) AS c0,
-             max(CASE WHEN ci = 1 THEN cv END) AS c1,
-             max(CASE WHEN ci = 2 THEN cv END) AS c2,
-             max(CASE WHEN ci = 3 THEN cv END) AS c3
-           FROM ch GROUP BY doc_id),
+      s"""WITH t AS (SELECT max(doc_id) * 4 // 5 AS tnew FROM documents),
+         $sqlPhashChunkCtes,
          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
            FROM ch x JOIN ch y
            ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id)

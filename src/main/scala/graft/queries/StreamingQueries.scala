@@ -278,6 +278,68 @@ object StreamingQueries {
       graft.CacheBook.register(s, "st")(() => acc.release())
       Relational.chisqReadout(
         st.select(col("lang"), col("source"), col("n").as("obs")))
+    }),
+
+    // STREAMING media-dedup gate — the multimodal sibling of
+    // st_ingest_dedup and the streaming half of m_phash_inc: every
+    // newly arrived image REAL-decodes to its hash chunks in-stream
+    // (stateless mapPartitions — no state store, append mode, restart-
+    // safe) and band-probes the STANDING chunk relation (last night's
+    // index: the pre-batch images and their twins, built batch-side and
+    // persisted as the static join side). A hamming <= 3 hit is the
+    // drop/route decision a media landing zone makes before anything
+    // lands. Emit-once discipline is the m_phash_near lowest-matching-
+    // band predicate (stateless — a streaming DISTINCT would need a
+    // state store); new/standing id domains are disjoint by the
+    // novelty convention, so no self or new-new pairs exist — the
+    // standing side is PROBED, never self-joined, candidate volume is
+    // delta-bounded exactly as in m_phash_inc. Only (doc_id, 4 longs)
+    // crosses the stream-static join — never pixels.
+    "st_media_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val name = synchronized { runId += 1; s"st_media_dedup_$runId" }
+      val docsT = graft.Tables.load(s, dir, "documents")
+      val maxId = docsT.agg(max("doc_id")).head().getLong(0)
+      // the +100000 twin convention bounds novelty recovery (m_phash_inc)
+      require(maxId < 100000L,
+        s"twin id convention requires base doc_id < 100000, got max $maxId")
+      val tNew = maxId * 4 / 5
+      val standing = graft.operators.Multimodal.phashNearCorpus(
+          docsT.filter(col("doc_id") < tNew).select(col("doc_id")).as[Long])
+        .toDF().localCheckpoint(true)
+      graft.CacheBook.register(s, "st")(() =>
+        graft.CacheBook.unpersistCheckpoint(standing))
+      val hk = Seq("c0", "c1", "c2", "c3")
+      def bandsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id") +: hk.map(col) :+
+            explode(array((0 to 3).map(ci =>
+              struct(lit(ci).as("ci"), col(s"c$ci").as("cv"))): _*)).as("ch"): _*)
+          .select(col("doc_id") +: hk.map(col) :+
+            col("ch.ci").as("ci") :+ col("ch.cv").as("cv"): _*)
+      val standingB = bandsOf(standing)
+      val newIds = s.readStream.schema(StreamingOps.docsRawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") >= tNew)
+        .select(col("doc_id")).as[Long]
+      val deltaB = bandsOf(
+        graft.operators.Multimodal.phashNearCorpus(newIds).toDF())
+      val firstBand = when(col("x.ci") === 0, lit(true))
+        .when(col("x.ci") === 1, col("x.c0") =!= col("y.c0"))
+        .when(col("x.ci") === 2,
+          col("x.c0") =!= col("y.c0") && col("x.c1") =!= col("y.c1"))
+        .otherwise(col("x.c0") =!= col("y.c0")
+          && col("x.c1") =!= col("y.c1") && col("x.c2") =!= col("y.c2"))
+      val matches = deltaB.as("x").join(standingB.as("y"),
+          col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv")
+            && firstBand)
+        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup"),
+          hk.map(c => bit_count(col(s"x.$c").bitwiseXOR(col(s"y.$c"))))
+            .reduce(_ + _).cast("int").as("dist"))
+        .filter(col("dist") <= 3)
+      StreamingOps.runToMemory(s, matches, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("doc_id", "dup")
     })
   )
 
@@ -343,6 +405,25 @@ object StreamingQueries {
     // streamed cell maintenance must be invisible in the end state:
     // the drift monitor's oracle IS the batch chi-square's SQL
     "st_drift" -> Relational.oracleSql("q_chisq"),
+
+    // streaming media-dedup gate: the m_phash_inc chunk pipeline with
+    // the candidate join restricted to new-vs-standing (stream side
+    // new, static side old — new-new pairs are not the gate's job)
+    "st_media_dedup" ->
+      s"""WITH t AS (SELECT max(doc_id) * 4 // 5 AS tnew FROM documents),
+         ${MultimodalQueries.sqlPhashChunkCtes},
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM ch x JOIN ch y ON x.ci = y.ci AND x.cv = y.cv
+           WHERE x.doc_id % 100000 >= (SELECT tnew FROM t)
+             AND y.doc_id % 100000 < (SELECT tnew FROM t))
+         SELECT a AS doc_id, b AS dup, dist FROM (
+           SELECT cand.a, cand.b,
+             CAST(bit_count(xor(pa.c0, pb.c0)) + bit_count(xor(pa.c1, pb.c1))
+               + bit_count(xor(pa.c2, pb.c2)) + bit_count(xor(pa.c3, pb.c3))
+               AS INT) AS dist
+           FROM cand JOIN ph pa ON pa.doc_id = cand.a
+             JOIN ph pb ON pb.doc_id = cand.b)
+         WHERE dist <= 3 ORDER BY doc_id, dup""",
 
     // streamed micro-batch merges must be invisible in the end state
     "st_inc_agg" ->
