@@ -256,7 +256,92 @@ object MultimodalQueries {
     // corpus adds a twin per video (same frames, every keyframe's
     // patch 0 retouched) so true shared-scene pairs exist at gate
     // scale; delta coding bounds each twin scene's hamming at 2.
-    "m_scene_dedup" -> ((s, dir) => {
+    "m_scene_dedup" -> ((s, dir) =>
+      chunkNearDup(sceneSigs(s, dir))
+        .filter(expr("a div 1000") =!= expr("b div 1000")) // cross-video only
+        .select(expr("a div 1000").as("video_a"),
+          (col("a") % 1000).cast("int").as("scene_a"),
+          expr("b div 1000").as("video_b"),
+          (col("b") % 1000).cast("int").as("scene_b"), col("dist"))
+        .orderBy("video_a", "scene_a", "video_b", "scene_b")),
+
+    // INCREMENTAL scene-keyframe video dedup — m_phash_inc's nightly
+    // shape on the video modality, completing the video family's
+    // lifecycle (segment → fingerprint → near-dup → INCREMENTAL):
+    // tonight's videos (underlying id past the 80% boundary, twins
+    // share their base's novelty) fingerprint their scenes and ONLY
+    // those delta bands probe the standing scene-chunk relation —
+    // candidate volume is delta-bounded, the standing side is probed
+    // never self-joined. Emits exactly the cross-video pairs with
+    // >= 1 new video (new-new + new-old), emit-once via the
+    // lowest-matching-band predicate + both-new ordering. The scene
+    // fingerprint relation is built ONCE per (session, corpus) — a
+    // named memo m_scene_dedup shares — so this entry prices the
+    // delta probe, not a second decode+md5 pipeline.
+    "m_scene_dedup_inc" -> ((s, dir) => {
+      val docsT = Tables.load(s, dir, "documents")
+      val maxId = docsT.agg(max("doc_id")).head().getLong(0)
+      require(maxId < 100000L,
+        s"twin id convention requires base doc_id < 100000, got max $maxId")
+      val tNew = maxId * 4 / 5
+      val sid = sceneSigs(s, dir)
+      // sid = (video*1000 + scene); underlying video = (sid div 1000) % 100000
+      val isNew = (expr("doc_id div 1000") % 100000L) >= tNew
+      val hk = Seq("c0", "c1", "c2", "c3")
+      def bandsOf(df: DataFrame) = df.select(col("doc_id") +: hk.map(col) :+
+          explode(array((0 to 3).map(ci =>
+            struct(lit(ci).as("ci"), col(s"c$ci").as("cv"))): _*)).as("ch"): _*)
+        .select(col("doc_id") +: hk.map(col) :+
+          col("ch.ci").as("ci") :+ col("ch.cv").as("cv"): _*)
+      val deltaB = bandsOf(sid.filter(isNew))
+      val allB = bandsOf(sid)
+      val firstBand = when(col("x.ci") === 0, lit(true))
+        .when(col("x.ci") === 1, col("x.c0") =!= col("y.c0"))
+        .when(col("x.ci") === 2,
+          col("x.c0") =!= col("y.c0") && col("x.c1") =!= col("y.c1"))
+        .otherwise(col("x.c0") =!= col("y.c0")
+          && col("x.c1") =!= col("y.c1") && col("x.c2") =!= col("y.c2"))
+      // both-new pairs arrive twice (each side is in the delta): order
+      // them; new-old pairs arrive once (y old)
+      val once = ((expr("y.doc_id div 1000") % 100000L) < tNew) ||
+        col("x.doc_id") < col("y.doc_id")
+      deltaB.as("x").join(allB.as("y"),
+          col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv")
+            && expr("x.doc_id div 1000") =!= expr("y.doc_id div 1000") // cross-video
+            && firstBand && once)
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b"),
+          hk.map(c => bit_count(col(s"x.$c").bitwiseXOR(col(s"y.$c"))))
+            .reduce(_ + _).cast("int").as("dist"))
+        .filter(col("dist") <= 3)
+        .select(expr("a div 1000").as("video_a"),
+          (col("a") % 1000).cast("int").as("scene_a"),
+          expr("b div 1000").as("video_b"),
+          (col("b") % 1000).cast("int").as("scene_b"), col("dist"))
+        .orderBy("video_a", "scene_a", "video_b", "scene_b")
+    })
+  )
+
+  private val sceneSigCache = collection.mutable
+    .Map.empty[(SparkSession, String), graft.Once[org.apache.spark.sql.DataFrame]]
+
+  /** Memoized per-scene keyframe fingerprint relation
+    * ((video*1000 + scene_id), c0..c3), shared by m_scene_dedup and
+    * m_scene_dedup_inc: segment base + twin videos (m_scenes' cut
+    * rule), fingerprint each scene's keyframe with 64 delta-coded
+    * patch levels (the twin's patch 0 retouched — a sub-signature
+    * edit, like m_phash_near's one-pixel retouch), pack into four
+    * 16-bit chunks. MATERIALIZED once per (session, corpus) as a named
+    * memo — chunkNearDup references its input five times and the inc
+    * entry probes it again, and this input's subtree is the whole
+    * decode + 5.7M-patch-md5 + window pipeline (uncheckpointed it
+    * recomputed per reference: 37 cpu-s for a ~7 cpu-s fingerprint
+    * stage — the round-12 review catch). */
+  private def sceneSigs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    graft.CacheBook.touch(s, "m", "scene_sigs")
+    synchronized {
+      sceneSigCache.getOrElseUpdate((s, dir), new graft.Once(() =>
+        graft.CacheBook.building(s, "m", "scene_sigs") {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("doc_id").orderBy("frame_idx")
       val lv0 = Multimodal.frameLevels(
@@ -275,10 +360,6 @@ object MultimodalQueries {
       val vh0 = Tables.load(s, dir, "documents")
         .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
       val vh = vh0.unionByName(vh0.select((col("doc_id") + 100000L).as("doc_id"), col("h")))
-      // 64 patch levels per keyframe off the video content hash (the
-      // frameLevels determinism contract at patch granularity); the
-      // twin's patch 0 is retouched — a sub-signature edit, like
-      // m_phash_near's one-pixel retouch
       def patch(idx: org.apache.spark.sql.Column) = {
         val base = pmod(graft.functions.Determinism.md5IdxK(
           concat(col("h"), lit("#"), col("start_frame").cast("string"),
@@ -304,26 +385,18 @@ object MultimodalQueries {
           .otherwise(0L)).as(s"c$ci"))
       val sigs = bits.groupBy("doc_id", "scene_id")
         .agg(chunkAggs.head, chunkAggs.tail: _*)
-      // flatten (video, scene) into one band id (scene_id < 64 << 1000),
-      // and MATERIALIZE once — the m_phash_near/m_audio_near discipline:
-      // chunkNearDup references its input five times, and this input's
-      // subtree is the whole decode + 5.7M-patch-md5 + window pipeline
-      // (uncheckpointed it recomputed per reference: 37 cpu-s for a
-      // ~7 cpu-s fingerprint stage — the round-12 review catch)
+      // flatten (video, scene) into one band id (scene_id < 64 << 1000)
       val sid = sigs.select((col("doc_id") * 1000 + col("scene_id")).as("doc_id"),
         col("c0"), col("c1"), col("c2"), col("c3"))
         .localCheckpoint(true)
-      graft.CacheBook.register(s, "m")(() =>
-        graft.CacheBook.unpersistCheckpoint(sid))
-      chunkNearDup(sid)
-        .filter(expr("a div 1000") =!= expr("b div 1000")) // cross-video only
-        .select(expr("a div 1000").as("video_a"),
-          (col("a") % 1000).cast("int").as("scene_a"),
-          expr("b div 1000").as("video_b"),
-          (col("b") % 1000).cast("int").as("scene_b"), col("dist"))
-        .orderBy("video_a", "scene_a", "video_b", "scene_b")
-    })
-  )
+      graft.CacheBook.register(s, "m", "scene_sigs") { () =>
+        MultimodalQueries.synchronized { sceneSigCache.remove((s, dir)) }
+        graft.CacheBook.unpersistCheckpoint(sid)
+        ()
+      }
+      sid
+    })) }.value
+  }
 
   /** The shared 4×16-bit-chunk near-dup pipeline behind m_phash_near
     * and m_audio_near: collapse identical-chunk groups to a
@@ -615,9 +688,24 @@ object MultimodalQueries {
     // 64 delta-coded patch levels fingerprint each keyframe (twin's
     // patch 0 retouched +8), then the m_phash_near band/verify over
     // (video*1000+scene) ids, cross-video pairs only
-    "m_scene_dedup" -> {
+    "m_scene_dedup" -> sqlSceneDedup(""),
+
+    // incremental = the full cross-video pair set restricted to pairs
+    // with >= 1 new VIDEO (underlying id past the 80% boundary); the
+    // oracle states the contract, the Spark side reaches it with a
+    // delta-bounded probe of the shared fingerprint memo
+    "m_scene_dedup_inc" -> sqlSceneDedup(
+      """ AND ((a // 1000) % 100000 >= (SELECT tnew FROM t)
+           OR (b // 1000) % 100000 >= (SELECT tnew FROM t))""")
+  )
+
+  /** The m_scene_dedup CTE chain with an optional extra predicate over
+    * the verified (a, b) scene pairs — shared by the full and the
+    * incremental oracles so both answer to ONE fingerprint pipeline. */
+  private def sqlSceneDedup(extraWhere: String): String = {
       val fh = (seed: String) => Determinism.sqlMd5IdxK(seed, 6)
-      s"""WITH nf AS (SELECT doc_id, md5(text) AS h,
+      s"""WITH t AS (SELECT max(doc_id) * 4 // 5 AS tnew FROM documents),
+         nf AS (SELECT doc_id, md5(text) AS h,
              CAST(1 + ${fh("md5(text) || 'f'")} % 64 AS INT) AS n
            FROM documents),
          vids AS (SELECT doc_id, h, n, false AS tw FROM nf
@@ -669,8 +757,7 @@ object MultimodalQueries {
                AS INT) AS dist
            FROM cand JOIN phs pa ON pa.sid = cand.a
              JOIN phs pb ON pb.sid = cand.b)
-         WHERE dist <= 3 AND a // 1000 <> b // 1000
+         WHERE dist <= 3 AND a // 1000 <> b // 1000$extraWhere
          ORDER BY video_a, scene_a, video_b, scene_b"""
-    }
-  )
+  }
 }
