@@ -23,6 +23,75 @@ import graft.operators.ConnectedComponents
   */
 object Dedup {
 
+  /** Bottom-k sketch size for d_source_overlap (k-minimum-values). */
+  private[graft] val OverlapK = 64
+
+  /** (doc_id, source, h): each document's distinct 48-bit shingle
+    * hashes (off the memoized shingle relation) tagged with its source
+    * — the raw stream the KMV corpus-overlap sketches compress. */
+  private def sourceHashes(s: SparkSession, dir: String): DataFrame =
+    shingleSets(s, dir).select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+      .select("doc_id", "source", "h")
+
+  /** Per-source bottom-OverlapK distinct hashes (the KMV sketch).
+    * `salted = true` runs the TWO-phase bottom-k (partial inside
+    * (source, salt-of-hash) groups, final over ≤ 16·K survivors) so a
+    * source with billions of shingles never sorts one reducer
+    * partition; the merge path (standing sketch ∪ delta — already
+    * ≤ K + |delta| rows per source) skips the extra exchange. The salt
+    * phase keeps every hash that could make the final bottom-k (each
+    * salt group's own bottom-k is a superset of its contribution), so
+    * both paths produce the identical sketch. */
+  private def kmvBottomK(rows: DataFrame, salted: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val distinctH = rows.select("source", "h").distinct()
+    val wFin = Window.partitionBy("source").orderBy("h")
+    val base = if (salted) {
+      val wSalt = Window.partitionBy("source", "salt").orderBy("h")
+      distinctH.withColumn("salt", pmod(col("h"), lit(16)))
+        .withColumn("prn", row_number().over(wSalt))
+        .filter(col("prn") <= OverlapK)
+    } else distinctH
+    base.withColumn("rn", row_number().over(wFin))
+      .filter(col("rn") <= OverlapK)
+      .select("source", "h")
+  }
+
+  /** Pairwise union-bottom-k Jaccard estimates over a KMV sketch
+    * relation: for each source pair, merge the two sketches, keep the
+    * union's bottom-K, estimate = fraction present in both. Touches
+    * only S·K sketch rows — index metadata, not corpus data. */
+  private def kmvPairs(s: SparkSession, sketch0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the sketch feeds three consumers (source list + both join sides)
+    val sketch = sketch0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.CacheBook.register(s, "d")(() => { sketch.unpersist(false); () })
+    val srcs = sketch.select("source").distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .join(srcs.select(col("source").as("src_b")),
+        col("src_a") < col("src_b"))
+    val ua = pairs.join(sketch.withColumnRenamed("source", "src_a"), "src_a")
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(1).as("ina"), lit(0).as("inb"))
+    val ub = pairs.join(sketch.withColumnRenamed("source", "src_b"), "src_b")
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(0).as("ina"), lit(1).as("inb"))
+    val wu = Window.partitionBy("src_a", "src_b").orderBy("h")
+    ua.unionByName(ub)
+      .groupBy("src_a", "src_b", "h")
+      .agg(max("ina").as("ina"), max("inb").as("inb"))
+      .withColumn("urn", row_number().over(wu))
+      .filter(col("urn") <= OverlapK)
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("kk"),
+        sum(col("ina") * col("inb")).cast("long").as("hits"))
+      .select(col("src_a"), col("src_b"), col("kk"), col("hits"),
+        expr("hits * 1000000 div kk").as("est_jaccard_micro"))
+      .orderBy("src_a", "src_b")
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame =
@@ -594,6 +663,42 @@ object Dedup {
     "d_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(s, dir).orderBy("a", "b")),
 
+    // CORPUS-OVERLAP estimation between sources via bottom-k (KMV)
+    // shingle sketches — the crawl-snapshot / provider-dedup question
+    // ("how much of source B is already in source A?") answered
+    // WITHOUT a doc-level pair join: each source compresses to its
+    // OverlapK smallest 48-bit shingle hashes (the k-minimum-values
+    // sketch; md5-uniform hashes make the k-th min a density
+    // estimator), and a pair's Jaccard estimate is the fraction of the
+    // union's bottom-k living in both sketches. Estimates are
+    // DETERMINISTIC (same md5 draw both engines) so the oracle is
+    // exact. Scale shape: the per-source bottom-k runs in TWO window
+    // phases — partial bottom-k inside (source, salt-of-hash) groups,
+    // then final bottom-k over ≤ 16·OverlapK survivors — so a source
+    // with billions of shingles never sorts one reducer partition; the
+    // pairwise stage touches only sketches (S·OverlapK rows — index
+    // metadata, not corpus data). Sum/count are over ints, exact.
+    "d_source_overlap" -> ((s, dir) =>
+      kmvPairs(s, kmvBottomK(sourceHashes(s, dir), salted = true))),
+
+    // INCREMENTAL sketch maintenance — the property that makes KMV the
+    // right overlap structure for a nightly-ingest corpus: bottom-k is
+    // MERGEABLE (bottomK(A ∪ B) = bottomK(bottomK(A) ∪ B)), so the
+    // standing per-source sketch absorbs tonight's delta WITHOUT
+    // re-scanning yesterday's text — the merge input is K rows per
+    // source plus the delta's distinct hashes, whatever the corpus
+    // grew to. The oracle is d_source_overlap's full-recompute SQL
+    // verbatim: the gate itself proves incremental == from-scratch.
+    "d_overlap_inc" -> ((s, dir) => {
+      val tNew = newDocThreshold(s, dir)
+      val all = sourceHashes(s, dir)
+      // standing sketch: last night's artifact (built over old docs
+      // only — in production read from the store, like LshIndexStore)
+      val standing = kmvBottomK(all.filter(col("doc_id") < tNew), salted = true)
+      val delta = all.filter(col("doc_id") >= tNew).select("source", "h")
+      kmvPairs(s, kmvBottomK(standing.unionByName(delta), salted = false))
+    }),
+
     // SIMILARITY-BAND tuning curve — the threshold-picking audit a
     // dedup rollout reads before moving its cut line: the (memoized)
     // exact-Jaccard pair relation banded into tenths, pair counts and
@@ -1032,6 +1137,14 @@ object Dedup {
       s"""WITH $sqlJacCtes
          SELECT a, b, jac FROM j ORDER BY a, b""",
 
+    // bottom-k union estimate; the window chain mirrors the engine's
+    // two-phase bottom-k (the salted partial phase is a strict superset
+    // of the final top-OverlapK, so one window suffices here). The SAME
+    // full-recompute SQL answers d_overlap_inc: the incremental merge
+    // must equal from-scratch exactly (KMV mergeability as the gate).
+    "d_source_overlap" -> sqlSourceOverlap,
+    "d_overlap_inc" -> sqlSourceOverlap,
+
     "d_minhash_lsh" -> sqlMinhash(""),
 
     "d_jaccard_bands" ->
@@ -1163,6 +1276,36 @@ object Dedup {
          WHERE (${VecOps.sqlDot("a.v", "b.v")} / (a.n * b.n)) >= 0.99
          ORDER BY a, b"""
   )
+
+  private def sqlSourceOverlap: String =
+    s"""WITH sh AS ($sqlShingleSets),
+         sh2 AS (SELECT DISTINCT d.source, u.h
+           FROM (SELECT doc_id, unnest(sh) AS h FROM sh) u
+           JOIN documents d USING (doc_id)),
+         sketch AS (SELECT source, h FROM (
+             SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             FROM sh2) WHERE rn <= $OverlapK),
+         srcs AS (SELECT DISTINCT source FROM sketch),
+         pairs AS (SELECT a.source AS src_a, b.source AS src_b
+           FROM srcs a JOIN srcs b ON a.source < b.source),
+         u AS (SELECT src_a, src_b, h, max(ina) AS ina, max(inb) AS inb
+           FROM (
+             SELECT p.src_a, p.src_b, s.h, 1 AS ina, 0 AS inb
+             FROM pairs p JOIN sketch s ON s.source = p.src_a
+             UNION ALL
+             SELECT p.src_a, p.src_b, s.h, 0 AS ina, 1 AS inb
+             FROM pairs p JOIN sketch s ON s.source = p.src_b)
+           GROUP BY src_a, src_b, h),
+         top AS (SELECT * FROM (
+             SELECT src_a, src_b, ina, inb, row_number()
+               OVER (PARTITION BY src_a, src_b ORDER BY h) AS urn
+             FROM u) WHERE urn <= $OverlapK)
+         SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS kk,
+           CAST(sum(ina * inb) AS BIGINT) AS hits,
+           CAST(sum(ina * inb) AS BIGINT) * 1000000
+             // CAST(count(*) AS BIGINT) AS est_jaccard_micro
+         FROM top GROUP BY src_a, src_b ORDER BY src_a, src_b"""
 
   val oracleSql: Map[String, String] = oracleBase +
     // fuzzy decontamination: the generic band-collision candidate set

@@ -427,6 +427,33 @@ object Relational {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // TIME-DECAYED engagement score per user (feature-store decay
+    // aggregate; the batch analog of an EWMA feature): each event
+    // weighs 2^-(age div halflife), half-life = 1 day, ages clamped at
+    // 15 half-lives (past that the weight is noise). The whole sum is
+    // INTEGER: value floors to micro-units once, the weight is a
+    // power-of-two numerator 2^(15-bucket) over a fixed 2^15
+    // denominator, so the per-user sum is a BIGINT — order-independent
+    // under any partial-aggregation schedule, unlike the float
+    // pow()-weighted sum it replaces (score_units = score * 2^15 * 1e6).
+    // "now" is one scalar max(ts) broadcast back (never a whole-table
+    // window); then ONE scan + one map-side-combined aggregation —
+    // the same two-exchange shape as q1_agg at any corpus size.
+    "q_decay" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val mx = ev.agg(max(unix_micros(col("ts"))).as("mxus"))
+      ev.crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          floor(col("value") * lit(1000000.0)).cast("long").as("vmicro"),
+          least(expr("(mxus - unix_micros(ts)) div 86400000000"), lit(15L))
+            .as("bucket"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("vmicro") * expr("shiftleft(1L, cast(15 - bucket as int))"))
+            .as("score_units"))
+        .orderBy("user_id")
+    }),
+
     "q_sessionize" -> ((s, dir) =>
       Sessionize(t(s, dir, "events"), "user_id", "ts", "event_id", gapSeconds = 1800)
         .groupBy("user_id", "session_idx")
@@ -1244,6 +1271,15 @@ object Relational {
               AND e.ts >= p.ts - INTERVAL 2 HOUR
             ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS prior_event_id
          FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""",
+
+    "q_decay" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS mxus FROM events)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)
+             * (CAST(1 AS BIGINT) << CAST(15 - least(
+                 (mxus - epoch_us(ts)) // 86400000000, 15) AS INT)))
+             AS BIGINT) AS score_units
+         FROM events, mx GROUP BY user_id ORDER BY user_id""",
 
     "q_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),

@@ -49,6 +49,10 @@ object Similarity {
   private val LloydIters = 2 // k-means refinement rounds (IVF + PQ)
   private val RescoreC = 50  // coarse candidates per query before exact rescore
   private val MrlDim = 16    // Matryoshka prefix dims for the coarse pass
+  private[graft] val DbEpsMicro = 250000L // s_dbscan radius (cos micro-units)
+  private[graft] val DbMinPts = 4         // s_dbscan core threshold (nbrs, excl. self)
+  private val PprIters = 3   // s_ppr power-iteration rounds
+  private val PprK = 10      // s_ppr neighbors reported per seed
 
   /** Fixed left-to-right chains over 1-based sub-array positions —
     * unrolled so Spark's codegen arithmetic and DuckDB's expression
@@ -72,6 +76,35 @@ object Similarity {
     (1 to d).map(i => element_at(a, i) * element_at(b, i)).reduceLeft(_ + _)
   private def sqlPrefixDot(a: String, b: String, d: Int): String =
     (1 to d).map(i => s"$a[$i] * $b[$i]").mkString("(", " + ", ")")
+
+  /** Dot between "token" t of a and token u of b — the PqM fixed-width
+    * sub-vector slices reinterpreted as per-token embeddings (the
+    * multi-vector view of the corpus s_maxsim scores). Unrolled
+    * left-to-right like every other dot here, so bit-exact cross-engine. */
+  private def tokDot(a: Column, b: Column, t: Int, u: Int): Column =
+    (1 to PqSub).map(i =>
+      element_at(a, (t - 1) * PqSub + i) * element_at(b, (u - 1) * PqSub + i))
+      .reduceLeft(_ + _)
+  private def sqlTokDot(a: String, b: String, t: Int, u: Int): String =
+    (1 to PqSub).map(i =>
+      s"$a[${(t - 1) * PqSub + i}] * $b[${(u - 1) * PqSub + i}]")
+      .mkString("(", " + ", ")")
+
+  /** Late-interaction MaxSim in integer micro-units: per query token,
+    * the max dot against all doc tokens (greatest over PqM identical
+    * IEEE chains — selection, not arithmetic), floored to micro-units,
+    * then summed as BIGINT — the 8-term row-local sum is exact under
+    * any evaluation order, unlike a float sum-of-maxes. */
+  private[graft] def maxSimMicro(qv: Column, dv: Column): Column =
+    (1 to PqM).map { t =>
+      floor(greatest((1 to PqM).map(u => tokDot(qv, dv, t, u)): _*)
+        * lit(1000000.0)).cast("long")
+    }.reduceLeft(_ + _)
+  private def sqlMaxSim(qv: String, dv: String): String =
+    (1 to PqM).map { t =>
+      s"""CAST(floor(greatest(${(1 to PqM).map(u => sqlTokDot(qv, dv, t, u))
+        .mkString(", ")}) * 1000000.0) AS BIGINT)"""
+    }.mkString("(", " + ", ")")
 
   /** Binary-quantization signature: 32 sign bits (dims lo+1..lo+32,
     * 1-based; bit i set iff v[lo+i+1] > 0 — the [[VecOps.lshBucket]]
@@ -555,6 +588,136 @@ object Similarity {
     }),
 
     "s_ivf_mrl_recall" -> recallOf("s_ivf_mrl"),
+
+    // LATE-INTERACTION retrieval (ColBERT-shape MaxSim): each vector's
+    // PqM fixed 8-dim slices act as its per-token embeddings, and a
+    // pair scores sum over query tokens of the MAX dot against the
+    // doc's tokens — the multi-vector relevance that single-vector
+    // cosine can't express (a doc matching each query facet with a
+    // DIFFERENT region scores high here, low there). Candidates are
+    // cell-bounded by the same IVF probe as s_ivf_ann (late interaction
+    // is a RERANKER at scale — the 64-dot MaxSim never touches the full
+    // corpus), scoring is ONE codegen projection per candidate pair
+    // (greatest() selections over unrolled IEEE dot chains, floored to
+    // micro-units and summed as BIGINT — row-local, order-free, exact
+    // cross-engine), and only (q, vec_id, ms) crosses the top-K window.
+    "s_maxsim" -> memoAnn("s_maxsim")((s, dir) => {
+      val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
+      val e = vecs(s, dir)
+      val w = Window.partitionBy("q").orderBy(col("ms").desc, col("vec_id").asc)
+      probeCells(e, cents).select("q", "qv", "cid")
+        .join(assigned.select(col("vec_id"), col("cid"), col("v")), "cid")
+        .filter(col("vec_id") =!= col("q"))
+        .select(col("q"), col("vec_id"), maxSimMicro(col("qv"), col("v")).as("ms"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .select(col("q"), col("vec_id"), col("ms").as("maxsim_micro"), col("rn"))
+        .orderBy("q", "rn")
+    }),
+
+    // DBSCAN density clustering (Ester et al. 1996 semantics, index-
+    // bounded neighborhoods): a vector's eps-neighborhood is the
+    // in-radius set within its NProbe probed IVF cells — the standard
+    // spatial-index bound every scalable DBSCAN uses (neighborhoods are
+    // DIRECTIONAL under the bound, deterministically so in both
+    // engines). Core = ≥ DbMinPts in-radius neighbors; clusters =
+    // connected components over core-core in-radius edges (min-label
+    // propagation — the d_cluster machinery on a radius graph); border
+    // = non-core with a core neighbor, adopting the SMALLEST adjacent
+    // core cluster (deterministic where textbook DBSCAN says
+    // "arbitrary"); the rest is noise (cluster -1). Candidate volume is
+    // N·NProbe·cell-population — the knnGraph bound, never all-pairs;
+    // components cost O(diameter) rounds over edges that exist only
+    // between dense points.
+    "s_dbscan" -> memoAnn("s_dbscan")((s, dir) => {
+      val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
+      val e = vecs(s, dir)
+      val wp = Window.partitionBy("src").orderBy(col("pcos").desc, col("cid").asc)
+      val probes = e.join(broadcast(cents))
+        .select(col("vec_id").as("src"), col("v").as("qv"), col("n").as("qn"),
+          col("cid"),
+          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("pcos"))
+        .withColumn("prn", row_number().over(wp))
+        .filter(col("prn") <= NProbe)
+        .select("src", "qv", "qn", "cid")
+      // the radius-edge relation feeds THREE consumers (degree count,
+      // core-core edges, border adoption) — persist once, family-scoped
+      val pairs = probes.join(assigned, "cid")
+        .filter(col("vec_id") =!= col("src"))
+        .select(col("src"), col("vec_id").as("nbr"),
+          floor(VecOps.cosine(col("qv"), col("v"), col("qn"), col("n"))
+            * lit(1000000.0)).cast("long").as("cm"))
+        .filter(col("cm") >= DbEpsMicro)
+        .select("src", "nbr")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.register(s, "s")(() => { pairs.unpersist(false); () })
+      val deg = pairs.groupBy("src").agg(count(lit(1)).as("deg"))
+      val core = deg.filter(col("deg") >= DbMinPts).select(col("src").as("id"))
+      val coreEdges = pairs
+        .join(core.withColumnRenamed("id", "src"), "src")
+        .join(core.withColumnRenamed("id", "nbr"), "nbr")
+        .select("src", "nbr")
+      // a core with no core neighbor keeps its own id as the cluster
+      val coreLbl = core
+        .join(graft.operators.ConnectedComponents.run(coreEdges), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      val borderLbl = pairs
+        .join(coreLbl.withColumnRenamed("id", "nbr"), "nbr")
+        .join(core.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .groupBy("src").agg(min("cluster").as("cluster"))
+      e.select(col("vec_id"))
+        .join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+        .join(coreLbl.select(col("id").as("vec_id"), col("cluster").as("ccl")),
+          Seq("vec_id"), "left")
+        .join(borderLbl.select(col("src").as("vec_id"), col("cluster").as("bcl")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+          when(col("ccl").isNotNull, lit("core"))
+            .when(col("bcl").isNotNull, lit("border"))
+            .otherwise(lit("noise")).as("role"),
+          coalesce(col("ccl"), col("bcl"), lit(-1L)).as("cluster"))
+        .orderBy("vec_id")
+    }),
+
+    // PERSONALIZED PageRank (random walk with restart) — per-seed graph
+    // relevance over the KNN graph, the "more like THIS" counterpart of
+    // s_graph_rank's global centrality (retrieval re-ranking, seed-set
+    // expansion, label propagation from a trusted doc). The rank frame
+    // is SPARSE — only (q, vec_id) pairs the walk has reached carry
+    // rows, so per-seed work is bounded by the expanding neighborhood
+    // (≤ deg^iters), never N per seed; same integer-micro trajectory as
+    // s_graph_rank (pr div deg contributions, 0.15 restart mass to the
+    // seed alone), same memoized edges⋈deg relation, checkpoint every
+    // 2 rounds. Output: top-PprK per seed among strictly-positive
+    // scores (both engines gate pr > 0 BEFORE ranking, so sparse-vs-
+    // dense formulations cannot disagree on tail rows).
+    "s_ppr" -> memoAnn("s_ppr")((s, dir) => {
+      val ed = graphEd(s, dir)
+      val restart = vecs(s, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("vec_id"), lit(150000L).as("dpr"))
+      var pr = vecs(s, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("vec_id"), lit(1000000L).as("pr"))
+      for (i <- 1 to PprIters) {
+        val contrib = ed.join(pr, ed("src") === pr("vec_id"))
+          .select(pr("q"), ed("nbr"), expr("pr div deg").as("c"))
+          .groupBy("q", "nbr").agg(sum("c").as("sv"))
+          .select(col("q"), col("nbr").as("vec_id"),
+            expr("(850 * sv) div 1000").as("dpr"))
+        pr = contrib.unionByName(restart)
+          .groupBy("q", "vec_id").agg(sum("dpr").as("pr"))
+          .filter(col("pr") > 0)
+        if (i % 2 == 0 && i < PprIters) {
+          val cp = pr.localCheckpoint(true)
+          graft.CacheBook.register(s, "s")(() => graft.CacheBook.unpersistCheckpoint(cp))
+          pr = cp
+        }
+      }
+      val w = Window.partitionBy("q").orderBy(col("pr").desc, col("vec_id").asc)
+      pr.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= PprK)
+        .select("q", "vec_id", "pr", "rn")
+        .orderBy("q", "rn")
+    }),
 
     // ANN evaluation: recall@K of the LSH index vs the brute-force
     // baseline, per query. Both rankings are bit-exact deterministic, so
@@ -1956,14 +2119,14 @@ object Similarity {
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids)
          $chain
          cents AS (SELECT cid, cv, cn FROM $last),
-         assigned AS (
+         assigned AS MATERIALIZED (
            SELECT vec_id, v, n, cid FROM (
              SELECT e.vec_id, e.v, e.n, cents.cid,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY (${VecOps.sqlDot("e.v", "cents.cv")} / (e.n * cents.cn)) DESC,
                    cents.cid) AS arn
              FROM e, cents) WHERE arn = 1),
-         probes AS (
+         probes AS MATERIALIZED (
            SELECT q, qv, qn, cid FROM (
              SELECT e.vec_id AS q, e.v AS qv, e.n AS qn, cents.cid,
                row_number() OVER (PARTITION BY e.vec_id
@@ -1990,13 +2153,13 @@ object Similarity {
     s"""WITH e AS ($sqlVecs),
        c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
-       assigned AS (SELECT vec_id, label, v, n, cid FROM (
+       assigned AS MATERIALIZED (SELECT vec_id, label, v, n, cid FROM (
            SELECT e.vec_id, e.label, e.v, e.n, c0.cid,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
                  c0.cid) AS arn
            FROM e, c0) WHERE arn = 1),
-       probes AS (SELECT q, qv, qn, cid FROM (
+       probes AS MATERIALIZED (SELECT q, qv, qn, cid FROM (
            SELECT e.vec_id AS q, e.v AS qv, e.n AS qn, c0.cid,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
@@ -2013,13 +2176,13 @@ object Similarity {
     s"""WITH e AS ($sqlVecs),
        c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
-       assigned AS (SELECT vec_id, v, n, cid FROM (
+       assigned AS MATERIALIZED (SELECT vec_id, v, n, cid FROM (
            SELECT e.vec_id, e.v, e.n, c0.cid,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
                  c0.cid) AS arn
            FROM e, c0) WHERE arn = 1),
-       probes AS (SELECT q, qv, qn, cid FROM (
+       probes AS MATERIALIZED (SELECT q, qv, qn, cid FROM (
            SELECT e.vec_id AS q, e.v AS qv, e.n AS qn, c0.cid,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
@@ -2177,13 +2340,13 @@ object Similarity {
       s"""WITH e AS ($sqlVecs),
          c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
-         assigned AS (SELECT vec_id, cid FROM (
+         assigned AS MATERIALIZED (SELECT vec_id, cid FROM (
              SELECT e.vec_id, c0.cid,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
                    c0.cid) AS arn
              FROM e, c0) WHERE arn = 1),
-         probes AS (SELECT q, cid FROM (
+         probes AS MATERIALIZED (SELECT q, cid FROM (
              SELECT e.vec_id AS q, c0.cid,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
@@ -2211,13 +2374,13 @@ object Similarity {
       s"""WITH e AS ($sqlVecs),
          c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
-         assigned AS (SELECT vec_id, cid FROM (
+         assigned AS MATERIALIZED (SELECT vec_id, cid FROM (
              SELECT e.vec_id, c0.cid,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
                    c0.cid) AS arn
              FROM e, c0) WHERE arn = 1),
-         probes AS (SELECT q, cid FROM (
+         probes AS MATERIALIZED (SELECT q, cid FROM (
              SELECT e.vec_id AS q, c0.cid,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
@@ -2238,6 +2401,83 @@ object Similarity {
            (${VecOps.sqlDot("qs.v", "e.v")} / (qs.n * e.n)) AS cos
          FROM cand c JOIN e ON e.vec_id = c.vec_id
            JOIN e qs ON qs.vec_id = c.q"""),
+
+    // late-interaction MaxSim over the probed cells: the same
+    // probe/assignment CTEs, scored by the unrolled greatest()-of-dots
+    // micro-unit sum (row-local BIGINT adds — no aggregate, no HUGEINT)
+    "s_maxsim" ->
+      s"""WITH e AS ($sqlVecs),
+         c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
+         assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS arn
+             FROM e, c0) WHERE arn = 1),
+         probes AS MATERIALIZED (SELECT q, qv, cid FROM (
+             SELECT e.vec_id AS q, e.v AS qv, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS prn
+             FROM e, c0 WHERE e.vec_id < $NQueries) WHERE prn <= $NProbe),
+         scored AS (SELECT p.q, a.vec_id, ${sqlMaxSim("p.qv", "a.v")} AS ms
+           FROM probes p JOIN assigned a USING (cid) WHERE a.vec_id <> p.q)
+         SELECT q, vec_id, ms AS maxsim_micro, CAST(rn AS INT) AS rn FROM (
+           SELECT q, vec_id, ms, row_number() OVER (PARTITION BY q
+             ORDER BY ms DESC, vec_id ASC) AS rn FROM scored)
+         WHERE rn <= $K ORDER BY q, rn""",
+
+    // DBSCAN: the corpus-wide probe/radius chain, core gating, then
+    // transitive closure over core-core edges (recursive CTE — min
+    // reachable id == what the engine's min-label propagation converges
+    // to), border adoption as min adjacent core cluster
+    "s_dbscan" ->
+      s"""WITH RECURSIVE e AS ($sqlVecs),
+         c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $NCentroids),
+         assigned AS MATERIALIZED (SELECT vec_id, v, n, cid FROM (
+             SELECT e.vec_id, e.v, e.n, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS arn
+             FROM e, c0) WHERE arn = 1),
+         probes AS MATERIALIZED (SELECT src, qv, qn, cid FROM (
+             SELECT e.vec_id AS src, e.v AS qv, e.n AS qn, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                   c0.cid) AS prn
+             FROM e, c0) WHERE prn <= $NProbe),
+         prs AS MATERIALIZED (SELECT p.src, a.vec_id AS nbr
+           FROM probes p JOIN assigned a USING (cid)
+           WHERE a.vec_id <> p.src
+             AND CAST(floor((${VecOps.sqlDot("p.qv", "a.v")} / (p.qn * a.n))
+               * 1000000.0) AS BIGINT) >= $DbEpsMicro),
+         deg AS (SELECT src, count(*) AS deg FROM prs GROUP BY src),
+         core AS (SELECT src AS id FROM deg WHERE deg >= $DbMinPts),
+         ce AS MATERIALIZED (SELECT prs.src, prs.nbr FROM prs
+           JOIN core ca ON ca.id = prs.src JOIN core cb ON cb.id = prs.nbr),
+         bi AS MATERIALIZED (SELECT src, nbr AS dst FROM ce UNION SELECT nbr, src FROM ce),
+         r AS (SELECT src, dst FROM bi
+           UNION SELECT r.src, bi.dst FROM r JOIN bi ON r.dst = bi.src),
+         reach AS (SELECT src, dst FROM r UNION SELECT DISTINCT src, src FROM bi),
+         ccl AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src),
+         corelbl AS (SELECT core.id, coalesce(ccl.cluster, core.id) AS cluster
+           FROM core LEFT JOIN ccl USING (id)),
+         borderlbl AS (SELECT prs.src, min(cl.cluster) AS cluster
+           FROM prs JOIN corelbl cl ON cl.id = prs.nbr
+           WHERE prs.src NOT IN (SELECT id FROM core)
+           GROUP BY prs.src)
+         SELECT e.vec_id, CAST(coalesce(deg.deg, 0) AS BIGINT) AS deg,
+           CASE WHEN c.cluster IS NOT NULL THEN 'core'
+                WHEN b.cluster IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(coalesce(c.cluster, b.cluster, -1) AS BIGINT) AS cluster
+         FROM e LEFT JOIN deg ON deg.src = e.vec_id
+           LEFT JOIN corelbl c ON c.id = e.vec_id
+           LEFT JOIN borderlbl b ON b.src = e.vec_id
+         ORDER BY e.vec_id""",
+
 
     // Matryoshka: prefix-dim coarse cosine, exact full-dim rescore
     "s_mrl_topk" -> sqlTopk(
@@ -2555,6 +2795,39 @@ object Similarity {
        pr0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS pr FROM e),
        $iters
        SELECT vec_id, CAST(pr AS BIGINT) AS pr FROM pr$RankIters ORDER BY vec_id"""
+  }
+
+  /** PprIters unrolled personalized-PageRank stages over the knn edge
+    * list — the s_graph_rank trajectory with a per-seed q column and a
+    * SPARSE frame (rows exist only where the walk has reached; the
+    * HAVING > 0 gate mirrors the engine's filter so the two
+    * formulations cannot disagree on zero-score tail rows). Each pr
+    * stage MATERIALIZED: the next stage's join would otherwise
+    * re-expand the whole KNN pipeline per iteration. */
+  private def sqlPpr: String = {
+    val iters = (1 to PprIters).map { t =>
+      val prev = s"ppr${t - 1}"
+      s"""ps$t AS (SELECT p.q, ed.nbr, sum(p.pr // ed.deg) AS sv
+           FROM ed JOIN $prev p ON p.vec_id = ed.src GROUP BY p.q, ed.nbr),
+         ppr$t AS MATERIALIZED (SELECT q, vec_id, CAST(sum(dpr) AS BIGINT) AS pr
+           FROM (
+             SELECT q, nbr AS vec_id, (850 * sv) // 1000 AS dpr FROM ps$t
+             UNION ALL SELECT vec_id AS q, vec_id,
+               CAST(150000 AS BIGINT) AS dpr FROM e WHERE vec_id < $NQueries)
+           GROUP BY q, vec_id HAVING sum(dpr) > 0)"""
+    }.mkString(",\n")
+    s"""WITH $sqlKnnCtes,
+       edges AS (SELECT src, nbr FROM knn),
+       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       ed AS MATERIALIZED (SELECT edges.src, edges.nbr, deg.deg
+         FROM edges JOIN deg USING (src)),
+       ppr0 AS (SELECT vec_id AS q, vec_id, CAST(1000000 AS BIGINT) AS pr
+         FROM e WHERE vec_id < $NQueries),
+       $iters
+       SELECT q, vec_id, pr, CAST(rn AS INT) AS rn FROM (
+         SELECT q, vec_id, pr, row_number() OVER (PARTITION BY q
+           ORDER BY pr DESC, vec_id ASC) AS rn FROM ppr$PprIters)
+       WHERE rn <= $PprK ORDER BY q, rn"""
   }
 
   /** DescentRounds chained NN-descent stages + the per-round recall
@@ -2985,6 +3258,10 @@ object Similarity {
                ORDER BY cos DESC, nbr) AS INT) AS rn
            FROM scored) WHERE rn <= $KnnK ORDER BY src, rn""") +
     ("s_graph_rank" -> sqlGraphRank) +
+    // personalized PageRank: PprIters unrolled sparse stages (restart
+    // mass only at the seed; HAVING pr > 0 mirrors the engine's sparse
+    // frame) over the knn edge list
+    ("s_ppr" -> sqlPpr) +
     ("s_ann_recall" -> sqlRecall("s_lsh_ann")) +
     ("s_ivf_recall" -> sqlRecall("s_ivf_ann")) +
     ("s_ivf_kmeans_recall" -> sqlRecall("s_ivf_kmeans")) +

@@ -1,0 +1,91 @@
+package graft
+
+import graft.queries.Similarity
+
+/** s_dbscan teeth independent of the SQL oracle: the engine result on
+  * the real sf0.001 corpus must equal a naive in-JVM DBSCAN running the
+  * SAME index-bounded trajectory — md5-drawn centroids, argmax-cosine
+  * cells, NProbe probed cells as the neighborhood bound, micro-floored
+  * radius compare, MinPts core gate, union-find over core-core edges
+  * (min-id labels == what min-label propagation converges to),
+  * min-adjacent-core border adoption. The real corpus exercises all
+  * three roles (161 core / 216 border / 123 noise at this scale), so
+  * one equivalence pins the full semantics; explicit teeth assert the
+  * mix is non-degenerate and that borders always adopt a real core's
+  * cluster.
+  */
+class DbscanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val NProbe = 2
+  private val NCent = 24
+  private val EpsMicro = 250000L
+  private val MinPts = 4
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.indices.map(i => a(i) * b(i)).reduceLeft(_ + _)
+
+  test("s_dbscan == naive index-bounded DBSCAN on the real corpus") {
+    val vs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .as[(Long, Array[Double])].collect().toMap
+    val norm = vs.view.mapValues(v => math.sqrt(dot(v, v))).toMap
+    def cos(a: Long, b: Long): Double = dot(vs(a), vs(b)) / (norm(a) * norm(b))
+
+    val cents = vs.keys.toSeq.sortBy(id => (md5Hex(id.toString), id)).take(NCent)
+    def nearestCells(id: Long, n: Int): Seq[Long] =
+      cents.map(c => (c, cos(id, c))).sortBy { case (c, s) => (-s, c) }
+        .take(n).map(_._1)
+    val cellOf: Map[Long, Long] = vs.keys.map(id => id -> nearestCells(id, 1).head).toMap
+
+    // directional radius pairs: nbr in src's probed cells, micro-floored
+    val nbrs: Map[Long, Set[Long]] = vs.keys.map { src =>
+      val probed = nearestCells(src, NProbe).toSet
+      src -> vs.keys.filter(id => id != src && probed(cellOf(id)) &&
+        math.floor(cos(src, id) * 1000000.0).toLong >= EpsMicro).toSet
+    }.toMap
+    val core = nbrs.collect { case (id, ns) if ns.size >= MinPts => id }.toSet
+
+    // union-find over core-core edges; label = min id of the component
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for (a <- core; b <- nbrs(a) if core(b)) union(a, b)
+    val coreLbl: Map[Long, Long] = core.map(id => id -> find(id)).toMap
+
+    val expected = vs.keys.map { id =>
+      val deg = nbrs(id).size.toLong
+      if (core(id)) (id, deg, "core", coreLbl(id))
+      else {
+        val adj = nbrs(id).filter(core).map(coreLbl)
+        if (adj.nonEmpty) (id, deg, "border", adj.min)
+        else (id, deg, "noise", -1L)
+      }
+    }.toSet
+
+    val got = Similarity.queries("s_dbscan")(spark, dir)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == expected)
+
+    // the corpus exercises all three roles, and no border adopts a
+    // label that is not some core's cluster
+    val roles = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(roles.getOrElse("core", 0) > 0 && roles.getOrElse("border", 0) > 0
+      && roles.getOrElse("noise", 0) > 0, roles.toString)
+    val coreClusters = got.collect { case (_, _, "core", c) => c }
+    assert(got.collect { case (_, _, "border", c) => c }
+      .forall(coreClusters.contains), "border adopted a non-core cluster")
+    assert(got.collect { case (_, _, "noise", c) => c }.forall(_ == -1L))
+  }
+}
