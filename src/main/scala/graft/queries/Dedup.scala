@@ -58,19 +58,50 @@ object Dedup {
       .select("source", "h")
   }
 
-  /** Pairwise union-bottom-k Jaccard estimates over a KMV sketch
+  private val kmvCache =
+    collection.mutable.Map.empty[(SparkSession, String), graft.Once[DataFrame]]
+
+  /** Memoized full-corpus KMV sketch — d_source_overlap and
+    * d_containment both read it, so the shingle explode + two-phase
+    * bottom-k run once per (session, corpus); released with "d". */
+  private def fullSketch(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheBook.touch(s, "d", "kmv_sketch")
+    synchronized { kmvCache.getOrElseUpdate((s, dir), new graft.Once(() => {
+      val sk = kmvBottomK(sourceHashes(s, dir), salted = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try sk.count()
+      catch { case e: Throwable => sk.unpersist(false); throw e }
+      graft.CacheBook.register(s, "d", "kmv_sketch") { () =>
+        Dedup.synchronized { kmvCache.remove((s, dir)) }
+        sk.unpersist(false)
+        ()
+      }
+      sk
+    })) }.value
+  }
+
+  /** Per-pair union-bottom-K membership rows over a KMV sketch
     * relation: for each source pair, merge the two sketches, keep the
-    * union's bottom-K, estimate = fraction present in both. Touches
-    * only S·K sketch rows — index metadata, not corpus data. */
-  private def kmvPairs(s: SparkSession, sketch0: DataFrame): DataFrame = {
+    * union's bottom-K, tag each hash with which side(s) hold it.
+    * Touches only S·K sketch rows — index metadata, not corpus data.
+    * `ownPersist` persists ad-hoc sketches (the incremental merge);
+    * the memoized full-corpus sketch is already cached. */
+  private def kmvUnionTopK(s: SparkSession, sketch0: DataFrame,
+      ownPersist: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the sketch feeds three consumers (source list + both join sides)
-    val sketch = sketch0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.CacheBook.register(s, "d")(() => { sketch.unpersist(false); () })
+    val sketch = if (!ownPersist) sketch0 else {
+      val p = sketch0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.register(s, "d")(() => { p.unpersist(false); () })
+      p
+    }
     val srcs = sketch.select("source").distinct()
+    // S bounded (distinct sources — dimension-sized); broadcasting the
+    // right side plans a BroadcastNestedLoopJoin on the < predicate
+    // instead of a CartesianProduct exchange
     val pairs = srcs.select(col("source").as("src_a"))
-      .join(srcs.select(col("source").as("src_b")),
+      .join(broadcast(srcs.select(col("source").as("src_b"))),
         col("src_a") < col("src_b"))
     val ua = pairs.join(sketch.withColumnRenamed("source", "src_a"), "src_a")
       .select(col("src_a"), col("src_b"), col("h"),
@@ -84,13 +115,19 @@ object Dedup {
       .agg(max("ina").as("ina"), max("inb").as("inb"))
       .withColumn("urn", row_number().over(wu))
       .filter(col("urn") <= OverlapK)
+  }
+
+  /** Pairwise Jaccard estimates off the union-bottom-K membership
+    * rows: estimate = fraction present in both sides. */
+  private def kmvPairs(s: SparkSession, sketch0: DataFrame,
+      ownPersist: Boolean): DataFrame =
+    kmvUnionTopK(s, sketch0, ownPersist)
       .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("kk"),
         sum(col("ina") * col("inb")).cast("long").as("hits"))
       .select(col("src_a"), col("src_b"), col("kk"), col("hits"),
         expr("hits * 1000000 div kk").as("est_jaccard_micro"))
       .orderBy("src_a", "src_b")
-  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -679,7 +716,29 @@ object Dedup {
     // pairwise stage touches only sketches (S·OverlapK rows — index
     // metadata, not corpus data). Sum/count are over ints, exact.
     "d_source_overlap" -> ((s, dir) =>
-      kmvPairs(s, kmvBottomK(sourceHashes(s, dir), salted = true))),
+      kmvPairs(s, fullSketch(s, dir), ownPersist = false)),
+
+    // DIRECTED containment estimates off the same sketch — the question
+    // overlap's symmetric Jaccard can't answer: "what fraction of A is
+    // already in B" vs the reverse (a small curated set can be 90%
+    // inside a crawl while the crawl is 1% inside it). Within the
+    // union's bottom-K, restrict to one side's members and take the
+    // fraction also present in the other: cont(A→B) = hits / |sample ∩
+    // A| — the standard KMV containment estimator, deterministic like
+    // the Jaccard one, same S·K-row cost off the MEMOIZED corpus
+    // sketch (built once for both entries).
+    "d_containment" -> ((s, dir) =>
+      kmvUnionTopK(s, fullSketch(s, dir), ownPersist = false)
+        .groupBy("src_a", "src_b")
+        .agg(sum(col("ina")).cast("long").as("ka"),
+          sum(col("inb")).cast("long").as("kb"),
+          sum(col("ina") * col("inb")).cast("long").as("hits"))
+        .select(col("src_a"), col("src_b"), col("ka"), col("kb"), col("hits"),
+          when(col("ka") === 0, lit(0L))
+            .otherwise(expr("hits * 1000000 div ka")).as("cont_ab_micro"),
+          when(col("kb") === 0, lit(0L))
+            .otherwise(expr("hits * 1000000 div kb")).as("cont_ba_micro"))
+        .orderBy("src_a", "src_b")),
 
     // INCREMENTAL sketch maintenance — the property that makes KMV the
     // right overlap structure for a nightly-ingest corpus: bottom-k is
@@ -696,7 +755,8 @@ object Dedup {
       // only — in production read from the store, like LshIndexStore)
       val standing = kmvBottomK(all.filter(col("doc_id") < tNew), salted = true)
       val delta = all.filter(col("doc_id") >= tNew).select("source", "h")
-      kmvPairs(s, kmvBottomK(standing.unionByName(delta), salted = false))
+      kmvPairs(s, kmvBottomK(standing.unionByName(delta), salted = false),
+        ownPersist = true)
     }),
 
     // SIMILARITY-BAND tuning curve — the threshold-picking audit a
@@ -1144,6 +1204,7 @@ object Dedup {
     // must equal from-scratch exactly (KMV mergeability as the gate).
     "d_source_overlap" -> sqlSourceOverlap,
     "d_overlap_inc" -> sqlSourceOverlap,
+    "d_containment" -> sqlContainment,
 
     "d_minhash_lsh" -> sqlMinhash(""),
 
@@ -1277,7 +1338,11 @@ object Dedup {
          ORDER BY a, b"""
   )
 
-  private def sqlSourceOverlap: String =
+  /** The shared KMV CTE chain (shingle relation → per-source sketch →
+    * pairwise union-bottom-K membership rows named `top`), closed by
+    * the caller's final SELECT — one copy feeds the overlap,
+    * incremental, and containment oracles. */
+  private def sqlKmv(finalSelect: String): String =
     s"""WITH sh AS ($sqlShingleSets),
          sh2 AS (SELECT DISTINCT d.source, u.h
            FROM (SELECT doc_id, unnest(sh) AS h FROM sh) u
@@ -1301,11 +1366,26 @@ object Dedup {
              SELECT src_a, src_b, ina, inb, row_number()
                OVER (PARTITION BY src_a, src_b ORDER BY h) AS urn
              FROM u) WHERE urn <= $OverlapK)
-         SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS kk,
+         $finalSelect"""
+
+  private def sqlSourceOverlap: String = sqlKmv(
+    s"""SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS kk,
            CAST(sum(ina * inb) AS BIGINT) AS hits,
            CAST(sum(ina * inb) AS BIGINT) * 1000000
              // CAST(count(*) AS BIGINT) AS est_jaccard_micro
-         FROM top GROUP BY src_a, src_b ORDER BY src_a, src_b"""
+         FROM top GROUP BY src_a, src_b ORDER BY src_a, src_b""")
+
+  private def sqlContainment: String = sqlKmv(
+    s"""SELECT src_a, src_b,
+           CAST(sum(ina) AS BIGINT) AS ka, CAST(sum(inb) AS BIGINT) AS kb,
+           CAST(sum(ina * inb) AS BIGINT) AS hits,
+           CASE WHEN sum(ina) = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(sum(ina * inb) AS BIGINT) * 1000000
+               // CAST(sum(ina) AS BIGINT) END AS cont_ab_micro,
+           CASE WHEN sum(inb) = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(sum(ina * inb) AS BIGINT) * 1000000
+               // CAST(sum(inb) AS BIGINT) END AS cont_ba_micro
+         FROM top GROUP BY src_a, src_b ORDER BY src_a, src_b""")
 
   val oracleSql: Map[String, String] = oracleBase +
     // fuzzy decontamination: the generic band-collision candidate set

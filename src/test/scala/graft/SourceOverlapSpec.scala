@@ -37,7 +37,9 @@ class SourceOverlapSpec extends SparkSpec {
     val b = (100 until 140).map(i => (i.toLong, sentence(p2 ++ p3, 30), "srcB"))
     val c = a.zipWithIndex.map { case ((_, text, _), i) => (200L + i, text, "srcC") }
     val d = (300 until 340).map(i => (i.toLong, sentence(p3.map(_ + "x"), 30), "srcD"))
-    val docs = (a ++ b ++ c ++ d)
+    // srcE: a strict subset of srcA's docs — containment is ASYMMETRIC
+    val e = a.take(8).zipWithIndex.map { case ((_, text, _), i) => (400L + i, text, "srcE") }
+    val docs = (a ++ b ++ c ++ d ++ e)
       .map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = Files.createTempDirectory("overlap").toString
@@ -77,5 +79,27 @@ class SourceOverlapSpec extends SparkSpec {
       all("srcA").union(all("srcB")).size
     val est = got(("srcA", "srcB"))._3 / 1e6
     assert(math.abs(est - exactJ) < 0.2, s"est=$est exact=$exactJ")
+
+    // containment asymmetry: srcE ⊂ srcA, so E→A contains fully while
+    // A→E cannot; and the engine matches a naive recompute of both
+    // directions from the same union-bottom-k membership rows
+    val cont = Dedup.queries("d_containment")(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6, r._7)).toMap
+    val contExpected = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+    } yield {
+      val (sa, sb) = (bypool(srcs(i)).toSet, bypool(srcs(j)).toSet)
+      val union = (sa ++ sb).toSeq.sorted.take(K)
+      val (ka, kb) = (union.count(sa).toLong, union.count(sb).toLong)
+      val hits = union.count(h => sa(h) && sb(h)).toLong
+      (srcs(i), srcs(j)) -> (ka, kb, hits,
+        if (ka == 0) 0L else hits * 1000000L / ka,
+        if (kb == 0) 0L else hits * 1000000L / kb)
+    }).toMap
+    assert(cont == contExpected)
+    val ae = cont(("srcA", "srcE"))
+    assert(ae._5 == 1000000L, s"E->A containment: $ae")
+    assert(ae._4 < 1000000L, s"A->E containment: $ae")
   }
 }
