@@ -676,7 +676,11 @@ object Dedup {
       val exF = Future(exactPairs(s, dir).count())
       val bandF = shF.map(sh => bandsMemo(sh).count())
       val jacF = shF.map(_ => jaccardPairs(s, dir).count())
+      // the KMV corpus sketch branches off the same shingle relation —
+      // built here so overlap/containment price probe-only cost
+      val kmvF = shF.map(_ => fullSketch(s, dir).count())
       val nSh = Await.result(shF, Duration.Inf).count()
+      Await.result(kmvF, Duration.Inf)
       val (nBand, nJac, nEx) = (Await.result(bandF, Duration.Inf),
         Await.result(jacF, Duration.Inf), Await.result(exF, Duration.Inf))
       // the standing labels (the nightly labeling artifact
