@@ -43,7 +43,7 @@ object Dedup {
     * phase keeps every hash that could make the final bottom-k (each
     * salt group's own bottom-k is a superset of its contribution), so
     * both paths produce the identical sketch. */
-  private def kmvBottomK(rows: DataFrame, salted: Boolean): DataFrame = {
+  private[graft] def kmvBottomK(rows: DataFrame, salted: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val distinctH = rows.select("source", "h").distinct()
     val wFin = Window.partitionBy("source").orderBy("h")

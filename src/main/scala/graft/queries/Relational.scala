@@ -454,6 +454,30 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // EVENT-PROXIMITY dedup — the instrumentation-double-fire screen
+    // (same user re-emitting the same event type within 5 s is a
+    // duplicate beacon, not new behavior; the data-quality gate before
+    // any funnel/retention read): lag over (user_id, event_type)
+    // ordered by integer microseconds, dup iff the gap ≤ 5 s. One
+    // shuffle on the composite key; per-partition windows are a user's
+    // per-type event count — never corpus-scaled. Distinct from
+    // q_sessionize's grouping: this REMOVES, sessions AGGREGATE.
+    "q_event_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("et", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("et"))
+        .withColumn("gap", col("et") - lag("et", 1).over(w))
+        .select(col("event_type"),
+          when(col("gap").isNotNull && col("gap") <= 5000000L, 1L)
+            .otherwise(0L).as("dup"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("dup").as("n_dups"))
+        .orderBy("event_type")
+    }),
+
     "q_sessionize" -> ((s, dir) =>
       Sessionize(t(s, dir, "events"), "user_id", "ts", "event_id", gapSeconds = 1800)
         .groupBy("user_id", "session_idx")
@@ -1271,6 +1295,17 @@ object Relational {
               AND e.ts >= p.ts - INTERVAL 2 HOUR
             ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS prior_event_id
          FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""",
+
+    "q_event_dedup" ->
+      """WITH g AS (SELECT event_type,
+           epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY epoch_us(ts), event_id) AS gap
+         FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 5000000
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+         FROM g GROUP BY event_type ORDER BY event_type""",
 
     "q_decay" ->
       """WITH mx AS (SELECT max(epoch_us(ts)) AS mxus FROM events)

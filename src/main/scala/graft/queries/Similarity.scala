@@ -615,6 +615,85 @@ object Similarity {
         .orderBy("q", "rn")
     }),
 
+    // PER-TOKEN retrieval + MaxSim rerank — the ColBERT-faithful
+    // architecture that CLOSES s_maxsim_recall's measured blind spot:
+    // instead of bounding candidates by the single-vector cells (which
+    // rank by aligned cosine — exactly the signal a multi-facet match
+    // lacks), every corpus TOKEN indexes into its own 8-dim IVF space,
+    // each query token probes its nearest token-cells, and any doc
+    // with ANY token in ANY probed cell becomes a candidate for the
+    // full MaxSim rerank. Candidates are still cell-bounded (8 tokens
+    // x NProbe cells x cell population — linear-ish, never corpus-
+    // wide), but the recall signal is now per-facet. Token scoring is
+    // raw DOT (tokens are slices, not unit vectors — no norm, no
+    // zero-norm edge). s_maxsim (the cheap rerank) and this entry form
+    // the measured ablation: their two recall evals price the
+    // first-stage choice.
+    "s_maxsim_tok" -> memoAnn("s_maxsim_tok")((s, dir) => {
+      val e = vecs(s, dir)
+      val toks = e.select(col("vec_id"), col("v"),
+        explode(array((1 to PqM).map(lit(_)): _*)).as("t"))
+        .select(col("vec_id"), col("t"),
+          slice(col("v"), (col("t") - 1) * PqSub + 1, lit(PqSub)).as("tv"))
+      // deterministic token-centroid draw over (vec_id, t) keys; cid =
+      // draw rank so tie-breaks agree cross-engine
+      val cents = toks
+        .withColumn("dk", md5(concat(col("vec_id").cast("string"), lit("#"),
+          col("t").cast("string"))))
+        .orderBy(col("dk"), col("vec_id"), col("t"))
+        .limit(NCentroids)
+        .withColumn("cid",
+          row_number().over(Window.orderBy(col("dk"), col("vec_id"), col("t"))))
+        .select(col("cid"), col("tv").as("cv"))
+      val cb = broadcast(cents)
+      val wA = Window.partitionBy("vec_id", "t")
+        .orderBy(col("cdot").desc, col("cid").asc)
+      val assigned = toks.join(cb)
+        .select(col("vec_id"), col("t"), col("tv"), col("cid"),
+          subDot(col("tv"), col("cv")).as("cdot"))
+        .withColumn("arn", row_number().over(wA))
+        .filter(col("arn") === 1)
+        .select("vec_id", "cid")
+      val wP = Window.partitionBy("q", "t")
+        .orderBy(col("pdot").desc, col("cid").asc)
+      val probes = broadcast(toks.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("t"), col("tv"))
+        .join(cb)
+        .select(col("q"), col("t"), col("cid"),
+          subDot(col("tv"), col("cv")).as("pdot"))
+        .withColumn("prn", row_number().over(wP))
+        .filter(col("prn") <= NProbe)
+        .select("q", "cid"))
+      val cand = probes.join(assigned, "cid")
+        .filter(col("vec_id") =!= col("q"))
+        .select("q", "vec_id").distinct()
+      val qs = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv")))
+      val w = Window.partitionBy("q").orderBy(col("ms").desc, col("vec_id").asc)
+      cand.join(e.select(col("vec_id"), col("v")), "vec_id")
+        .join(qs, "q")
+        .select(col("q"), col("vec_id"), maxSimMicro(col("qv"), col("v")).as("ms"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .select(col("q"), col("vec_id"), col("ms").as("maxsim_micro"), col("rn"))
+        .orderBy("q", "rn")
+    }),
+
+    // recall@K of the cell-bounded MaxSim rerank vs BRUTE-FORCE MaxSim
+    // over the full corpus — the multi-vector ground truth, NOT the
+    // cosine one: late interaction's documented blind spot is exactly
+    // that a single-vector first stage can miss a multi-facet match
+    // whose aligned cosine is low, and this entry PRICES that loss
+    // (every other ANN path here has its recall eval; the rerank
+    // deserves the same honesty). The brute side pays the 512-mul-add
+    // scorer corpus-wide — fine for NQueries ground-truth queries,
+    // which is why it lives in the eval, not the retrieval path.
+    "s_maxsim_recall" -> maxSimRecallOf("s_maxsim"),
+
+    // per-token retrieval recall vs the same multi-vector truth — read
+    // next to s_maxsim_recall, the pair prices the first-stage choice
+    "s_maxsim_tok_recall" -> maxSimRecallOf("s_maxsim_tok"),
+
     // DBSCAN density clustering (Ester et al. 1996 semantics, index-
     // bounded neighborhoods): a vector's eps-neighborhood is the
     // in-radius set within its NProbe probed IVF cells — the standard
@@ -1707,6 +1786,35 @@ object Similarity {
 
   /** recall@K of a sibling ANN query vs the brute-force baseline —
     * exact integer ratio, both rankings deterministic. */
+  /** recall@K of a MaxSim retrieval path vs BRUTE-FORCE MaxSim over
+    * the full corpus — the multi-vector ground truth (the cosine bf is
+    * the wrong truth for a MaxSim ranking). The brute side pays the
+    * 512-mul-add scorer corpus-wide — fine for NQueries ground-truth
+    * queries, which is why it lives in the evals, not the retrieval
+    * paths; memoized so the two recall entries share one build. */
+  private def maxSimRecallOf(annName: String): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val bf = memoAnn("maxsim_bf")((s2, d2) => {
+        val e = vecs(s2, d2)
+        val qs = broadcast(e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q"), col("v").as("qv")))
+        val wb = Window.partitionBy("q").orderBy(col("ms").desc, col("vec_id").asc)
+        qs.join(e, col("vec_id") =!= col("q"))
+          .select(col("q"), col("vec_id"),
+            maxSimMicro(col("qv"), col("v")).as("ms"))
+          .withColumn("rn", row_number().over(wb))
+          .filter(col("rn") <= K)
+          .select("q", "vec_id")
+      })(s, dir)
+      val ann = Similarity.queries(annName)(s, dir)
+        .select(col("q"), col("vec_id"), lit(1).as("hit"))
+      bf.join(ann, Seq("q", "vec_id"), "left")
+        .groupBy("q")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
+        .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
+        .orderBy("q")
+    }
+
   private def recallOf(annName: String): (SparkSession, String) => DataFrame =
     (s, dir) => {
       val bf = bfTopk(s, dir).select("q", "vec_id")
@@ -2797,6 +2905,40 @@ object Similarity {
        SELECT vec_id, CAST(pr AS BIGINT) AS pr FROM pr$RankIters ORDER BY vec_id"""
   }
 
+  /** Per-token retrieval + MaxSim rerank oracle: token table via list
+    * slices, md5-rank token centroids, per-token assignment/probes by
+    * raw dot, candidate union, full MaxSim rerank. Referenced by the
+    * entry itself and inlined as the ann side of its recall eval. */
+  private def sqlMaxSimTok: String =
+    s"""WITH e AS ($sqlVecs),
+         toks AS (SELECT vec_id, v, CAST(t AS INT) AS t,
+             v[CAST((t-1)*$PqSub+1 AS INT):CAST(t*$PqSub AS INT)] AS tv
+           FROM e, unnest(range(1, ${PqM + 1})) AS r(t)),
+         tc AS (SELECT row_number() OVER (ORDER BY dk, vec_id, t) AS cid,
+             tv AS cv FROM (
+             SELECT vec_id, t, tv,
+               md5(CAST(vec_id AS VARCHAR) || '#' || CAST(t AS VARCHAR)) AS dk
+             FROM toks ORDER BY dk, vec_id, t LIMIT $NCentroids)),
+         assigned AS (SELECT vec_id, cid FROM (
+             SELECT toks.vec_id, tc.cid,
+               row_number() OVER (PARTITION BY toks.vec_id, toks.t
+                 ORDER BY ${sqlSubDot("toks.tv", "tc.cv")} DESC, tc.cid) AS arn
+             FROM toks, tc) WHERE arn = 1),
+         probes AS (SELECT DISTINCT q, cid FROM (
+             SELECT toks.vec_id AS q, toks.t, tc.cid,
+               row_number() OVER (PARTITION BY toks.vec_id, toks.t
+                 ORDER BY ${sqlSubDot("toks.tv", "tc.cv")} DESC, tc.cid) AS prn
+             FROM toks, tc WHERE toks.vec_id < $NQueries) WHERE prn <= $NProbe),
+         cand AS (SELECT DISTINCT p.q, a.vec_id
+           FROM probes p JOIN assigned a USING (cid) WHERE a.vec_id <> p.q),
+         scored AS (SELECT c.q, c.vec_id, ${sqlMaxSim("qs.v", "dv.v")} AS ms
+           FROM cand c JOIN e dv ON dv.vec_id = c.vec_id
+             JOIN e qs ON qs.vec_id = c.q)
+         SELECT q, vec_id, ms AS maxsim_micro, CAST(rn AS INT) AS rn FROM (
+           SELECT q, vec_id, ms, row_number() OVER (PARTITION BY q
+             ORDER BY ms DESC, vec_id ASC) AS rn FROM scored)
+         WHERE rn <= $K ORDER BY q, rn"""
+
   /** PprIters unrolled personalized-PageRank stages over the knn edge
     * list — the s_graph_rank trajectory with a per-seed q column and a
     * SPARSE frame (rows exist only where the walk has reached; the
@@ -3262,6 +3404,39 @@ object Similarity {
     // mass only at the seed; HAVING pr > 0 mirrors the engine's sparse
     // frame) over the knn edge list
     ("s_ppr" -> sqlPpr) +
+    // per-token retrieval + MaxSim rerank: token table via list slices,
+    // md5-rank token centroids, per-token assignment/probes by raw dot,
+    // candidate union, full MaxSim rerank
+    ("s_maxsim_tok" -> sqlMaxSimTok) +
+    // per-token retrieval recall vs the same multi-vector truth
+    ("s_maxsim_tok_recall" ->
+      s"""WITH e AS ($sqlVecs),
+         bf AS (SELECT q, vec_id FROM (
+             SELECT qs.vec_id AS q, e.vec_id,
+               row_number() OVER (PARTITION BY qs.vec_id
+                 ORDER BY ${sqlMaxSim("qs.v", "e.v")} DESC, e.vec_id ASC) AS rn
+             FROM e qs JOIN e ON e.vec_id <> qs.vec_id
+             WHERE qs.vec_id < $NQueries) WHERE rn <= $K),
+         ann AS ($sqlMaxSimTok)
+         SELECT bf.q, CAST(count(ann.vec_id) AS INT) AS hits,
+           (count(ann.vec_id) / ${K}.0) AS recall
+         FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id
+         GROUP BY bf.q ORDER BY bf.q""") +
+    // MaxSim recall vs the brute-force MULTI-VECTOR ground truth (the
+    // cosine bf is the wrong truth for a MaxSim ranking)
+    ("s_maxsim_recall" ->
+      s"""WITH e AS ($sqlVecs),
+         bf AS (SELECT q, vec_id FROM (
+             SELECT qs.vec_id AS q, e.vec_id,
+               row_number() OVER (PARTITION BY qs.vec_id
+                 ORDER BY ${sqlMaxSim("qs.v", "e.v")} DESC, e.vec_id ASC) AS rn
+             FROM e qs JOIN e ON e.vec_id <> qs.vec_id
+             WHERE qs.vec_id < $NQueries) WHERE rn <= $K),
+         ann AS (${oracleBase("s_maxsim")})
+         SELECT bf.q, CAST(count(ann.vec_id) AS INT) AS hits,
+           (count(ann.vec_id) / ${K}.0) AS recall
+         FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id
+         GROUP BY bf.q ORDER BY bf.q""") +
     ("s_ann_recall" -> sqlRecall("s_lsh_ann")) +
     ("s_ivf_recall" -> sqlRecall("s_ivf_ann")) +
     ("s_ivf_kmeans_recall" -> sqlRecall("s_ivf_kmeans")) +

@@ -92,4 +92,18 @@ class MaxSimSpec extends SparkSpec {
     assert(selfMs == M * 1000000L) // 8 unit slices, exact micro floor
     assert(alignedDot == 0.0)
   }
+
+  test("per-token retrieval closes the single-vector first-stage blind spot") {
+    // against the multi-vector ground truth, the cosine-cell first
+    // stage misses most of the true MaxSim top-k (its candidates rank
+    // by aligned cosine — the signal a multi-facet match lacks), while
+    // per-token retrieval recovers all of it on the gate corpus
+    def hits(name: String): Int =
+      Similarity.queries(name)(spark, dir)
+        .as[(Long, Int, Double)].collect().map(_._2).sum
+    val rerank = hits("s_maxsim_recall")
+    val tok = hits("s_maxsim_tok_recall")
+    assert(tok == NQ * 5, s"tok=$tok") // full recall, NQueries x K
+    assert(tok > rerank, s"tok=$tok rerank=$rerank")
+  }
 }

@@ -102,4 +102,27 @@ class SourceOverlapSpec extends SparkSpec {
     assert(ae._5 == 1000000L, s"E->A containment: $ae")
     assert(ae._4 < 1000000L, s"A->E containment: $ae")
   }
+
+  test("salted two-phase bottom-k == plain bottom-k on random skewed data") {
+    // the scale path's claim — each (source, salt) group's bottom-k is
+    // a superset of its contribution to the final bottom-k — held
+    // against the definition on randomized hash sets, including
+    // negative hashes (pmod salting) and a source too small to fill k
+    val rnd = new Random(20260816L)
+    val rows = (
+      (0 until 3000).map(_ => ("big", rnd.nextLong())) ++
+      (0 until 200).map(_ => ("mid", rnd.nextLong())) ++
+      (0 until 9).map(_ => ("tiny", rnd.nextLong()))
+    ).toDF("source", "h")
+    val salted = Dedup.kmvBottomK(rows, salted = true)
+      .as[(String, Long)].collect().toSet
+    val plain = Dedup.kmvBottomK(rows, salted = false)
+      .as[(String, Long)].collect().toSet
+    assert(salted == plain)
+    // and both equal the definition
+    val raw: Seq[(String, Long)] = rows.as[(String, Long)].collect().toSeq.distinct
+    val expected = raw.groupBy(_._1).toSeq.flatMap { case (src, hs) =>
+      hs.map(_._2).sorted.take(64).map(h => (src, h)) }.toSet
+    assert(plain == expected)
+  }
 }
