@@ -1784,8 +1784,19 @@ object Similarity {
         min("anchor").cast("int").as("first_pos"))
   }
 
-  /** recall@K of a sibling ANN query vs the brute-force baseline —
-    * exact integer ratio, both rankings deterministic. */
+  /** The recall join/agg tail shared by every recall eval: hits =
+    * |bf ∩ ann| per query, exact integer ratio over K. */
+  private def recallAgainst(bf: DataFrame, s: SparkSession, dir: String,
+      annName: String): DataFrame = {
+    val ann = Similarity.queries(annName)(s, dir)
+      .select(col("q"), col("vec_id"), lit(1).as("hit"))
+    bf.join(ann, Seq("q", "vec_id"), "left")
+      .groupBy("q")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
+      .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
+      .orderBy("q")
+  }
+
   /** recall@K of a MaxSim retrieval path vs BRUTE-FORCE MaxSim over
     * the full corpus — the multi-vector ground truth (the cosine bf is
     * the wrong truth for a MaxSim ranking). The brute side pays the
@@ -1806,26 +1817,13 @@ object Similarity {
           .filter(col("rn") <= K)
           .select("q", "vec_id")
       })(s, dir)
-      val ann = Similarity.queries(annName)(s, dir)
-        .select(col("q"), col("vec_id"), lit(1).as("hit"))
-      bf.join(ann, Seq("q", "vec_id"), "left")
-        .groupBy("q")
-        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
-        .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
-        .orderBy("q")
+      recallAgainst(bf, s, dir, annName)
     }
 
+  /** recall@K of a sibling ANN query vs the brute-force cosine
+    * baseline — exact integer ratio, both rankings deterministic. */
   private def recallOf(annName: String): (SparkSession, String) => DataFrame =
-    (s, dir) => {
-      val bf = bfTopk(s, dir).select("q", "vec_id")
-      val ann = Similarity.queries(annName)(s, dir)
-        .select(col("q"), col("vec_id"), lit(1).as("hit"))
-      bf.join(ann, Seq("q", "vec_id"), "left")
-        .groupBy("q")
-        .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("hits"))
-        .select(col("q"), col("hits"), (col("hits") / lit(K.toDouble)).as("recall"))
-        .orderBy("q")
-    }
+    (s, dir) => recallAgainst(bfTopk(s, dir).select("q", "vec_id"), s, dir, annName)
 
   private val storeCache = collection.mutable
     .Map.empty[(SparkSession, String), graft.Once[String]]
@@ -2905,6 +2903,22 @@ object Similarity {
        SELECT vec_id, CAST(pr AS BIGINT) AS pr FROM pr$RankIters ORDER BY vec_id"""
   }
 
+  /** ONE copy of the brute-force-MaxSim ground truth + recall tail —
+    * both MaxSim recall oracles read it with their ann side inlined. */
+  private def sqlMaxSimRecall(annSql: String): String =
+    s"""WITH e AS ($sqlVecs),
+       bf AS (SELECT q, vec_id FROM (
+           SELECT qs.vec_id AS q, e.vec_id,
+             row_number() OVER (PARTITION BY qs.vec_id
+               ORDER BY ${sqlMaxSim("qs.v", "e.v")} DESC, e.vec_id ASC) AS rn
+           FROM e qs JOIN e ON e.vec_id <> qs.vec_id
+           WHERE qs.vec_id < $NQueries) WHERE rn <= $K),
+       ann AS ($annSql)
+       SELECT bf.q, CAST(count(ann.vec_id) AS INT) AS hits,
+         (count(ann.vec_id) / ${K}.0) AS recall
+       FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id
+       GROUP BY bf.q ORDER BY bf.q"""
+
   /** Per-token retrieval + MaxSim rerank oracle: token table via list
     * slices, md5-rank token centroids, per-token assignment/probes by
     * raw dot, candidate union, full MaxSim rerank. Referenced by the
@@ -3409,34 +3423,10 @@ object Similarity {
     // candidate union, full MaxSim rerank
     ("s_maxsim_tok" -> sqlMaxSimTok) +
     // per-token retrieval recall vs the same multi-vector truth
-    ("s_maxsim_tok_recall" ->
-      s"""WITH e AS ($sqlVecs),
-         bf AS (SELECT q, vec_id FROM (
-             SELECT qs.vec_id AS q, e.vec_id,
-               row_number() OVER (PARTITION BY qs.vec_id
-                 ORDER BY ${sqlMaxSim("qs.v", "e.v")} DESC, e.vec_id ASC) AS rn
-             FROM e qs JOIN e ON e.vec_id <> qs.vec_id
-             WHERE qs.vec_id < $NQueries) WHERE rn <= $K),
-         ann AS ($sqlMaxSimTok)
-         SELECT bf.q, CAST(count(ann.vec_id) AS INT) AS hits,
-           (count(ann.vec_id) / ${K}.0) AS recall
-         FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id
-         GROUP BY bf.q ORDER BY bf.q""") +
+    ("s_maxsim_tok_recall" -> sqlMaxSimRecall(sqlMaxSimTok)) +
     // MaxSim recall vs the brute-force MULTI-VECTOR ground truth (the
     // cosine bf is the wrong truth for a MaxSim ranking)
-    ("s_maxsim_recall" ->
-      s"""WITH e AS ($sqlVecs),
-         bf AS (SELECT q, vec_id FROM (
-             SELECT qs.vec_id AS q, e.vec_id,
-               row_number() OVER (PARTITION BY qs.vec_id
-                 ORDER BY ${sqlMaxSim("qs.v", "e.v")} DESC, e.vec_id ASC) AS rn
-             FROM e qs JOIN e ON e.vec_id <> qs.vec_id
-             WHERE qs.vec_id < $NQueries) WHERE rn <= $K),
-         ann AS (${oracleBase("s_maxsim")})
-         SELECT bf.q, CAST(count(ann.vec_id) AS INT) AS hits,
-           (count(ann.vec_id) / ${K}.0) AS recall
-         FROM bf LEFT JOIN ann ON ann.q = bf.q AND ann.vec_id = bf.vec_id
-         GROUP BY bf.q ORDER BY bf.q""") +
+    ("s_maxsim_recall" -> sqlMaxSimRecall(oracleBase("s_maxsim"))) +
     ("s_ann_recall" -> sqlRecall("s_lsh_ann")) +
     ("s_ivf_recall" -> sqlRecall("s_ivf_ann")) +
     ("s_ivf_kmeans_recall" -> sqlRecall("s_ivf_kmeans")) +
