@@ -50,11 +50,19 @@ object CorpusReport {
     // never collect the rows to the driver just to take .size
     def countOf(name: String): String =
       SparkEntry.queries(name)(spark, sfDir).count().toString
+    // the KMV overlap matrix is S² small rows; the card carries only
+    // the top pairs by estimated Jaccard (the release-blocking signal —
+    // "these two providers ship the same crawl")
+    def topOverlaps(n: Int): Seq[Map[String, String]] =
+      rowsOf("d_source_overlap")
+        .sortBy(r => (-r("est_jaccard_micro").toLong, r("src_a"), r("src_b")))
+        .take(n)
     val sections = Seq(
       "sources" -> jsonRows(rowsOf("x_corpus_stats")),
       "near_dup_pairs" -> jsonRows(Seq(Map(
         "minhash_lsh" -> countOf("d_minhash_lsh"),
         "blocked_jaccard" -> countOf("d_ngram_jaccard")))),
+      "top_source_overlaps" -> jsonRows(topOverlaps(5)),
       "dq_profile" -> jsonRows(rowsOf("q_dq_profile")))
     val json = sections.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -5,7 +5,7 @@ package graft
   * operators (each has its own oracle/spec). */
 class CorpusReportSpec extends SparkSpec {
 
-  test("corpus report writes the three sections as valid JSON") {
+  test("corpus report writes the four sections as valid JSON") {
     spark // force shared session init before the tool's getOrCreate
     val out = java.nio.file.Files.createTempDirectory("graft-report")
       .resolve("report.json").toString
@@ -14,6 +14,7 @@ class CorpusReportSpec extends SparkSpec {
       java.nio.file.Paths.get(out)))
     assert(json.startsWith("{") && json.trim.endsWith("}"))
     Seq("\"sources\":", "\"near_dup_pairs\":", "\"dq_profile\":",
+      "\"top_source_overlaps\":", "\"est_jaccard_micro\"",
       "\"n_vocab\"", "\"minhash_lsh\"", "\"n_distinct\"").foreach { k =>
       assert(json.contains(k), s"missing $k in $json")
     }
