@@ -30,28 +30,24 @@ class DbscanSpec extends SparkSpec {
   private def dot(a: Array[Double], b: Array[Double]): Double =
     a.indices.map(i => a(i) * b(i)).reduceLeft(_ + _)
 
-  test("s_dbscan == naive index-bounded DBSCAN on the real corpus") {
-    val vs = spark.read.parquet(s"$dir/embeddings.parquet")
-      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
-      .as[(Long, Array[Double])].collect().toMap
+  /** The full naive trajectory — md5 centroids, probed-cell-bounded
+    * radius graph, MinPts gate, union-find components, border adoption
+    * — parameterized by the corpus so both the real-data test and the
+    * randomized planted test run the identical reference. */
+  private def naiveDbscan(vs: Map[Long, Array[Double]]): Set[(Long, Long, String, Long)] = {
     val norm = vs.view.mapValues(v => math.sqrt(dot(v, v))).toMap
     def cos(a: Long, b: Long): Double = dot(vs(a), vs(b)) / (norm(a) * norm(b))
-
     val cents = vs.keys.toSeq.sortBy(id => (md5Hex(id.toString), id)).take(NCent)
     def nearestCells(id: Long, n: Int): Seq[Long] =
       cents.map(c => (c, cos(id, c))).sortBy { case (c, s) => (-s, c) }
         .take(n).map(_._1)
     val cellOf: Map[Long, Long] = vs.keys.map(id => id -> nearestCells(id, 1).head).toMap
-
-    // directional radius pairs: nbr in src's probed cells, micro-floored
     val nbrs: Map[Long, Set[Long]] = vs.keys.map { src =>
       val probed = nearestCells(src, NProbe).toSet
       src -> vs.keys.filter(id => id != src && probed(cellOf(id)) &&
         math.floor(cos(src, id) * 1000000.0).toLong >= EpsMicro).toSet
     }.toMap
     val core = nbrs.collect { case (id, ns) if ns.size >= MinPts => id }.toSet
-
-    // union-find over core-core edges; label = min id of the component
     val parent = collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       val p = parent.getOrElse(x, x)
@@ -63,8 +59,7 @@ class DbscanSpec extends SparkSpec {
     }
     for (a <- core; b <- nbrs(a) if core(b)) union(a, b)
     val coreLbl: Map[Long, Long] = core.map(id => id -> find(id)).toMap
-
-    val expected = vs.keys.map { id =>
+    vs.keys.map { id =>
       val deg = nbrs(id).size.toLong
       if (core(id)) (id, deg, "core", coreLbl(id))
       else {
@@ -73,7 +68,46 @@ class DbscanSpec extends SparkSpec {
         else (id, deg, "noise", -1L)
       }
     }.toSet
+  }
 
+  test("s_dbscan == naive index-bounded DBSCAN on a randomized planted corpus") {
+    // two tight planted clusters + uniform noise, new session-temp
+    // corpus so the md5 centroid draw lands on a DIFFERENT cell
+    // configuration than the real data exercises
+    val rnd = new scala.util.Random(20260816L)
+    def unitish(base: Int, jitter: Double): Array[Float] =
+      Array.tabulate(64)(i =>
+        ((if (i == base) 1.0 else 0.0) + jitter * rnd.nextGaussian()).toFloat)
+    val rows: Seq[(Long, Array[Float], Int)] =
+      (0 until 12).map(i => (i.toLong, unitish(0, 0.02), 0)) ++
+      (12 until 22).map(i => (i.toLong, unitish(7, 0.02), 1)) ++
+      (22 until 60).map { i =>
+        (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat), 2)
+      }
+    val tmp = java.nio.file.Files.createTempDirectory("dbscan").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val vs = spark.read.parquet(s"$tmp/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .as[(Long, Array[Double])].collect().toMap
+    val got = Similarity.queries("s_dbscan")(spark, tmp)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(got == naiveDbscan(vs))
+    // the planted structure: each tight cluster is one all-core
+    // component; the two clusters get different labels
+    val byId = got.map(r => r._1 -> r).toMap
+    val cA = (0L until 12L).map(byId(_))
+    val cB = (12L until 22L).map(byId(_))
+    assert(cA.forall(_._3 == "core") && cA.map(_._4).toSet.size == 1)
+    assert(cB.forall(_._3 == "core") && cB.map(_._4).toSet.size == 1)
+    assert(cA.head._4 != cB.head._4)
+  }
+
+  test("s_dbscan == naive index-bounded DBSCAN on the real corpus") {
+    val vs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .as[(Long, Array[Double])].collect().toMap
+    val expected = naiveDbscan(vs)
     val got = Similarity.queries("s_dbscan")(spark, dir)
       .as[(Long, Long, String, Long)].collect().toSet
     assert(got == expected)
