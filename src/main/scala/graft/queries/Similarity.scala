@@ -41,7 +41,13 @@ object Similarity {
   private[graft] val HardNegK = 5     // s_negatives: hard negatives per query
   private[graft] val RandNegK = 4     // s_negatives: random negative draws per query
   private val BfsRounds = 9    // s_seed_dist: expansion bound (ecc ≤7 at gate scales)
-  private[graft] val NCentroids = 24 // IVF cells — FIXED K, constant in corpus size
+  // IVF cells. FIXED at 24 for the gate (every oracle interpolates the
+  // same value, so engine and DuckDB always agree); the env override
+  // exists for SCALE EXPERIMENTS only — the cluster posture is K ~
+  // sqrt(N), and the BASELINE round-12 curvature section measures the
+  // fixed-K vs scaled-K slopes one decade past the bench scale.
+  private[graft] val NCentroids =
+    sys.env.get("SPARK_GRAFT_NCENTROIDS").flatMap(_.toIntOption).getOrElse(24)
   private val PqM = 8        // PQ subspaces (64-dim vectors -> 8x8)
   private val PqSub = 8      // dims per subspace
   private val PqKsub = 16    // codes per subspace codebook
