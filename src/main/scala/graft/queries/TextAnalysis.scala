@@ -257,6 +257,43 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // BUDGET-CONSTRAINED selection — the canonical pretraining ask
+    // ("give me the best 40% of tokens by quality") WITHOUT the global
+    // sort it naively implies: pass 1 histograms the integer quality
+    // score into 101 fixed bins (one map-side-combined agg), the
+    // cutoff bin falls out of a cumulative window over the ≤101-row
+    // histogram (driver-tiny — never the corpus), and pass 2 keeps
+    // docs by a row-local bin compare against the broadcast cutoff.
+    // The approximation bound is x_pack's: the kept set overshoots the
+    // budget by at most ONE bin's tokens (the boundary bin keeps
+    // whole) — the price of never globally sorting, and the same
+    // two-pass threshold-from-histogram discipline q_percentile's
+    // BoundedPercentile uses. All integer: the budget compare is
+    // cumbefore*5 < total*2 (40%), exact at any corpus size.
+    "x_token_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = wordsCol
+      val nWords = size(w)
+      val nStop = size(filter(w, x => x.isInCollection(stopwords)))
+      val base = docs(s, dir).select(col("doc_id"),
+        nWords.cast("long").as("n_tokens"),
+        (least(length(col("text")), lit(500)) * 1000L
+          + floor(nStop * lit(500000L) / nWords)).cast("long").as("score_micro"))
+        .withColumn("bin", expr("score_micro div 10000"))
+      val tot = base.agg(sum("n_tokens").as("total"))
+      val wDesc = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bmin = base.groupBy("bin").agg(sum("n_tokens").as("btok"))
+        .withColumn("cumbefore", coalesce(sum("btok").over(wDesc), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .filter(col("cumbefore") * 5 < col("total") * 2)
+        .agg(min("bin").as("bmin"))
+      base.crossJoin(broadcast(bmin))
+        .select(col("doc_id"), col("n_tokens"), col("score_micro"), col("bin"),
+          (col("bin") >= col("bmin")).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // language ID: stopword-marker counts, argmax w/ fixed priority.
     "x_langid" -> ((s, dir) => {
       val w = wordsCol
@@ -1203,6 +1240,24 @@ object TextAnalysis {
            (floor(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1000000
              / length(text)) / 1000000.0) AS punct_ratio
          FROM (SELECT *, string_split(text, ' ') AS w FROM documents) ORDER BY doc_id""",
+
+    "x_token_budget" ->
+      s"""WITH base AS (SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(least(length(text), 500) * 1000
+             + floor(len(list_filter(w, x -> x IN ($stopSqlList)))
+               * 500000 / len(w)) AS BIGINT) AS score_micro
+         FROM (SELECT *, string_split(text, ' ') AS w FROM documents)),
+         b2 AS (SELECT *, score_micro // 10000 AS bin FROM base),
+         tot AS (SELECT sum(n_tokens) AS total FROM base),
+         hist AS (SELECT bin, sum(n_tokens) AS btok FROM b2 GROUP BY bin),
+         cum AS (SELECT bin, coalesce(sum(btok) OVER (ORDER BY bin DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumbefore
+           FROM hist),
+         thr AS (SELECT min(bin) AS bmin FROM cum, tot
+           WHERE cumbefore * 5 < total * 2)
+         SELECT doc_id, n_tokens, score_micro, bin, (bin >= bmin) AS kept
+         FROM b2, thr ORDER BY doc_id""",
 
     "x_langid" ->
       """SELECT doc_id, lang,
