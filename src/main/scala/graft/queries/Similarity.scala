@@ -46,8 +46,11 @@ object Similarity {
   // exists for SCALE EXPERIMENTS only — the cluster posture is K ~
   // sqrt(N), and the BASELINE round-12 curvature section measures the
   // fixed-K vs scaled-K slopes one decade past the bench scale.
-  private[graft] val NCentroids =
-    sys.env.get("SPARK_GRAFT_NCENTROIDS").flatMap(_.toIntOption).getOrElse(24)
+  private[graft] val NCentroids = {
+    val k = sys.env.get("SPARK_GRAFT_NCENTROIDS").flatMap(_.toIntOption).getOrElse(24)
+    require(k > 0, s"SPARK_GRAFT_NCENTROIDS must be positive, got $k")
+    k
+  }
   private val PqM = 8        // PQ subspaces (64-dim vectors -> 8x8)
   private val PqSub = 8      // dims per subspace
   private val PqKsub = 16    // codes per subspace codebook

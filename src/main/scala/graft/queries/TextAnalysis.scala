@@ -25,6 +25,18 @@ object TextAnalysis {
   private[queries] val stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
 
   private def wordsCol: Column = split(col("text"), " ")
+
+  /** The integer quality score (micro-units, 0..1e6): length saturation
+    * at 500 chars plus the stopword-density term. ONE definition —
+    * x_quality reports it, x_quality_calib calibrates on it, and
+    * x_token_budget selects on it; a score tweak lands everywhere or
+    * nowhere. SQL twin below, parameterized by the n_stop / n_words
+    * expressions of the caller's context. */
+  private def qualityMicro(nStop: Column, nWords: Column): Column =
+    (least(length(col("text")), lit(500)) * 1000L
+      + floor(nStop * lit(500000L) / nWords)).cast("long")
+  private def sqlQualityMicro(nStopSql: String, nWordsSql: String): String =
+    s"CAST(least(length(text), 500) * 1000 + floor($nStopSql * 500000 / $nWordsSql) AS BIGINT)"
   private val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** Memoize a text-family one-time build per (session, corpus) —
@@ -251,8 +263,7 @@ object TextAnalysis {
         col("doc_id"),
         nWords.as("n_words"),
         nStop.as("n_stop"),
-        ((least(length(col("text")), lit(500)) * 1000L
-          + floor(nStop * lit(500000L) / nWords)) / 1000000.0).as("quality"),
+        (qualityMicro(nStop, nWords) / 1000000.0).as("quality"),
         (floor(nPunct * lit(1000000L) / length(col("text"))) / 1000000.0).as("punct_ratio"))
         .orderBy("doc_id")
     }),
@@ -277,15 +288,19 @@ object TextAnalysis {
       val nStop = size(filter(w, x => x.isInCollection(stopwords)))
       val base = docs(s, dir).select(col("doc_id"),
         nWords.cast("long").as("n_tokens"),
-        (least(length(col("text")), lit(500)) * 1000L
-          + floor(nStop * lit(500000L) / nWords)).cast("long").as("score_micro"))
+        qualityMicro(nStop, nWords).as("score_micro"))
         .withColumn("bin", expr("score_micro div 10000"))
-      val tot = base.agg(sum("n_tokens").as("total"))
+      // the corpus total is a second window over the SAME ≤101-row
+      // histogram — never a separate corpus aggregation pass (the
+      // BoundedPercentile discipline: pass 1 produces everything the
+      // threshold decision needs)
       val wDesc = Window.orderBy(col("bin").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val bmin = base.groupBy("bin").agg(sum("n_tokens").as("btok"))
         .withColumn("cumbefore", coalesce(sum("btok").over(wDesc), lit(0L)))
-        .crossJoin(broadcast(tot))
+        .withColumn("total", sum("btok").over(wAll))
         .filter(col("cumbefore") * 5 < col("total") * 2)
         .agg(min("bin").as("bmin"))
       base.crossJoin(broadcast(bmin))
@@ -575,9 +590,7 @@ object TextAnalysis {
     "x_quality_calib" -> ((s, dir) => {
       val nStop = size(filter(wordsCol, x => x.isInCollection(stopwords)))
       docs(s, dir).select(
-          (least(length(col("text")), lit(500)) * 1000L
-            + floor(nStop * lit(500000L) / size(wordsCol))).cast("long")
-            .as("qmicro"),
+          qualityMicro(nStop, size(wordsCol)).as("qmicro"),
           gopherKeep.as("keep"))
         .withColumn("band", expr("CAST(qmicro div 100000 AS INT)"))
         .groupBy("band").agg(count(lit(1)).as("n_docs"),
@@ -1234,8 +1247,7 @@ object TextAnalysis {
       s"""SELECT doc_id,
            CAST(len(w) AS INT) AS n_words,
            CAST(len(list_filter(w, x -> x IN ($stopSqlList))) AS INT) AS n_stop,
-           ((least(length(text), 500) * 1000
-             + floor(len(list_filter(w, x -> x IN ($stopSqlList))) * 500000 / len(w)))
+           (${sqlQualityMicro(s"len(list_filter(w, x -> x IN ($stopSqlList)))", "len(w)")}
             / 1000000.0) AS quality,
            (floor(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1000000
              / length(text)) / 1000000.0) AS punct_ratio
@@ -1244,9 +1256,7 @@ object TextAnalysis {
     "x_token_budget" ->
       s"""WITH base AS (SELECT doc_id,
            CAST(len(w) AS BIGINT) AS n_tokens,
-           CAST(least(length(text), 500) * 1000
-             + floor(len(list_filter(w, x -> x IN ($stopSqlList)))
-               * 500000 / len(w)) AS BIGINT) AS score_micro
+           ${sqlQualityMicro(s"len(list_filter(w, x -> x IN ($stopSqlList)))", "len(w)")} AS score_micro
          FROM (SELECT *, string_split(text, ' ') AS w FROM documents)),
          b2 AS (SELECT *, score_micro // 10000 AS bin FROM base),
          tot AS (SELECT sum(n_tokens) AS total FROM base),
@@ -1400,8 +1410,7 @@ object TextAnalysis {
 
     "x_quality_calib" ->
       s"""WITH m AS (${sqlGopherM(
-           """, CAST(least(length(text), 500) * 1000
-             + floor(n_stop * 500000 / n) AS BIGINT) AS qmicro""")}),
+           s""", ${sqlQualityMicro("n_stop", "n")} AS qmicro""")}),
          r AS (SELECT doc_id, qmicro, $sqlGopherKeep AS keep FROM m)
          SELECT CAST(qmicro // 100000 AS INT) AS band,
            CAST(count(*) AS BIGINT) AS n_docs,

@@ -7,7 +7,9 @@ import graft.SparkEntry
 /** Corpus card CLI — one JSON artifact a curation run attaches to a
   * dataset release: per-source volume/vocabulary stats (x_corpus_stats),
   * near-dup pressure (pair counts from the exact + LSH pipelines over
-  * the live corpus), and the per-column data-quality profile of the
+  * the live corpus), the top source-overlap pairs by KMV estimate
+  * (d_source_overlap — the "these two providers ship the same crawl"
+  * release blocker), and the per-column data-quality profile of the
   * relational side (q_dq_profile). Everything is the same gate-verified
   * operators; this tool only composes and serializes them.
   *

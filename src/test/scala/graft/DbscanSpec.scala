@@ -19,7 +19,9 @@ class DbscanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
   private val NProbe = 2
-  private val NCent = 24
+  // read the engine constant so an env override cannot desync the
+  // naive reference from the trajectory under test
+  private val NCent = graft.queries.Similarity.NCentroids
   private val EpsMicro = 250000L
   private val MinPts = 4
 

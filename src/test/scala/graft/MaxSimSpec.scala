@@ -27,7 +27,9 @@ class MaxSimSpec extends SparkSpec {
   private val K = 5
   private val NQ = 5
   private val NProbe = 2
-  private val NCent = 24
+  // read the engine constant so an env override cannot desync the
+  // naive reference from the trajectory under test
+  private val NCent = graft.queries.Similarity.NCentroids
   private val M = 8 // tokens per vector
   private val S = 8 // dims per token
 

@@ -17,7 +17,9 @@ class PprSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private val NQ = 5
   private val NProbe = 2
-  private val NCent = 24
+  // read the engine constant so an env override cannot desync the
+  // naive reference from the trajectory under test
+  private val NCent = graft.queries.Similarity.NCentroids
   private val KnnK = 3
   private val Iters = 3
   private val K = 10
