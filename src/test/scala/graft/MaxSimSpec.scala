@@ -75,6 +75,41 @@ class MaxSimSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("s_maxsim_tok == naive per-token retrieval + MaxSim rerank") {
+    val vs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .as[(Long, Array[Double])].collect().toMap
+    def tok(v: Array[Double], t: Int): Array[Double] =
+      v.slice(t * S, t * S + S)
+    def dot8(a: Array[Double], b: Array[Double]): Double =
+      (0 until S).map(i => a(i) * b(i)).reduceLeft(_ + _)
+
+    // md5-rank token-centroid draw over (vec_id, t) keys
+    val tokKeys = for (id <- vs.keys.toSeq; t <- 0 until M) yield (id, t)
+    val cents: Seq[(Int, Array[Double])] = tokKeys
+      .sortBy { case (id, t) => (md5Hex(s"$id#${t + 1}"), id, t) }
+      .take(NCent).zipWithIndex
+      .map { case ((id, t), i) => (i + 1, tok(vs(id), t)) }
+    def bestCells(tv: Array[Double], n: Int): Seq[Int] =
+      cents.map { case (cid, cv) => (cid, dot8(tv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(n).map(_._1)
+
+    val cellOfTok: Map[(Long, Int), Int] =
+      tokKeys.map { case (id, t) => (id, t) -> bestCells(tok(vs(id), t), 1).head }.toMap
+    val expected = (0L until NQ).flatMap { q =>
+      val probed = (0 until M).flatMap(t => bestCells(tok(vs(q), t), NProbe)).toSet
+      val cand = vs.keys.filter(id => id != q &&
+        (0 until M).exists(t => probed(cellOfTok((id, t)))))
+      cand.map(id => (id, maxSim(vs(q), vs(id)))).toSeq
+        .sortBy { case (id, ms) => (-ms, id) }.take(K).zipWithIndex
+        .map { case ((id, ms), i) => (q, id, ms, i + 1) }
+    }.toSet
+
+    val got = Similarity.queries("s_maxsim_tok")(spark, dir)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == expected)
+  }
+
   test("permuted-slice doc scores the query's self-score; cosine does not") {
     // query = 8 distinct one-hot-ish token slices; doc = the same slices
     // rotated one token position. Every query token still finds its
