@@ -49,6 +49,23 @@ import org.apache.spark.sql.SparkSession
   * a forced flake on one entry changes no downstream entry's job
   * count (BenchRetrySpec pins this against live memos).
   *
+  * ENVIRONMENT ATTRIBUTION (round 13): two more evidence channels make
+  * an over-budget cpu reading decidable from the artifact alone.
+  * (1) `rddWrites` — per-sample RDD cache-block WRITES (stores,
+  * recompute-stores, memory→disk eviction moves; reads never count).
+  * A warm probe of standing memos must show ~0; a large count at flat
+  * jobs is block-store churn measured, not inferred. (2) a CPU
+  * CALIBRATION probe (fixed 512k-md5 task, no cache): its cpu on an idle
+  * machine is committed as `_calibCpuSec` in the budget file; the bench
+  * reports it once at start (`calibCpuSec`) and again right before
+  * every retry (`retryCalibCpuSec`). cpu-time counts cycles a thread
+  * HOLDS a logical core, so SMT-sibling load and frequency scaling
+  * inflate it at identical work — the r12 driver window inflated the
+  * no-cache d_simhash 4x this way. Reading rule: query cpu inflated
+  * AND calib inflated by a similar factor => environment; calib clean
+  * => the query did more work (regression or recompute — check
+  * rddWrites to split those).
+  *
   * READING a clean retry: for a *_build entry (whose budget already
   * includes its builds) the clean sample compares directly against
   * budget. For a PROBE-priced entry (budget measured with warm
@@ -71,11 +88,16 @@ object Bench {
   private final class Metrics extends SparkListener {
     val jobs = new AtomicLong
     val cpuNs = new AtomicLong
+    val rddWrites = new AtomicLong
     override def onJobStart(j: SparkListenerJobStart): Unit = {
       jobs.incrementAndGet(); ()
     }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-      Option(t.taskMetrics).foreach(m => cpuNs.addAndGet(m.executorCpuTime))
+      Option(t.taskMetrics).foreach { m =>
+        cpuNs.addAndGet(m.executorCpuTime)
+        rddWrites.addAndGet(
+          org.apache.spark.graftbridge.ListenerBridge.rddBlockWrites(m))
+      }
       ()
     }
   }
@@ -116,6 +138,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // per-task cached-block write statuses feed the rddWrites counter
+      // (off by default; the accumulator cost is noise at bench scale)
+      .config("spark.taskMetrics.trackUpdatedBlockStatuses", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -162,6 +187,30 @@ object Bench {
       .flatMap(_.toDoubleOption).getOrElse(1.0)
     val only = args.toSet // optional query-name filter for local iteration
     val errors = collection.mutable.Map.empty[String, String]
+    // CPU-CALIBRATION probe: a fixed pure-compute task (512k codegen md5s,
+    // no cache, no shuffle beyond one agg) whose cpuSec on an idle
+    // machine is committed next to the budgets (_calibCpuSec). Its
+    // inflation factor in any window measures the environment's
+    // compute-cpu tax (SMT sharing, frequency scaling, co-tenant load)
+    // DIRECTLY: cpu-time counts cycles a thread holds a logical core,
+    // so a busy sibling hyperthread inflates cpu at identical work.
+    // Run once at start and again right before each over-budget retry,
+    // an over-budget cpu reading is attributable from the artifact
+    // alone: calib inflated too => environment; calib clean => the
+    // query really did more work (the r12 d_simhash-vs-d_containment
+    // ambiguity, resolved mechanically).
+    def calibCpu(): Double = {
+      import org.apache.spark.sql.functions._
+      org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      val c0 = metrics.cpuNs.get()
+      spark.range(0, 1L << 19, 1, cpus.toInt)
+        .select(md5(concat(col("id").cast("string"), lit("calib"))).as("h"))
+        .agg(count(when(substring(col("h"), 1, 1) === "0", 1))).collect()
+      org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      (metrics.cpuNs.get() - c0) / 1e9
+    }
+    calibCpu() // untimed: JIT/codegen-warm the calib plan itself
+    val calibStart = calibCpu()
     def family(n: String) = n.takeWhile(_ != '_')
     // alphabetical within family, except the explicit *_build entries
     // run FIRST in their family — absorbing the one-time memo builds is
@@ -170,10 +219,10 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => (family(name), !name.contains("_build"), name) }
       .filter { case (name, _) => only.isEmpty || only(name) }
-    case class Sample(sec: Double, jobs: Long, cpuSec: Double)
+    case class Sample(sec: Double, jobs: Long, cpuSec: Double, rddWrites: Long)
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
       org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
-      val (j0, c0) = (metrics.jobs.get(), metrics.cpuNs.get())
+      val (j0, c0, w0) = (metrics.jobs.get(), metrics.cpuNs.get(), metrics.rddWrites.get())
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
@@ -181,11 +230,13 @@ object Bench {
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
       org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
-      Sample(elapsed, metrics.jobs.get() - j0, (metrics.cpuNs.get() - c0) / 1e9)
+      Sample(elapsed, metrics.jobs.get() - j0, (metrics.cpuNs.get() - c0) / 1e9,
+        metrics.rddWrites.get() - w0)
     }
     val retries = collection.mutable.Map.empty[String, Sample]
     val retryKind = collection.mutable.Map.empty[String, String]
     val retryTouched = collection.mutable.Map.empty[String, String]
+    val retryCalib = collection.mutable.Map.empty[String, Double]
     val retriesClean = collection.mutable.Map.empty[String, Sample]
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val s1 = timed(name, fn)
@@ -203,6 +254,9 @@ object Bench {
         // touch set intersects the memos live when it started — a
         // query whose warm state never covered its expensive subtree
         // (the r11 d_dedup_eval mislabel) now classifies by evidence.
+        // price the window first: the calibration cpu right before the
+        // retry is the environment-attribution denominator
+        retryCalib(name) = calibCpu()
         val liveBefore = CacheBook.liveNamed(spark)
         val (r, touched) = CacheBook.traced { timed(name, fn) }
         val hits = Bench.retryReleaseSet(liveBefore, touched)
@@ -257,17 +311,21 @@ object Bench {
     val qs = obj(results.map { case (k, s) => k -> sec(s.sec) })
     val js = obj(results.map { case (k, s) => k -> s.jobs.toString })
     val cs = obj(results.map { case (k, s) => k -> sec(s.cpuSec) })
+    val ws = obj(results.map { case (k, s) => k -> s.rddWrites.toString })
     val rs = obj(retries.toSeq.sortBy(_._1).map { case (k, s) => k -> sec(s.sec) })
     val rcs = obj(retries.toSeq.sortBy(_._1).map { case (k, s) => k -> sec(s.cpuSec) })
+    val rws = obj(retries.toSeq.sortBy(_._1).map { case (k, s) => k -> s.rddWrites.toString })
     val rks = obj(retryKind.toSeq.sortBy(_._1).map { case (k, v) => k -> q(v) })
     val rts = obj(retryTouched.toSeq.sortBy(_._1).map { case (k, v) => k -> q(v) })
+    val rcal = obj(retryCalib.toSeq.sortBy(_._1).map { case (k, v) => k -> sec(v) })
     val rcl = obj(retriesClean.toSeq.sortBy(_._1).map { case (k, s) => k -> sec(s.sec) })
     val rclc = obj(retriesClean.toSeq.sortBy(_._1).map { case (k, s) => k -> sec(s.cpuSec) })
     val rclj = obj(retriesClean.toSeq.sortBy(_._1).map { case (k, s) => k -> s.jobs.toString })
+    val rclw = obj(retriesClean.toSeq.sortBy(_._1).map { case (k, s) => k -> s.rddWrites.toString })
     val es = obj(errors.toSeq.sortBy(_._1).map { case (k, v) => k -> q(v) })
     val total = results.map(_._2.sec).sum
     val json =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"jobs":$js,"cpuSec":$cs,"retries":$rs,"retryCpuSec":$rcs,"retryKind":$rks,"retryTouched":$rts,"retriesClean":$rcl,"retriesCleanCpuSec":$rclc,"retriesCleanJobs":$rclj,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","calibCpuSec":${sec(calibStart)},"queries":$qs,"jobs":$js,"cpuSec":$cs,"rddWrites":$ws,"retries":$rs,"retryCpuSec":$rcs,"retryRddWrites":$rws,"retryKind":$rks,"retryTouched":$rts,"retryCalibCpuSec":$rcal,"retriesClean":$rcl,"retriesCleanCpuSec":$rclc,"retriesCleanJobs":$rclj,"retriesCleanRddWrites":$rclw,"errors":$es,"sf":"$sfDir"}"""
     // a line-capture of stdout can truncate a long JSON line (BENCH_r03
     // lost 9 queries + the total that way) — ALSO persist it to a file
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

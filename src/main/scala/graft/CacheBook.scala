@@ -170,6 +170,19 @@ object CacheBook {
     }.flatten.toSet
   }
 
+  /** Eagerly materialize a freshly-persisted relation — the SURVEY §4
+    * rule as one audited helper: count() forces every partition into
+    * the block store before any consumer reads it (a lazy persist lets
+    * self-join branches and concurrent consumers race and compute the
+    * build twice), and a failed materialization unpersists the partial
+    * blocks so no unreleased cache leaks behind the exception. Returns
+    * the input relation. */
+  def materialize(df: DataFrame): DataFrame = {
+    try df.count()
+    catch { case e: Throwable => df.unpersist(false); throw e }
+    df
+  }
+
   /** Free the block-store data behind an EAGER `localCheckpoint(true)`
     * frame: the checkpointed RDD hides under the plan's LogicalRDD
     * leaves (plain `unpersist()` on the Dataset does nothing — the

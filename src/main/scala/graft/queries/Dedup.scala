@@ -61,41 +61,62 @@ object Dedup {
   private val kmvCache =
     collection.mutable.Map.empty[(SparkSession, String), graft.Once[DataFrame]]
 
-  /** Memoized full-corpus KMV sketch — d_source_overlap and
-    * d_containment both read it, so the shingle explode + two-phase
-    * bottom-k run once per (session, corpus); released with "d". */
+  /** Memoized full-corpus KMV sketch — the union memo below reads it,
+    * so the shingle explode + two-phase bottom-k run once per (session,
+    * corpus); released with "d". Eagerly localCheckpoint'ed, NOT merely
+    * persisted: the S·K-row sketch's lineage is the corpus-scale
+    * explode + distinct, and a persisted-only relation re-RUNS that
+    * lineage whenever the block store drops a partition under pressure
+    * (the r12 driver artifact's d_containment signature: 17x budgeted
+    * cpu at flat job counts with the memo live). The checkpoint
+    * truncates lineage, so a memory-evicted partition re-reads local
+    * disk — recompute is structurally impossible. */
   private def fullSketch(s: SparkSession, dir: String): DataFrame = {
     graft.CacheBook.touch(s, "d", "kmv_sketch")
     synchronized { kmvCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val sk = kmvBottomK(sourceHashes(s, dir), salted = true)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try sk.count()
-      catch { case e: Throwable => sk.unpersist(false); throw e }
+        .localCheckpoint(true)
       graft.CacheBook.register(s, "d", "kmv_sketch") { () =>
         Dedup.synchronized { kmvCache.remove((s, dir)) }
-        sk.unpersist(false)
+        graft.CacheBook.unpersistCheckpoint(sk)
         ()
       }
       sk
     })) }.value
   }
 
+  private val kmvUnionCache =
+    collection.mutable.Map.empty[(SparkSession, String), graft.Once[DataFrame]]
+
+  /** Memoized union-bottom-K membership rows over the FULL-corpus
+    * sketch — the ≤ S²/2·K-row relation BOTH probe entries
+    * (d_source_overlap, d_containment) aggregate, built once per
+    * (session, corpus) instead of once per entry (the r12 ADVICE
+    * item: each probe re-ran the pair-window build behind the sketch
+    * memo). localCheckpoint'ed like [[fullSketch]], same rationale. */
+  private def kmvUnionMemo(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheBook.touch(s, "d", "kmv_union")
+    synchronized { kmvUnionCache.getOrElseUpdate((s, dir), new graft.Once(() =>
+      graft.CacheBook.building(s, "d", "kmv_union") {
+        val u = kmvUnionTopK(fullSketch(s, dir)).localCheckpoint(true)
+        graft.CacheBook.register(s, "d", "kmv_union") { () =>
+          Dedup.synchronized { kmvUnionCache.remove((s, dir)) }
+          graft.CacheBook.unpersistCheckpoint(u)
+          ()
+        }
+        u
+      })) }.value
+  }
+
   /** Per-pair union-bottom-K membership rows over a KMV sketch
     * relation: for each source pair, merge the two sketches, keep the
     * union's bottom-K, tag each hash with which side(s) hold it.
     * Touches only S·K sketch rows — index metadata, not corpus data.
-    * `ownPersist` persists ad-hoc sketches (the incremental merge);
-    * the memoized full-corpus sketch is already cached. */
-  private def kmvUnionTopK(s: SparkSession, sketch0: DataFrame,
-      ownPersist: Boolean): DataFrame = {
+    * Pure builder — callers memoize/checkpoint the result; the input
+    * sketch must already be materialized (it feeds three consumers:
+    * source list + both join sides). */
+  private def kmvUnionTopK(sketch: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the sketch feeds three consumers (source list + both join sides)
-    val sketch = if (!ownPersist) sketch0 else {
-      val p = sketch0
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.CacheBook.register(s, "d")(() => { p.unpersist(false); () })
-      p
-    }
     val srcs = sketch.select("source").distinct()
     // S bounded (distinct sources — dimension-sized); broadcasting the
     // right side plans a BroadcastNestedLoopJoin on the < predicate
@@ -117,17 +138,79 @@ object Dedup {
       .filter(col("urn") <= OverlapK)
   }
 
-  /** Pairwise Jaccard estimates off the union-bottom-K membership
-    * rows: estimate = fraction present in both sides. */
-  private def kmvPairs(s: SparkSession, sketch0: DataFrame,
-      ownPersist: Boolean): DataFrame =
-    kmvUnionTopK(s, sketch0, ownPersist)
+  /** Pairwise Jaccard estimates off a union-bottom-K membership
+    * relation: estimate = fraction present in both sides. */
+  private def kmvPairs(union: DataFrame): DataFrame =
+    union
       .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("kk"),
         sum(col("ina") * col("inb")).cast("long").as("hits"))
       .select(col("src_a"), col("src_b"), col("kk"), col("hits"),
         expr("hits * 1000000 div kk").as("est_jaccard_micro"))
       .orderBy("src_a", "src_b")
+
+  private val kmvStoreCache =
+    collection.mutable.Map.empty[(SparkSession, String), graft.Once[String]]
+
+  /** The STANDING per-source sketch as a persisted artifact — last
+    * night's [[graft.sources.SketchStore]] write over the pre-batch
+    * corpus (doc_id < tNew), built once per (session, corpus) and READ
+    * back by d_overlap_inc, so the incremental entry actually exercises
+    * the store path its docs describe (the r12 ADVICE item) and its
+    * per-call cost is the delta explode + an S·K-row parquet scan —
+    * never a re-scan of yesterday's text. Released with "d" (deletes
+    * the temp store). */
+  private def standingSketchPath(s: SparkSession, dir: String): String = {
+    graft.CacheBook.touch(s, "d", "kmv_store")
+    synchronized { kmvStoreCache.getOrElseUpdate((s, dir), new graft.Once(() =>
+      graft.CacheBook.building(s, "d", "kmv_store") {
+        val tNew = newDocThreshold(s, dir)
+        val standing = kmvBottomK(
+          sourceHashes(s, dir).filter(col("doc_id") < tNew), salted = true)
+        val path = java.nio.file.Files.createTempDirectory("graft-kmv-store").toString
+        graft.sources.SketchStore.write(path, standing)
+        graft.CacheBook.register(s, "d", "kmv_store") { () =>
+          Dedup.synchronized { kmvStoreCache.remove((s, dir)) }
+          val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          ()
+        }
+        path
+      })) }.value
+  }
+
+  private val overlapIncCache =
+    collection.mutable.Map.empty[(SparkSession, String), graft.Once[DataFrame]]
+
+  /** Memoized d_overlap_inc result — the nightly merge runs once per
+    * (session, corpus): standing sketch FROM THE STORE ∪ tonight's
+    * delta hashes (new docs only — the explode is delta-bounded, never
+    * the full corpus), bottom-k'ed without the salt phase (the input is
+    * already ≤ S·K + |delta| rows per source), then the pair estimates.
+    * Memoizing the whole result also stops repeated calls from
+    * accumulating per-call persists (each former call registered its
+    * own anonymous release — the r12 ADVICE leak). */
+  private def overlapIncMemo(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheBook.touch(s, "d", "overlap_inc")
+    synchronized { overlapIncCache.getOrElseUpdate((s, dir), new graft.Once(() =>
+      graft.CacheBook.building(s, "d", "overlap_inc") {
+        val tNew = newDocThreshold(s, dir)
+        val standing = graft.sources.SketchStore.read(s, standingSketchPath(s, dir))
+        val delta = sourceHashes(s, dir).filter(col("doc_id") >= tNew)
+          .select("source", "h")
+        val merged = kmvBottomK(standing.unionByName(delta), salted = false)
+          .localCheckpoint(true) // feeds three consumers (source list + both join sides)
+        graft.CacheBook.register(s, "d")(() =>
+          graft.CacheBook.unpersistCheckpoint(merged))
+        val out = kmvPairs(kmvUnionTopK(merged)).localCheckpoint(true)
+        graft.CacheBook.register(s, "d", "overlap_inc") { () =>
+          Dedup.synchronized { overlapIncCache.remove((s, dir)) }
+          graft.CacheBook.unpersistCheckpoint(out)
+          ()
+        }
+        out
+      })) }.value
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -533,10 +616,11 @@ object Dedup {
       // groupBy + self-join (which scans and md5s the corpus twice)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
       book(s, dir, "d", "exact_pairs", exactCache,
-        hashed.withColumn("dup_of", min("doc_id").over(w))
-          .filter(col("doc_id") =!= col("dup_of"))
-          .select("doc_id", "dup_of")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        graft.CacheBook.materialize(
+          hashed.withColumn("dup_of", min("doc_id").over(w))
+            .filter(col("doc_id") =!= col("dup_of"))
+            .select("doc_id", "dup_of")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     })) }.value
   }
 
@@ -676,11 +760,16 @@ object Dedup {
       val exF = Future(exactPairs(s, dir).count())
       val bandF = shF.map(sh => bandsMemo(sh).count())
       val jacF = shF.map(_ => jaccardPairs(s, dir).count())
-      // the KMV corpus sketch branches off the same shingle relation —
-      // built here so overlap/containment price probe-only cost
-      val kmvF = shF.map(_ => fullSketch(s, dir).count())
+      // the KMV corpus sketch (+ its pair-union membership relation)
+      // and the standing SketchStore artifact branch off the same
+      // shingle relation on independent futures — built here so
+      // overlap/containment/inc price probe-only cost
+      // (localCheckpoints are eager — no counts)
+      val kmvF = shF.map { _ => fullSketch(s, dir); kmvUnionMemo(s, dir); () }
+      val kmvStoreF = shF.map { _ => standingSketchPath(s, dir); () }
       val nSh = Await.result(shF, Duration.Inf).count()
       Await.result(kmvF, Duration.Inf)
+      Await.result(kmvStoreF, Duration.Inf)
       val (nBand, nJac, nEx) = (Await.result(bandF, Duration.Inf),
         Await.result(jacF, Duration.Inf), Await.result(exF, Duration.Inf))
       // the standing labels (the nightly labeling artifact
@@ -719,8 +808,9 @@ object Dedup {
     // with billions of shingles never sorts one reducer partition; the
     // pairwise stage touches only sketches (S·OverlapK rows — index
     // metadata, not corpus data). Sum/count are over ints, exact.
-    "d_source_overlap" -> ((s, dir) =>
-      kmvPairs(s, fullSketch(s, dir), ownPersist = false)),
+    // Probe cost = ONE aggregate over the memoized, lineage-truncated
+    // union-membership relation (shared with d_containment).
+    "d_source_overlap" -> ((s, dir) => kmvPairs(kmvUnionMemo(s, dir))),
 
     // DIRECTED containment estimates off the same sketch — the question
     // overlap's symmetric Jaccard can't answer: "what fraction of A is
@@ -729,10 +819,10 @@ object Dedup {
     // union's bottom-K, restrict to one side's members and take the
     // fraction also present in the other: cont(A→B) = hits / |sample ∩
     // A| — the standard KMV containment estimator, deterministic like
-    // the Jaccard one, same S·K-row cost off the MEMOIZED corpus
-    // sketch (built once for both entries).
+    // the Jaccard one, ONE aggregate off the same memoized
+    // union-membership relation d_source_overlap reads.
     "d_containment" -> ((s, dir) =>
-      kmvUnionTopK(s, fullSketch(s, dir), ownPersist = false)
+      kmvUnionMemo(s, dir)
         .groupBy("src_a", "src_b")
         .agg(sum(col("ina")).cast("long").as("ka"),
           sum(col("inb")).cast("long").as("kb"),
@@ -750,18 +840,13 @@ object Dedup {
     // standing per-source sketch absorbs tonight's delta WITHOUT
     // re-scanning yesterday's text — the merge input is K rows per
     // source plus the delta's distinct hashes, whatever the corpus
-    // grew to. The oracle is d_source_overlap's full-recompute SQL
-    // verbatim: the gate itself proves incremental == from-scratch.
-    "d_overlap_inc" -> ((s, dir) => {
-      val tNew = newDocThreshold(s, dir)
-      val all = sourceHashes(s, dir)
-      // standing sketch: last night's artifact (built over old docs
-      // only — in production read from the store, like LshIndexStore)
-      val standing = kmvBottomK(all.filter(col("doc_id") < tNew), salted = true)
-      val delta = all.filter(col("doc_id") >= tNew).select("source", "h")
-      kmvPairs(s, kmvBottomK(standing.unionByName(delta), salted = false),
-        ownPersist = true)
-    }),
+    // grew to. The standing side is READ FROM SketchStore (the
+    // persisted artifact the production loop would keep; its build is
+    // priced in d_build), the delta explode touches only the new 20%
+    // of docs, and the result memoizes. The oracle is
+    // d_source_overlap's full-recompute SQL verbatim: the gate itself
+    // proves store-merge == from-scratch.
+    "d_overlap_inc" -> ((s, dir) => overlapIncMemo(s, dir)),
 
     // SIMILARITY-BAND tuning curve — the threshold-picking audit a
     // dedup rollout reads before moving its cut line: the (memoized)
@@ -982,9 +1067,9 @@ object Dedup {
         col("embedding").cast("array<double>").as("v"))
       val twin = e.select((col("vec_id") + 100000L).as("vec_id"),
         concat(array(element_at(col("v"), 1) + 0.05), slice(col("v"), 2, 63)).as("v"))
-      val corpus = e.unionByName(twin)
+      val corpus = graft.CacheBook.materialize(e.unionByName(twin)
         .withColumn("n", VecOps.norm(col("v")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       graft.CacheBook.register(s, "d")(() => { corpus.unpersist(false); () })
       val cents = broadcast(corpus
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(24)
@@ -1017,10 +1102,10 @@ object Dedup {
         col("embedding").cast("array<double>").as("v"))
       val twin = e.select((col("vec_id") + 100000L).as("vec_id"), col("label"),
         concat(array(element_at(col("v"), 1) + 0.05), slice(col("v"), 2, 63)).as("v"))
-      val corpus = e.unionByName(twin)
+      val corpus = graft.CacheBook.materialize(e.unionByName(twin)
         .withColumn("n", VecOps.norm(col("v")))
         .withColumn("bucket", VecOps.lshBucket(col("v")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // per-call persist (both join sides read it) — released with the family
       graft.CacheBook.register(s, "d")(() => { corpus.unpersist(false); () })
       corpus.as("x").join(corpus.as("y"),
@@ -1066,6 +1151,11 @@ object Dedup {
               org.apache.spark.sql.graftbridge.ColumnBridge.expression(
                 wordsOf(col("text"))), 4, 12)).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // EAGER materialization (SURVEY §4): sh feeds the prefix pipeline
+      // AND the verify join — a lazy persist lets those branches race
+      // and run the md5 scan twice before either populates the cache
+      try sh.count()
+      catch { case e: Throwable => sh.unpersist(false); throw e }
       graft.CacheBook.register(s, "d")(() => { sh.unpersist(false); () })
       val tok = sh.select(col("doc_id"), explode(col("sh")).as("s"),
         size(col("sh")).as("n"))
@@ -1079,6 +1169,10 @@ object Dedup {
         .filter(col("rn") <= expr("n - ((n + 1) div 2) + 1"))
         .select("doc_id", "s", "n", "rn")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager: pre immediately SELF-joins (x/y below) — the textbook
+      // instance of the lazy-persist build race SURVEY §4 documents
+      try pre.count()
+      catch { case e: Throwable => pre.unpersist(false); throw e }
       graft.CacheBook.register(s, "d")(() => { pre.unpersist(false); () })
       val cand = pre.as("x").join(pre.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id")

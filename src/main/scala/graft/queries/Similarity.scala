@@ -422,8 +422,9 @@ object Similarity {
     // persisted: the 8x64-term signature projection runs once per row,
     // not once per join side.
     "s_lsh_ann" -> memoAnn("s_lsh_ann")((s, dir) => {
-      val e = vecs(s, dir).withColumn("bucket", VecOps.lshBucket(col("v")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e = graft.CacheBook.materialize(
+        vecs(s, dir).withColumn("bucket", VecOps.lshBucket(col("v")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // per-call persist (probe + candidate sides) — family-scoped release
       graft.CacheBook.register(s, "s")(() => { e.unpersist(false); () })
       val probeBuckets = array(
@@ -450,9 +451,10 @@ object Similarity {
       val qv = org.apache.spark.sql.graftbridge.ColumnBridge.column(
         graft.functions.Int8Quantize(
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v"))))
-      val e = vecs(s, dir).select(col("vec_id"), qv.as("qv"))
-        .withColumn("qn", sqrt(VecOps.dot(col("qv"), col("qv"))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e = graft.CacheBook.materialize(
+        vecs(s, dir).select(col("vec_id"), qv.as("qv"))
+          .withColumn("qn", sqrt(VecOps.dot(col("qv"), col("qv"))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       graft.CacheBook.register(s, "s")(() => { e.unpersist(false); () })
       val q = broadcast(e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q"), col("qv").as("qqv"), col("qn").as("qqn")))
@@ -738,6 +740,7 @@ object Similarity {
         .filter(col("cm") >= DbEpsMicro)
         .select("src", "nbr")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.materialize(pairs)
       graft.CacheBook.register(s, "s")(() => { pairs.unpersist(false); () })
       val deg = pairs.groupBy("src").agg(count(lit(1)).as("deg"))
       val core = deg.filter(col("deg") >= DbMinPts).select(col("src").as("id"))
@@ -1006,9 +1009,9 @@ object Similarity {
     // in N; the canonical edge list persists because three join
     // branches read it.
     "s_triangle_count" -> ((s, dir) => {
-      val und = graft.operators.TriangleCount
+      val und = graft.CacheBook.materialize(graft.operators.TriangleCount
         .canonical(knnGraph(s, dir).select("src", "nbr"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       graft.CacheBook.register(s, "s")(() => { und.unpersist(false); () })
       graft.operators.TriangleCount.perNode(und).orderBy("vec_id")
     }),
@@ -1560,6 +1563,7 @@ object Similarity {
         .filter(col("prn") <= MmrPool)
         .select("q", "vec_id", "relm")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.materialize(pool)
       graft.CacheBook.register(s, "s")(() => { pool.unpersist(false); () })
       // within-pool pairwise similarities: equi-join on q, MmrPool² rows
       // per query, corpus-independent — every greedy round reads this
@@ -1573,6 +1577,7 @@ object Similarity {
           floor(VecOps.cosine(col("av"), col("bv"), col("an"), col("bn"))
             * lit(1000000.0)).cast("long").as("simm"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.materialize(pairs)
       graft.CacheBook.register(s, "s")(() => { pairs.unpersist(false); () })
       val wSel = Window.partitionBy("q").orderBy(col("mmr").desc, col("vec_id").asc)
       // round 1: pure relevance (no redundancy term yet)
@@ -1888,9 +1893,9 @@ object Similarity {
       // persist the K-row centroid table too: for refine=true its
       // lineage is the whole Lloyd loop over the corpus, and every
       // consumer that broadcasts cents would otherwise re-run it
-      val cents0 = (if (refine) refineCentroids(e, seed) else seed)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cents0.count()
+      val cents0 = graft.CacheBook.materialize(
+        (if (refine) refineCentroids(e, seed) else seed)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val cents = broadcast(cents0)
       val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
       val assigned = e.join(cents)
@@ -1904,7 +1909,7 @@ object Similarity {
         // search prune candidates without a corpus-side join
         .select("vec_id", "label", "v", "n", "cid")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      assigned.count()
+      graft.CacheBook.materialize(assigned)
       graft.CacheBook.register(s, "s", s"ivf:$refine") { () =>
         Similarity.synchronized { ivfCache.remove((s, dir, refine)) }
         assigned.unpersist(false); cents0.unpersist(false)
@@ -2031,7 +2036,7 @@ object Similarity {
       val (codes, lut) = pqModelBody(s, dir)
       val codesP = codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lutP = lut.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      codesP.count(); lutP.count()
+      graft.CacheBook.materialize(codesP); graft.CacheBook.materialize(lutP)
       graft.CacheBook.register(s, "s", "pq_model") { () =>
         Similarity.synchronized { pqCache.remove((s, dir)) }
         codesP.unpersist(false); lutP.unpersist(false)

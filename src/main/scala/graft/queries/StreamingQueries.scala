@@ -69,8 +69,8 @@ object StreamingQueries {
       val (tNew, seed) = S.oldSeed(s, dir) // shared delta convention, persisted once
       val old = S.vecs(s, dir).filter(col("vec_id") < tNew)
       val cents = seed.collect() // bounded: NCentroids rows by design
-      val standing = S.assignTo(old, seed)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val standing = graft.CacheBook.materialize(S.assignTo(old, seed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       graft.CacheBook.register(s, "s")(() => { standing.unpersist(false); () })
       val newVecs = s.readStream.schema(StreamingOps.embRawSchema)
         .option("pathGlobFilter", "embeddings.parquet").parquet(dir)

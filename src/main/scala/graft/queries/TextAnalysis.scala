@@ -128,6 +128,7 @@ object TextAnalysis {
             .as("h"))
         .select(col("doc_id"), pmod(col("h"), lit(DsirBuckets.toLong)).as("b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheBook.materialize(feats)
       graft.CacheBook.register(s, "x", "x:dsir")(() => { feats.unpersist(false); () })
       val tgt = feats.filter(col("doc_id") < DsirBench)
         .groupBy("b").agg(count(lit(1)).as("tc"))

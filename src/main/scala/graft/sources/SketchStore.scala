@@ -23,7 +23,10 @@ object SketchStore {
     * — see the class note on why sketches rewrite rather than append. */
   def write(path: String, sketch: DataFrame): Unit =
     StagedWrite.swapIn(sketch.sparkSession, path, Seq("sketch")) { st =>
-      sketch.select("source", "h").write.mode("overwrite")
+      // one file: the whole store is S·K rows (the AnnIndexStore
+      // centroid-file convention) — a shuffle-wide write leaves a
+      // directory of near-empty parquet footers
+      sketch.select("source", "h").coalesce(1).write.mode("overwrite")
         .parquet(s"$st/sketch")
     }
 

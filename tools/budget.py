@@ -30,6 +30,11 @@ budget = {
     "SPARK_GRAFT_BENCH_BUDGET=/dev/null); Bench retries any query whose "
     "wall exceeds K x wall; jobs/cpuSec back BASELINE.md's reading rules",
 }
+if all("calibCpuSec" in r for r in runs):
+    # idle-machine cost of the bench's CPU-calibration probe — the
+    # denominator for environment attribution of inflated cpu readings
+    budget["_calibCpuSec"] = round(
+        statistics.median(r["calibCpuSec"] for r in runs), 3)
 for n in names:
     budget[n] = {
         "wall": round(statistics.median(r["queries"][n] for r in runs), 3),
