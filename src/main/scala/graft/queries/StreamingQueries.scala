@@ -370,7 +370,7 @@ object StreamingQueries {
          c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
            WHERE vec_id < (SELECT tnew FROM t)
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-           LIMIT ${Similarity.NCentroids}),
+           LIMIT ${Similarity.sqlK("e WHERE vec_id < (SELECT tnew FROM t)")}),
          assigned AS (SELECT vec_id, v, n, cid FROM (
              SELECT e.vec_id, e.v, e.n, c0.cid,
                row_number() OVER (PARTITION BY e.vec_id

@@ -1,0 +1,147 @@
+package graft.tools
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.SchemaGraph
+
+/** PARALLEL RESTORE EXECUTOR — the piece of the reference with no graft
+  * analog until round 13: `slice_db` restores through a
+  * dependency-graph-concurrent pool (slice_db/restore.py:43-173 —
+  * `GraphRunner` walking the FK DAG under `asyncio.Semaphore(
+  * params.parallelism)`; cycles deferred via deferrable constraints,
+  * sequences set after data). This is the same executor over Spark's
+  * JDBC sink:
+  *
+  *  - a table becomes ELIGIBLE the moment every parent it references
+  *    has finished loading — event-driven, NOT level-by-level barriers
+  *    (a deep chain must not serialize its siblings; the reference's
+  *    GraphRunner has the same property);
+  *  - at most `jobs` loads are in flight (the pool IS the semaphore);
+  *  - FK-cycle members (flagged by [[SchemaGraph.restoreOrder]]) drop
+  *    their cycle back-edge from the wait graph and load in toposort
+  *    position — on a target with deferrable constraints those are the
+  *    constraints a caller defers (RestoreWriter's script does exactly
+  *    that); on targets without them (Derby), the caller installs the
+  *    cycle's FK after the load, which RestoreApplySpec exercises;
+  *  - sequences restore LAST from the manifest's `last_value` through
+  *    the `setSequence` hook (dialects disagree on the statement —
+  *    Postgres `setval`, Derby `ALTER TABLE ... RESTART WITH`).
+  *
+  * Data flows through `spark.read.parquet(...).write.jdbc(...)` — each
+  * table load is itself partition-parallel on the cluster; `jobs`
+  * bounds how many TABLES stream concurrently into the target, which
+  * is the reference's knob too (the target database is the bottleneck
+  * a restore tunes around, not the source).
+  */
+object RestoreExecutor {
+
+  /** One completed table load, with its wall-clock interval — the
+    * evidence the ordering/concurrency contract is asserted on. */
+  final case class Load(table: String, rows: Long, startNanos: Long, endNanos: Long)
+
+  /** Manifest rows: (table id, row_count, last_value or null). */
+  def readManifest(sliceDir: String): Seq[(String, Long, Option[Long])] = {
+    val manifest = new ObjectMapper().readTree(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$sliceDir/manifest.json")))
+    manifest.get("tables").elements().asScala.map { t =>
+      (t.get("id").asText(), t.get("row_count").asLong(),
+        if (t.get("last_value").isNull) None else Some(t.get("last_value").asLong()))
+    }.toSeq
+  }
+
+  /** Load a slice into a live JDBC target. Returns one [[Load]] per
+    * table (completion order). Fails fast: the first error stops
+    * scheduling, in-flight loads drain, and the error rethrows.
+    *
+    * @param jobs concurrent table loads (≥ 1) — the semaphore width
+    * @param setSequence invoked once per manifest `last_value` AFTER
+    *   all data (table, value) — dialect-specific statement */
+  def apply(spark: SparkSession, graph: SchemaGraph, sliceDir: String,
+      url: String, props: java.util.Properties, jobs: Int,
+      setSequence: (String, Long) => Unit = (_, _) => ()): Seq[Load] = {
+    require(jobs >= 1, s"jobs must be >= 1, got $jobs")
+    val manifest = readManifest(sliceDir)
+    val present = manifest.map(_._1).toSet
+    val pos = graph.restoreOrder.zipWithIndex
+      .collect { case ((t, _), i) if present(t) => t -> i }.toMap
+    require(present.forall(pos.contains),
+      s"manifest tables missing from the graph: ${(present -- pos.keySet).mkString(", ")}")
+    // the WAIT graph: t waits on referenced parents that restore
+    // EARLIER in toposort position — acyclic by construction (a
+    // cycle's back-edge points later, so it drops out: exactly the
+    // constraint the reference defers instead of waiting on)
+    val deps: Map[String, Set[String]] = present.iterator.map { t =>
+      t -> graph.references.collect {
+        case r if r.table == t && r.refTable != t && r.forward &&
+          present(r.refTable) && pos(r.refTable) < pos(t) => r.refTable
+      }.toSet
+    }.toMap
+
+    val pool = Executors.newFixedThreadPool(jobs)
+    val doneSet = collection.mutable.Set.empty[String]
+    val started = collection.mutable.Set.empty[String]
+    val loads = new ConcurrentLinkedQueue[Load]()
+    val inFlight = new AtomicInteger(0)
+    val peak = new AtomicInteger(0)
+    val firstError = new AtomicReference[Throwable](null)
+    val allDone = new CountDownLatch(present.size)
+    val lock = new Object
+
+    def schedule(): Unit = lock.synchronized {
+      if (firstError.get() != null) return
+      val ready = present.toSeq.sorted.filter(t =>
+        !started(t) && !doneSet(t) && deps(t).forall(doneSet))
+      ready.foreach { t =>
+        started += t
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val cur = inFlight.incrementAndGet()
+            peak.updateAndGet(p => math.max(p, cur))
+            val t0 = System.nanoTime()
+            try {
+              val df = spark.read.parquet(s"$sliceDir/data/$t")
+              df.write.mode("append").jdbc(url, t, props)
+              val t1 = System.nanoTime()
+              loads.add(Load(t, df.count(), t0, t1))
+              lock.synchronized { doneSet += t }
+            } catch {
+              case e: Throwable => firstError.compareAndSet(null, e); ()
+            } finally {
+              inFlight.decrementAndGet()
+              allDone.countDown()
+              schedule()
+            }
+          }
+        })
+        ()
+      }
+    }
+
+    try {
+      schedule()
+      // fail fast: poll the latch so an error doesn't hang the drain
+      while (!allDone.await(50, TimeUnit.MILLISECONDS)) {
+        if (firstError.get() != null && inFlight.get() == 0) {
+          throw firstError.get()
+        }
+      }
+      if (firstError.get() != null) throw firstError.get()
+      // sequences LAST (the reference's ordering, restore.py sequences
+      // after the data phase): serial generation resumes past the
+      // sliced rows
+      manifest.foreach { case (t, _, lv) => lv.foreach(setSequence(t, _)) }
+      require(peak.get() <= jobs, s"semaphore breached: ${peak.get()} > $jobs")
+      loads.iterator().asScala.toSeq
+    } finally {
+      pool.shutdownNow()
+      ()
+    }
+  }
+}

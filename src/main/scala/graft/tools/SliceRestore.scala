@@ -12,7 +12,15 @@ import org.apache.spark.sql.SparkSession
   * table) — the parquet analog of the reference's restore + row-count
   * accounting (slice_db/restore.py). Exits nonzero on any mismatch.
   *
-  * Usage: SliceRestore <sliceDirOrZip>
+  * With `--apply <jdbcUrl>` the slice also LOADS into the live target
+  * through [[RestoreExecutor]] — the dependency-graph-parallel pool the
+  * reference restores with (slice_db/restore.py:43-173); `--jobs N`
+  * sets the semaphore width (default 4), `--driver <class>` the JDBC
+  * driver. Requires the graph argument (the wait graph is the FK
+  * graph).
+  *
+  * Usage: SliceRestore <sliceDirOrZip> [graph.json] [--apply <jdbcUrl>
+  *   [--jobs N] [--driver <class>]]
   */
 object SliceRestore {
 
@@ -76,13 +84,32 @@ object SliceRestore {
       println(s"[restore] $id: manifest=$expected data=$actual ${if (ok) "OK" else "MISMATCH"}")
     }
     // optional FK-closure audit: SliceRestore <dirOrZip> <graph.json>
-    if (args.length > 1) {
-      val graph = graft.plans.SchemaConfig.fromJson(
-        java.nio.file.Files.readString(java.nio.file.Paths.get(args(1))))
+    val positional = args.zipWithIndex.filter { case (a, i) =>
+      !a.startsWith("--") && (i == 0 || !args(i - 1).startsWith("--"))
+    }.map(_._1)
+    val graphOpt = positional.drop(1).headOption.map(p =>
+      graft.plans.SchemaConfig.fromJson(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
+    graphOpt.foreach { graph =>
       validateRefs(spark, graph, sliceDir).foreach { case (id, orphans) =>
         if (orphans > 0) failed = true
         println(s"[restore] ref $id: orphans=$orphans ${if (orphans == 0) "OK" else "BROKEN"}")
       }
+    }
+    // --apply <jdbcUrl>: dependency-graph-parallel load into the target
+    def flag(name: String): Option[String] = {
+      val i = args.indexOf(name)
+      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+    }
+    flag("--apply").foreach { url =>
+      val graph = graphOpt.getOrElse(
+        sys.error("--apply needs the graph argument (the FK wait graph)"))
+      val jobs = flag("--jobs").map(_.toInt).getOrElse(4)
+      val props = new java.util.Properties()
+      flag("--driver").foreach(props.setProperty("driver", _))
+      val loads = RestoreExecutor(spark, graph, sliceDir, url, props, jobs)
+      loads.sortBy(_.startNanos).foreach(l =>
+        println(s"[restore] loaded ${l.table}: ${l.rows} rows"))
     }
     spark.stop()
     if (failed) sys.exit(1)

@@ -19,9 +19,9 @@ class DbscanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
   private val NProbe = 2
-  // read the engine constant so an env override cannot desync the
-  // naive reference from the trajectory under test
-  private val NCent = graft.queries.Similarity.NCentroids
+  // derive K through the engine's own formula so the naive reference
+  // cannot desync from the trajectory under test (data-derived r13)
+  private def kOf(n: Long) = graft.queries.Similarity.kFor(n)
   private val EpsMicro = 250000L
   private val MinPts = 4
 
@@ -39,7 +39,7 @@ class DbscanSpec extends SparkSpec {
   private def naiveDbscan(vs: Map[Long, Array[Double]]): Set[(Long, Long, String, Long)] = {
     val norm = vs.view.mapValues(v => math.sqrt(dot(v, v))).toMap
     def cos(a: Long, b: Long): Double = dot(vs(a), vs(b)) / (norm(a) * norm(b))
-    val cents = vs.keys.toSeq.sortBy(id => (md5Hex(id.toString), id)).take(NCent)
+    val cents = vs.keys.toSeq.sortBy(id => (md5Hex(id.toString), id)).take(kOf(vs.size))
     def nearestCells(id: Long, n: Int): Seq[Long] =
       cents.map(c => (c, cos(id, c))).sortBy { case (c, s) => (-s, c) }
         .take(n).map(_._1)
@@ -123,5 +123,28 @@ class DbscanSpec extends SparkSpec {
     assert(got.collect { case (_, _, "border", c) => c }
       .forall(coreClusters.contains), "border adopted a non-core cluster")
     assert(got.collect { case (_, _, "noise", c) => c }.forall(_ == -1L))
+  }
+
+  test("s_dbscan_sweep: bands nest and the gate band matches s_dbscan's roles") {
+    // monotone nesting: a tighter radius (higher eps_micro) can only
+    // shrink the in-radius neighborhoods, so core counts are
+    // nonincreasing across bands; every band partitions the corpus
+    val sweep = Similarity.queries("s_dbscan_sweep")(spark, dir)
+      .orderBy("eps_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val cores = sweep.map(_._2)
+    assert(cores.zip(cores.tail).forall { case (a, b) => a >= b },
+      s"core counts must be nonincreasing in eps: ${cores.mkString(",")}")
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    sweep.foreach { case (eps, c, b, x) =>
+      assert(c + b + x == n, s"band $eps: $c+$b+$x != $n") }
+    // non-degenerate: the curve actually moves across the bands
+    assert(cores.distinct.length > 1, s"flat curve: ${cores.mkString(",")}")
+    // the gate band's core population == s_dbscan's core role count
+    val gateCore = sweep.find(_._1 == 250000L).get._2
+    val dbscanCore = Similarity.queries("s_dbscan")(spark, dir)
+      .filter("role = 'core'").count()
+    assert(gateCore == dbscanCore)
+    graft.CacheBook.releaseAll(spark)
   }
 }

@@ -27,9 +27,10 @@ class MaxSimSpec extends SparkSpec {
   private val K = 5
   private val NQ = 5
   private val NProbe = 2
-  // read the engine constant so an env override cannot desync the
-  // naive reference from the trajectory under test
-  private val NCent = graft.queries.Similarity.NCentroids
+  // derive K through the engine's own formula so the naive reference
+  // cannot desync from the trajectory under test (K is data-derived
+  // since round 13: kFor(N) for the vec index, kFor(8N) for tokens)
+  private def kOf(n: Long) = graft.queries.Similarity.kFor(n)
   private val M = 8 // tokens per vector
   private val S = 8 // dims per token
 
@@ -56,7 +57,7 @@ class MaxSimSpec extends SparkSpec {
     def cos(a: Long, b: Long): Double = dot(vs(a), vs(b)) / (norm(a) * norm(b))
 
     // md5-ordered fixed centroid draw, then argmax-cos assignment
-    val cents = vs.keys.toSeq.sortBy(id => (md5Hex(id.toString), id)).take(NCent)
+    val cents = vs.keys.toSeq.sortBy(id => (md5Hex(id.toString), id)).take(kOf(vs.size))
     def nearestCells(id: Long, n: Int): Seq[Long] =
       cents.map(c => (c, cos(id, c))).sortBy { case (c, s) => (-s, c) }
         .take(n).map(_._1)
@@ -88,7 +89,7 @@ class MaxSimSpec extends SparkSpec {
     val tokKeys = for (id <- vs.keys.toSeq; t <- 0 until M) yield (id, t)
     val cents: Seq[(Int, Array[Double])] = tokKeys
       .sortBy { case (id, t) => (md5Hex(s"$id#${t + 1}"), id, t) }
-      .take(NCent).zipWithIndex
+      .take(kOf(M.toLong * vs.size)).zipWithIndex
       .map { case ((id, t), i) => (i + 1, tok(vs(id), t)) }
     def bestCells(tv: Array[Double], n: Int): Seq[Int] =
       cents.map { case (cid, cv) => (cid, dot8(tv, cv)) }
@@ -96,8 +97,12 @@ class MaxSimSpec extends SparkSpec {
 
     val cellOfTok: Map[(Long, Int), Int] =
       tokKeys.map { case (id, t) => (id, t) -> bestCells(tok(vs(id), t), 1).head }.toMap
+    // probe count grows as ceil(NProbe·sqrt(K/24)) with the derived
+    // token K (the engine's nProbeTok sqrt rule)
+    val np = math.max(NProbe, math.ceil(
+      NProbe * math.sqrt(kOf(M.toLong * vs.size).toDouble / 24)).toInt)
     val expected = (0L until NQ).flatMap { q =>
-      val probed = (0 until M).flatMap(t => bestCells(tok(vs(q), t), NProbe)).toSet
+      val probed = (0 until M).flatMap(t => bestCells(tok(vs(q), t), np)).toSet
       val cand = vs.keys.filter(id => id != q &&
         (0 until M).exists(t => probed(cellOfTok((id, t)))))
       cand.map(id => (id, maxSim(vs(q), vs(id)))).toSeq

@@ -344,7 +344,7 @@ class PlanShapeSpec extends SparkSpec {
       .orderBy(org.apache.spark.sql.functions.md5(
         org.apache.spark.sql.functions.col("vec_id").cast("string")),
         org.apache.spark.sql.functions.col("vec_id"))
-      .limit(S.NCentroids)
+      .limit(S.NCentroidsFloor)
       .selectExpr("vec_id AS cid", "v AS cv", "n AS cn")
     val p = S.assignTo(e, seed).queryExecution.executedPlan.toString
     // the argmax is a windowed rank over the broadcast centroid join —

@@ -19,7 +19,7 @@ class PprSpec extends SparkSpec {
   private val NProbe = 2
   // read the engine constant so an env override cannot desync the
   // naive reference from the trajectory under test
-  private val NCent = graft.queries.Similarity.NCentroids
+  private def kOf(n: Long) = graft.queries.Similarity.kFor(n)
   private val KnnK = 3
   private val Iters = 3
   private val K = 10
@@ -38,7 +38,7 @@ class PprSpec extends SparkSpec {
     val norm = vs.view.mapValues(v => math.sqrt(dot(v, v))).toMap
     def cos(a: Long, b: Long): Double = dot(vs(a), vs(b)) / (norm(a) * norm(b))
 
-    val cents = vs.keys.toSeq.sortBy(id => (md5Hex(id.toString), id)).take(NCent)
+    val cents = vs.keys.toSeq.sortBy(id => (md5Hex(id.toString), id)).take(kOf(vs.size))
     def nearestCells(id: Long, n: Int): Seq[Long] =
       cents.map(c => (c, cos(id, c))).sortBy { case (c, s) => (-s, c) }
         .take(n).map(_._1)
