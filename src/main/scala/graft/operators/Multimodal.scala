@@ -131,10 +131,17 @@ object Multimodal {
     * output derives from decoded pixels. */
   def frameLevels(blobs: Dataset[Blob]): Dataset[FrameLevel] = {
     import blobs.sparkSession.implicits._
-    blobs.mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { b =>
-      val avi = syntheticMjpeg(md5Hex(b.bytes))
-      mjpegFrames(avi).zipWithIndex.map { case (jpeg, i) =>
-        FrameLevel(b.doc_id, i, decodedFrameLevel(jpeg))
+    // Row-balanced on (doc_id, content-hash) — 16 bytes/row, NOT media
+    // bytes (the module invariant holds): decode cost scales with ROWS
+    // (each id synthesizes + container-parses + JPEG-decodes ~32 frames
+    // in the JVM), so the byte-balanced parquet split serializes ~9
+    // cpu-s of ImageIO on one core exactly like the m_phash_near case
+    // this mirrors (see [[rebalance]]).
+    val hashed = blobs.map(b => (b.doc_id, md5Hex(b.bytes)))
+      .repartition(blobs.sparkSession.sparkContext.defaultParallelism)
+    hashed.mapPartitions(_.grouped(BatchSize).flatMap(_.flatMap { case (id, h) =>
+      mjpegFrames(syntheticMjpeg(h)).zipWithIndex.map { case (jpeg, i) =>
+        FrameLevel(id, i, decodedFrameLevel(jpeg))
       }
     }))
   }

@@ -120,6 +120,28 @@ object Curation {
         .select("doc_id", "shard", "bin", "n_tokens")
         .orderBy("doc_id")),
 
+    // PACKING-EFFICIENCY audit — the readout a training-data build
+    // checks before shipping shards: per shard, how many fixed-budget
+    // bins the packing produced, how full they are (fill_micro =
+    // tokens·1e6 div (bins·budget) — integer-exact), and the largest
+    // bin (bounded by budget + one document — the x_pack overshoot
+    // contract, here MEASURED per shard). One aggregation over the
+    // packed relation; shard-parallel like the packing itself.
+    "x_pack_eval" -> ((s, dir) =>
+      packed(
+        docs(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens")),
+        "doc_id", "n_tokens")
+        .groupBy("shard", "bin")
+        .agg(sum("n_tokens").as("bt"), count(lit(1)).as("bd"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_bins"), sum("bd").as("n_docs"),
+          sum("bt").as("n_tokens"), max("bt").as("max_bin_tokens"))
+        .select(col("shard"), col("n_bins"), col("n_docs"), col("n_tokens"),
+          expr(s"n_tokens * 1000000 div (n_bins * $PackBudget)").as("fill_micro"),
+          col("max_bin_tokens"))
+        .orderBy("shard")),
+
     // reproducible training-order shuffle: within each pack shard the
     // read order is the rank of a keyed hash — deterministic across
     // retries, incremental-safe (a doc's key never changes), and
@@ -328,6 +350,26 @@ object Curation {
              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
            FROM documents)
          ORDER BY doc_id""",
+
+    "x_pack_eval" ->
+      s"""WITH p AS (SELECT doc_id, shard,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // $PackBudget AS INT) AS bin,
+             n_tokens
+           FROM (SELECT doc_id,
+               CAST(${Determinism.sqlMd5Idx("'pk#' || CAST(doc_id AS VARCHAR)")} % $PackShards AS INT) AS shard,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+             FROM documents)),
+         b AS (SELECT shard, bin, sum(n_tokens) AS bt, count(*) AS bd
+           FROM p GROUP BY shard, bin)
+         SELECT shard, CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(bd) AS BIGINT) AS n_docs,
+           CAST(sum(bt) AS BIGINT) AS n_tokens,
+           CAST(sum(bt) * 1000000 // (count(*) * $PackBudget) AS BIGINT) AS fill_micro,
+           CAST(max(bt) AS BIGINT) AS max_bin_tokens
+         FROM b GROUP BY shard ORDER BY shard""",
 
     "x_shuffle" ->
       s"""SELECT doc_id, shard,

@@ -56,11 +56,10 @@ object MultimodalQueries {
     "m_scenes" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("doc_id").orderBy("frame_idx")
-      // blob-input stage: deliberately NOT rebalanced (media bytes
-      // never cross a shuffle — the module invariant). The single-split
-      // serialization seen locally is a tiny-testfile artifact; real
-      // corpora carry thousands of splits (or arrive file-per-row via
-      // MediaSource, where parallelism comes from the listing).
+      // frameLevels row-balances internally on (doc_id, content-hash)
+      // — 16 bytes/row, never media bytes (the module invariant): the
+      // real JPEG decode (round 13) scales with rows, not input bytes,
+      // and a single-split scan would serialize it on one core.
       Multimodal.frameLevels(
         Multimodal.blobs(s, Tables.load(s, dir, "documents")))
         .toDF()
@@ -157,6 +156,30 @@ object MultimodalQueries {
       chunkNearDup(ph)
     }),
 
+    // HAMMING-THRESHOLD tuning curve for image near-dup — the
+    // d_jaccard_bands / s_probe_sweep discipline on the perceptual-hash
+    // modality: pair counts and cumulative pairs per hamming distance
+    // band (0..3, the pigeonhole-complete range of the 4-chunk
+    // banding), read before a rollout commits its near-dup cut line
+    // (dist 0 = exact decoded duplicates; each extra bit admits more
+    // retouch variants). One aggregation over the same banded verify
+    // relation m_phash_near emits — candidate volume unchanged.
+    "m_phash_sweep" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ph = Multimodal.phashNearCorpus(
+        Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])
+        .toDF().localCheckpoint(true)
+      graft.CacheBook.register(s, "m")(() =>
+        graft.CacheBook.unpersistCheckpoint(ph))
+      chunkNearDup(ph)
+        .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cum_pairs",
+          sum("n_pairs").over(Window.orderBy("dist")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("dist")
+    }),
+
     // AUDIO NEAR-DUP at hamming ≤ 3 — the m_phash_near discipline on
     // the audio modality: each clip's REAL-decoded PCM folds into a
     // 64-bit per-window energy-delta fingerprint (chromaprint shape,
@@ -197,17 +220,9 @@ object MultimodalQueries {
     "m_phash_inc" -> ((s, dir) => {
       import s.implicits._
       val docsT = Tables.load(s, dir, "documents")
-      // the nightly boundary — one bounded scalar action, the
-      // newDocThreshold convention (underlying id: twins share their
-      // base's novelty)
-      val maxId = docsT.agg(max("doc_id")).head().getLong(0)
-      // the +100000 twin convention (phashNearCorpus, the d_* twins)
-      // reserves the id space above 100000 — novelty recovery by
-      // doc_id % 100000 is only sound below it, so fail LOUDLY rather
-      // than silently misclassifying on a larger corpus
-      require(maxId < 100000L,
-        s"twin id convention requires base doc_id < 100000, got max $maxId")
-      val tNew = maxId * 4 / 5
+      // the nightly boundary — the memoized m-family scalar (underlying
+      // id: twins share their base's novelty; twin-id guard inside)
+      val tNew = mNewThreshold(s, dir)
       val ph = Multimodal.phashNearCorpus(
         docsT.select(col("doc_id")).as[Long])
         .toDF().localCheckpoint(true)
@@ -279,11 +294,7 @@ object MultimodalQueries {
     // named memo m_scene_dedup shares — so this entry prices the
     // delta probe, not a second decode+md5 pipeline.
     "m_scene_dedup_inc" -> ((s, dir) => {
-      val docsT = Tables.load(s, dir, "documents")
-      val maxId = docsT.agg(max("doc_id")).head().getLong(0)
-      require(maxId < 100000L,
-        s"twin id convention requires base doc_id < 100000, got max $maxId")
-      val tNew = maxId * 4 / 5
+      val tNew = mNewThreshold(s, dir)
       val sid = sceneSigs(s, dir)
       // sid = (video*1000 + scene); underlying video = (sid div 1000) % 100000
       val isNew = (expr("doc_id div 1000") % 100000L) >= tNew
@@ -322,6 +333,29 @@ object MultimodalQueries {
     })
   )
 
+  private val mTnewCache = collection.mutable
+    .Map.empty[(SparkSession, String), graft.Once[Long]]
+
+  /** The m-family's nightly boundary (last 20% of underlying doc ids =
+    * tonight's batch), ONE memoized scalar action shared by m_phash_inc
+    * and m_scene_dedup_inc (each builder used to run its own head() at
+    * plan-construction time — the r12 nit). The twin-id guard lives
+    * here too: the +100000 twin convention is only sound below it. */
+  private def mNewThreshold(s: SparkSession, dir: String): Long = {
+    graft.CacheBook.touch(s, "m", "tnew")
+    synchronized { mTnewCache.getOrElseUpdate((s, dir), new graft.Once(() => {
+      graft.CacheBook.register(s, "m", "tnew") { () =>
+        MultimodalQueries.synchronized { mTnewCache.remove((s, dir)) }
+        ()
+      }
+      val maxId = Tables.load(s, dir, "documents")
+        .agg(max("doc_id")).head().getLong(0)
+      require(maxId < 100000L,
+        s"twin id convention requires base doc_id < 100000, got max $maxId")
+      maxId * 4 / 5
+    })) }.value
+  }
+
   private val sceneSigCache = collection.mutable
     .Map.empty[(SparkSession, String), graft.Once[org.apache.spark.sql.DataFrame]]
 
@@ -344,8 +378,16 @@ object MultimodalQueries {
         graft.CacheBook.building(s, "m", "scene_sigs") {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      // materialize the DECODED level relation once: the twin union
+      // references it twice (base + re-tag), and since the levels come
+      // from real JPEG decode (round 13) a lazy double reference would
+      // run the container-parse + decode pipeline twice (measured:
+      // 37.8 -> ~22 cpu-s on m_scene_dedup at sf0.1)
       val lv0 = Multimodal.frameLevels(
         Multimodal.blobs(s, Tables.load(s, dir, "documents"))).toDF()
+        .localCheckpoint(true)
+      graft.CacheBook.register(s, "m")(() =>
+        graft.CacheBook.unpersistCheckpoint(lv0))
       // twin = the SAME frame stream re-tagged (+100000): scenes align
       // exactly, so near-dup pairs are decided at the keyframe layer
       val lv = lv0.unionByName(lv0.select((col("doc_id") + 100000L).as("doc_id"),
@@ -621,6 +663,28 @@ object MultimodalQueries {
            FROM cand JOIN ph pa ON pa.doc_id = cand.a
              JOIN ph pb ON pb.doc_id = cand.b)
          WHERE dist <= 3 ORDER BY a, b""",
+
+    // distance-band curve over the SAME verified pair relation
+    "m_phash_sweep" ->
+      s"""WITH $sqlPhashChunkCtes,
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM ch x JOIN ch y
+           ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id),
+         v AS (SELECT a, b, dist FROM (
+           SELECT cand.a, cand.b,
+             CAST(bit_count(xor(pa.c0, pb.c0)) + bit_count(xor(pa.c1, pb.c1))
+               + bit_count(xor(pa.c2, pb.c2)) + bit_count(xor(pa.c3, pb.c3))
+               AS INT) AS dist
+           FROM cand JOIN ph pa ON pa.doc_id = cand.a
+             JOIN ph pb ON pb.doc_id = cand.b)
+         WHERE dist <= 3),
+         g AS (SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM v GROUP BY dist)
+         SELECT dist, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY dist
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_pairs
+         FROM g ORDER BY dist""",
 
     // incremental = the full near-dup pair set restricted to pairs
     // with >= 1 new endpoint (underlying id past the 80% boundary);

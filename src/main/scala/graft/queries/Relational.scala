@@ -485,6 +485,32 @@ object Relational {
           min("ts").as("session_start"), max("ts").as("session_end"))
         .orderBy("user_id", "session_idx")),
 
+    // SESSION-GAP tuning curve — the sweep discipline on the
+    // sessionization cut line: session counts per candidate gap
+    // threshold in ONE pass (the per-user sorted deltas are computed
+    // once; each event fans to every gap it opens a session under —
+    // a boundary iff no prior event or delta > gap). The multiset of
+    // per-user deltas is tie-order-independent (sorted values fixed),
+    // so the counts are deterministic. Reading events-per-session
+    // across gaps IS the gap decision a telemetry rollout makes.
+    "q_sessionize_sweep" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("et")
+      val d = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("et"))
+        .withColumn("delta", col("et") - lag("et", 1).over(w))
+      d.select(col("delta"),
+          explode(array(Seq(600L, 1800L, 3600L).map(lit(_)): _*)).as("gap_seconds"))
+        .groupBy("gap_seconds")
+        .agg(sum(when(col("delta").isNull
+            || col("delta") > col("gap_seconds") * 1000000L, 1)
+          .otherwise(0)).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .select(col("gap_seconds"), col("n_sessions"),
+          expr("n_events * 1000000 div n_sessions").as("events_per_session_micro"))
+        .orderBy("gap_seconds")
+    }),
+
     "q_json" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
@@ -1344,6 +1370,24 @@ object Relational {
          SELECT user_id, session_idx, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end
          FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    "q_sessionize_sweep" ->
+      """WITH d AS (SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts) AS delta
+           FROM events),
+         f AS (SELECT d.delta, g.gap_seconds
+           FROM d, unnest([CAST(600 AS BIGINT), 1800, 3600]) AS g(gap_seconds)),
+         a AS (SELECT CAST(gap_seconds AS BIGINT) AS gap_seconds,
+             CAST(sum(CASE WHEN delta IS NULL
+               OR delta > gap_seconds * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions,
+             count(*) AS n_events
+           FROM f GROUP BY gap_seconds)
+         SELECT gap_seconds, n_sessions,
+           CAST(n_events * 1000000 // n_sessions AS BIGINT)
+             AS events_per_session_micro
+         FROM a ORDER BY gap_seconds""",
 
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
