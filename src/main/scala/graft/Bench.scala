@@ -266,6 +266,10 @@ object Bench {
             s"[bench] diagnostic retry of $name failed: ${errors(name)} — " +
               "first (successful) sample stands")
           errors.remove(name)
+          // no retry sample stands, so no calib either: an orphan
+          // retryCalibCpuSec key would break the artifact's
+          // calib-joined-to-retry reading rule
+          retryCalib.remove(name)
         } else {
           retries(name) = r; retryKind(name) = kind
           if (hits.nonEmpty)

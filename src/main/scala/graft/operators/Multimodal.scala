@@ -273,6 +273,15 @@ object Multimodal {
     frames.toSeq
   }
 
+  /** The 256 possible uniform frames, encoded once per executor JVM:
+    * syntheticMjpeg draws every frame from this table instead of
+    * re-running the ImageIO encode per (doc, frame) — at sf0.1 that is
+    * ~160k redundant encodes of 256 distinct images removed from the
+    * level pipeline (the decode side stays per-frame: decode is what
+    * the contract verifies). */
+  private lazy val uniformFrames: Array[Array[Byte]] =
+    Array.tabulate(256)(jpegFrame)
+
   /** Synthetic MJPEG video for a content hash: n = 1 + md5(h+"f") % 64
     * uniform frames, frame i at level md5(h+"#"+i) % 256 — the encoder
     * half of the decode-verified video contract (the same md5 formula
@@ -280,7 +289,7 @@ object Multimodal {
     * from DECODED pixels). */
   def syntheticMjpeg(h: String): Array[Byte] = {
     val n = (1 + idx6(md5Hex((h + "f").getBytes("UTF-8"))) % 64).toInt
-    encodeMjpegAvi((0 until n).map(i => jpegFrame(
+    encodeMjpegAvi((0 until n).map(i => uniformFrames(
       (idx6(md5Hex((h + "#" + i).getBytes("UTF-8"))) % 256).toInt)),
       FrameW, FrameH)
   }

@@ -1154,8 +1154,7 @@ object Dedup {
       // EAGER materialization (SURVEY §4): sh feeds the prefix pipeline
       // AND the verify join — a lazy persist lets those branches race
       // and run the md5 scan twice before either populates the cache
-      try sh.count()
-      catch { case e: Throwable => sh.unpersist(false); throw e }
+      graft.CacheBook.materialize(sh)
       graft.CacheBook.register(s, "d")(() => { sh.unpersist(false); () })
       val tok = sh.select(col("doc_id"), explode(col("sh")).as("s"),
         size(col("sh")).as("n"))
@@ -1171,8 +1170,7 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // eager: pre immediately SELF-joins (x/y below) — the textbook
       // instance of the lazy-persist build race SURVEY §4 documents
-      try pre.count()
-      catch { case e: Throwable => pre.unpersist(false); throw e }
+      graft.CacheBook.materialize(pre)
       graft.CacheBook.register(s, "d")(() => { pre.unpersist(false); () })
       val cand = pre.as("x").join(pre.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id")

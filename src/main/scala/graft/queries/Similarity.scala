@@ -741,7 +741,10 @@ object Similarity {
           .select(col("q"), col("t"), col("cid"),
             subDot(col("tv"), col("cv")).as("pdot"))
           .withColumn("prn", row_number().over(wP))
-          .filter(col("prn") <= nProbeTok(kFor(PqM * vecCount(s, dir))))
+          // the K the STANDING index was built with (override-aware
+          // via nCentroidsTok) — deriving from the corpus count alone
+          // would skew the probed fraction under SPARK_GRAFT_NCENTROIDS
+          .filter(col("prn") <= nProbeTok(nCentroidsTok(s, dir)))
           .select("q", "cid"))
       // bounded collect (≤ NQ·8·np cids) parameterizes partition pruning
       val cids = probes.select("cid").distinct().collect().map(_.getLong(0))
@@ -936,7 +939,7 @@ object Similarity {
         .join(core.withColumnRenamed("src", "nbr"), Seq("eps", "nbr"), "left_semi")
         .join(core, Seq("eps", "src"), "left_anti")
         .select("eps", "src").distinct()
-      val n = e.count()
+      val n = vecCount(s, dir) // the memoized scalar — no extra scan
       import s.implicits._
       val bandsDf = DbSweepBands.toDF("eps")
       val nc = core.groupBy("eps").agg(count(lit(1)).as("n_core"))

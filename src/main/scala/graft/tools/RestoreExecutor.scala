@@ -76,10 +76,14 @@ object RestoreExecutor {
     // the WAIT graph: t waits on referenced parents that restore
     // EARLIER in toposort position — acyclic by construction (a
     // cycle's back-edge points later, so it drops out: exactly the
-    // constraint the reference defers instead of waiting on)
+    // constraint the reference defers instead of waiting on). ALL
+    // references count, matching restoreOrder: forward/reverse are
+    // slice-DISCOVERY directions, but the target's FK constraint
+    // exists either way (a forward=false parent loaded late would
+    // still violate it).
     val deps: Map[String, Set[String]] = present.iterator.map { t =>
       t -> graph.references.collect {
-        case r if r.table == t && r.refTable != t && r.forward &&
+        case r if r.table == t && r.refTable != t &&
           present(r.refTable) && pos(r.refTable) < pos(t) => r.refTable
       }.toSet
     }.toMap
@@ -106,10 +110,14 @@ object RestoreExecutor {
             peak.updateAndGet(p => math.max(p, cur))
             val t0 = System.nanoTime()
             try {
-              val df = spark.read.parquet(s"$sliceDir/data/$t")
-              df.write.mode("append").jdbc(url, t, props)
+              spark.read.parquet(s"$sliceDir/data/$t")
+                .write.mode("append").jdbc(url, t, props)
               val t1 = System.nanoTime()
-              loads.add(Load(t, df.count(), t0, t1))
+              // row count from the manifest — the accounting target;
+              // a post-write df.count() would re-scan the parquet
+              loads.add(Load(t,
+                manifest.collectFirst { case (`t`, n, _) => n }.getOrElse(-1L),
+                t0, t1))
               lock.synchronized { doneSet += t }
             } catch {
               case e: Throwable => firstError.compareAndSet(null, e); ()

@@ -38,8 +38,13 @@ class EagerPersistSpec extends AnyFunSuite {
         lines.zipWithIndex.collect {
           case (l, i) if l.contains(".persist(") =>
             val ctx = lines.slice(math.max(0, i - Window), i + Window + 1)
-            val eager = ctx.exists(c =>
-              c.contains("CacheBook.materialize") || c.contains(".count()"))
+            // accept the audited helper, or the inline guarded idiom —
+            // which requires BOTH the count AND the failure-unpersist
+            // in the window (a stray count() on an unrelated frame
+            // nearby must not satisfy the rule)
+            val eager = ctx.exists(_.contains("CacheBook.materialize")) ||
+              (ctx.exists(_.contains(".count()")) &&
+                ctx.exists(_.contains(".unpersist(")))
             if (eager) None else Some(s"${p.getFileName}:${i + 1}")
           case _ => None
         }.flatten
