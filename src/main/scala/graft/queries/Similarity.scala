@@ -777,14 +777,10 @@ object Similarity {
     // rebuild.
     "s_tok_upsert" -> memoAnn("s_tok_upsert")((s, dir) => {
       val e = vecs(s, dir)
-      val (tNew, _) = oldSeed(s, dir)
-      val oldToks = toksOf(e.filter(col("vec_id") < tNew))
-      val kOldTok = centroidOverride.map { k => overrideWarned; k }
-        .getOrElse(kFor(PqM.toLong * e.filter(col("vec_id") < tNew).count()))
-      val cents = tokCentroids(oldToks, kOldTok)
+      val (tNew, kOldTok, cents, standing) = tokOldIndex(s, dir)
       val cb = broadcast(cents)
-      // standing cells (in production: the stored artifact) ∪ delta
-      val merged = tokAssign(oldToks, cb)
+      // standing cells (the memoized nightly artifact) ∪ delta
+      val merged = standing
         .unionByName(tokAssign(toksOf(e.filter(col("vec_id") >= tNew)), cb))
       val wP = Window.partitionBy("q", "t")
         .orderBy(col("pdot").desc, col("cid").asc)
@@ -2072,6 +2068,39 @@ object Similarity {
         sqrt(subDot(col("tv"), col("tv"))).as("n"), col("tv").as("v"), col("cid"))
   }
 
+  private val tokOldCache = collection.mutable
+    .Map.empty[(SparkSession, String), graft.Once[(Long, Int, DataFrame, DataFrame)]]
+
+  /** The OLD-token standing index — last night's artifact in the
+    * nightly-delta convention, shared by s_tok_upsert (batch upsert)
+    * and st_tok_ingest (streaming probe-on-ingest): (tNew boundary,
+    * the old-population-derived K, the K-row centroid table, the
+    * standing cells = old tokens assigned). Both relations persist +
+    * materialize once per (session, corpus); released with "s". */
+  private[graft] def tokOldIndex(s: SparkSession, dir: String): (Long, Int, DataFrame, DataFrame) = {
+    graft.CacheBook.touch(s, "s", "tok_old")
+    synchronized { tokOldCache.getOrElseUpdate((s, dir), new graft.Once(() =>
+      graft.CacheBook.building(s, "s", "tok_old") {
+        val e = vecs(s, dir)
+        val (tNew, _) = oldSeed(s, dir)
+        val oldToks = toksOf(e.filter(col("vec_id") < tNew))
+        // K derives from the OLD token population (the count the
+        // nightly build saw), override-aware like every draw site
+        val kOldTok = centroidOverride.map { k => overrideWarned; k }
+          .getOrElse(kFor(PqM.toLong * e.filter(col("vec_id") < tNew).count()))
+        val cents = graft.CacheBook.materialize(tokCentroids(oldToks, kOldTok)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val standing = graft.CacheBook.materialize(tokAssign(oldToks, cents)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        graft.CacheBook.register(s, "s", "tok_old") { () =>
+          Similarity.synchronized { tokOldCache.remove((s, dir)) }
+          cents.unpersist(false); standing.unpersist(false)
+          ()
+        }
+        (tNew, kOldTok, cents, standing)
+      })) }.value
+  }
+
   private val tokStoreCache = collection.mutable
     .Map.empty[(SparkSession, String), graft.Once[String]]
 
@@ -3298,6 +3327,46 @@ object Similarity {
     """
          t AS (SELECT max(vec_id) * 4 // 5 AS tnew FROM e),
          told AS (SELECT * FROM toks WHERE vec_id < (SELECT tnew FROM t)),""")
+
+  /** st_tok_ingest's batch mirror: old-token-drawn standing index, NEW
+    * vectors (the ingest batch) probe per token, candidates MaxSim-
+    * score against their own self-score — 10·ms ≥ 7·self keeps pairs
+    * whose multi-vector match reaches 70% of a perfect one (integer
+    * products, exact cross-engine). Lives here because it shares the
+    * token CTE vocabulary with sqlTokUpsert; StreamingQueries maps it. */
+  private[graft] def sqlTokIngest: String =
+    s"""WITH e AS ($sqlVecs),
+         toks AS (SELECT vec_id, v, CAST(t AS INT) AS t,
+             v[CAST((t-1)*$PqSub+1 AS INT):CAST(t*$PqSub AS INT)] AS tv
+           FROM e, unnest(range(1, ${PqM + 1})) AS r(t)),
+         t AS (SELECT max(vec_id) * 4 // 5 AS tnew FROM e),
+         told AS (SELECT * FROM toks WHERE vec_id < (SELECT tnew FROM t)),
+         tc AS (SELECT row_number() OVER (ORDER BY dk, vec_id, t) AS cid,
+             tv AS cv FROM (
+             SELECT vec_id, t, tv,
+               md5(CAST(vec_id AS VARCHAR) || '#' || CAST(t AS VARCHAR)) AS dk
+             FROM told ORDER BY dk, vec_id, t LIMIT ${sqlK("told")})),
+         standing AS (SELECT vec_id, cid FROM (
+             SELECT told.vec_id, tc.cid,
+               row_number() OVER (PARTITION BY told.vec_id, told.t
+                 ORDER BY ${sqlSubDot("told.tv", "tc.cv")} DESC, tc.cid) AS arn
+             FROM told, tc) WHERE arn = 1),
+         probes AS (SELECT DISTINCT q, cid FROM (
+             SELECT toks.vec_id AS q, toks.t, tc.cid,
+               row_number() OVER (PARTITION BY toks.vec_id, toks.t
+                 ORDER BY ${sqlSubDot("toks.tv", "tc.cv")} DESC, tc.cid) AS prn
+             FROM toks, tc WHERE toks.vec_id >= (SELECT tnew FROM t)
+               AND toks.vec_id < (SELECT tnew + tnew // 16 FROM t))
+           WHERE prn <= ${sqlNProbeTok("told")}),
+         cand AS (SELECT DISTINCT p.q, a.vec_id
+           FROM probes p JOIN standing a USING (cid) WHERE a.vec_id <> p.q),
+         scored AS (SELECT c.q, c.vec_id,
+             ${sqlMaxSim("qs.v", "dv.v")} AS ms,
+             ${sqlMaxSim("qs.v", "qs.v")} AS selfms
+           FROM cand c JOIN e dv ON dv.vec_id = c.vec_id
+             JOIN e qs ON qs.vec_id = c.q)
+         SELECT q, vec_id, ms AS maxsim_micro FROM scored
+         WHERE ms * 10 >= selfms * 7 ORDER BY q, vec_id"""
 
   /** PprIters unrolled personalized-PageRank stages over the knn edge
     * list — the s_graph_rank trajectory with a per-seed q column and a

@@ -102,6 +102,82 @@ object StreamingQueries {
         .orderBy("q", "vec_id")
     }),
 
+    // STREAMING token-index probe-on-ingest — st_ann_ingest's pattern
+    // on the WINNING retrieval architecture (per-token late
+    // interaction), completing the token index's lifecycle across both
+    // engines' modes (build -> store -> probe -> upsert -> STREAM):
+    // the standing OLD-token index (the memoized nightly artifact
+    // s_tok_upsert also reads) is static; each arriving vector's 8
+    // token slices probe their nearest token cells STATELESSLY (the
+    // K-row centroid table rides the plan as a constant array — a
+    // per-row sort, no shuffle, no state), candidates come from a
+    // stream-static join against the standing cells, and each
+    // candidate MaxSim-scores against the arriving vector's own
+    // self-score: 10·ms >= 7·self keeps matches reaching 70% of a
+    // perfect multi-vector alignment (integer products — exact
+    // cross-engine; the batch mirror is the oracle). The one stateful
+    // op is the candidate de-dup, keyed on (q, vec_id) — bounded by
+    // the probed-cell candidate volume, never the corpus. The GATE
+    // entry streams the delta's first sixteenth-of-standing slice
+    // (tnew..tnew+tnew/16 — a micro-batch's worth): per-arrival work
+    // is identical at any batch size, and the FULL delta's cost is
+    // priced where it belongs, in the batch upsert entries.
+    "st_tok_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val name = synchronized { runId += 1; s"st_tok_ingest_$runId" }
+      val S = Similarity
+      val (tNew, kOld, cents, standing) = S.tokOldIndex(s, dir)
+      val centRows = cents.collect() // bounded: K(old tokens) rows by design
+      val np = S.nProbeTok(kOld)
+      val tHi = tNew + tNew / 16 // first ingest micro-batch's bound
+      val newVecs = s.readStream.schema(StreamingOps.embRawSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") >= tNew && col("vec_id") < tHi)
+        .select(col("vec_id").as("q"),
+          col("embedding").cast("array<double>").as("qv"))
+      val toks = newVecs
+        .withColumn("t", explode(array((1 to 8).map(lit(_)): _*)))
+        .withColumn("tv", slice(col("qv"), (col("t") - 1) * 8 + 1, lit(8)))
+      // negated dot sorts asc == dot desc; ties break to cid asc
+      val cellArr = array(centRows.map { r =>
+        val cv = r.getSeq[Double](1)
+        struct(
+          (-graft.functions.VecOps.dotPlane(col("tv"), cv)).as("nd"),
+          lit(r.getLong(0)).as("cid"))
+      }.toIndexedSeq: _*)
+      // keys ONLY through the candidate join + dedup: the pre-dedup
+      // candidate volume is q·8·np·cellpop rows, and carrying the
+      // 64-double query vector through that shuffle measured 3x the
+      // whole entry — both vectors rejoin from the static corpus after
+      // the (q, vec_id) pairs are distinct
+      val probed = toks
+        .withColumn("cell", explode(slice(array_sort(cellArr), 1, np)))
+        .select(col("q"), col("cell.cid").as("cid"))
+      val cand = probed.join(standing.select("vec_id", "cid"), "cid")
+        .filter(col("vec_id") =!= col("q"))
+        .select("q", "vec_id")
+        .dropDuplicates("q", "vec_id")
+      val e = S.vecs(s, dir)
+      // self-scores are per-QUERY constants: one static 1-row-per-new-
+      // vector relation (computed once, broadcast) instead of a second
+      // 1024-element_at MaxSim evaluation on every candidate pair —
+      // the scorer is element_at-bound, so this halves the entry's cpu
+      val selfTbl = broadcast(e.filter(col("vec_id") >= tNew && col("vec_id") < tHi)
+        .select(col("vec_id").as("q"),
+          S.maxSimMicro(col("v"), col("v")).as("selfms")))
+      val matches = cand
+        .join(e.select(col("vec_id").as("q"), col("v").as("qv2")), "q")
+        .join(e.select(col("vec_id"), col("v").as("dv")), "vec_id")
+        .select(col("q"), col("vec_id"),
+          S.maxSimMicro(col("qv2"), col("dv")).as("ms"))
+        .join(selfTbl, "q")
+        .filter(col("ms") * 10 >= col("selfms") * 7)
+        .select(col("q"), col("vec_id"), col("ms").as("maxsim_micro"))
+      StreamingOps.runToMemory(s, matches, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("q", "vec_id")
+    }),
+
     // Streaming dedup with watermark-bounded state: distinct
     // (user_id, hour) pairs emitted in append mode; the batch oracle is
     // a plain SELECT DISTINCT over the same projection.
@@ -390,6 +466,10 @@ object StreamingQueries {
            >= ${Similarity.RangeTauMicro}
          ORDER BY q, vec_id"""
     },
+
+    // batch mirror of the token-index probe-on-ingest (lives in
+    // Similarity next to its upsert sibling — shared CTE vocabulary)
+    "st_tok_ingest" -> Similarity.sqlTokIngest,
 
     "st_dedup" ->
       """SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
