@@ -54,9 +54,10 @@ object StreamingQueries {
     // near-neighbors above the radius bar (online semantic dedup /
     // alerting). The standing index predates the stream: the
     // old-seeded centroid table is COLLECTED into the plan as literals
-    // (<= NCentroids rows BY DESIGN — the executor-shipped index
+    // (kFor(old-count) rows — the DATA-DERIVED ⌊√N⌋-with-floor-24
+    // centroid count, e.g. 44 at sf0.1; the executor-shipped index
     // snapshot every vector DB ships; the per-row probe is then a
-    // stateless scalar sort over a 24-element literal array — no
+    // stateless scalar sort over that bounded literal array — no
     // window, no state store), and the old assignment is the static
     // join side, persisted once for the run. The stream-static
     // equi-join on cid keeps candidates cell-bounded; the radius
@@ -68,7 +69,7 @@ object StreamingQueries {
       val S = Similarity
       val (tNew, seed) = S.oldSeed(s, dir) // shared delta convention, persisted once
       val old = S.vecs(s, dir).filter(col("vec_id") < tNew)
-      val cents = seed.collect() // bounded: NCentroids rows by design
+      val cents = seed.collect() // bounded: kFor(old-count) rows (≈√N, floor 24)
       val standing = graft.CacheBook.materialize(S.assignTo(old, seed)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       graft.CacheBook.register(s, "s")(() => { standing.unpersist(false); () })

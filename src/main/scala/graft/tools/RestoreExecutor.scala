@@ -93,6 +93,13 @@ object RestoreExecutor {
     val started = collection.mutable.Set.empty[String]
     val loads = new ConcurrentLinkedQueue[Load]()
     val inFlight = new AtomicInteger(0)
+    // submitted-but-unfinished count, incremented AT SUBMIT TIME under
+    // the lock: the fail-fast drain below must wait on this, not on
+    // inFlight — a task accepted by the pool but not yet through its
+    // own inFlight.incrementAndGet() is invisible to inFlight, and
+    // draining on inFlight==0 could shutdownNow() (interrupting a JDBC
+    // load that just started) while such a task exists.
+    val pending = new AtomicInteger(0)
     val peak = new AtomicInteger(0)
     val firstError = new AtomicReference[Throwable](null)
     val allDone = new CountDownLatch(present.size)
@@ -104,6 +111,7 @@ object RestoreExecutor {
         !started(t) && !doneSet(t) && deps(t).forall(doneSet))
       ready.foreach { t =>
         started += t
+        pending.incrementAndGet()
         pool.submit(new Runnable {
           override def run(): Unit = {
             val cur = inFlight.incrementAndGet()
@@ -123,6 +131,7 @@ object RestoreExecutor {
               case e: Throwable => firstError.compareAndSet(null, e); ()
             } finally {
               inFlight.decrementAndGet()
+              pending.decrementAndGet()
               allDone.countDown()
               schedule()
             }
@@ -136,14 +145,18 @@ object RestoreExecutor {
       schedule()
       // fail fast: poll the latch so an error doesn't hang the drain
       while (!allDone.await(50, TimeUnit.MILLISECONDS)) {
-        if (firstError.get() != null && inFlight.get() == 0) {
+        if (firstError.get() != null && pending.get() == 0) {
           throw firstError.get()
         }
       }
       if (firstError.get() != null) throw firstError.get()
-      // sequences LAST (the reference's ordering, restore.py sequences
-      // after the data phase): serial generation resumes past the
-      // sliced rows
+      // sequences LAST — deliberately INVERTING the reference's
+      // ordering (slice_db/restore.py calls _restore_sequences before
+      // _restore_rows). Equivalent because the rows carry explicit key
+      // values either way (neither engine draws from the sequence
+      // during the load); setting last_value after the data keeps the
+      // executor's fail-fast property (a failed load never leaves the
+      // target's sequences advanced past data that was never written).
       manifest.foreach { case (t, _, lv) => lv.foreach(setSequence(t, _)) }
       require(peak.get() <= jobs, s"semaphore breached: ${peak.get()} > $jobs")
       loads.iterator().asScala.toSeq

@@ -99,12 +99,16 @@ object SliceRestore {
     // --apply <jdbcUrl>: dependency-graph-parallel load into the target
     def flag(name: String): Option[String] = {
       val i = args.indexOf(name)
-      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+      if (i < 0) None
+      else if (i + 1 >= args.length)
+        sys.error(s"$name requires a value")
+      else Some(args(i + 1))
     }
     flag("--apply").foreach { url =>
       val graph = graphOpt.getOrElse(
         sys.error("--apply needs the graph argument (the FK wait graph)"))
-      val jobs = flag("--jobs").map(_.toInt).getOrElse(4)
+      val jobs = flag("--jobs").map(v => v.toIntOption.getOrElse(
+        sys.error(s"--jobs must be an integer, got '$v'"))).getOrElse(4)
       val props = new java.util.Properties()
       flag("--driver").foreach(props.setProperty("driver", _))
       val loads = RestoreExecutor(spark, graph, sliceDir, url, props, jobs)

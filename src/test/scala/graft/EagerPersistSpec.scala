@@ -27,30 +27,51 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class EagerPersistSpec extends AnyFunSuite {
 
-  private val Window = 6 // lines around the persist that must materialize it
+  private val Window = 8 // forward/backward scan bound around the persist
 
   test("every query-pack persist is eagerly materialized (count or materialize)") {
     val dir = Paths.get("src/main/scala/graft/queries")
+    val valDef = """\bva[lr]\s+(\w+)\s*=""".r
     val offenders = Files.list(dir).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
       .flatMap { p =>
         val lines = Files.readAllLines(p).asScala.toVector
         lines.zipWithIndex.collect {
           case (l, i) if l.contains(".persist(") =>
-            val ctx = lines.slice(math.max(0, i - Window), i + Window + 1)
-            // accept the audited helper, or the inline guarded idiom —
-            // which requires BOTH the count AND the failure-unpersist
-            // in the window (a stray count() on an unrelated frame
-            // nearby must not satisfy the rule)
-            val eager = ctx.exists(_.contains("CacheBook.materialize")) ||
-              (ctx.exists(_.contains(".count()")) &&
-                ctx.exists(_.contains(".unpersist(")))
-            if (eager) None else Some(s"${p.getFileName}:${i + 1}")
+            // the enclosing statement: scan back to the nearest val/var
+            // binding AT OR ABOVE the persist line's nesting level (by
+            // indentation) — a deeper-indented val inside a lambda body
+            // between the binding and its chained .persist is not the
+            // statement start
+            def indent(s: String) = s.takeWhile(_ == ' ').length
+            val starts = (math.max(0, i - 40) to i).reverse
+              .filter(j => valDef.findFirstIn(lines(j)).isDefined &&
+                (j == i || indent(lines(j)) <= indent(lines(i))))
+            val boundNames = starts.flatMap(j =>
+              valDef.findFirstMatchIn(lines(j)).map(_.group(1)))
+            val stmt = starts.headOption.map(j => lines.slice(j, i + 1))
+              .getOrElse(Vector(l))
+            val fwd = lines.slice(i + 1, i + Window + 1)
+            // accept (a) the audited helper WRAPPING the persist
+            // expression (materialize appears inside the same
+            // statement), or (b) the identifier-matched idioms on the
+            // bound name: CacheBook.materialize(name), or the guarded
+            // name.count() + name.unpersist( pair. An adjacent
+            // UNRELATED relation's materialize/count can no longer
+            // false-pass a new lazy persist (r13 ADVICE).
+            val wrapped = stmt.exists(_.contains("CacheBook.materialize"))
+            val byName = boundNames.exists { n =>
+              fwd.exists(_.contains(s"CacheBook.materialize($n)")) ||
+                (fwd.exists(_.contains(s"$n.count()")) &&
+                  fwd.exists(_.contains(s"$n.unpersist(")))
+            }
+            if (wrapped || byName) None else Some(s"${p.getFileName}:${i + 1}")
           case _ => None
         }.flatten
       }.toList
     assert(offenders.isEmpty,
-      s"lazy persists (no materialize/count within ±$Window lines): " +
+      s"lazy persists (no statement-wrapping materialize, and no " +
+        s"identifier-matched materialize/count within $Window lines): " +
         offenders.mkString(", "))
   }
 
