@@ -13,6 +13,35 @@ import graft.operators.Multimodal
 object MultimodalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXPLICIT family build — the d_build / x_build / s_index_build
+    // convention for the m family: materializes every memoized decode
+    // artifact the m_* queries share (the phash chunk corpus, the audio
+    // fingerprint corpus, the scene-keyframe fingerprint relation, and
+    // the nightly boundary scalar) as its own priced entry, so
+    // m_scene_dedup_inc and the other probes measure their OWN work
+    // instead of absorbing whichever decode build they touch first
+    // (the r13 verdict: the inc entry's clean retry paid the shared
+    // decode+fingerprint build its budget never priced). At 100 TB
+    // these are standing artifacts, not query latency. Returns
+    // build-size counts (plus the boundary) the oracle recomputes.
+    "m_build" -> ((s, dir) => {
+      import s.implicits._
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      // independent decode pipelines overlap on futures (each memo is a
+      // Once cell); counts over eager checkpoints are block-read cheap
+      val tF = Future(mNewThreshold(s, dir))
+      val phF = Future(phashChunks(s, dir).count())
+      val afF = Future(audioFp(s, dir).count())
+      val ssF = Future(sceneSigs(s, dir).count())
+      Seq(("audio_fp_rows", Await.result(afF, Duration.Inf)),
+        ("phash_rows", Await.result(phF, Duration.Inf)),
+        ("scene_sigs", Await.result(ssF, Duration.Inf)),
+        ("tnew", Await.result(tF, Duration.Inf)))
+        .toDF("item", "n").orderBy("item")
+    }),
+
     // opaque binary + typed metadata
     "m_binary_meta" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
@@ -142,19 +171,14 @@ object MultimodalQueries {
     // all — and the member×member expansion happens exactly once, at
     // output, where it IS the contract (all doc pairs at hamming ≤ 3;
     // within-group pairs are dist 0 by construction).
-    "m_phash_near" -> ((s, dir) => {
-      import s.implicits._
+    "m_phash_near" -> ((s, dir) =>
       // the hash relation is tiny ((doc_id, 4 longs) × 2N rows) but its
-      // decode subtree is ~40k ImageIO calls — materialize it ONCE so
-      // the group/band/expand subtrees read the checkpoint instead of
-      // re-running the decode per plan reference
-      val ph = Multimodal.phashNearCorpus(
-        Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])
-        .toDF().localCheckpoint(true)
-      graft.CacheBook.register(s, "m")(() =>
-        graft.CacheBook.unpersistCheckpoint(ph))
-      chunkNearDup(ph)
-    }),
+      // decode subtree is ~40k ImageIO calls — the NAMED memo
+      // (m/phash_chunks, round 14) materializes it once per (session,
+      // corpus) so the group/band/expand subtrees here, the sweep and
+      // the incremental probe all read the same checkpoint instead of
+      // each re-running the decode
+      chunkNearDup(phashChunks(s, dir))),
 
     // HAMMING-THRESHOLD tuning curve for image near-dup — the
     // d_jaccard_bands / s_probe_sweep discipline on the perceptual-hash
@@ -165,14 +189,8 @@ object MultimodalQueries {
     // retouch variants). One aggregation over the same banded verify
     // relation m_phash_near emits — candidate volume unchanged.
     "m_phash_sweep" -> ((s, dir) => {
-      import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val ph = Multimodal.phashNearCorpus(
-        Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])
-        .toDF().localCheckpoint(true)
-      graft.CacheBook.register(s, "m")(() =>
-        graft.CacheBook.unpersistCheckpoint(ph))
-      chunkNearDup(ph)
+      chunkNearDup(phashChunks(s, dir))
         .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
         .withColumn("cum_pairs",
           sum("n_pairs").over(Window.orderBy("dist")
@@ -191,18 +209,11 @@ object MultimodalQueries {
     // encode→decode path), so true near-pairs exist at gate scale; the
     // retouch is sub-window, so delta coding bounds the twin's hamming
     // at 2 (AudioFpSpec proves band recall on exactly that).
-    "m_audio_near" -> ((s, dir) => {
-      import s.implicits._
+    "m_audio_near" -> ((s, dir) =>
       // same single-materialization discipline as m_phash_near: the
       // fingerprint relation is tiny but its subtree is ~40k WAV
-      // encode+decode calls
-      val fp = Multimodal.audioFpCorpus(
-        Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])
-        .toDF().localCheckpoint(true)
-      graft.CacheBook.register(s, "m")(() =>
-        graft.CacheBook.unpersistCheckpoint(fp))
-      chunkNearDup(fp)
-    }),
+      // encode+decode calls — the named memo m/audio_fp holds it
+      chunkNearDup(audioFp(s, dir))),
 
     // INCREMENTAL image near-dup — the nightly media-ingest shape the
     // d_incremental / s_ivf_upsert entries establish, applied to the m
@@ -218,16 +229,12 @@ object MultimodalQueries {
     // no separate within-group pass is needed on the delta-bounded
     // volume.
     "m_phash_inc" -> ((s, dir) => {
-      import s.implicits._
-      val docsT = Tables.load(s, dir, "documents")
       // the nightly boundary — the memoized m-family scalar (underlying
       // id: twins share their base's novelty; twin-id guard inside)
       val tNew = mNewThreshold(s, dir)
-      val ph = Multimodal.phashNearCorpus(
-        docsT.select(col("doc_id")).as[Long])
-        .toDF().localCheckpoint(true)
-      graft.CacheBook.register(s, "m")(() =>
-        graft.CacheBook.unpersistCheckpoint(ph))
+      // the standing chunk relation is the shared named memo — this
+      // entry prices the delta-band probe, not a second decode
+      val ph = phashChunks(s, dir)
       val isNew = (col("doc_id") % 100000L) >= tNew
       val hk = Seq("c0", "c1", "c2", "c3")
       def bandsOf(df: DataFrame) = df.select(col("doc_id") +: hk.map(col) :+
@@ -354,6 +361,56 @@ object MultimodalQueries {
         s"twin id convention requires base doc_id < 100000, got max $maxId")
       maxId * 4 / 5
     })) }.value
+  }
+
+  private val phashCache = collection.mutable
+    .Map.empty[(SparkSession, String), graft.Once[org.apache.spark.sql.DataFrame]]
+
+  /** Memoized twin-corpus hash-chunk relation ((doc_id, c0..c3) × 2N —
+    * each doc's synthetic PNG + its one-pixel-retouched twin, through
+    * the REAL encode→decode→hash path), shared by m_phash_near,
+    * m_phash_sweep and m_phash_inc: the relation is 4 longs/row but its
+    * subtree is the whole ImageIO pipeline, so it materializes once per
+    * (session, corpus) as the named memo m/phash_chunks (m_build prices
+    * it). */
+  private def phashChunks(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheBook.touch(s, "m", "phash_chunks")
+    synchronized { phashCache.getOrElseUpdate((s, dir), new graft.Once(() =>
+      graft.CacheBook.building(s, "m", "phash_chunks") {
+        import s.implicits._
+        val ph = Multimodal.phashNearCorpus(
+          Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])
+          .toDF().localCheckpoint(true)
+        graft.CacheBook.register(s, "m", "phash_chunks") { () =>
+          MultimodalQueries.synchronized { phashCache.remove((s, dir)) }
+          graft.CacheBook.unpersistCheckpoint(ph)
+          ()
+        }
+        ph
+      })) }.value
+  }
+
+  private val audioFpCache = collection.mutable
+    .Map.empty[(SparkSession, String), graft.Once[org.apache.spark.sql.DataFrame]]
+
+  /** Memoized twin-corpus audio fingerprint relation (same shape as
+    * [[phashChunks]], WAV encode→decode→energy-delta fingerprint) —
+    * the named memo m/audio_fp behind m_audio_near. */
+  private def audioFp(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheBook.touch(s, "m", "audio_fp")
+    synchronized { audioFpCache.getOrElseUpdate((s, dir), new graft.Once(() =>
+      graft.CacheBook.building(s, "m", "audio_fp") {
+        import s.implicits._
+        val fp = Multimodal.audioFpCorpus(
+          Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])
+          .toDF().localCheckpoint(true)
+        graft.CacheBook.register(s, "m", "audio_fp") { () =>
+          MultimodalQueries.synchronized { audioFpCache.remove((s, dir)) }
+          graft.CacheBook.unpersistCheckpoint(fp)
+          ()
+        }
+        fp
+      })) }.value
   }
 
   private val sceneSigCache = collection.mutable
@@ -520,6 +577,34 @@ object MultimodalQueries {
            FROM ch GROUP BY doc_id)"""
 
   val oracleSql: Map[String, String] = Map(
+    // build-size accounting recomputed exactly: the two twin corpora
+    // are 2 rows per doc by construction; the scene-sig count re-runs
+    // the m_scenes segmentation (the twin re-tags the same frame
+    // stream, so sigs = 2 x base scenes); tnew is the 80% boundary
+    "m_build" ->
+      s"""WITH t AS (SELECT max(doc_id) * 4 // 5 AS tnew FROM documents),
+         nd AS (SELECT count(*) AS n FROM documents),
+         nf AS (SELECT doc_id, md5(text) AS h,
+             CAST(1 + ${f("md5(text) || 'f'")} % 64 AS INT) AS n
+           FROM documents),
+         fr AS (SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
+             CAST(${f("h || '#' || CAST(t.i AS VARCHAR)")} % 256 AS INT) AS level
+           FROM nf, unnest(range(0, n, 1)) AS t(i)),
+         cfr AS (SELECT doc_id, frame_idx,
+             CASE WHEN abs(level - lag(level) OVER
+                 (PARTITION BY doc_id ORDER BY frame_idx)) >= 128
+               THEN 1 ELSE 0 END AS cut
+           FROM fr),
+         sc AS (SELECT DISTINCT doc_id,
+             sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS scene_id
+           FROM cfr),
+         ns AS (SELECT count(*) AS n FROM sc)
+         SELECT 'audio_fp_rows' AS item, CAST(2 * nd.n AS BIGINT) AS n FROM nd
+         UNION ALL SELECT 'phash_rows', CAST(2 * nd.n AS BIGINT) FROM nd
+         UNION ALL SELECT 'scene_sigs', CAST(2 * ns.n AS BIGINT) FROM ns
+         UNION ALL SELECT 'tnew', CAST(tnew AS BIGINT) FROM t
+         ORDER BY item""",
+
     // strlen (bytes), not length (characters): Spark's length(blob)
     // counts BYTES of the UTF-8 cast, so the two agree only while the
     // corpus is pure ASCII unless the oracle counts bytes too.
