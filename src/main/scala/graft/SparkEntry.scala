@@ -18,6 +18,7 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracleSql),
       (Similarity.queries, Similarity.oracleSql),
       (MultimodalQueries.queries, MultimodalQueries.oracleSql),
+      (PipelineQueries.queries, PipelineQueries.oracleSql),
       (StreamingQueries.queries, StreamingQueries.oracleSql)
     )
 

@@ -227,7 +227,7 @@ object Dedup {
       graft.functions.WordWindows(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(words),
         3, 1, coverAll = false)))
-  private def sqlShingles3(w: String): String =
+  private[queries] def sqlShingles3(w: String): String =
     s"""list_distinct(list_transform(range(0, greatest(len($w) - 3, 0) + 1),
         i -> array_to_string($w[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ')))"""
 
@@ -646,24 +646,43 @@ object Dedup {
        j AS (SELECT a, b, (inter / (sa + sb - inter)) AS jac FROM pairs
          WHERE (inter / (sa + sb - inter)) >= 0.2)"""
 
-  /** The banding → candidate-equi-join CTE chain (sh, ex, sig, bands,
-    * cand) — shared by the MinHash oracles and the edit-distance
-    * verify oracle, which diverge only in the verify stage. */
-  private def sqlCandCtes: String = {
+  /** Parameterized banding CTE fragments over an arbitrary (doc_id, sh)
+    * relation `src`: emits `<p>ex`, `<p>sig`, `<p>bands` definitions
+    * (comma-separated, no trailing comma) with the SAME universal-hash
+    * family literals as the engine — shared by the d_* oracles (via
+    * [[sqlCandCtes]]) and pipeline_curate's composed oracle, so there
+    * is exactly one SQL copy of the banding recipe. */
+  private[queries] def sqlBandCtesOver(src: String, p: String): String = {
     val mins = (0 until 8).map(j =>
       s"CAST(min((${MinhashA(j)} * (s % $MinhashP) + ${MinhashB(j)}) % $MinhashP) AS BIGINT) AS m$j").mkString(", ")
     val bandSelects = (0 until 4).map(bi =>
       s"""SELECT doc_id, $bi AS bi,
           (CAST(m${2 * bi} AS VARCHAR) || ':' || CAST(m${2 * bi + 1} AS VARCHAR)) AS bk
-          FROM sig""").mkString(" UNION ALL ")
+          FROM ${p}sig""").mkString(" UNION ALL ")
+    s"""${p}ex AS (SELECT doc_id, unnest(sh) AS s FROM $src),
+       ${p}sig AS (SELECT doc_id, $mins FROM ${p}ex GROUP BY doc_id),
+       ${p}bands AS ($bandSelects)"""
+  }
+
+  /** SQL mirror of [[shingleHashCol]] over a word-array expression —
+    * the distinct hashed 3-shingle set. */
+  private[queries] def sqlShingleSetOf(w: String): String =
+    s"""list_distinct(list_transform(${sqlShingles3(w)},
+        x -> ${Determinism.sqlMd5IdxK("x", 12)}))"""
+
+  /** SQL mirror of the exact-Jaccard verify formula. */
+  private[queries] def sqlJaccardOf(a: String, b: String): String =
+    sqlJaccard(a, b)
+
+  /** The banding → candidate-equi-join CTE chain (sh, ex, sig, bands,
+    * cand) — shared by the MinHash oracles and the edit-distance
+    * verify oracle, which diverge only in the verify stage. */
+  private def sqlCandCtes: String =
     s"""sh AS ($sqlShingleSets),
-       ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-       sig AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
-       bands AS ($bandSelects),
+       ${sqlBandCtesOver("sh", "")},
        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          FROM bands x JOIN bands y
          ON x.bi = y.bi AND x.bk = y.bk AND x.doc_id < y.doc_id)"""
-  }
 
   /** Full MinHash-LSH oracle pipeline with an optional extra predicate
     * over the verified (a, b) pairs — shared by d_minhash_lsh (no

@@ -26,8 +26,17 @@ import graft.Tables
   */
 object CuratePipeline {
 
+  /** @param benchDocs benchmark corpus as a frame (overrides benchDir's
+    *   load when both are given) — pipeline_curate passes the in-corpus
+    *   first-50-docs convention here
+    * @param releaseDedupCaches release the "d"-scope band memos this
+    *   run built before returning (the standalone-CLI default); the
+    *   gate query passes false — inside a shared Verify/Bench session
+    *   a whole-scope release would drop the d-family's live memos out
+    *   from under concurrent queries */
   def curate(spark: SparkSession, dir: String, minQuality: Double,
-      benchDir: Option[String] = None): (DataFrame, Map[String, Long]) = {
+      benchDir: Option[String] = None, benchDocs: Option[DataFrame] = None,
+      releaseDedupCaches: Boolean = true): (DataFrame, Map[String, Long]) = {
     val docs = Tables.load(spark, dir, "documents")
     val stages = collection.mutable.LinkedHashMap[String, Long]("input" -> docs.count())
 
@@ -68,6 +77,15 @@ object CuratePipeline {
       // pre-strip original (quality intentionally stays the stage-1
       // ADMISSION score — it gated entry, it isn't a live attribute)
       .withColumn("n_chars", length(col("text")).cast("long"))
+      // checkpoint the reassembled corpus: every downstream stage and
+      // stage-count action reads it, and uncheckpointed each would
+      // re-run quality→exact-dedup→line-dedup from the scan (the line
+      // strip alone is two corpus shuffles). At 100 TB this is where a
+      // pipeline writes its post-cleaning staging parquet; in-session
+      // the local checkpoint is that staging artifact.
+      .localCheckpoint(true)
+    graft.CacheBook.register(spark, "curate")(
+      () => graft.CacheBook.unpersistCheckpoint(lineDeduped))
     stages += "after_line_dedup" -> lineDeduped.count()
 
     // 4. near-dedup: the ONE LSH implementation (Dedup.lshPairs —
@@ -104,9 +122,10 @@ object CuratePipeline {
     // few exact 5-grams but keeps a high Jaccard). The benchmark is
     // an EXTERNAL input (its docs are never emitted); its band table
     // broadcasts, so the stage costs one band probe over survivors.
-    val near = benchDir match {
-      case Some(bd) =>
-        val benchSh = Tables.load(spark, bd, "documents")
+    val near = benchDocs.orElse(benchDir.map(bd =>
+        Tables.load(spark, bd, "documents"))) match {
+      case Some(bdocs) =>
+        val benchSh = bdocs
           .select(col("doc_id"), graft.queries.Dedup.shingleHashCol(col("text")).as("sh"))
         val poolSh = near0.select(col("doc_id"),
           graft.queries.Dedup.shingleHashCol(col("text")).as("sh"))
@@ -172,7 +191,7 @@ object CuratePipeline {
     // lineage first, so the release can't force a rebuild downstream.
     val curated = stripped.withColumn("n_tokens", size(split(col("text"), " ")))
       .localCheckpoint(true)
-    graft.CacheBook.release(spark, "d")
+    if (releaseDedupCaches) graft.CacheBook.release(spark, "d")
     // the curated frame's own checkpoint blocks are the caller's to
     // release: register them under the "curate" scope so a long-lived
     // session running curate() nightly frees each run's blocks with
