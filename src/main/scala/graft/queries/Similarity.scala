@@ -137,6 +137,14 @@ object Similarity {
   private val MrlDim = 16    // Matryoshka prefix dims for the coarse pass
   private[graft] val DbEpsMicro = 250000L // s_dbscan radius (cos micro-units)
   private[graft] val DbMinPts = 4         // s_dbscan core threshold (nbrs, excl. self)
+  // s_dbscan replica screen: pairs at cosine >= this collapse to one
+  // representative BEFORE the radius graph. Twin replicas sit at
+  // ~0.9995 and replica-corpus ADJACENT copies at ~0.994-0.999 (the
+  // sf1e decade corpus — the transitive closure chain-collapses a
+  // whole copy group through its adjacency edges); the strongest
+  // organic synthetic pair is ~0.44, so the bar has a 0.55-cosine
+  // margin below and separates cleanly above.
+  private[graft] val ReplicaTauMicro = 990000L
   // s_dbscan_sweep radius bands (micro-units); includes the gate point
   private[graft] val DbSweepBands = Seq(150000L, 200000L, 250000L, 300000L)
   private val PprIters = 3   // s_ppr power-iteration rounds
@@ -828,31 +836,86 @@ object Similarity {
     "s_maxsim_tok_recall" -> maxSimRecallOf("s_maxsim_tok"),
 
     // DBSCAN density clustering (Ester et al. 1996 semantics, index-
-    // bounded neighborhoods): a vector's eps-neighborhood is the
-    // in-radius set within its NProbe probed IVF cells — the standard
-    // spatial-index bound every scalable DBSCAN uses (neighborhoods are
-    // DIRECTIONAL under the bound, deterministically so in both
-    // engines). Core = ≥ DbMinPts in-radius neighbors; clusters =
-    // connected components over core-core in-radius edges (min-label
-    // propagation — the d_cluster machinery on a radius graph); border
-    // = non-core with a core neighbor, adopting the SMALLEST adjacent
-    // core cluster (deterministic where textbook DBSCAN says
-    // "arbitrary"); the rest is noise (cluster -1). Candidate volume is
-    // N·NProbe·cell-population — the knnGraph bound, never all-pairs;
-    // components cost O(diameter) rounds over edges that exist only
-    // between dense points.
+    // bounded neighborhoods), DEDUP-FIRST (round 14): near-exact
+    // replica groups collapse to one representative BEFORE the radius
+    // graph — the production ordering (exact/near-dup collapse, then
+    // density clustering) that screens the replica pathology the
+    // round-13 curvature table measured (10 mutual near-copies per
+    // vector put ~100x radius edges and ~10x core-core CC edges on
+    // every point; slope 0.64/decade on the sf1e replica corpus).
+    //
+    // The gate corpus is embeddings ∪ the d_semdedup twin (+0.05 on
+    // component 1, cosine ~0.9995), so REAL replica groups exist at
+    // every scale and the screen arithmetic is oracle-verified, not
+    // prose. Screen: LSH-bucket-bounded pairs at cosine ≥
+    // ReplicaTauMicro → connected components → rep = min member id,
+    // m = group size. The rep corpus then runs the classic chain —
+    // hash-drawn K(N_reps) centroids, argmax assignment, NProbe probed
+    // cells, in-radius pairs at DbEpsMicro — with MULTIPLICITY-WEIGHTED
+    // degrees: deg(rep) = Σ m(in-radius nbr reps) + (m(rep) − 1), its
+    // own co-replicas counting (they sit at ≥ ReplicaTau ≫ eps). Core
+    // = deg ≥ DbMinPts; clusters = components over core-core edges;
+    // border adopts the SMALLEST adjacent core cluster; members
+    // inherit their rep's deg/role/cluster. Candidate volume is
+    // reps·NProbe·cell-population — never all-pairs, and never
+    // replica-inflated; the replica screen itself is bucket-bounded
+    // (expected bucket population N/2^NPlanes).
     "s_dbscan" -> memoAnn("s_dbscan")((s, dir) => {
-      val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
-      val e = vecs(s, dir)
-      val wp = Window.partitionBy("src").orderBy(col("pcos").desc, col("cid").asc)
-      val probes = e.join(broadcast(cents))
+      val e0 = vecs(s, dir)
+      val twin = e0.select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+          concat(array(element_at(col("v"), 1) + 0.05),
+            slice(col("v"), 2, 63)).as("v"))
+        .withColumn("n", VecOps.norm(col("v")))
+      // the twin corpus feeds the bucket self-join (both sides), the
+      // rep projection and the final expand — materialize once
+      val e = e0.unionByName(twin).select("vec_id", "v", "n")
+        .localCheckpoint(true)
+      graft.CacheBook.register(s, "s")(() =>
+        graft.CacheBook.unpersistCheckpoint(e))
+      // replica screen: same-bucket candidates, near-exact verify
+      val bk = e.withColumn("bucket", VecOps.lshBucket(col("v")))
+      val rp = bk.as("x").join(bk.as("y"),
+          col("x.bucket") === col("y.bucket")
+            && col("x.vec_id") < col("y.vec_id"))
+        .filter(floor(VecOps.cosine(col("x.v"), col("y.v"),
+            col("x.n"), col("y.n")) * lit(1000000.0)).cast("long")
+          >= ReplicaTauMicro)
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      val rlbl = graft.operators.ConnectedComponents.run(rp)
+        .select(col("id").as("vec_id"), col("cluster").as("rep"))
+      // (vec_id → rep) for EVERY vector; feeds multiplicity + expand —
+      // both consumers re-join two checkpoint-backed frames (e and the
+      // CC labels), so no checkpoint of its own
+      val rmap = e.select(col("vec_id")).join(rlbl, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("rep"), col("vec_id")).as("rep"))
+      val mult = rmap.groupBy("rep").agg(count(lit(1)).as("m"))
+      // the representative corpus (vec_id, v, n, m) — what DBSCAN sees
+      val reps = e.join(mult.withColumnRenamed("rep", "vec_id"), "vec_id")
+        .localCheckpoint(true)
+      graft.CacheBook.register(s, "s")(() =>
+        graft.CacheBook.unpersistCheckpoint(reps))
+      val k = kFor(reps.count())
+      val cents = broadcast(reps
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn")))
+      // ONE reps×K cosine pass + window serves BOTH the assignment
+      // (rn = 1) and the probe set (rn ≤ NProbe) — the same row_number
+      // ordering the oracle's two CTEs rank by
+      val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+      val ranked = reps.join(cents)
+        .select(col("vec_id"), col("v"), col("n"), col("cid"),
+          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("ccos"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= math.max(1, NProbe))
+        .localCheckpoint(true)
+      graft.CacheBook.register(s, "s")(() =>
+        graft.CacheBook.unpersistCheckpoint(ranked))
+      val assigned = ranked.filter(col("rn") === 1)
+        .select("vec_id", "v", "n", "cid")
+      val probes = ranked
         .select(col("vec_id").as("src"), col("v").as("qv"), col("n").as("qn"),
-          col("cid"),
-          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("pcos"))
-        .withColumn("prn", row_number().over(wp))
-        .filter(col("prn") <= NProbe)
-        .select("src", "qv", "qn", "cid")
-      // the radius-edge relation feeds THREE consumers (degree count,
+          col("cid"))
+      // the radius-edge relation feeds THREE consumers (degree mass,
       // core-core edges, border adoption) — persist once, family-scoped
       val pairs = probes.join(assigned, "cid")
         .filter(col("vec_id") =!= col("src"))
@@ -864,7 +927,12 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.CacheBook.materialize(pairs)
       graft.CacheBook.register(s, "s")(() => { pairs.unpersist(false); () })
-      val deg = pairs.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nbrMass = pairs.join(mult.withColumnRenamed("rep", "nbr"), "nbr")
+        .groupBy("src").agg(sum("m").as("nm"))
+      val deg = reps.select(col("vec_id").as("src"), col("m"))
+        .join(nbrMass, Seq("src"), "left")
+        .select(col("src"),
+          (coalesce(col("nm"), lit(0L)) + col("m") - 1).as("deg"))
       val core = deg.filter(col("deg") >= DbMinPts).select(col("src").as("id"))
       val coreEdges = pairs
         .join(core.withColumnRenamed("id", "src"), "src")
@@ -878,17 +946,19 @@ object Similarity {
         .join(coreLbl.withColumnRenamed("id", "nbr"), "nbr")
         .join(core.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
         .groupBy("src").agg(min("cluster").as("cluster"))
-      e.select(col("vec_id"))
-        .join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
-        .join(coreLbl.select(col("id").as("vec_id"), col("cluster").as("ccl")),
-          Seq("vec_id"), "left")
-        .join(borderLbl.select(col("src").as("vec_id"), col("cluster").as("bcl")),
-          Seq("vec_id"), "left")
-        .select(col("vec_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+      val repOut = deg
+        .join(coreLbl.select(col("id").as("src"), col("cluster").as("ccl")),
+          Seq("src"), "left")
+        .join(borderLbl.select(col("src"), col("cluster").as("bcl")),
+          Seq("src"), "left")
+        .select(col("src").as("rep"), col("deg"),
           when(col("ccl").isNotNull, lit("core"))
             .when(col("bcl").isNotNull, lit("border"))
             .otherwise(lit("noise")).as("role"),
           coalesce(col("ccl"), col("bcl"), lit(-1L)).as("cluster"))
+      // members inherit their representative's deg/role/cluster
+      rmap.join(repOut, "rep")
+        .select(col("vec_id"), col("deg"), col("role"), col("cluster"))
         .orderBy("vec_id")
     }),
 
@@ -2895,35 +2965,65 @@ object Similarity {
            ON nb.eps = b.eps
          ORDER BY eps_micro""",
 
+    // dedup-first: twin corpus -> bucket-bounded replica closure ->
+    // rep corpus with multiplicity -> the classic probe/radius/CC
+    // chain with multiplicity-weighted degrees -> expand to members
     "s_dbscan" ->
-      s"""WITH RECURSIVE e AS ($sqlVecs),
-         c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${sqlK("e")}),
+      s"""WITH RECURSIVE e0 AS ($sqlVecs),
+         e AS MATERIALIZED (
+           SELECT vec_id, v, ${VecOps.sqlNorm("v")} AS n FROM (
+             SELECT vec_id, v FROM e0
+             UNION ALL SELECT vec_id + 100000, [v[1] + 0.05] || v[2:64] FROM e0)),
+         bk AS MATERIALIZED (SELECT vec_id, v, n,
+             ${VecOps.sqlLshBucket("v")} AS bucket FROM e),
+         rpx AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b
+           FROM bk x JOIN bk y
+           ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+           WHERE CAST(floor((${VecOps.sqlDot("x.v", "y.v")} / (x.n * y.n))
+             * 1000000.0) AS BIGINT) >= $ReplicaTauMicro),
+         rbi AS MATERIALIZED (SELECT a AS src, b AS dst FROM rpx
+           UNION SELECT b, a FROM rpx),
+         rr AS (SELECT src, dst FROM rbi
+           UNION SELECT rr.src, rbi.dst FROM rr JOIN rbi ON rr.dst = rbi.src),
+         rreach AS (SELECT src, dst FROM rr
+           UNION SELECT DISTINCT src, src FROM rbi),
+         rlbl AS (SELECT src AS id, min(dst) AS rep FROM rreach GROUP BY src),
+         rmap AS MATERIALIZED (SELECT e.vec_id, coalesce(r.rep, e.vec_id) AS rep
+           FROM e LEFT JOIN rlbl r ON r.id = e.vec_id),
+         mult AS MATERIALIZED (SELECT rep, count(*) AS m FROM rmap GROUP BY rep),
+         reps AS MATERIALIZED (SELECT e.vec_id, e.v, e.n, mult.m
+           FROM e JOIN mult ON mult.rep = e.vec_id),
+         c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM reps
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${sqlK("reps")}),
          assigned AS MATERIALIZED (SELECT vec_id, v, n, cid FROM (
-             SELECT e.vec_id, e.v, e.n, c0.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+             SELECT reps.vec_id, reps.v, reps.n, c0.cid,
+               row_number() OVER (PARTITION BY reps.vec_id
+                 ORDER BY (${VecOps.sqlDot("reps.v", "c0.cv")} / (reps.n * c0.cn)) DESC,
                    c0.cid) AS arn
-             FROM e, c0) WHERE arn = 1),
+             FROM reps, c0) WHERE arn = 1),
          probes AS MATERIALIZED (SELECT src, qv, qn, cid FROM (
-             SELECT e.vec_id AS src, e.v AS qv, e.n AS qn, c0.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+             SELECT reps.vec_id AS src, reps.v AS qv, reps.n AS qn, c0.cid,
+               row_number() OVER (PARTITION BY reps.vec_id
+                 ORDER BY (${VecOps.sqlDot("reps.v", "c0.cv")} / (reps.n * c0.cn)) DESC,
                    c0.cid) AS prn
-             FROM e, c0) WHERE prn <= $NProbe),
+             FROM reps, c0) WHERE prn <= $NProbe),
          prs AS MATERIALIZED (SELECT p.src, a.vec_id AS nbr
            FROM probes p JOIN assigned a USING (cid)
            WHERE a.vec_id <> p.src
              AND CAST(floor((${VecOps.sqlDot("p.qv", "a.v")} / (p.qn * a.n))
                * 1000000.0) AS BIGINT) >= $DbEpsMicro),
-         deg AS (SELECT src, count(*) AS deg FROM prs GROUP BY src),
+         deg AS MATERIALIZED (SELECT r.vec_id AS src,
+             coalesce(nb.s, 0) + r.m - 1 AS deg
+           FROM reps r LEFT JOIN (SELECT prs.src, sum(m.m) AS s FROM prs
+             JOIN mult m ON m.rep = prs.nbr GROUP BY prs.src) nb
+           ON nb.src = r.vec_id),
          core AS (SELECT src AS id FROM deg WHERE deg >= $DbMinPts),
          ce AS MATERIALIZED (SELECT prs.src, prs.nbr FROM prs
            JOIN core ca ON ca.id = prs.src JOIN core cb ON cb.id = prs.nbr),
          bi AS MATERIALIZED (SELECT src, nbr AS dst FROM ce UNION SELECT nbr, src FROM ce),
-         r AS (SELECT src, dst FROM bi
-           UNION SELECT r.src, bi.dst FROM r JOIN bi ON r.dst = bi.src),
-         reach AS (SELECT src, dst FROM r UNION SELECT DISTINCT src, src FROM bi),
+         cr AS (SELECT src, dst FROM bi
+           UNION SELECT cr.src, bi.dst FROM cr JOIN bi ON cr.dst = bi.src),
+         reach AS (SELECT src, dst FROM cr UNION SELECT DISTINCT src, src FROM bi),
          ccl AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src),
          corelbl AS (SELECT core.id, coalesce(ccl.cluster, core.id) AS cluster
            FROM core LEFT JOIN ccl USING (id)),
@@ -2931,15 +3031,15 @@ object Similarity {
            FROM prs JOIN corelbl cl ON cl.id = prs.nbr
            WHERE prs.src NOT IN (SELECT id FROM core)
            GROUP BY prs.src)
-         SELECT e.vec_id, CAST(coalesce(deg.deg, 0) AS BIGINT) AS deg,
+         SELECT rm.vec_id, CAST(deg.deg AS BIGINT) AS deg,
            CASE WHEN c.cluster IS NOT NULL THEN 'core'
                 WHEN b.cluster IS NOT NULL THEN 'border'
                 ELSE 'noise' END AS role,
            CAST(coalesce(c.cluster, b.cluster, -1) AS BIGINT) AS cluster
-         FROM e LEFT JOIN deg ON deg.src = e.vec_id
-           LEFT JOIN corelbl c ON c.id = e.vec_id
-           LEFT JOIN borderlbl b ON b.src = e.vec_id
-         ORDER BY e.vec_id""",
+         FROM rmap rm JOIN deg ON deg.src = rm.rep
+           LEFT JOIN corelbl c ON c.id = rm.rep
+           LEFT JOIN borderlbl b ON b.src = rm.rep
+         ORDER BY rm.vec_id""",
 
 
     // Matryoshka: prefix-dim coarse cosine, exact full-dim rescore

@@ -4,15 +4,18 @@ import graft.queries.Similarity
 
 /** s_dbscan teeth independent of the SQL oracle: the engine result on
   * the real sf0.001 corpus must equal a naive in-JVM DBSCAN running the
-  * SAME index-bounded trajectory — md5-drawn centroids, argmax-cosine
-  * cells, NProbe probed cells as the neighborhood bound, micro-floored
-  * radius compare, MinPts core gate, union-find over core-core edges
-  * (min-id labels == what min-label propagation converges to),
-  * min-adjacent-core border adoption. The real corpus exercises all
-  * three roles (161 core / 216 border / 123 noise at this scale), so
-  * one equivalence pins the full semantics; explicit teeth assert the
-  * mix is non-degenerate and that borders always adopt a real core's
-  * cluster.
+  * SAME dedup-first, index-bounded trajectory (round 14) — twin-union
+  * corpus, LSH-bucket-bounded replica pairs at ReplicaTau, union-find
+  * replica groups (rep = min id, m = group size), md5-drawn centroids
+  * over the REPS, argmax-cosine cells, NProbe probed cells as the
+  * neighborhood bound, micro-floored radius compare, multiplicity-
+  * weighted MinPts core gate (deg = Σ m(nbr) + m(self) − 1), union-find
+  * over core-core edges (min-id labels == what min-label propagation
+  * converges to), min-adjacent-core border adoption, members inheriting
+  * their rep's row. The real corpus exercises all three roles, so one
+  * equivalence pins the full semantics; explicit teeth assert the mix
+  * is non-degenerate, that borders always adopt a real core's cluster,
+  * and that every twin collapses into its base's replica group.
   */
 class DbscanSpec extends SparkSpec {
   import spark.implicits._
@@ -24,6 +27,7 @@ class DbscanSpec extends SparkSpec {
   private def kOf(n: Long) = graft.queries.Similarity.kFor(n)
   private val EpsMicro = 250000L
   private val MinPts = 4
+  private val ReplicaTau = 990000L
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -32,24 +36,53 @@ class DbscanSpec extends SparkSpec {
   private def dot(a: Array[Double], b: Array[Double]): Double =
     a.indices.map(i => a(i) * b(i)).reduceLeft(_ + _)
 
-  /** The full naive trajectory — md5 centroids, probed-cell-bounded
-    * radius graph, MinPts gate, union-find components, border adoption
-    * — parameterized by the corpus so both the real-data test and the
-    * randomized planted test run the identical reference. */
-  private def naiveDbscan(vs: Map[Long, Array[Double]]): Set[(Long, Long, String, Long)] = {
+  /** The full naive dedup-first trajectory, parameterized by the BASE
+    * corpus (twins are added here, mirroring the engine). */
+  private def naiveDbscan(base: Map[Long, Array[Double]]): Set[(Long, Long, String, Long)] = {
+    // twin union: +100000 id, +0.05 on component 1
+    val vs: Map[Long, Array[Double]] = base ++ base.map { case (id, v) =>
+      (id + 100000L) -> (Array(v(0) + 0.05) ++ v.drop(1))
+    }
     val norm = vs.view.mapValues(v => math.sqrt(dot(v, v))).toMap
     def cos(a: Long, b: Long): Double = dot(vs(a), vs(b)) / (norm(a) * norm(b))
-    val cents = vs.keys.toSeq.sortBy(id => (md5Hex(id.toString), id)).take(kOf(vs.size))
+    def cmicro(a: Long, b: Long): Long = math.floor(cos(a, b) * 1000000.0).toLong
+    // replica screen: same-LSH-bucket pairs at >= ReplicaTau, union-find
+    val planes = (0 until graft.functions.VecOps.NPlanes)
+      .map(p => graft.functions.VecOps.plane(p).toArray)
+    def bucket(v: Array[Double]): Int =
+      planes.zipWithIndex.map { case (pl, i) =>
+        if (dot(v, pl) > 0) 1 << i else 0 }.sum
+    val buckets = vs.view.mapValues(bucket).toMap
+    val parentR = collection.mutable.Map.empty[Long, Long]
+    def findR(x: Long): Long = {
+      val p = parentR.getOrElse(x, x)
+      if (p == x) x else { val r = findR(p); parentR(x) = r; r }
+    }
+    def unionR(a: Long, b: Long): Unit = {
+      val (ra, rb) = (findR(a), findR(b))
+      if (ra != rb) parentR(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for (a <- vs.keys; b <- vs.keys
+         if a < b && buckets(a) == buckets(b) && cmicro(a, b) >= ReplicaTau)
+      unionR(a, b)
+    val repOf: Map[Long, Long] = vs.keys.map(id => id -> findR(id)).toMap
+    val mult: Map[Long, Long] =
+      repOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val reps = mult.keySet
+    // classic chain over the reps, multiplicity-weighted degrees
+    val cents = reps.toSeq.sortBy(id => (md5Hex(id.toString), id)).take(kOf(reps.size))
     def nearestCells(id: Long, n: Int): Seq[Long] =
       cents.map(c => (c, cos(id, c))).sortBy { case (c, s) => (-s, c) }
         .take(n).map(_._1)
-    val cellOf: Map[Long, Long] = vs.keys.map(id => id -> nearestCells(id, 1).head).toMap
-    val nbrs: Map[Long, Set[Long]] = vs.keys.map { src =>
+    val cellOf: Map[Long, Long] = reps.map(id => id -> nearestCells(id, 1).head).toMap
+    val nbrs: Map[Long, Set[Long]] = reps.map { src =>
       val probed = nearestCells(src, NProbe).toSet
-      src -> vs.keys.filter(id => id != src && probed(cellOf(id)) &&
-        math.floor(cos(src, id) * 1000000.0).toLong >= EpsMicro).toSet
+      src -> reps.filter(id => id != src && probed(cellOf(id)) &&
+        cmicro(src, id) >= EpsMicro).toSet
     }.toMap
-    val core = nbrs.collect { case (id, ns) if ns.size >= MinPts => id }.toSet
+    val deg: Map[Long, Long] = reps.map(id =>
+      id -> (nbrs(id).toSeq.map(mult).sum + mult(id) - 1)).toMap
+    val core = reps.filter(id => deg(id) >= MinPts)
     val parent = collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       val p = parent.getOrElse(x, x)
@@ -61,21 +94,28 @@ class DbscanSpec extends SparkSpec {
     }
     for (a <- core; b <- nbrs(a) if core(b)) union(a, b)
     val coreLbl: Map[Long, Long] = core.map(id => id -> find(id)).toMap
-    vs.keys.map { id =>
-      val deg = nbrs(id).size.toLong
-      if (core(id)) (id, deg, "core", coreLbl(id))
+    val repRow: Map[Long, (Long, String, Long)] = reps.map { id =>
+      if (core(id)) id -> ((deg(id), "core", coreLbl(id)))
       else {
         val adj = nbrs(id).filter(core).map(coreLbl)
-        if (adj.nonEmpty) (id, deg, "border", adj.min)
-        else (id, deg, "noise", -1L)
+        if (adj.nonEmpty) id -> ((deg(id), "border", adj.min))
+        else id -> ((deg(id), "noise", -1L))
       }
+    }.toMap
+    // members inherit their representative's row
+    vs.keys.map { id =>
+      val (d, role, cl) = repRow(repOf(id))
+      (id, d, role, cl)
     }.toSet
   }
 
-  test("s_dbscan == naive index-bounded DBSCAN on a randomized planted corpus") {
+  test("s_dbscan == naive dedup-first DBSCAN on a randomized planted corpus") {
     // two tight planted clusters + uniform noise, new session-temp
     // corpus so the md5 centroid draw lands on a DIFFERENT cell
-    // configuration than the real data exercises
+    // configuration than the real data exercises. Planted intra-cluster
+    // cosines (~0.97 at jitter 0.02) sit BELOW the replica bar, so the
+    // clusters survive the screen as density structure; the twins
+    // (~0.9995) collapse into their bases.
     val rnd = new scala.util.Random(20260816L)
     def unitish(base: Int, jitter: Double): Array[Float] =
       Array.tabulate(64)(i =>
@@ -96,16 +136,20 @@ class DbscanSpec extends SparkSpec {
       .as[(Long, Long, String, Long)].collect().toSet
     assert(got == naiveDbscan(vs))
     // the planted structure: each tight cluster is one all-core
-    // component; the two clusters get different labels
+    // component; the two clusters get different labels; twins inherit
     val byId = got.map(r => r._1 -> r).toMap
     val cA = (0L until 12L).map(byId(_))
     val cB = (12L until 22L).map(byId(_))
     assert(cA.forall(_._3 == "core") && cA.map(_._4).toSet.size == 1)
     assert(cB.forall(_._3 == "core") && cB.map(_._4).toSet.size == 1)
     assert(cA.head._4 != cB.head._4)
+    (0L until 22L).foreach { id =>
+      assert(byId(id + 100000L) == byId(id).copy(_1 = id + 100000L),
+        s"twin of $id must inherit its base's replica-group row")
+    }
   }
 
-  test("s_dbscan == naive index-bounded DBSCAN on the real corpus") {
+  test("s_dbscan == naive dedup-first DBSCAN on the real corpus") {
     val vs = spark.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
       .as[(Long, Array[Double])].collect().toMap
@@ -123,12 +167,19 @@ class DbscanSpec extends SparkSpec {
     assert(got.collect { case (_, _, "border", c) => c }
       .forall(coreClusters.contains), "border adopted a non-core cluster")
     assert(got.collect { case (_, _, "noise", c) => c }.forall(_ == -1L))
+    // the screen has real teeth on this corpus: with most twins
+    // collapsed, the labeled population is ~2x the rep population
+    val reps = got.count(r => r._1 < 100000L)
+    assert(got.size == 2 * reps, "twin corpus: one twin per base vector")
   }
 
-  test("s_dbscan_sweep: bands nest and the gate band matches s_dbscan's roles") {
+  test("s_dbscan_sweep: bands nest and partition the raw corpus") {
     // monotone nesting: a tighter radius (higher eps_micro) can only
     // shrink the in-radius neighborhoods, so core counts are
-    // nonincreasing across bands; every band partitions the corpus
+    // nonincreasing across bands; every band partitions the corpus.
+    // (The sweep reads the eps knee on the RAW corpus — the tuning
+    // input to DbEpsMicro; s_dbscan itself runs the dedup-first screen
+    // on the twin corpus, so their absolute counts are not comparable.)
     val sweep = Similarity.queries("s_dbscan_sweep")(spark, dir)
       .orderBy("eps_micro").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -140,11 +191,6 @@ class DbscanSpec extends SparkSpec {
       assert(c + b + x == n, s"band $eps: $c+$b+$x != $n") }
     // non-degenerate: the curve actually moves across the bands
     assert(cores.distinct.length > 1, s"flat curve: ${cores.mkString(",")}")
-    // the gate band's core population == s_dbscan's core role count
-    val gateCore = sweep.find(_._1 == 250000L).get._2
-    val dbscanCore = Similarity.queries("s_dbscan")(spark, dir)
-      .filter("role = 'core'").count()
-    assert(gateCore == dbscanCore)
     graft.CacheBook.releaseAll(spark)
   }
 }
