@@ -95,10 +95,15 @@ object ConnectedComponents {
         // lazy checkpoint: materialized by the sum action below, and it
         // truncates the lineage so the plan doesn't grow round-over-round
         // (analysis time was the dominant cost before data size even
-        // mattered); superseded generations are reclaimed by the
-        // ContextCleaner once unreferenced.
+        // mattered).
         .localCheckpoint(false)
       val s = lblSum(next)
+      // the superseded generation is DEAD the moment next's sum is
+      // taken — drop its blocks NOW instead of waiting for the
+      // ContextCleaner (round 14: under a long run's aggregate block-
+      // store pressure, every live superseded round competes for the
+      // store and the loop's own blocks churn through eviction moves)
+      graft.CacheBook.unpersistCheckpoint(labels)
       changed = s.compareTo(prevSum) != 0
       prevSum = s
       labels = next
@@ -226,6 +231,9 @@ object ConnectedComponents {
       converged = next.withColumn("r", lit(1))
         .join(e.withColumn("l", lit(1)), Seq("hi", "lo"), "full_outer")
         .filter(col("r").isNull || col("l").isNull).count() == 0L
+      // the fixpoint count was the last reader of the superseded
+      // generation — drop its blocks eagerly (see runLoop)
+      graft.CacheBook.unpersistCheckpoint(e)
       e = next
       iter += 1
     }

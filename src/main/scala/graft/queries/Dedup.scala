@@ -1036,9 +1036,15 @@ object Dedup {
 
     // the SAME clustering through the O(log n)-round star-contraction
     // strategy (the deep-graph scale path) — held to the identical
-    // recursive-CTE oracle, so both algorithms are driver-gate-verified
+    // recursive-CTE oracle, so both algorithms are driver-gate-verified.
+    // The star labels are a NAMED MEMO (round 14): the r13 warm retry
+    // of this entry re-ran the whole star loop (70 block re-writes
+    // behind a live cluster_edges memo — the loop itself was covered by
+    // no memo), so a retry could never falsify a regression; now the
+    // warm retry reads d/stars_labels at ~0 rddWrites and the clean
+    // retry re-prices the loop.
     "d_cluster_stars" -> ((s, dir) =>
-      clusterWith(s, dir, ConnectedComponents.runStars(_))),
+      clusterWith(s, dir, _ => starsLabels(s, dir))),
 
     // fuzzy (edit-distance) dedup — the code-corpus variant of
     // near-dup verification: MinHash bands generate candidates (the
@@ -1219,6 +1225,23 @@ object Dedup {
         ePairs.union(jaccardPairs(s, dir).select("a", "b")).localCheckpoint(true),
         checkpointed = true)
     })) }.value
+  }
+
+  private val starsCache =
+    collection.mutable.Map.empty[(SparkSession, String), graft.Once[DataFrame]]
+
+  /** Memoized star-contraction labels over [[clusterEdges]] — the
+    * d_cluster_stars result relation. runStars returns an eager local
+    * checkpoint, so the memo holds materialized blocks; the memo exists
+    * so a bench warm retry reads standing state instead of silently
+    * re-running the whole per-round checkpoint loop (the r13 `weak`
+    * signature: flat jobs, 70 re-written blocks, nothing to read). */
+  private def starsLabels(s: SparkSession, dir: String): DataFrame = {
+    graft.CacheBook.touch(s, "d", "stars_labels")
+    synchronized { starsCache.getOrElseUpdate((s, dir), new graft.Once(() =>
+      book(s, dir, "d", "stars_labels", starsCache,
+        ConnectedComponents.runStars(clusterEdges(s, dir)),
+        checkpointed = true))) }.value
   }
 
   private val labelCache =

@@ -12,8 +12,11 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens=java.base/$p=ALL-UNNAMED"
 done
+# BENCH_XMX shrinks the heap for memory-pressure experiments (the
+# r13/r14 first-touch RCA: a squeezed block store makes eviction
+# churn measurable via rddWrites at flat jobs)
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
 SPARK_GRAFT_BENCH_OUT="$OUT" \
-java -Xmx16g $OPENS -Dspark.ui.enabled=false \
+java -Xmx${BENCH_XMX:-16g} $OPENS -Dspark.ui.enabled=false \
   -cp "$CP" graft.Bench "$@" > /dev/null
