@@ -131,6 +131,25 @@ object Bench {
     parsed
   }
 
+  /** Per-query committed rddWrites medians (round 14) — the
+    * eviction/recompute channel's expectations. Absent in legacy
+    * budget files; then no writes are flagged. */
+  private def readWriteBudget(path: String): Map[String, Long] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isReadable(p)) return Map.empty
+    val text = try new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      catch { case _: Throwable => "" }
+    """"([^"]+)"\s*:\s*\{[^}]*"rddWrites"\s*:\s*([0-9]+)""".r
+      .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toLong).toMap
+  }
+
+  /** The mechanical writes-over-budget rule: a first sample whose
+    * cache-block writes exceed 2x the committed median + 8 carries the
+    * recompute/eviction signature (the +8 floor absorbs AQE jitter on
+    * near-zero-write probes). Factored out so BenchRetrySpec pins it. */
+  def writesOver(observed: Long, committed: Long): Boolean =
+    observed > 2 * committed + 8
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -174,6 +193,7 @@ object Bench {
     val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET",
       "tools/bench_budget.json")
     val budget = readBudget(budgetPath)
+    val writeBudget = readWriteBudget(budgetPath)
     val retryK = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_K")
       .flatMap(_.toDoubleOption).getOrElse(3.0)
     // absolute retry floor: sub-second probe entries (budget 0.1-0.3 s)
@@ -233,6 +253,10 @@ object Bench {
       Sample(elapsed, metrics.jobs.get() - j0, (metrics.cpuNs.get() - c0) / 1e9,
         metrics.rddWrites.get() - w0)
     }
+    // first samples whose cache-block writes exceed the committed
+    // expectation — the recompute/eviction signature, flagged from the
+    // artifact alone (observed vs committed)
+    val writesFlagged = collection.mutable.Map.empty[String, String]
     val retries = collection.mutable.Map.empty[String, Sample]
     val retryKind = collection.mutable.Map.empty[String, String]
     val retryTouched = collection.mutable.Map.empty[String, String]
@@ -240,6 +264,10 @@ object Bench {
     val retriesClean = collection.mutable.Map.empty[String, Sample]
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val s1 = timed(name, fn)
+      if (!errors.contains(name)
+          && writeBudget.get(name).exists(w => Bench.writesOver(s1.rddWrites, w)))
+        writesFlagged(name) =
+          s"${s1.rddWrites} vs ${writeBudget(name)} committed"
       // over budget: take a second (warm) sample — a contention spike
       // retries fast, a true regression stays slow. Never replaces the
       // first sample; both are reported. A retry that CRASHES is not a
@@ -327,9 +355,10 @@ object Bench {
     val rclj = obj(retriesClean.toSeq.sortBy(_._1).map { case (k, s) => k -> s.jobs.toString })
     val rclw = obj(retriesClean.toSeq.sortBy(_._1).map { case (k, s) => k -> s.rddWrites.toString })
     val es = obj(errors.toSeq.sortBy(_._1).map { case (k, v) => k -> q(v) })
+    val wf = obj(writesFlagged.toSeq.sortBy(_._1).map { case (k, v) => k -> q(v) })
     val total = results.map(_._2.sec).sum
     val json =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","calibCpuSec":${sec(calibStart)},"queries":$qs,"jobs":$js,"cpuSec":$cs,"rddWrites":$ws,"retries":$rs,"retryCpuSec":$rcs,"retryRddWrites":$rws,"retryKind":$rks,"retryTouched":$rts,"retryCalibCpuSec":$rcal,"retriesClean":$rcl,"retriesCleanCpuSec":$rclc,"retriesCleanJobs":$rclj,"retriesCleanRddWrites":$rclw,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","calibCpuSec":${sec(calibStart)},"queries":$qs,"jobs":$js,"cpuSec":$cs,"rddWrites":$ws,"writesOverBudget":$wf,"retries":$rs,"retryCpuSec":$rcs,"retryRddWrites":$rws,"retryKind":$rks,"retryTouched":$rts,"retryCalibCpuSec":$rcal,"retriesClean":$rcl,"retriesCleanCpuSec":$rclc,"retriesCleanJobs":$rclj,"retriesCleanRddWrites":$rclw,"errors":$es,"sf":"$sfDir"}"""
     // a line-capture of stdout can truncate a long JSON line (BENCH_r03
     // lost 9 queries + the total that way) — ALSO persist it to a file
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -16,6 +16,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // per-task cached-block write statuses feed BlockPressureSpec's
+      // rddWrites channel (same conf the bench harness runs under)
+      .config("spark.taskMetrics.trackUpdatedBlockStatuses", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

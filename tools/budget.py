@@ -41,6 +41,13 @@ for n in names:
         "jobs": int(statistics.median(r["jobs"][n] for r in runs)),
         "cpuSec": round(statistics.median(r["cpuSec"][n] for r in runs), 3),
     }
+    # per-entry cache-block-write expectation (round 14): the
+    # eviction/recompute signature (writes above budget at flat jobs)
+    # becomes mechanically checkable from the driver artifact alone —
+    # Bench flags first samples above 2x budget + 8 in writesOverBudget
+    if all("rddWrites" in r for r in runs):
+        budget[n]["rddWrites"] = int(
+            statistics.median(r["rddWrites"][n] for r in runs))
 
 with open("tools/bench_budget.json", "w") as f:
     json.dump(budget, f, indent=1)
