@@ -45,6 +45,27 @@ object RestoreExecutor {
     * evidence the ordering/concurrency contract is asserted on. */
   final case class Load(table: String, rows: Long, startNanos: Long, endNanos: Long)
 
+  /** Split a DdlWriter schema section into individual statements
+    * (drop the trailing semicolons JDBC executors reject). */
+  def statements(sqlText: String): Seq[String] =
+    sqlText.split(";").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Run one schema section against the target over a plain JDBC
+    * connection. `translate` maps each statement to the target's
+    * dialect (identity for PostgreSQL — DdlWriter's native output;
+    * a Derby target rewrites `text` and strips DEFERRABLE). */
+  private def runSection(url: String, props: java.util.Properties,
+      file: java.nio.file.Path, translate: String => String): Unit = {
+    Option(props.getProperty("driver")).foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try statements(java.nio.file.Files.readString(file))
+        .foreach(s => st.execute(translate(s)))
+      finally st.close()
+    } finally conn.close()
+  }
+
   /** Manifest rows: (table id, row_count, last_value or null). */
   def readManifest(sliceDir: String): Seq[(String, Long, Option[Long])] = {
     val manifest = new ObjectMapper().readTree(
@@ -62,11 +83,29 @@ object RestoreExecutor {
     *
     * @param jobs concurrent table loads (≥ 1) — the semaphore width
     * @param setSequence invoked once per manifest `last_value` AFTER
-    *   all data (table, value) — dialect-specific statement */
+    *   all data (table, value) — dialect-specific statement
+    * @param includeSchema install the slice's embedded DDL sections
+    *   (the reference's `--include-schema`, cli/main.py:173-180):
+    *   `schema/pre-data.sql` creates the tables BEFORE any load —
+    *   an EMPTY target works — and `schema/post-data.sql` adds the
+    *   PK/FK constraints AFTER all data (restore.py's section order;
+    *   cycle back-edges are in post-data, so "constraint checked after
+    *   both sides exist" holds on targets without deferrable support)
+    * @param ddlDialect per-statement rewrite of DdlWriter's PostgreSQL
+    *   DDL into the target's dialect (identity for Postgres) */
   def apply(spark: SparkSession, graph: SchemaGraph, sliceDir: String,
       url: String, props: java.util.Properties, jobs: Int,
-      setSequence: (String, Long) => Unit = (_, _) => ()): Seq[Load] = {
+      setSequence: (String, Long) => Unit = (_, _) => (),
+      includeSchema: Boolean = false,
+      ddlDialect: String => String = identity): Seq[Load] = {
     require(jobs >= 1, s"jobs must be >= 1, got $jobs")
+    val schemaDir = java.nio.file.Paths.get(sliceDir, "schema")
+    if (includeSchema) {
+      require(java.nio.file.Files.isReadable(schemaDir.resolve("pre-data.sql")),
+        s"--include-schema: no schema/pre-data.sql in $sliceDir " +
+          "(slice written without DdlWriter sections)")
+      runSection(url, props, schemaDir.resolve("pre-data.sql"), ddlDialect)
+    }
     val manifest = readManifest(sliceDir)
     val present = manifest.map(_._1).toSet
     val pos = graph.restoreOrder.zipWithIndex
@@ -150,6 +189,11 @@ object RestoreExecutor {
         }
       }
       if (firstError.get() != null) throw firstError.get()
+      // post-data constraints AFTER every load (the reference's section
+      // order: pg_restore applies post-data once the data section is in)
+      if (includeSchema && java.nio.file.Files.isReadable(
+          schemaDir.resolve("post-data.sql")))
+        runSection(url, props, schemaDir.resolve("post-data.sql"), ddlDialect)
       // sequences LAST — deliberately INVERTING the reference's
       // ordering (slice_db/restore.py calls _restore_sequences before
       // _restore_rows). Equivalent because the rows carry explicit key

@@ -19,8 +19,15 @@ import org.apache.spark.sql.SparkSession
   * driver. Requires the graph argument (the wait graph is the FK
   * graph).
   *
+  * `--include-schema` additionally installs the slice's embedded DDL
+  * sections around the loads (pre-data CREATE TABLEs before, post-data
+  * PK/FK constraints after — the reference's `--include-schema`,
+  * cli/main.py:173-180), so an EMPTY target restores end-to-end. The
+  * CLI runs the sections verbatim (DdlWriter emits PostgreSQL DDL);
+  * other dialects go through RestoreExecutor's `ddlDialect` hook.
+  *
   * Usage: SliceRestore <sliceDirOrZip> [graph.json] [--apply <jdbcUrl>
-  *   [--jobs N] [--driver <class>]]
+  *   [--jobs N] [--driver <class>] [--include-schema]]
   */
 object SliceRestore {
 
@@ -111,7 +118,8 @@ object SliceRestore {
         sys.error(s"--jobs must be an integer, got '$v'"))).getOrElse(4)
       val props = new java.util.Properties()
       flag("--driver").foreach(props.setProperty("driver", _))
-      val loads = RestoreExecutor(spark, graph, sliceDir, url, props, jobs)
+      val loads = RestoreExecutor(spark, graph, sliceDir, url, props, jobs,
+        includeSchema = args.contains("--include-schema"))
       loads.sortBy(_.startNanos).foreach(l =>
         println(s"[restore] loaded ${l.table}: ${l.rows} rows"))
     }

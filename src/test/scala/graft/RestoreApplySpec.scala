@@ -102,6 +102,46 @@ class RestoreApplySpec extends SparkSpec {
     st.close(); conn.close()
   }
 
+  test("--include-schema restores into an EMPTY target: pre-data creates, " +
+      "post-data constrains after the loads") {
+    val db = s"memory:restoreEmpty${System.nanoTime()}"
+    val url = s"jdbc:derby:$db;create=true"
+    val dir = writeSlice()
+    // the schema sections the reference embeds (pg_dump --section):
+    // derived here from the DataFrame schemas + the FK graph
+    graft.sources.DdlWriter.write(graph, t => tables(t).schema,
+      Set("p", "c", "x", "y"), dir)
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    // Derby dialect: no `text` type, no DEFERRABLE clause — the hook
+    // is exactly where a production caller maps DdlWriter's PostgreSQL
+    // output onto the target
+    val derby = (s: String) => s
+      .replace(" text", " VARCHAR(128)")
+      .replace(" DEFERRABLE INITIALLY IMMEDIATE", "")
+    val loads = RestoreExecutor(spark, graph, dir, url, props, jobs = 2,
+      includeSchema = true, ddlDialect = derby)
+    assert(loads.map(_.table).sorted == Seq("c", "p", "x", "y"))
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    // counts == manifest in tables THIS restore created
+    RestoreExecutor.readManifest(dir).foreach { case (t, n, _) =>
+      val rs = st.executeQuery(s"SELECT COUNT(*) FROM $t")
+      rs.next()
+      assert(rs.getLong(1) == n, s"$t: target=${rs.getLong(1)} manifest=$n")
+    }
+    // post-data installed the constraints: an orphan child INSERT must
+    // now violate the FK (proves the constraint exists and is checked)
+    intercept[java.sql.SQLException] {
+      st.execute("INSERT INTO c VALUES (99, 42)")
+    }
+    // the cycle's back-edges exist too (installed after the data)
+    intercept[java.sql.SQLException] {
+      st.execute("INSERT INTO x VALUES (999, 12345)")
+    }
+    st.close(); conn.close()
+  }
+
   test("a failed table load fails the restore (no silent partial success)") {
     val db = s"memory:restoreFail${System.nanoTime()}"
     val url = s"jdbc:derby:$db;create=true"
