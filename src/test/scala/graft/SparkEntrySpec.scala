@@ -10,7 +10,7 @@ class SparkEntrySpec extends AnyFunSuite {
       graft.queries.TransformQueries.queries, graft.queries.TextAnalysis.queries,
       graft.queries.Dedup.queries, graft.queries.Similarity.queries,
       graft.queries.MultimodalQueries.queries, graft.queries.StreamingQueries.queries,
-      graft.queries.Curation.queries)
+      graft.queries.Curation.queries, graft.queries.PipelineQueries.queries)
     val all = packs.flatMap(_.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")
