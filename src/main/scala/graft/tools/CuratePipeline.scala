@@ -164,8 +164,13 @@ object CuratePipeline {
         .select("doc_id").localCheckpoint(true)
       graft.CacheBook.register(spark, "curate")(
         () => graft.CacheBook.unpersistCheckpoint(keepImg))
-      near.join(keepImg, Seq("doc_id"), "left_semi")
+      // checkpoint the surviving corpus: span strip walks it several
+      // times (spans + words + the reassembly join) and each walk would
+      // otherwise replay the dedup/decontam anti-join chain
+      near.join(keepImg, Seq("doc_id"), "left_semi").localCheckpoint(true)
     }
+    graft.CacheBook.register(spark, "curate")(
+      () => graft.CacheBook.unpersistCheckpoint(imgDeduped))
     stages += "after_image_dedup" -> imgDeduped.count()
 
     // 4b. exact-substring strip (the x_span_strip contract) AFTER
@@ -180,17 +185,20 @@ object CuratePipeline {
       .join(strip.filter(col("n_removed") < col("n_words"))
         .select(col("doc_id"), col("cleaned").as("text")), "doc_id")
       .withColumn("n_chars", length(col("text")).cast("long"))
-    stages += "after_span_strip" -> stripped.count()
 
-    // 5. token stats on the curated set. MATERIALIZE the survivors and
-    // release the build-side caches: lshPairs memoizes a persisted band
-    // table per shingle frame (scope "d"), and a long-lived session
-    // running curate() nightly would otherwise grow the block store by
-    // one band table per run — the monotonic-growth mode CacheBook
-    // exists to prevent. The checkpoint cuts the curated frame's
-    // lineage first, so the release can't force a rebuild downstream.
+    // 5. token stats on the curated set. MATERIALIZE the survivors
+    // FIRST and take the span-strip stage count off the checkpoint (a
+    // separate pre-checkpoint count would run the span-strip shuffles
+    // a second time), then release the build-side caches: lshPairs
+    // memoizes a persisted band table per shingle frame (scope "d"),
+    // and a long-lived session running curate() nightly would
+    // otherwise grow the block store by one band table per run — the
+    // monotonic-growth mode CacheBook exists to prevent. The
+    // checkpoint cuts the curated frame's lineage first, so the
+    // release can't force a rebuild downstream.
     val curated = stripped.withColumn("n_tokens", size(split(col("text"), " ")))
       .localCheckpoint(true)
+    stages += "after_span_strip" -> curated.count()
     if (releaseDedupCaches) graft.CacheBook.release(spark, "d")
     // the curated frame's own checkpoint blocks are the caller's to
     // release: register them under the "curate" scope so a long-lived
