@@ -31,6 +31,17 @@ class BenchRetrySpec extends SparkSpec {
     jobs.get()
   }
 
+  test("writesOver: the committed-writes rule fires above 2x + 8 and not below") {
+    // the round-14 mechanical reading rule, pinned: 2x absorbs plan-
+    // proportional growth, +8 absorbs AQE jitter on near-zero probes
+    assert(!Bench.writesOver(0, 0))
+    assert(!Bench.writesOver(8, 0))
+    assert(Bench.writesOver(9, 0))
+    assert(!Bench.writesOver(148, 70)) // 2*70+8 = 148, boundary holds
+    assert(Bench.writesOver(149, 70))
+    assert(!Bench.writesOver(70, 70)) // at-budget never flags
+  }
+
   test("retryKind: cold family classifies clean, warm memo classifies cache-read") {
     val q = queries.Dedup.queries("d_exact")
     CacheBook.releaseAll(spark)
