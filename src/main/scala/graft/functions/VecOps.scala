@@ -85,4 +85,21 @@ object VecOps {
     (0 until NPlanes).map(p =>
       s"(CASE WHEN ${sqlDotPlane(v, plane(p))} > 0 THEN ${1 << p} ELSE 0 END)")
       .mkString("(", " + ", ")")
+
+  /** Sign-bit bucket over an arbitrary plane RANGE [base, base+n) —
+    * the banded-LSH building block (s_dbscan's replica screen uses
+    * four 16-plane bands: a near-exact pair missing one band's bucket
+    * almost surely shares another, while each band's 2^16 bucket space
+    * keeps the in-bucket pair term tiny). Same deterministic plane
+    * family as [[lshBucket]] (= lshBucketAt(v, 0, NPlanes)). */
+  def lshBucketAt(v: Column, base: Int, n: Int): Column = {
+    require(n >= 1 && n <= 30, s"band width must be in [1, 30], got $n")
+    (0 until n).map(p =>
+      when(dotPlane(v, plane(base + p)) > 0, lit(1 << p)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+  def sqlLshBucketAt(v: String, base: Int, n: Int): String =
+    (0 until n).map(p =>
+      s"(CASE WHEN ${sqlDotPlane(v, plane(base + p))} > 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
 }

@@ -872,15 +872,31 @@ object Similarity {
         .localCheckpoint(true)
       graft.CacheBook.register(s, "s")(() =>
         graft.CacheBook.unpersistCheckpoint(e))
-      // replica screen: same-bucket candidates, near-exact verify
-      val bk = e.withColumn("bucket", VecOps.lshBucket(col("v")))
+      // replica screen: BANDED same-bucket candidates (4 bands × 16
+      // planes — each band's 2^16 bucket space keeps the in-bucket
+      // pair term tiny while a ≥0.99 pair almost surely shares at
+      // least one band: P(miss all four) ≈ (1−0.85)^4 even at the
+      // twin's per-plane flip rate), DISTINCT, then near-exact verify.
+      // The fixed-2^8 single-bucket screen was itself the quadratic
+      // term the screen exists to remove (measured: the N²/256
+      // in-bucket join dominated the sf1e decade).
+      val bk = e.select(col("vec_id"), col("v"), col("n"),
+        explode(array((0 until 4).map(bi =>
+          struct(lit(bi).as("bi"),
+            VecOps.lshBucketAt(col("v"), bi * 16, 16).as("bk"))): _*)).as("band"))
+        .select(col("vec_id"), col("v"), col("n"),
+          col("band.bi").as("bi"), col("band.bk").as("bk"))
       val rp = bk.as("x").join(bk.as("y"),
-          col("x.bucket") === col("y.bucket")
+          col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
             && col("x.vec_id") < col("y.vec_id"))
-        .filter(floor(VecOps.cosine(col("x.v"), col("y.v"),
-            col("x.n"), col("y.n")) * lit(1000000.0)).cast("long")
-          >= ReplicaTauMicro)
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+        .distinct()
+        .join(e.select(col("vec_id").as("a"), col("v").as("av"), col("n").as("an")), "a")
+        .join(e.select(col("vec_id").as("b"), col("v").as("bv"), col("n").as("bn")), "b")
+        .filter(floor(VecOps.cosine(col("av"), col("bv"),
+            col("an"), col("bn")) * lit(1000000.0)).cast("long")
+          >= ReplicaTauMicro)
+        .select("a", "b")
       val rlbl = graft.operators.ConnectedComponents.run(rp)
         .select(col("id").as("vec_id"), col("cluster").as("rep"))
       // (vec_id → rep) for EVERY vector; feeds multiplicity + expand —
@@ -2974,12 +2990,17 @@ object Similarity {
            SELECT vec_id, v, ${VecOps.sqlNorm("v")} AS n FROM (
              SELECT vec_id, v FROM e0
              UNION ALL SELECT vec_id + 100000, [v[1] + 0.05] || v[2:64] FROM e0)),
-         bk AS MATERIALIZED (SELECT vec_id, v, n,
-             ${VecOps.sqlLshBucket("v")} AS bucket FROM e),
-         rpx AS MATERIALIZED (SELECT x.vec_id AS a, y.vec_id AS b
+         bk AS MATERIALIZED (${(0 until 4).map(bi =>
+           s"""SELECT vec_id, $bi AS bi,
+               ${VecOps.sqlLshBucketAt("v", bi * 16, 16)} AS bk FROM e""")
+           .mkString(" UNION ALL ")}),
+         rcand AS MATERIALIZED (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
            FROM bk x JOIN bk y
-           ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-           WHERE CAST(floor((${VecOps.sqlDot("x.v", "y.v")} / (x.n * y.n))
+           ON x.bi = y.bi AND x.bk = y.bk AND x.vec_id < y.vec_id),
+         rpx AS MATERIALIZED (SELECT c.a, c.b
+           FROM rcand c JOIN e ea ON ea.vec_id = c.a
+             JOIN e eb ON eb.vec_id = c.b
+           WHERE CAST(floor((${VecOps.sqlDot("ea.v", "eb.v")} / (ea.n * eb.n))
              * 1000000.0) AS BIGINT) >= $ReplicaTauMicro),
          rbi AS MATERIALIZED (SELECT a AS src, b AS dst FROM rpx
            UNION SELECT b, a FROM rpx),
