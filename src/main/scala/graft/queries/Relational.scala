@@ -1087,8 +1087,256 @@ object Relational {
           expr("CAST((1000000 * t99) div tot AS BIGINT)").as("top1_share_ppm"))
     }),
 
+    // One-pass COVARIANCE MATRIX — the multi-metric profiling op a
+    // feature platform runs before any modeling read (which metrics
+    // co-move, per segment): all nine raw moments of (quantity,
+    // price, discount) accumulate in ONE map-side-combined aggregate
+    // in DECIMAL(38,0) — order-independent under any partial-agg
+    // schedule, where a float covariance sum is not — then the
+    // variance/covariance closed forms are integer floor-divisions.
+    // Units are chosen so whole-squared-unit outputs stay visible
+    // (qty in milli-units, price in cents, discount in basis points);
+    // covariance numerators carry a +K·den SHIFT because a covariance
+    // is SIGNED and Spark's `div` truncates toward zero where
+    // DuckDB's `//` floors (the q_linreg trick — shifted positive,
+    // the two agree). Digits: n·Sxy ≤ ~1e23 at sf0.1 and ~1e27 at
+    // 1e9 rows — inside DECIMAL(38,0) with the 1e12·n² shift term
+    // (~1e31 at 1e9 rows). One scan, |returnflag| output rows.
+    "q_cov" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"),
+        floor(col("l_quantity").cast("decimal(18,2)") * 1000)
+          .cast("long").as("x"),
+        floor(dec("l_extendedprice") * 100).cast("long").as("y"),
+        floor(col("l_discount").cast("decimal(8,4)") * 10000)
+          .cast("long").as("z"))
+      // the shift term multiplies in DECIMAL(38,0) from the first
+      // factor on — in BIGINT it would wrap past n ≈ 3e3 silently
+      def covCol(sab: String, sa: String, sb: String, name: String) =
+        expr(s"""CAST((n * $sab - $sa * $sb
+          + CAST(1000000000000 AS DECIMAL(38,0)) * n * n) div (n * n)
+          - 1000000000000 AS BIGINT)""").as(name)
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("decimal(38,0)").as("sx"),
+          sum(col("y")).cast("decimal(38,0)").as("sy"),
+          sum(col("z")).cast("decimal(38,0)").as("sz"),
+          sum(col("x").cast("decimal(19,0)") * col("x")).as("sxx"),
+          sum(col("y").cast("decimal(19,0)") * col("y")).as("syy"),
+          sum(col("z").cast("decimal(19,0)") * col("z")).as("szz"),
+          sum(col("x").cast("decimal(19,0)") * col("y")).as("sxy"),
+          sum(col("x").cast("decimal(19,0)") * col("z")).as("sxz"),
+          sum(col("y").cast("decimal(19,0)") * col("z")).as("syz"))
+        .select(col("l_returnflag"), col("n"),
+          covCol("sxx", "sx", "sx", "var_x"),
+          covCol("syy", "sy", "sy", "var_y"),
+          covCol("szz", "sz", "sz", "var_z"),
+          covCol("sxy", "sx", "sy", "cov_xy"),
+          covCol("sxz", "sx", "sz", "cov_xz"),
+          covCol("syz", "sy", "sz", "cov_yz"))
+        .orderBy("l_returnflag")
+    }),
+
+    // CUSUM CHANGEPOINT detection over the daily revenue series — the
+    // offline level-shift estimator (Page's cumulative sum; the argmax
+    // of |CUSUM| is the classic single-changepoint location): daily
+    // cent totals, deviations from the series mean (one scalar
+    // aggregate broadcast back, integer div), running cumulative sum.
+    // The unpartitioned windows run over the |days|-grain relation —
+    // a few thousand rows whatever the corpus (the same bounded-grain
+    // contract as q_window_range's daily rollup), never over orders.
+    "q_cusum" -> ((s, dir) => {
+      val daily = graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "orders")
+          .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+            floor(dec("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("day").agg(sum("cents").as("tot_cents")),
+        "q")
+      val g = daily.agg(sum(col("tot_cents").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("ndays"))
+      val wRun = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(g))
+        .withColumn("dev",
+          col("tot_cents") - expr("CAST(s div ndays AS BIGINT)"))
+        .withColumn("cusum_cents", sum("dev").over(wRun))
+        .withColumn("peak",
+          max(abs(col("cusum_cents"))).over(Window.partitionBy()))
+        .select(col("day"), col("tot_cents"), col("cusum_cents"),
+          when(abs(col("cusum_cents")) === col("peak"), 1)
+            .otherwise(0).cast("int").as("is_changepoint"))
+        .orderBy("day")
+    }),
+
+    // DAY-OF-WEEK SEASONAL baseline + anomaly readout — the
+    // seasonality-aware monitor q_window_range's rolling mean is
+    // blind to (a quiet Sunday is normal; a quiet Tuesday is not):
+    // day index and weekday are INTEGER epoch divisions (no calendar
+    // or timezone arithmetic), the per-weekday baseline is one
+    // 7-row aggregate over the daily grain broadcast back, and each
+    // day reads as a ppm ratio vs its own weekday's mean. All
+    // arithmetic integer floor-division, identical both engines;
+    // everything past the one orders scan runs at the |days| grain.
+    "q_seasonal" -> ((s, dir) =>
+      seasonalReadout(graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "orders")
+          .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+            floor(dec("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("day").agg(sum("cents").as("tot_cents")),
+        "q"))),
+
+    // SMALL-QUANTITY revenue probe (TPC-H Q17 flavor) — the
+    // correlated-aggregate shape: lineitems whose quantity sits below
+    // 20% of their OWN part's average quantity. The correlated
+    // subquery decorrelates to a per-part aggregate joined back on
+    // l_partkey — co-partitioned on the same key as the grouping, so
+    // the join never reshuffles the fact side twice; the 0.2·avg
+    // threshold compares in integer micro-units (5e6·qty <
+    // avg_micro, both engines floor the avg identically). Output
+    // rolls up by brand through the broadcast part dimension.
+    "q_small_qty" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_partkey"),
+        floor(col("l_quantity").cast("decimal(18,2)")).cast("long").as("qty"),
+        floor(dec("l_extendedprice") * 100).cast("long").as("cents"))
+      val avgq = li.groupBy("l_partkey")
+        .agg(expr("""CAST((1000000 * CAST(sum(qty) AS DECIMAL(38,0)))
+          div count(*) AS BIGINT)""").as("avg_micro"))
+      li.join(avgq, "l_partkey")
+        .filter(col("qty") * 5000000L < col("avg_micro"))
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"), sum("cents").as("sum_cents"))
+        .orderBy("p_brand")
+    }),
+
+    // LAST-TOUCH ATTRIBUTION — the marketing readout built on the
+    // as-of machinery (q_asof joins; this PRICES the journeys): each
+    // purchase attributes to the user's latest prior click within a
+    // 7-day window (AsOfJoin union-window shape — one user_id
+    // shuffle, linear per partition, no pair explosion), then the
+    // attribution-latency histogram: organic / within the hour /
+    // within the day / within the week, with purchase value in
+    // integer micro-units. The histogram is a 4-row aggregate.
+    "q_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value").cast("decimal(18,6)") * 1000000)
+            .cast("long").as("vmicro"))
+      val clicks = ev.filter(col("event_type") === "click")
+      AsOfJoin(purchases, clicks, Seq("user_id"), "ts",
+        rightVals = Seq("event_id", "ts"), tiebreak = "event_id",
+        toleranceSeconds = Some(604800L))
+        .withColumn("lat_us",
+          unix_micros(col("ts")) - unix_micros(col("prior_ts")))
+        .withColumn("bucket",
+          when(col("prior_event_id").isNull, "4_organic")
+            .when(col("lat_us") <= 3600000000L, "1_hour")
+            .when(col("lat_us") <= 86400000000L, "2_day")
+            .otherwise("3_week"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum("vmicro").as("sum_value_micro"))
+        .orderBy("bucket")
+    }),
+
+    // RFM SEGMENTATION — the classic customer-value grid (recency /
+    // frequency / monetary, each scored 1-5 by its own quintile
+    // fences): per-customer aggregates in integer units (days since
+    // last order off one scalar max broadcast, order count, cent
+    // total), three bounded two-pass quintile computations
+    // (BoundedPercentile — no percentile() buffer of the per-customer
+    // multisets ever forms), fences broadcast back as single rows,
+    // scores by codegen compare-chains (the q_equidepth idiom — no
+    // sort, no ntile). Output is the ≤125-cell segment grid with
+    // exact population and mean-spend micro. Recency scores INVERT
+    // (5 = most recent) per the marketing convention.
+    "q_rfm" -> ((s, dir) => {
+      import graft.operators.BoundedPercentile
+      val mx = t(s, dir, "orders")
+        .agg(max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")).as("mxus"))
+      val per = BoundedPercentile.memoInput(
+        t(s, dir, "orders").groupBy("o_custkey")
+          .agg(max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")).as("last_us"),
+            count(lit(1)).as("freq"),
+            floor(sum(dec("o_totalprice")) * 100).cast("long").as("m_cents"))
+          .crossJoin(broadcast(mx))
+          .select(col("o_custkey"),
+            expr("(mxus - last_us) div 86400000000").as("rec_days"),
+            col("freq"), col("m_cents")),
+        "q")
+      def quints(vcol: String, pfx: String, width: Long) =
+        BoundedPercentile.fences(per, Seq.empty, vcol,
+          (1 to 4).map(k => BoundedPercentile.Spec(s"$pfx$k", k, 5)),
+          width = width)
+      val rb = quints("rec_days", "rb", 32L)
+      val fb = quints("freq", "fb", 8L)
+      val mb = quints("m_cents", "mb", 1L << 16)
+      def score(vcol: String, pfx: String) =
+        (1 to 4).map(k => when(col(vcol) > col(s"$pfx$k"), 1).otherwise(0))
+          .reduce(_ + _) + lit(1)
+      per.join(broadcast(rb)).join(broadcast(fb)).join(broadcast(mb))
+        .withColumn("r_score", (lit(6) - score("rec_days", "rb")).cast("int"))
+        .withColumn("f_score", score("freq", "fb").cast("int"))
+        .withColumn("m_score", score("m_cents", "mb").cast("int"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          expr("""CAST((1000000 * CAST(sum(m_cents) AS DECIMAL(38,0)))
+            div count(*) AS BIGINT)""").as("avg_monetary_micro"))
+        .orderBy("r_score", "f_score", "m_score")
+    }),
+
+    // JOIN-KEY SKEW audit — the pre-join diagnostic that justifies
+    // q_skew_join's salting decision (which keys are hot, and by how
+    // much): per-key counts from one map-side-combined aggregate, the
+    // key population and total from one scalar aggregate broadcast
+    // back, each key's ratio-to-mean in integer ppm (the 1e6 factor
+    // multiplies in DECIMAL(38,0) — cnt·n_keys overflows BIGINT at
+    // ~1e9-row keys on ~1e7-key domains), hot = ratio > 10x. The
+    // top-10 cut is a TakeOrdered with the key as tiebreak — the
+    // |keys|-sized relation never globally sorts.
+    "q_skew_audit" -> ((s, dir) => {
+      val cnt = graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "lineitem").groupBy("l_suppkey")
+          .agg(count(lit(1)).as("cnt")),
+        "q")
+      val g = cnt.agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt").cast("decimal(38,0)")).as("tot"))
+      cnt.crossJoin(broadcast(g))
+        .select(col("l_suppkey"), col("cnt"), col("n_keys"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * cnt * n_keys)
+            div tot AS BIGINT)""").as("ratio_to_mean_ppm"))
+        .withColumn("is_hot",
+          when(col("ratio_to_mean_ppm") > 10000000L, 1).otherwise(0)
+            .cast("int"))
+        .orderBy(col("cnt").desc, col("l_suppkey"))
+        .limit(10)
+    }),
+
     "q_mad" -> ((s, dir) => madQuery(s, dir))
   )
+
+  /** Day-of-week seasonal readout over a (day, tot_cents) daily-grain
+    * relation — q_seasonal's math, shared with the streaming monitor
+    * (st_seasonal) whose standing daily cells feed it. Weekday is
+    * day % 7 (integer — no calendar arithmetic), the baseline a 7-row
+    * aggregate broadcast back, ratios in integer ppm; every window
+    * and join runs at the |days| grain, never over the fact rows.
+    * Pass a MATERIALIZED relation — it is scanned twice. */
+  private[graft] def seasonalReadout(daily0: DataFrame): DataFrame = {
+    val daily = daily0.withColumn("dow", expr("day % 7"))
+    val base = daily.groupBy("dow")
+      .agg(expr("""CAST((1000000 * CAST(sum(tot_cents) AS DECIMAL(38,0)))
+        div count(*) AS BIGINT)""").as("base_micro"))
+    daily.join(broadcast(base), "dow")
+      .select(col("day"), col("dow").cast("int").as("dow"),
+        col("tot_cents"), col("base_micro"),
+        expr("""CAST((1000000000000 * CAST(tot_cents AS DECIMAL(38,0)))
+          div base_micro AS BIGINT)""").as("ratio_ppm"))
+      .orderBy("day")
+  }
 
   /** MAD robust-outlier screen — the heavy-tail-safe sibling of
     * q_outliers' IQR fences (mean/std are useless under the spend
@@ -1702,6 +1950,154 @@ object Relational {
              THEN CAST(cents AS HUGEINT) ELSE 0 END)) // sum(cents)
              AS BIGINT) AS top1_share_ppm
          FROM s, f""",
+
+    "q_cov" -> {
+      val shift = "1000000000000"
+      def covSql(sab: String, sa: String, sb: String, name: String) =
+        s"""CAST((n * $sab - $sa * $sb + $shift * n * n) // (n * n)
+           - $shift AS BIGINT) AS $name"""
+      s"""WITH m AS (SELECT l_returnflag,
+             CAST(floor(CAST(l_quantity AS DECIMAL(18,2)) * 1000) AS BIGINT) AS x,
+             CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS y,
+             CAST(floor(CAST(l_discount AS DECIMAL(8,4)) * 10000) AS BIGINT) AS z
+           FROM lineitem),
+         a AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(z AS HUGEINT)) AS sz,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(z AS HUGEINT) * z) AS szz,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * z) AS sxz,
+             sum(CAST(y AS HUGEINT) * z) AS syz
+           FROM m GROUP BY l_returnflag)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ${covSql("sxx", "sx", "sx", "var_x")},
+           ${covSql("syy", "sy", "sy", "var_y")},
+           ${covSql("szz", "sz", "sz", "var_z")},
+           ${covSql("sxy", "sx", "sy", "cov_xy")},
+           ${covSql("sxz", "sx", "sz", "cov_xz")},
+           ${covSql("syz", "sy", "sz", "cov_yz")}
+         FROM a ORDER BY l_returnflag"""
+    },
+
+    "q_cusum" ->
+      """WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             sum(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+               AS BIGINT)) AS tot_cents
+           FROM orders GROUP BY 1),
+         g AS (SELECT sum(tot_cents) AS s, count(*) AS ndays FROM d),
+         c AS (SELECT day, CAST(tot_cents AS BIGINT) AS tot_cents,
+             CAST(sum(tot_cents - (s // ndays)) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cusum_cents
+           FROM d, g)
+         SELECT day, tot_cents, cusum_cents,
+           CAST(CASE WHEN abs(cusum_cents) = max(abs(cusum_cents)) OVER ()
+             THEN 1 ELSE 0 END AS INT) AS is_changepoint
+         FROM c ORDER BY day""",
+
+    "q_seasonal" ->
+      """WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             sum(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+               AS BIGINT)) AS tot_cents
+           FROM orders GROUP BY 1),
+         b AS (SELECT day % 7 AS dow,
+             CAST((1000000 * sum(tot_cents)) // count(*) AS BIGINT)
+               AS base_micro
+           FROM d GROUP BY 1)
+         SELECT day, CAST(d.day % 7 AS INT) AS dow,
+           CAST(tot_cents AS BIGINT) AS tot_cents, base_micro,
+           CAST((1000000000000 * CAST(tot_cents AS HUGEINT)) // base_micro
+             AS BIGINT) AS ratio_ppm
+         FROM d JOIN b ON d.day % 7 = b.dow ORDER BY day""",
+
+    "q_small_qty" ->
+      """WITH li AS (SELECT l_partkey,
+             CAST(floor(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty,
+             CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+               AS BIGINT) AS cents
+           FROM lineitem),
+         a AS (SELECT l_partkey,
+             CAST((1000000 * sum(CAST(qty AS HUGEINT))) // count(*)
+               AS BIGINT) AS avg_micro
+           FROM li GROUP BY l_partkey)
+         SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM li JOIN a USING (l_partkey)
+         JOIN part ON l_partkey = p_partkey
+         WHERE qty * 5000000 < avg_micro
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts,
+             CAST(floor(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT)
+               AS vmicro
+           FROM events WHERE event_type = 'purchase'),
+         pri AS (SELECT p.*,
+             (SELECT e.event_id FROM events e WHERE e.user_id = p.user_id
+                AND e.event_type = 'click' AND e.ts < p.ts
+                AND e.ts >= p.ts - INTERVAL 7 DAY
+              ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS prior_event_id,
+             (SELECT e.ts FROM events e WHERE e.user_id = p.user_id
+                AND e.event_type = 'click' AND e.ts < p.ts
+                AND e.ts >= p.ts - INTERVAL 7 DAY
+              ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS prior_ts
+           FROM p),
+         b AS (SELECT CASE WHEN prior_event_id IS NULL THEN '4_organic'
+             WHEN epoch_us(ts) - epoch_us(prior_ts) <= 3600000000
+               THEN '1_hour'
+             WHEN epoch_us(ts) - epoch_us(prior_ts) <= 86400000000
+               THEN '2_day'
+             ELSE '3_week' END AS bucket, vmicro FROM pri)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(vmicro) AS BIGINT) AS sum_value_micro
+         FROM b GROUP BY bucket ORDER BY bucket""",
+
+    "q_rfm" -> {
+      def qsql(vcol: String, pfx: String) =
+        s"""$pfx AS (SELECT ${(1 to 4).map(k =>
+            s"round(q[$k],4) AS $pfx$k").mkString(", ")}
+           FROM (SELECT quantile_cont($vcol, [0.2,0.4,0.6,0.8]) AS q
+             FROM per))"""
+      def ssql(vcol: String, pfx: String) =
+        s"(1 + ${(1 to 4).map(k =>
+          s"CASE WHEN $vcol > $pfx$k THEN 1 ELSE 0 END").mkString(" + ")})"
+      s"""WITH mx AS (SELECT max(epoch_us(o_orderdate)) AS mxus FROM orders),
+         per AS (SELECT o_custkey,
+             (mxus - max(epoch_us(o_orderdate))) // 86400000000 AS rec_days,
+             count(*) AS freq,
+             CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+               AS BIGINT) AS m_cents
+           FROM orders, mx GROUP BY o_custkey, mxus),
+         ${qsql("rec_days", "rb")},
+         ${qsql("freq", "fb")},
+         ${qsql("m_cents", "mb")},
+         sc AS (SELECT m_cents,
+             6 - ${ssql("rec_days", "rb")} AS r_score,
+             ${ssql("freq", "fb")} AS f_score,
+             ${ssql("m_cents", "mb")} AS m_score
+           FROM per, rb, fb, mb)
+         SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST((1000000 * sum(CAST(m_cents AS HUGEINT))) // count(*)
+             AS BIGINT) AS avg_monetary_micro
+         FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+    },
+
+    "q_skew_audit" ->
+      """WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem GROUP BY l_suppkey),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             sum(CAST(cnt AS HUGEINT)) AS tot FROM c)
+         SELECT l_suppkey, cnt, n_keys,
+           CAST((1000000 * CAST(cnt AS HUGEINT) * n_keys) // tot
+             AS BIGINT) AS ratio_to_mean_ppm,
+           CAST(CASE WHEN (1000000 * CAST(cnt AS HUGEINT) * n_keys) // tot
+             > 10000000 THEN 1 ELSE 0 END AS INT) AS is_hot
+         FROM c, g ORDER BY cnt DESC, l_suppkey LIMIT 10""",
 
     "q_mad" ->
       """WITH s AS (SELECT user_id,

@@ -1088,6 +1088,33 @@ object Similarity {
     // oracle-checked number per query.
     "s_ivf_recall" -> recallOf("s_ivf_ann"),
 
+    // RECALL@k TUNING CURVE — the sweep discipline on the retrieval
+    // cut itself (s_probe_sweep tunes how hard to search; this tunes
+    // how much to RETURN): recall of the IVF path at k = 1/3/5 in one
+    // pass over the two memoized top-K relations (each truth row fans
+    // to every k whose cut covers it; hits need BOTH ranks inside k).
+    // Corpus cost is zero beyond the shared builds — the relation is
+    // K·NQueries rows — and reading precision-vs-k IS the serving-K
+    // decision a retrieval rollout makes.
+    "s_recall_curve" -> ((s, dir) => {
+      val bf = bfTopk(s, dir).select(col("q"), col("vec_id"),
+        col("rn").as("brn"))
+      val ann = Similarity.queries("s_ivf_ann")(s, dir)
+        .select(col("q"), col("vec_id"), col("rn").as("arn"))
+      bf.join(ann, Seq("q", "vec_id"), "left")
+        .select(col("brn"), col("arn"),
+          explode(array(Seq(1, 3, 5).map(lit(_)): _*)).as("k"))
+        .filter(col("brn") <= col("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("arn").isNotNull && col("arn") <= col("k"), 1L)
+            .otherwise(0L)).as("hits"))
+        .select(col("k"), col("n_truth"), col("hits"),
+          expr("CAST((1000000 * hits) div n_truth AS BIGINT)")
+            .as("recall_ppm"))
+        .orderBy("k")
+    }),
+
     // IVF flavor: centroids are a deterministic K(N)-sample (the
     // kFor(N) lowest by md5(vec_id) — a hash-ordered draw both
     // engines compute identically, K derived from the corpus count by
@@ -1294,13 +1321,86 @@ object Similarity {
     // would still stack). Output pairs each node with its community
     // and the community's size.
     "s_label_prop" -> ((s, dir) => {
-      val und = graft.operators.TriangleCount
-        .canonical(knnGraph(s, dir).select("src", "nbr"))
-      val lab = graft.operators.LabelProp.run(und, LpaIters,
-        thunk => graft.CacheBook.register(s, "s")(thunk))
+      val lab = lpaLabels(s, dir)
       lab.join(lab.groupBy("lbl").agg(count(lit(1)).as("csize")), "lbl")
         .select(col("vec_id"), col("lbl").as("community"), col("csize"))
         .orderBy("vec_id")
+    }),
+
+    // COMMUNITY-QUALITY audit: Newman MODULARITY of the LPA partition
+    // (Q = Σ_c [e_c/m − (d_c/2m)²] — the standard goodness score that
+    // says whether s_label_prop's communities beat a random wiring
+    // with the same degree sequence). Shares the LPA trajectory with
+    // s_label_prop through the named lpaLabels memo (the loop runs
+    // once per session, whichever entry touches it first). Per
+    // community: intra edges e_c from ONE canonical-edge double label
+    // join, degree mass d_c from the endpoint expansion, both linear
+    // in |edges|; the per-term ppm arithmetic floors in DECIMAL(38,0)
+    // (d_c² overflows BIGINT past m ≈ 2e9 edges) identically on both
+    // engines, and the global Q is a window sum over the
+    // |communities|-row relation — never the graph.
+    "s_modularity" -> ((s, dir) => {
+      val und = graft.CacheBook.materialize(graft.operators.TriangleCount
+        .canonical(knnGraph(s, dir).select("src", "nbr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.CacheBook.register(s, "s")(() => { und.unpersist(false); () })
+      val lab = lpaLabels(s, dir)
+      val m = und.agg(count(lit(1)).as("m"))
+      val ein = und
+        .join(lab.select(col("vec_id").as("u"), col("lbl").as("lu")), "u")
+        .join(lab.select(col("vec_id").as("w"), col("lbl").as("lw")), "w")
+        .filter(col("lu") === col("lw"))
+        .groupBy(col("lu").as("community")).agg(count(lit(1)).as("e_in"))
+      val dsum = und.select(col("u").as("vec_id"))
+        .unionByName(und.select(col("w").as("vec_id")))
+        .join(lab, "vec_id")
+        .groupBy(col("lbl").as("community")).agg(count(lit(1)).as("d_sum"))
+      lab.groupBy(col("lbl").as("community")).agg(count(lit(1)).as("csize"))
+        .join(ein, Seq("community"), "left")
+        .join(dsum, Seq("community"), "left")
+        .na.fill(0L, Seq("e_in", "d_sum"))
+        .crossJoin(broadcast(m))
+        .select(col("community"), col("csize"), col("e_in"), col("d_sum"),
+          expr("""CAST((1000000 * e_in) div m
+            - (CAST(1000000 AS DECIMAL(38,0)) * d_sum * d_sum)
+              div (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)""")
+            .as("contrib_ppm"))
+        .withColumn("q_ppm", sum("contrib_ppm")
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .orderBy("community")
+    }),
+
+    // LINK PREDICTION over the KNN graph — the graph-completion /
+    // recommendation primitive (which unlinked pairs LOOK linked):
+    // candidate pairs are the 2-hop wedges (one bidirectional-edge
+    // self-join on the shared midpoint — O(Σ deg²), degree-bounded by
+    // the KNN K, never all-pairs), existing edges anti-join away, and
+    // each survivor scores by common-neighbor count + neighborhood
+    // Jaccard in integer ppm (|Γa∩Γb| div |Γa∪Γb|). Top-20 by
+    // (common, jaccard, pair) is a TakeOrdered — (a,b) is unique per
+    // candidate, so the cut is a total order, never planner-tied.
+    "s_link_pred" -> ((s, dir) => {
+      val und = graft.CacheBook.materialize(graft.operators.TriangleCount
+        .canonical(knnGraph(s, dir).select("src", "nbr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.CacheBook.register(s, "s")(() => { und.unpersist(false); () })
+      val ed = und.select(col("u").as("src"), col("w").as("nbr"))
+        .unionByName(und.select(col("w").as("src"), col("u").as("nbr")))
+      val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
+      val cand = ed.as("e1").join(ed.as("e2"),
+          col("e1.nbr") === col("e2.src") && col("e1.src") < col("e2.nbr"))
+        .select(col("e1.src").as("a"), col("e2.nbr").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      cand.join(und,
+          cand("a") === und("u") && cand("b") === und("w"), "left_anti")
+        .join(deg.select(col("src").as("a"), col("deg").as("dega")), "a")
+        .join(deg.select(col("src").as("b"), col("deg").as("degb")), "b")
+        .select(col("a"), col("b"), col("common"),
+          expr("""CAST((1000000 * common) div (dega + degb - common)
+            AS BIGINT)""").as("jaccard_ppm"))
+        .orderBy(col("common").desc, col("jaccard_ppm").desc,
+          col("a"), col("b"))
+        .limit(20)
     }),
 
     // SEED-DISTANCE labeling — multi-source BFS from the query seeds
@@ -2596,6 +2696,18 @@ object Similarity {
       edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
     })(s, dir)
 
+  /** Memoized LPA community labels — the LabelProp trajectory runs
+    * once per session; s_label_prop reads the communities and
+    * s_modularity scores the same partition (two consumers of one
+    * loop, the stars_labels discipline). */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame =
+    memoAnn("s_lpa_labels")((s2, d2) => {
+      val und = graft.operators.TriangleCount
+        .canonical(knnGraph(s2, d2).select("src", "nbr"))
+      graft.operators.LabelProp.run(und, LpaIters,
+        thunk => graft.CacheBook.register(s2, "s")(thunk))
+    })(s, dir)
+
   private val ivfpqAnnBody: (SparkSession, String) => DataFrame = ((s, dir) => {
       val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
       val cand = probeCells(vecs(s, dir), cents).select("q", "cid")
@@ -2724,10 +2836,13 @@ object Similarity {
        FROM sel$CoreK ORDER BY round"""
   }
 
-  /** SQL mirror of s_label_prop: bidirectional canonical edges, then
-    * LpaIters chained majority-vote rounds, each MATERIALIZED (the
-    * next round's count join reads its predecessor). */
-  private def sqlLabelProp: String = {
+  /** Shared LPA CTE chain (bidirectional canonical edges + LpaIters
+    * chained majority-vote rounds, each MATERIALIZED — the next
+    * round's count join reads its predecessor). Yields `und`, `ed`
+    * and the final label relation `l&#36;LpaIters`; sqlLabelProp reads
+    * the communities, the modularity oracle scores the SAME chain —
+    * one SQL copy of the trajectory, like the Spark lpaLabels memo. */
+  private def sqlLpaChain: String = {
     val rounds = (1 to LpaIters).map { t =>
       val prev = s"l${t - 1}"
       s"""c$t AS (SELECT ed.src, l.lbl, count(*) AS c
@@ -2737,18 +2852,76 @@ object Similarity {
              SELECT src, lbl, row_number() OVER (PARTITION BY src
                ORDER BY c DESC, lbl) AS rn FROM c$t) WHERE rn = 1)"""
     }.mkString(",\n")
-    s"""WITH $sqlKnnCtes,
-       und AS MATERIALIZED (SELECT DISTINCT least(src, nbr) AS u,
+    s"""und AS MATERIALIZED (SELECT DISTINCT least(src, nbr) AS u,
            greatest(src, nbr) AS w FROM knn),
        ed AS MATERIALIZED (SELECT u AS src, w AS nbr FROM und
          UNION ALL SELECT w AS src, u AS nbr FROM und),
        l0 AS (SELECT vec_id, vec_id AS lbl FROM e),
-       $rounds
+       $rounds"""
+  }
+
+  /** SQL mirror of s_label_prop over the shared [[sqlLpaChain]]. */
+  private def sqlLabelProp: String =
+    s"""WITH $sqlKnnCtes,
+       $sqlLpaChain
        SELECT l.vec_id, l.lbl AS community, cs.csize
        FROM l$LpaIters l JOIN (SELECT lbl, count(*) AS csize
          FROM l$LpaIters GROUP BY lbl) cs ON cs.lbl = l.lbl
        ORDER BY l.vec_id"""
-  }
+
+  /** SQL mirror of s_modularity: per-community intra-edge and degree
+    * mass over the same LPA chain, ppm terms floored in HUGEINT. */
+  private def sqlModularity: String =
+    s"""WITH $sqlKnnCtes,
+       $sqlLpaChain,
+       mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM und),
+       lab AS (SELECT vec_id, lbl FROM l$LpaIters),
+       ein AS (SELECT lu.lbl AS community, count(*) AS e_in
+         FROM und JOIN lab lu ON lu.vec_id = und.u
+         JOIN lab lw ON lw.vec_id = und.w
+         WHERE lu.lbl = lw.lbl GROUP BY 1),
+       dsum AS (SELECT lab.lbl AS community, count(*) AS d_sum
+         FROM (SELECT u AS vec_id FROM und
+           UNION ALL SELECT w FROM und) ep
+         JOIN lab ON lab.vec_id = ep.vec_id GROUP BY 1),
+       base AS (SELECT cs.community, CAST(cs.csize AS BIGINT) AS csize,
+           CAST(coalesce(e_in, 0) AS BIGINT) AS e_in,
+           CAST(coalesce(d_sum, 0) AS BIGINT) AS d_sum, m
+         FROM (SELECT lbl AS community, count(*) AS csize
+           FROM lab GROUP BY 1) cs
+         LEFT JOIN ein USING (community)
+         LEFT JOIN dsum USING (community), mm),
+       ctb AS (SELECT community, csize, e_in, d_sum,
+           CAST((1000000 * e_in) // m
+             - (1000000 * CAST(d_sum AS HUGEINT) * d_sum) // (4 * m * m)
+             AS BIGINT) AS contrib_ppm
+         FROM base)
+       SELECT community, csize, e_in, d_sum, contrib_ppm,
+         CAST(sum(contrib_ppm) OVER () AS BIGINT) AS q_ppm
+       FROM ctb ORDER BY community"""
+
+  /** SQL mirror of s_link_pred: 2-hop wedge candidates minus existing
+    * edges, scored by common-neighbor count + neighborhood Jaccard. */
+  private def sqlLinkPred: String =
+    s"""WITH $sqlKnnCtes,
+       und AS MATERIALIZED (SELECT DISTINCT least(src, nbr) AS u,
+           greatest(src, nbr) AS w FROM knn),
+       ed AS (SELECT u AS src, w AS nbr FROM und
+         UNION ALL SELECT w AS src, u AS nbr FROM und),
+       deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       cand AS (SELECT e1.src AS a, e2.nbr AS b, count(*) AS common
+         FROM ed e1 JOIN ed e2
+           ON e1.nbr = e2.src AND e1.src < e2.nbr
+         GROUP BY 1, 2),
+       nonedge AS (SELECT a, b, common FROM cand
+         WHERE NOT EXISTS (SELECT 1 FROM und
+           WHERE und.u = cand.a AND und.w = cand.b))
+       SELECT a, b, CAST(common AS BIGINT) AS common,
+         CAST((1000000 * common) // (da.deg + db.deg - common)
+           AS BIGINT) AS jaccard_ppm
+       FROM nonedge JOIN deg da ON da.src = a
+       JOIN deg db ON db.src = b
+       ORDER BY common DESC, jaccard_ppm DESC, a, b LIMIT 20"""
 
   /** The PQ oracle CTE block (trainers → refined codebook → codes →
     * query LUT) over a corpus CTE named `e` — shared verbatim by
@@ -3858,6 +4031,8 @@ object Similarity {
          GROUP BY vec_id ORDER BY vec_id""") +
     ("s_coreset" -> sqlCoreset) +
     ("s_label_prop" -> sqlLabelProp) +
+    ("s_modularity" -> sqlModularity) +
+    ("s_link_pred" -> sqlLinkPred) +
     ("s_kcore_peel" -> sqlKcorePeel) +
     ("s_negatives" -> sqlNegatives) +
     ("s_seed_dist" -> sqlSeedDist) +
@@ -3969,6 +4144,20 @@ object Similarity {
     ("s_maxsim_recall" -> sqlMaxSimRecall(oracleBase("s_maxsim"))) +
     ("s_ann_recall" -> sqlRecall("s_lsh_ann")) +
     ("s_ivf_recall" -> sqlRecall("s_ivf_ann")) +
+    ("s_recall_curve" ->
+      s"""WITH bf AS (${oracleBase("s_cosine_topk")}),
+         ann AS (${sqlIvf(refine = false)}),
+         j AS (SELECT bf.rn AS brn, ann.rn AS arn
+           FROM bf LEFT JOIN ann
+             ON ann.q = bf.q AND ann.vec_id = bf.vec_id),
+         ks AS (SELECT unnest([1, 3, 5]) AS k)
+         SELECT CAST(k AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN arn IS NOT NULL AND arn <= k
+             THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           CAST((1000000 * sum(CASE WHEN arn IS NOT NULL AND arn <= k
+             THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS recall_ppm
+         FROM j, ks WHERE brn <= k GROUP BY k ORDER BY k""") +
     ("s_ivf_kmeans_recall" -> sqlRecall("s_ivf_kmeans")) +
     ("s_pq_recall" -> sqlRecall("s_pq_ann")) +
     ("s_ivfpq_recall" -> sqlRecall("s_ivfpq_ann")) +

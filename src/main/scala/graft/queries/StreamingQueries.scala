@@ -331,6 +331,36 @@ object StreamingQueries {
         .orderBy("o_custkey")
     }),
 
+    // STREAMING seasonal-anomaly monitor — q_seasonal's day-of-week
+    // readout over daily revenue cells maintained INCREMENTALLY from
+    // the order stream (the st_inc_agg mergeable-state machinery
+    // keyed on the integer epoch day). The micro-batch merges must be
+    // invisible in the end state: the oracle is exactly q_seasonal's
+    // batch SQL. At scale the standing state is |days| rows however
+    // fast the stream runs — per-batch cost is a day-keyed cell
+    // merge, and the seasonal readout is day-grain whenever asked.
+    "st_seasonal" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val stored = s.read.parquet(s"$dir/orders.parquet").schema
+      val orders = s.readStream.schema(stored)
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+        .select(
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+            .as("day"),
+          expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)")
+            .as("cents"))
+      val acc = new StreamingOps.IncAggState(Seq("day"), col("cents"))
+      StreamingOps.withStreamConf(s) {
+        val q = StreamingOps.ingest(orders, acc)
+        q.processAllAvailable()
+        q.stop()
+      }
+      val st = acc.current(s, orders.schema)
+      graft.CacheBook.register(s, "st")(() => acc.release())
+      Relational.seasonalReadout(
+        st.select(col("day"), col("total").cast("long").as("tot_cents")))
+    }),
+
     // STREAMING composition-drift monitor — q_chisq's contingency
     // cells maintained INCREMENTALLY from the document stream (the
     // st_inc_agg mergeable-state machinery keyed on (lang, source)),
@@ -486,6 +516,10 @@ object StreamingQueries {
     // streamed cell maintenance must be invisible in the end state:
     // the drift monitor's oracle IS the batch chi-square's SQL
     "st_drift" -> Relational.oracleSql("q_chisq"),
+
+    // the batch seasonal readout verbatim — streamed cell merges must
+    // be invisible in the standing daily state
+    "st_seasonal" -> Relational.oracleSql("q_seasonal"),
 
     // streaming media-dedup gate: the m_phash_inc chunk pipeline with
     // the candidate join restricted to new-vs-standing (stream side

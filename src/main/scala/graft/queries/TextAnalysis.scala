@@ -251,6 +251,22 @@ object TextAnalysis {
         length(col("text")).as("len"))
         .orderBy("doc_id")),
 
+    // TYPE-TOKEN RATIO — the lexical-diversity signal the Gopher
+    // composite doesn't carry (x_repetition counts duplicated
+    // 3-grams; TTR reads vocabulary breadth directly — template spam
+    // and keyword stuffing crater it while passing length/stopword
+    // gates): distinct whitespace tokens over total, integer ppm.
+    // Pure per-row projection — map-only, no shuffle beyond the
+    // ordered dump; the same tokenization contract as x_token_count.
+    "x_ttr" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(wordsCol).as("n_tokens"),
+        size(array_distinct(wordsCol)).as("n_types"))
+        .withColumn("ttr_ppm",
+          expr("CAST((1000000 * CAST(n_types AS BIGINT)) div n_tokens AS BIGINT)"))
+        .orderBy("doc_id")),
+
     // quality score: length saturation + stopword density. Computed in
     // INTEGER micro-units with one final /1e6 — engines disagree on
     // round() tie-breaking for doubles (Spark shortest-repr HALF_UP vs
@@ -1242,6 +1258,16 @@ object TextAnalysis {
            CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
            CAST(len(regexp_extract_all(text, '$bpeish')) AS INT) AS n_bpe,
            CAST(length(text) AS INT) AS len
+         FROM documents ORDER BY doc_id""",
+
+    "x_ttr" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+             AS n_types,
+           CAST((1000000 * CAST(len(list_distinct(string_split(text, ' ')))
+             AS BIGINT)) // len(string_split(text, ' ')) AS BIGINT)
+             AS ttr_ppm
          FROM documents ORDER BY doc_id""",
 
     "x_quality" ->

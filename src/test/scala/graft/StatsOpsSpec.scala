@@ -1,0 +1,156 @@
+package graft
+
+import graft.queries.Relational
+import org.apache.spark.sql.functions._
+
+/** Teeth for the round-14 stats sextet beyond the full oracles:
+  * q_cov's floored moments equal a naive BigInt recomputation,
+  * q_cusum's trajectory telescopes (last cusum = total deviation) and
+  * flags exactly the |CUSUM| argmax, q_seasonal's baselines are the
+  * naive per-weekday means, q_small_qty selects exactly the naive
+  * below-0.2·avg set, q_attribution conserves purchases across its
+  * latency buckets against a naive last-click walk, and q_rfm's grid
+  * conserves customers with every score in range. A unit slip or an
+  * engine-specific floor would die here, not at 100 TB.
+  */
+class StatsOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_cov equals a naive BigInt moment recomputation") {
+    val rows = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(floor(CAST(l_quantity AS DECIMAL(18,2)) * 1000) AS BIGINT)"),
+        expr("CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)"),
+        expr("CAST(floor(CAST(l_discount AS DECIMAL(8,4)) * 10000) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = Relational.queries("q_cov")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == rows.map(_._1).toSet)
+    for ((flag, g) <- rows.groupBy(_._1)) {
+      val n = BigInt(g.length)
+      def cov(a: (String, Long, Long, Long) => Long,
+          b: (String, Long, Long, Long) => Long): Long = {
+        val sa = g.map(t => BigInt(a.tupled(t))).sum
+        val sb = g.map(t => BigInt(b.tupled(t))).sum
+        val sab = g.map(t => BigInt(a.tupled(t)) * b.tupled(t)).sum
+        // the query's +K shift keeps the numerator positive so both
+        // engines' integer divisions agree; replay it here
+        val k = BigInt("1000000000000")
+        ((n * sab - sa * sb + k * n * n) / (n * n) - k).toLong
+      }
+      val r = got(flag)
+      assert(r.getLong(1) == g.length.toLong)
+      val x = (_: String, x: Long, _: Long, _: Long) => x
+      val y = (_: String, _: Long, y: Long, _: Long) => y
+      val z = (_: String, _: Long, _: Long, z: Long) => z
+      assert(r.getLong(2) == cov(x, x), s"$flag var_x")
+      assert(r.getLong(3) == cov(y, y), s"$flag var_y")
+      assert(r.getLong(4) == cov(z, z), s"$flag var_z")
+      assert(r.getLong(5) == cov(x, y), s"$flag cov_xy")
+      assert(r.getLong(6) == cov(x, z), s"$flag cov_xz")
+      assert(r.getLong(7) == cov(y, z), s"$flag cov_yz")
+      assert(r.getLong(2) >= 0 && r.getLong(3) >= 0 && r.getLong(4) >= 0,
+        "negative variance")
+    }
+  }
+
+  test("q_cusum telescopes and flags exactly the |CUSUM| argmax") {
+    val rows = Relational.queries("q_cusum")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.length > 300, "daily grain missing days")
+    val tot = rows.map(t => BigInt(t._2)).sum
+    val mean = tot / rows.length
+    // telescoping: the final cusum is the total deviation mass
+    assert(BigInt(rows.last._3) == tot - mean * rows.length,
+      "last cusum != total deviation")
+    // running check on a naive replay
+    var acc = BigInt(0)
+    for (t <- rows) {
+      acc += BigInt(t._2) - mean
+      assert(BigInt(t._3) == acc, s"cusum drifts at day ${t._1}")
+    }
+    val peak = rows.map(t => t._3.abs).max
+    assert(rows.forall(t => (t._4 == 1) == (t._3.abs == peak)),
+      "changepoint flag is not the |CUSUM| argmax")
+    assert(rows.count(_._4 == 1) >= 1)
+  }
+
+  test("q_seasonal baselines are the naive per-weekday means") {
+    val rows = Relational.queries("q_seasonal")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byDow = rows.groupBy(_._2)
+    assert(byDow.keySet == (0 to 6).toSet, "missing weekdays")
+    for ((dow, g) <- byDow) {
+      val base = (BigInt(1000000) * g.map(t => BigInt(t._3)).sum / g.length).toLong
+      assert(g.forall(_._4 == base), s"dow $dow baseline drifts")
+      for (t <- g)
+        assert(t._5 == (BigInt("1000000000000") * t._3 / base).toLong,
+          s"ratio drifts at day ${t._1}")
+    }
+  }
+
+  test("q_small_qty selects exactly the naive below-threshold set") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(floor(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT)").as("qty"),
+        expr("CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val avgMicro = li.groupBy(_._1).map { case (pk, g) =>
+      pk -> (BigInt(1000000) * g.map(t => BigInt(t._2)).sum / g.length).toLong }
+    val brand = Tables.load(spark, dir, "part")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val naive = li.filter(t => t._2 * 5000000L < avgMicro(t._1))
+      .groupBy(t => brand(t._1))
+      .map { case (b, g) => b -> (g.length.toLong, g.map(_._3).sum) }
+    val got = Relational.queries("q_small_qty")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == naive, "brand rollup diverges from the naive selection")
+    assert(got.values.map(_._1).sum > 0, "no small-quantity items at all")
+  }
+
+  test("q_attribution conserves purchases against a naive last-click walk") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(floor(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT)").as("vm"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val clicksBy = ev.filter(_._2 == "click").groupBy(_._1)
+    val naive = ev.filter(_._2 == "purchase").map { p =>
+      val prior = clicksBy.getOrElse(p._1, Array.empty)
+        .filter(c => c._4 < p._4 && p._4 - c._4 <= 604800000000L)
+        .sortBy(c => (-c._4, -c._3)).headOption
+      val bucket = prior match {
+        case None => "4_organic"
+        case Some(c) if p._4 - c._4 <= 3600000000L => "1_hour"
+        case Some(c) if p._4 - c._4 <= 86400000000L => "2_day"
+        case Some(_) => "3_week"
+      }
+      (bucket, p._5)
+    }
+    val naiveAgg = naive.groupBy(_._1)
+      .map { case (b, g) => b -> (g.length.toLong, g.map(_._2).sum) }
+    val got = Relational.queries("q_attribution")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == naiveAgg, "bucket histogram diverges from the naive walk")
+    assert(got.values.map(_._1).sum == naive.length.toLong,
+      "buckets lose purchases")
+  }
+
+  test("q_rfm conserves customers with scores in range") {
+    val rows = Relational.queries("q_rfm")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val nCust = Tables.load(spark, dir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_._4).sum == nCust, "grid loses customers")
+    assert(rows.forall(t => t._1 >= 1 && t._1 <= 5
+      && t._2 >= 1 && t._2 <= 5 && t._3 >= 1 && t._3 <= 5), "score out of range")
+    // quintiles put roughly a fifth of customers at each recency score
+    val byR = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(byR.size == 5, s"recency scores collapsed: ${byR.keySet}")
+    assert(byR.values.forall(n => n > nCust / 20), "a recency quintile is empty-ish")
+    assert(rows.forall(_._5 > 0), "non-positive mean spend")
+  }
+}
