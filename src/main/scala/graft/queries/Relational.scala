@@ -543,6 +543,41 @@ object Relational {
         .orderBy("step")
     }),
 
+    // CONVERSION-WINDOW funnel sweep — the sweep discipline on
+    // q_funnel's unbounded steps (a purchase a month after the click
+    // is not that click's conversion): step counts per candidate
+    // max-latency window (1 h / 1 d / 7 d) in one pass — each
+    // user's step events fan to every window they qualify under, the
+    // same explode idiom as q_sessionize_sweep. The window relation
+    // drives the output (left joins + zero-fills), so all three rows
+    // exist even where a window converts nobody. Reading conversion
+    //-vs-window IS the attribution-window decision a product
+    // analytics rollout makes. Integer microseconds throughout.
+    "q_funnel_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("et"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("et").as("t1"))
+      val wlits = Seq(3600000000L, 86400000000L, 604800000000L)
+      val wexp = explode(array(wlits.map(lit(_)): _*)).as("w")
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .select(col("user_id"), col("et"), col("t1"), wexp)
+        .filter(col("et") > col("t1") && col("et") <= col("t1") + col("w"))
+        .groupBy("user_id", "w").agg(min("et").as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("et") > col("t2") && col("et") <= col("t2") + col("w"))
+        .groupBy("user_id", "w").agg(min("et").as("t3"))
+      val nv = v.agg(count(lit(1)).as("n_view"))
+      s.range(1).select(wexp)
+        .join(c.groupBy("w").agg(count(lit(1)).as("n_click")), Seq("w"), "left")
+        .join(p.groupBy("w").agg(count(lit(1)).as("n_purchase")), Seq("w"), "left")
+        .na.fill(0L, Seq("n_click", "n_purchase"))
+        .crossJoin(broadcast(nv))
+        .select(col("w").as("window_us"), col("n_view"),
+          col("n_click"), col("n_purchase"))
+        .orderBy("window_us")
+    }),
+
     // Scalar subquery through the spark.sql surface: the subquery plans
     // as a ScalarSubquery expression evaluated once and broadcast into
     // the filter (max is exact — no order-dependent float aggregate).
@@ -2086,6 +2121,29 @@ object Relational {
              AS BIGINT) AS avg_monetary_micro
          FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
     },
+
+    "q_funnel_sweep" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS et
+           FROM events),
+         v AS (SELECT user_id, min(et) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+         ws AS (SELECT unnest([3600000000, 86400000000, 604800000000])
+           AS w),
+         c AS (SELECT e.user_id, ws.w, min(et) AS t2
+           FROM e JOIN v USING (user_id), ws
+           WHERE event_type = 'click' AND et > t1 AND et <= t1 + w
+           GROUP BY 1, 2),
+         p AS (SELECT e.user_id, c.w, min(et) AS t3
+           FROM e JOIN c ON c.user_id = e.user_id
+           WHERE event_type = 'purchase' AND et > t2 AND et <= t2 + c.w
+           GROUP BY 1, 2)
+         SELECT CAST(w AS BIGINT) AS window_us,
+           (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           CAST((SELECT count(*) FROM c WHERE c.w = ws.w) AS BIGINT)
+             AS n_click,
+           CAST((SELECT count(*) FROM p WHERE p.w = ws.w) AS BIGINT)
+             AS n_purchase
+         FROM ws ORDER BY window_us""",
 
     "q_skew_audit" ->
       """WITH c AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt

@@ -39,6 +39,25 @@ object TextAnalysis {
     s"CAST(least(length(text), 500) * 1000 + floor($nStopSql * 500000 / $nWordsSql) AS BIGINT)"
   private val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** The per-doc language prediction SQL — ONE copy serves x_langid's
+    * oracle and the x_langid_eval confusion matrix built on it. */
+  private val sqlLangid: String =
+    """SELECT doc_id, lang,
+         CASE WHEN c_en = g THEN 'en' WHEN c_es = g THEN 'es'
+              WHEN c_de = g THEN 'de' ELSE 'fr' END AS pred_lang
+       FROM (
+         SELECT doc_id, lang,
+           len(list_filter(w, x -> x IN ('the','and','of'))) AS c_en,
+           len(list_filter(w, x -> x IN ('el','la','de'))) AS c_es,
+           len(list_filter(w, x -> x IN ('der','und','das'))) AS c_de,
+           len(list_filter(w, x -> x IN ('le','et','les'))) AS c_fr,
+           greatest(
+             len(list_filter(w, x -> x IN ('the','and','of'))),
+             len(list_filter(w, x -> x IN ('el','la','de'))),
+             len(list_filter(w, x -> x IN ('der','und','das'))),
+             len(list_filter(w, x -> x IN ('le','et','les')))) AS g
+         FROM (SELECT *, string_split(text, ' ') AS w FROM documents))"""
+
   /** Memoize a text-family one-time build per (session, corpus) —
     * persisted MEMORY_AND_DISK, materialized once, released with the
     * "x" family scope (the memoAnn pattern). x_build prices these
@@ -341,6 +360,24 @@ object TextAnalysis {
           .when(cDe === g, "de").otherwise("fr").as("pred_lang"))
         .orderBy("doc_id")
     }),
+
+    // LANGUAGE-ID EVALUATION — the confusion matrix of the n-gram
+    // heuristic against the corpus's labeled lang column (the eval
+    // discipline every classifier here gets: x_qclf has its margin,
+    // the ANN paths their recalls — this prices x_langid): per
+    // (truth, predicted) cell count, row totals and cell ppm by a
+    // window over the ≤|langs|² cell relation — never the corpus.
+    // Reading the off-diagonal mass IS the marker-set tuning
+    // decision; the aggregate is one map-side-combined pass over the
+    // same per-doc prediction x_langid ships.
+    "x_langid_eval" -> ((s, dir) =>
+      TextAnalysis.queries("x_langid")(s, dir)
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .withColumn("row_total", sum("n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+        .withColumn("cell_ppm",
+          expr("CAST((1000000 * n) div row_total AS BIGINT)"))
+        .orderBy("lang", "pred_lang")),
 
     // fingerprint: min 48-bit hash over word 5-shingles (winnowing
     // flavor — the min-hash IS the document sketch). ShingleHashes
@@ -1296,23 +1333,20 @@ object TextAnalysis {
          SELECT doc_id, n_tokens, score_micro, bin, (bin >= bmin) AS kept
          FROM b2, thr ORDER BY doc_id""",
 
-    "x_langid" ->
-      """SELECT doc_id, lang,
-           CASE WHEN c_en = g THEN 'en' WHEN c_es = g THEN 'es'
-                WHEN c_de = g THEN 'de' ELSE 'fr' END AS pred_lang
-         FROM (
-           SELECT doc_id, lang,
-             len(list_filter(w, x -> x IN ('the','and','of'))) AS c_en,
-             len(list_filter(w, x -> x IN ('el','la','de'))) AS c_es,
-             len(list_filter(w, x -> x IN ('der','und','das'))) AS c_de,
-             len(list_filter(w, x -> x IN ('le','et','les'))) AS c_fr,
-             greatest(
-               len(list_filter(w, x -> x IN ('the','and','of'))),
-               len(list_filter(w, x -> x IN ('el','la','de'))),
-               len(list_filter(w, x -> x IN ('der','und','das'))),
-               len(list_filter(w, x -> x IN ('le','et','les')))) AS g
-           FROM (SELECT *, string_split(text, ' ') AS w FROM documents))
-         ORDER BY doc_id""",
+    "x_langid" -> s"$sqlLangid ORDER BY doc_id",
+
+    // composes the per-doc prediction SQL (sqlLangid — the ONE copy
+    // x_langid also ships) — the eval cannot drift from the
+    // classifier it scores
+    "x_langid_eval" ->
+      s"""WITH p AS ($sqlLangid),
+         cells AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+           FROM p GROUP BY 1, 2)
+         SELECT lang, pred_lang, n,
+           CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS row_total,
+           CAST((1000000 * n) // sum(n) OVER (PARTITION BY lang)
+             AS BIGINT) AS cell_ppm
+         FROM cells ORDER BY lang, pred_lang""",
 
     "x_fingerprint" ->
       s"""SELECT doc_id,
