@@ -27,6 +27,7 @@ object Similarity {
   private val DescentRounds = 2 // NN-descent rounds (s_nn_descent_k)
   private val SearchSeeds = 4  // graph-search entry points (s_graph_search)
   private val SearchBeam = 8   // graph-search beam width
+  private val SweepBeams = Seq(4, 8, 16) // s_beam_sweep widths
   private val SearchRounds = 3 // graph-search expansion rounds
   private val HnswBeam1 = 4    // s_hnsw_search: layer-1 descent beam width
   private val HnswRounds1 = 2  // s_hnsw_search: layer-1 descent rounds
@@ -1796,6 +1797,38 @@ object Similarity {
     // recall@K of the graph walk vs the same brute-force baseline —
     // prices the navigable-graph trade next to the IVF/LSH/PQ paths.
     "s_graph_search_recall" -> recallOf("s_graph_search"),
+
+    // BEAM-WIDTH tuning curve — the sweep discipline on the graph
+    // walk's one knob (s_probe_sweep tunes the IVF path, this the
+    // navigable-graph path): the SAME deterministic walk at beam
+    // 4/8/16, each answer's recall@K against the memoized brute
+    // truth, one row per width. Per-walk work is NQueries × beam ×
+    // KnnK per round — corpus-independent once the graph stands — so
+    // the sweep costs three beam walks, not three index builds.
+    // Reading recall-vs-beam IS the ef_search decision an HNSW
+    // deployment makes.
+    "s_beam_sweep" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val gexp = knnGraph(s, dir).select(col("src").as("vec_id"), col("nbr"))
+      val qs = broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn")))
+      val seeds = broadcast(e
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(SearchSeeds).select("vec_id"))
+      val bf = bfTopk(s, dir).select("q", "vec_id")
+      SweepBeams.map { w =>
+        val beam = beamWalk(s, e, qs, gexp,
+          qs.select("q").join(seeds), SearchRounds, w)
+        topk(cosRerank(e, qs, beam.filter(col("vec_id") =!= col("q")))
+          .select("q", "vec_id", "cos"))
+          .select("q", "vec_id")
+          .join(bf, Seq("q", "vec_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(w).cast("int").as("beam"), col("hits"),
+            expr(s"CAST((1000000 * hits) div ${K.toLong * NQueries} AS BIGINT)")
+              .as("recall_ppm"))
+      }.reduce(_ unionByName _).orderBy("beam")
+    }),
 
     // HIERARCHICAL graph search — the full HNSW descent shape on top
     // of the same standing graph: a sparse layer 1 (each vector
@@ -3739,42 +3772,86 @@ object Similarity {
     * SearchRounds expansion/re-rank CTE pairs (MATERIALIZED — each
     * round references its predecessor twice) → final top-K. Cosines
     * are the same unrolled IEEE chain as everywhere else. */
-  private def sqlGraphSearch: String = {
-    def cosOf(q: String, x: String) =
-      s"(${VecOps.sqlDot(s"$q.qv", s"$x.v")} / ($q.qn * $x.n))"
+  private def sqlCosOf(q: String, x: String) =
+    s"(${VecOps.sqlDot(s"$q.qv", s"$x.v")} / ($q.qn * $x.n))"
+
+  /** The beam-walk CTE chain at a given width — b0`sfx` seeds through
+    * b&#36;SearchRounds`sfx` — over standing `e`, `knn`, `qs`, `seeds`
+    * CTEs. ONE copy serves sqlGraphSearch (width = SearchBeam,
+    * sfx = "") and the sqlBeamSweep widths. */
+  private def sqlBeamChain(beam: Int, sfx: String): String = {
     val rounds = (1 to SearchRounds).map { r =>
-      val prev = s"b${r - 1}"
-      s"""x$r AS (SELECT DISTINCT q, vec_id FROM (
+      val prev = s"b${r - 1}$sfx"
+      s"""x$r$sfx AS (SELECT DISTINCT q, vec_id FROM (
            SELECT q, vec_id FROM $prev
            UNION ALL
-           SELECT b.q, k.nbr AS vec_id FROM $prev b JOIN knn k ON k.src = b.vec_id)),
-         b$r AS MATERIALIZED (SELECT q, vec_id FROM (
+           SELECT b.q, k.nbr AS vec_id FROM $prev b JOIN knnm k ON k.src = b.vec_id)),
+         b$r$sfx AS MATERIALIZED (SELECT q, vec_id FROM (
            SELECT x.q, x.vec_id,
              row_number() OVER (PARTITION BY x.q ORDER BY
-               ${cosOf("qs", "e")} DESC, x.vec_id) AS brn
-           FROM x$r x JOIN e ON e.vec_id = x.vec_id JOIN qs ON qs.q = x.q)
-           WHERE brn <= $SearchBeam)"""
+               ${sqlCosOf("qs", "e")} DESC, x.vec_id) AS brn
+           FROM x$r$sfx x JOIN e ON e.vec_id = x.vec_id JOIN qs ON qs.q = x.q)
+           WHERE brn <= $beam)"""
     }.mkString(",\n")
-    s"""WITH $sqlKnnCtes,
+    s"""b0$sfx AS MATERIALIZED (SELECT q, vec_id FROM (
+         SELECT qs.q, e.vec_id,
+           row_number() OVER (PARTITION BY qs.q ORDER BY
+             ${sqlCosOf("qs", "e")} DESC, e.vec_id) AS brn
+         FROM qs, seeds s JOIN e ON e.vec_id = s.vec_id)
+         WHERE brn <= $beam),
+       $rounds"""
+  }
+
+  /** Final top-K re-rank of a finished beam relation (named `from`). */
+  private def sqlBeamTopk(from: String): String =
+    s"""SELECT q, vec_id, cos, rn FROM (
+         SELECT b.q, b.vec_id, ${sqlCosOf("qs", "e")} AS cos,
+           CAST(row_number() OVER (PARTITION BY b.q ORDER BY
+             ${sqlCosOf("qs", "e")} DESC, b.vec_id) AS INT) AS rn
+         FROM $from b JOIN e ON e.vec_id = b.vec_id
+           JOIN qs ON qs.q = b.q
+         WHERE b.vec_id <> b.q)
+       WHERE rn <= $K"""
+
+  // knnm: the walk rounds join the edge relation once per round per
+  // width — UN-materialized, each reference would inline the whole
+  // e×centroid windowed knn derivation (9 copies in the sweep blew
+  // past DuckDB's memory limit at sf0.01; measured, not theoretical)
+  private val sqlQsSeedsCtes =
+    s"""knnm AS MATERIALIZED (SELECT src, nbr FROM knn),
        qs AS MATERIALIZED (SELECT vec_id AS q, v AS qv, n AS qn FROM e
          WHERE vec_id < $NQueries),
        seeds AS (SELECT vec_id FROM e
-         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $SearchSeeds),
-       b0 AS MATERIALIZED (SELECT q, vec_id FROM (
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $SearchSeeds)"""
+
+  private def sqlGraphSearch: String =
+    s"""WITH $sqlKnnCtes,
+       $sqlQsSeedsCtes,
+       ${sqlBeamChain(SearchBeam, "")}
+       ${sqlBeamTopk(s"b$SearchRounds")} ORDER BY q, rn"""
+
+  /** SQL mirror of s_beam_sweep: the walk chain once per width over
+    * the SAME standing CTEs, each answer's recall@K against the
+    * in-query brute-force truth. */
+  private def sqlBeamSweep: String = {
+    val chains = SweepBeams.map(w => sqlBeamChain(w, s"w$w")).mkString(",\n")
+    val rows = SweepBeams.map { w =>
+      s"""SELECT $w AS beam,
+           (SELECT count(*) FROM (${sqlBeamTopk(s"b${SearchRounds}w$w")}) r
+             JOIN bff ON bff.q = r.q AND bff.vec_id = r.vec_id) AS hits"""
+    }.mkString(" UNION ALL ")
+    s"""WITH $sqlKnnCtes,
+       $sqlQsSeedsCtes,
+       $chains,
+       bff AS MATERIALIZED (SELECT q, vec_id FROM (
          SELECT qs.q, e.vec_id,
            row_number() OVER (PARTITION BY qs.q ORDER BY
-             ${cosOf("qs", "e")} DESC, e.vec_id) AS brn
-         FROM qs, seeds s JOIN e ON e.vec_id = s.vec_id)
-         WHERE brn <= $SearchBeam),
-       $rounds
-       SELECT q, vec_id, cos, rn FROM (
-         SELECT b.q, b.vec_id, ${cosOf("qs", "e")} AS cos,
-           CAST(row_number() OVER (PARTITION BY b.q ORDER BY
-             ${cosOf("qs", "e")} DESC, b.vec_id) AS INT) AS rn
-         FROM b$SearchRounds b JOIN e ON e.vec_id = b.vec_id
-           JOIN qs ON qs.q = b.q
-         WHERE b.vec_id <> b.q)
-       WHERE rn <= $K ORDER BY q, rn"""
+             ${sqlCosOf("qs", "e")} DESC, e.vec_id) AS rn
+         FROM qs JOIN e ON e.vec_id <> qs.q) WHERE rn <= $K)
+       SELECT CAST(beam AS INT) AS beam, CAST(hits AS BIGINT) AS hits,
+         CAST((1000000 * hits) // ${K.toLong * NQueries} AS BIGINT)
+           AS recall_ppm
+       FROM ($rows) ORDER BY beam"""
   }
 
   /** SQL mirror of s_hnsw_search: the layer-1 descent CTEs (narrow
@@ -3990,6 +4067,7 @@ object Similarity {
       s"WITH $sqlKnnCtes SELECT src, nbr, cos, rn FROM knn ORDER BY src, rn") +
     ("s_nn_descent_k" -> sqlNnDescentK) +
     ("s_graph_search" -> sqlGraphSearch) +
+    ("s_beam_sweep" -> sqlBeamSweep) +
     ("s_graph_search_recall" ->
       s"""WITH bf AS (${oracleBase("s_cosine_topk")}),
          ann AS ($sqlGraphSearch)

@@ -51,6 +51,22 @@ class GraphPredSpec extends SparkSpec {
     assert(got.forall(t => t._3 >= 1 && t._4 > 0))
   }
 
+  test("s_beam_sweep's beam-8 row equals the shipped graph-search recall") {
+    val sweep = Similarity.queries("s_beam_sweep")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(sweep.map(_._1).toSeq == Seq(4, 8, 16))
+    // the production path (beam = 8) must score exactly what
+    // s_graph_search_recall reports, summed over queries
+    val hits8 = Similarity.queries("s_graph_search_recall")(spark, dir)
+      .collect().map(_.getInt(1).toLong).sum
+    assert(sweep.find(_._1 == 8).get._2 == hits8,
+      "sweep beam-8 diverges from the shipped recall")
+    // a wider beam explores a superset of seeds through the same
+    // rounds: hits must not collapse as beam grows
+    assert(sweep.sortBy(_._1).map(_._2).sliding(2).forall(p =>
+      p.length < 2 || p(1) >= p(0) - 1), "recall collapses as beam widens")
+  }
+
   test("s_modularity equals a naive replay and sums to its own Q") {
     val labels = Similarity.queries("s_label_prop")(spark, dir)
       .select("vec_id", "community").collect()
