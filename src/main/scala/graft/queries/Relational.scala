@@ -1350,6 +1350,145 @@ object Relational {
         .limit(10)
     }),
 
+    // MARKET-BASKET association rules — brand pairs co-ordered in one
+    // order, with support / confidence / lift (the co-occurrence
+    // readout a merchandising or data-mixing decision reads): one
+    // distinct (order, brand) relation feeds everything, the pair
+    // candidates come from a SELF-JOIN ON THE ORDER KEY — the
+    // expansion is bounded by brands-per-order (≤ order size), never
+    // |brands|² — and the per-brand marginals + the order total are
+    // tiny broadcasts back onto the ≤|brands|² pair relation. Lift's
+    // 1e6·support·n product runs in DECIMAL(38,0) (1e6·1e9·1e9 needs
+    // ~1e24); all ratios integer floor-division, identical engines.
+    "q_basket_pairs" -> ((s, dir) => {
+      val ob = graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("o"), col("p_brand").as("brand"))
+          .distinct(),
+        "q")
+      val bcnt = ob.groupBy("brand").agg(count(lit(1)).as("cnt"))
+      val n = ob.agg(countDistinct("o").as("n_orders"))
+      val pairs = ob.as("x").join(ob.as("y"),
+          col("x.o") === col("y.o") && col("x.brand") < col("y.brand"))
+        .select(col("x.brand").as("brand_a"), col("y.brand").as("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3)
+      pairs
+        .join(broadcast(bcnt.select(col("brand").as("brand_a"),
+          col("cnt").as("cnt_a"))), "brand_a")
+        .join(broadcast(bcnt.select(col("brand").as("brand_b"),
+          col("cnt").as("cnt_b"))), "brand_b")
+        .crossJoin(broadcast(n))
+        .select(col("brand_a"), col("brand_b"), col("support"),
+          expr("CAST((1000000 * support) div cnt_a AS BIGINT)")
+            .as("conf_ppm"),
+          expr("""CAST((1000000 * CAST(support AS DECIMAL(38,0)) * n_orders)
+            div (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)""")
+            .as("lift_ppm"))
+        .orderBy("brand_a", "brand_b")
+    }),
+
+    // EXACT GINI coefficient per market segment — the inequality
+    // readout behind q_pareto's share cut (one number instead of two
+    // slices). Gini needs Σ rank·x over the value-sorted per-customer
+    // spend — a global sort per segment if done naively (one reducer
+    // holds a whole segment at 10⁹ customers). Here the rank never
+    // materializes per row: ranks come from the BoundedPercentile
+    // bucket discipline — a `cents div width` histogram whose per-
+    // segment cumulative window runs over ≤ domain/width rows, plus an
+    // in-bucket DISTINCT-VALUE prefix (≤ width longs per group) — and
+    // a tie block of c equal values starting after r0 rows contributes
+    // the closed form x·(c·r0 + c(c+1)/2), so per-row ranks are never
+    // assigned at all (they'd be arbitrary within ties anyway; the
+    // closed form is what any tie-break sums to). All moments in
+    // DECIMAL(38,0): 2·S1 ~ n²·x ≈ 1e25 at 1e9 customers — inside 38
+    // digits; the final ppm is one integer floor-division (numerator
+    // ≥ 0 by Chebyshev's sum inequality, so div == //).
+    "q_gini" -> ((s, dir) => {
+      val width = 1L << 16
+      val per = graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(floor(sum(dec("o_totalprice")) * 100).cast("long").as("cents"))
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+            col("o_custkey") === col("c_custkey"))
+          .select("seg", "cents"),
+        "q")
+      val v = graft.operators.BoundedPercentile.memoInput(
+        per.withColumn("bkt", expr(s"cents div ${width}L"))
+          .groupBy("seg", "bkt", "cents").agg(count(lit(1)).as("c")),
+        "q")
+      val hcum = v.groupBy("seg", "bkt").agg(sum("c").as("bc"))
+        .withColumn("cb",
+          sum("bc").over(Window.partitionBy("seg").orderBy("bkt"))
+            - col("bc"))
+      val vin = v.withColumn("ci",
+        sum("c").over(Window.partitionBy("seg", "bkt").orderBy("cents"))
+          - col("c"))
+      vin.join(hcum.select("seg", "bkt", "cb"), Seq("seg", "bkt"))
+        .withColumn("r0", col("cb") + col("ci"))
+        .groupBy("seg")
+        .agg(sum("c").as("n_customers"),
+          sum(col("cents").cast("decimal(38,0)") * col("c")).as("sx"),
+          sum(col("cents").cast("decimal(38,0)")
+            * (expr("CAST(c AS DECIMAL(38,0)) * r0")
+              + expr("(CAST(c AS DECIMAL(38,0)) * (c + 1)) div 2")))
+            .as("s1"))
+        .select(col("seg"), col("n_customers"),
+          col("sx").cast("long").as("sum_cents"),
+          expr("""CAST((1000000 * (2 * s1 - (n_customers + 1) * sx))
+            div (n_customers * sx) AS BIGINT)""").as("gini_ppm"))
+        .orderBy("seg")
+    }),
+
+    // AUTOCORRELATION of the daily revenue series at lags 1..7 — the
+    // signal q_seasonal assumes (is there weekly structure at all?)
+    // and a forecast-readiness readout: deviations around the FLOORED
+    // series mean (q_cusum's exact-integer deviation — both engines
+    // floor S div n identically; the estimator shift is defined, not
+    // approximated), lag pairs by an explicit day-key join (calendar
+    // gaps pair only existing days — never a row-offset window that
+    // silently misreads gaps), one 7-way fan-out via explode so all
+    // lags ride ONE |days|-grain join. acf_ppm = 1e6·Σdev_t·dev_{t+L}
+    // over Σdev² with the q_cov +K·den shift (the numerator is
+    // SIGNED; |num| ≤ den by Cauchy-Schwarz keeps the shifted form
+    // positive, where truncate-toward-zero == floor). Everything past
+    // the one orders scan runs at the |days| grain.
+    "q_acf" -> ((s, dir) => {
+      val daily = graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "orders")
+          .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+            floor(dec("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("day").agg(sum("cents").as("x")),
+        "q")
+      val g = daily.agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("s"))
+      val dev = graft.operators.BoundedPercentile.memoInput(
+        daily.crossJoin(broadcast(g))
+          .select(col("day"),
+            (col("x") - expr("CAST(s div n AS BIGINT)")).as("dev")),
+        "q")
+      val den = dev.agg(
+        sum(expr("CAST(dev AS DECIMAL(19,0)) * dev")).as("den"))
+      val fan = dev.select(col("day"), col("dev").as("dev2"),
+          explode(expr("sequence(1L, 7L)")).as("lag"))
+        .select((col("day") - col("lag")).as("day"), col("lag"),
+          col("dev2"))
+      dev.join(fan, "day")
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CAST(dev AS DECIMAL(19,0)) * dev2")).as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("lag").cast("int").as("lag"), col("n_pairs"),
+          expr("""CAST((1000000 * num + 2000000 * den) div den
+            - 2000000 AS BIGINT)""").as("acf_ppm"))
+        .orderBy("lag")
+    }),
+
     "q_mad" -> ((s, dir) => madQuery(s, dir))
   )
 
@@ -2170,6 +2309,59 @@ object Relational {
            CAST(sum(CASE WHEN adev > mad * 5 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_out,
            max(CASE WHEN adev > mad * 5 THEN cents END) AS max_out_cents
-         FROM d, md"""
+         FROM d, md""",
+
+    "q_basket_pairs" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS brand
+             FROM lineitem JOIN part ON l_partkey = p_partkey),
+         n AS (SELECT count(DISTINCT o) AS n_orders FROM ob),
+         bc AS (SELECT brand, count(*) AS cnt FROM ob GROUP BY brand),
+         pr AS (SELECT x.brand AS brand_a, y.brand AS brand_b,
+             count(*) AS support
+           FROM ob x JOIN ob y ON x.o = y.o AND x.brand < y.brand
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT brand_a, brand_b, CAST(support AS BIGINT) AS support,
+           CAST((1000000 * support) // ca.cnt AS BIGINT) AS conf_ppm,
+           CAST((1000000 * CAST(support AS HUGEINT) * n_orders)
+             // (CAST(ca.cnt AS HUGEINT) * cb.cnt) AS BIGINT) AS lift_ppm
+         FROM pr JOIN bc ca ON ca.brand = brand_a
+           JOIN bc cb ON cb.brand = brand_b, n
+         ORDER BY brand_a, brand_b""",
+
+    "q_gini" ->
+      """WITH per AS (SELECT c_mktsegment AS seg, o_custkey,
+             CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+               AS BIGINT) AS cents
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         r AS (SELECT seg, cents,
+             row_number() OVER (PARTITION BY seg ORDER BY cents, o_custkey)
+               AS i
+           FROM per)
+         SELECT seg, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST((1000000 * (2 * sum(CAST(i AS HUGEINT) * cents)
+               - (count(*) + 1) * sum(CAST(cents AS HUGEINT))))
+             // (count(*) * sum(CAST(cents AS HUGEINT))) AS BIGINT)
+             AS gini_ppm
+         FROM r GROUP BY seg ORDER BY seg""",
+
+    "q_acf" ->
+      """WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             sum(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+               AS BIGINT)) AS x
+           FROM orders GROUP BY 1),
+         g AS (SELECT count(*) AS n, sum(x) AS s FROM d),
+         v AS (SELECT day, x - CAST(s // n AS BIGINT) AS dev FROM d, g),
+         dn AS (SELECT sum(CAST(dev AS HUGEINT) * dev) AS den FROM v),
+         l AS (SELECT lag FROM range(1, 8) t(lag)),
+         p AS (SELECT l.lag, count(*) AS n_pairs,
+             sum(CAST(a.dev AS HUGEINT) * b.dev) AS num
+           FROM l CROSS JOIN v a JOIN v b ON b.day = a.day + l.lag
+           GROUP BY l.lag)
+         SELECT CAST(lag AS INT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST((1000000 * num + 2000000 * den) // den - 2000000 AS BIGINT)
+             AS acf_ppm
+         FROM p, dn ORDER BY lag"""
   )
 }

@@ -153,4 +153,83 @@ class StatsOpsSpec extends SparkSpec {
     assert(byR.values.forall(n => n > nCust / 20), "a recency quintile is empty-ish")
     assert(rows.forall(_._5 > 0), "non-positive mean spend")
   }
+
+  test("q_gini's bucketed rank path equals a naive sorted BigInt replay") {
+    // per-customer cents exactly as the query derives them
+    val per = Tables.load(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(expr("CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100) AS BIGINT)").as("cents"))
+      .join(Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+      .select("seg", "cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = Relational.queries("q_gini")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == per.map(_._1).toSet)
+    for ((seg, n, sumCents, giniPpm) <- got) {
+      // the sort the distributed path avoids — ground truth here
+      val xs = per.filter(_._1 == seg).map(t => BigInt(t._2)).sorted
+      val bn = BigInt(xs.length)
+      val sx = xs.sum
+      val s1 = xs.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+      assert(n == xs.length && BigInt(sumCents) == sx)
+      val expect = (BigInt(1000000) * (2 * s1 - (bn + 1) * sx)) / (bn * sx)
+      assert(BigInt(giniPpm) == expect, s"$seg: $giniPpm vs $expect")
+      assert(giniPpm >= 0 && giniPpm < 1000000)
+    }
+  }
+
+  test("q_acf equals a naive BigInt replay and respects Cauchy-Schwarz") {
+    val daily = Tables.load(spark, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("x"))
+      .collect().map(r => (r.getLong(0), BigInt(r.getLong(1))))
+      .sortBy(_._1)
+    val n = BigInt(daily.length)
+    val s = daily.map(_._2).sum
+    val mean = s / n // floored, exactly as both engines compute it
+    val dev = daily.map { case (d, x) => (d, x - mean) }.toMap
+    val den = dev.values.map(v => v * v).sum
+    val got = Relational.queries("q_acf")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (1 to 7))
+    for ((lag, nPairs, acfPpm) <- got) {
+      val pairs = dev.keys.filter(d => dev.contains(d + lag)).toSeq
+      assert(nPairs == pairs.length)
+      val num = pairs.map(d => dev(d) * dev(d + lag)).sum
+      val expect = ((BigInt(1000000) * num + BigInt(2000000) * den) / den
+        - BigInt(2000000)).toLong
+      assert(acfPpm == expect, s"lag $lag: $acfPpm vs $expect")
+      assert(acfPpm.abs <= 1000000, "ACF outside [-1, 1]")
+    }
+  }
+
+  test("q_basket_pairs marginals and lift check out against a naive replay") {
+    val ob = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("brand"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val nOrders = ob.map(_._1).distinct.length
+    val bcnt = ob.groupBy(_._2).map { case (b, g) => b -> g.length }
+    val naive = ob.groupBy(_._1).values.toSeq.flatMap { g =>
+      val bs = g.map(_._2).sorted.toSeq
+      for (a <- bs; b <- bs if a < b) yield (a, b)
+    }.groupBy(identity).map { case (p, g) => p -> g.size }
+      .filter(_._2 >= 3)
+    val got = Relational.queries("q_basket_pairs")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == naive.keySet)
+    for ((pair, (sup, conf, lift)) <- got) {
+      assert(sup == naive(pair))
+      assert(conf == 1000000L * sup / bcnt(pair._1))
+      assert(lift == (BigInt(1000000) * sup * nOrders
+        / (BigInt(bcnt(pair._1)) * bcnt(pair._2))).toLong)
+      // lift clusters around 1e6 when brands co-occur independently
+      assert(lift > 100000L && lift < 10000000L, s"absurd lift $lift")
+    }
+  }
 }
