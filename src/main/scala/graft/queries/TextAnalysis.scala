@@ -286,6 +286,43 @@ object TextAnalysis {
           expr("CAST((1000000 * CAST(n_types AS BIGINT)) div n_tokens AS BIGINT)"))
         .orderBy("doc_id")),
 
+    // HEAPS'-LAW vocabulary growth curve — the corpus-level companion
+    // of x_ttr's per-doc breadth (does vocabulary keep growing with
+    // ingest, or has the corpus gone derivative?): ten ingest-order
+    // checkpoints (id-decile cuts off one min/max scalar broadcast),
+    // each term reduced to its FIRST doc (one min aggregate over the
+    // exploded distinct words), and both relations fan each row to the
+    // checkpoints that cover it via the exact integer kmin =
+    // ⌈10q/m⌉ = (10q+m−1) div m — floor(mk/10) ≥ q ⟺ mk ≥ 10q, so
+    // the explode(sequence(kmin,10)) fan-out is the ≤10× equi-join
+    // answer to "count first_ids ≤ cut_k for every k" (never an
+    // inequality join, never a re-scan per checkpoint). Everything
+    // downstream of the two doc scans runs at |terms| / |docs| grain
+    // with map-side-combined counts.
+    "x_heaps" -> ((s, dir) => {
+      val ids = docs(s, dir).agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      def fan(df: DataFrame, idCol: String): DataFrame =
+        df.crossJoin(broadcast(ids))
+          .withColumn("q", col(idCol) - col("lo") + 1)
+          .withColumn("m", col("hi") - col("lo") + 1)
+          .select(col("*"),
+            explode(expr("sequence((10 * q + m - 1) div m, 10L)")).as("k"))
+      val first = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(wordsCol)).as("term"))
+        .groupBy("term").agg(min("doc_id").as("first_id"))
+      val vk = fan(first, "first_id")
+        .groupBy("k").agg(count(lit(1)).as("vocab"))
+      val dk = fan(docs(s, dir)
+          .select(col("doc_id"), size(wordsCol).cast("long").as("nt")),
+        "doc_id")
+        .groupBy("k").agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      dk.join(vk, "k").crossJoin(broadcast(ids))
+        .select(col("k").cast("int").as("k"),
+          expr("lo + ((hi - lo + 1) * k) div 10 - 1").as("cut_id"),
+          col("n_docs"), col("n_tokens"), col("vocab"))
+        .orderBy("k")
+    }),
+
     // quality score: length saturation + stopword density. Computed in
     // INTEGER micro-units with one final /1e6 — engines disagree on
     // round() tie-breaking for doubles (Spark shortest-repr HALF_UP vs
@@ -1306,6 +1343,35 @@ object TextAnalysis {
              AS BIGINT)) // len(string_split(text, ' ')) AS BIGINT)
              AS ttr_ppm
          FROM documents ORDER BY doc_id""",
+
+    "x_heaps" ->
+      """WITH ids AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+             FROM documents),
+         f AS (SELECT term, min(doc_id) AS first_id
+           FROM (SELECT doc_id,
+               unnest(list_distinct(string_split(text, ' '))) AS term
+             FROM documents)
+           GROUP BY term),
+         vk AS (SELECT k, count(*) AS vocab FROM (
+             SELECT unnest(range(
+               (10 * (first_id - lo + 1) + (hi - lo + 1) - 1)
+                 // (hi - lo + 1),
+               CAST(11 AS BIGINT))) AS k
+             FROM f, ids) GROUP BY k),
+         dk AS (SELECT k, count(*) AS n_docs, sum(nt) AS n_tokens FROM (
+             SELECT doc_id, nt, unnest(range(
+               (10 * (doc_id - lo + 1) + (hi - lo + 1) - 1)
+                 // (hi - lo + 1),
+               CAST(11 AS BIGINT))) AS k
+             FROM (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+               FROM documents), ids) GROUP BY k)
+         SELECT CAST(dk.k AS INT) AS k,
+           lo + ((hi - lo + 1) * dk.k) // 10 - 1 AS cut_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab
+         FROM dk JOIN vk ON dk.k = vk.k, ids ORDER BY k""",
 
     "x_quality" ->
       s"""SELECT doc_id,
