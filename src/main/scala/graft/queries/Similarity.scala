@@ -1127,6 +1127,39 @@ object Similarity {
     // and the assignment quadratically — the r03 scale defect).
     "s_ivf_ann" -> memoAnn("s_ivf_ann")((s, dir) => ivfAnn(s, dir, refine = false)),
 
+    // SIMPLIFIED SILHOUETTE per IVF cell — the clustering-quality audit
+    // of the standing index (s_index_health counts cell populations;
+    // this reads whether the GEOMETRY is any good): per point, own-
+    // centroid vs best-other-centroid cosine distance, s = (b−a)/b ∈
+    // [0,1] (a ≤ b is FORCED by the nearest-centroid assignment, so the
+    // max(a,b) of the textbook form is just b). Simplified (vs-centroid)
+    // silhouette IS the distributed variant — the full pairwise form is
+    // O(N²); this is the SAME O(N·K) broadcast pass the assignment
+    // already pays, and the memoized buildIvfIndex relations feed it.
+    // Per-point scores floor to integer ppm (identical IEEE chains both
+    // engines), per-cell means are integer divisions of BIGINT sums.
+    "s_silhouette" -> ((s, dir) => {
+      val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
+      val sc = assigned.select(col("vec_id"), col("v"), col("n"), col("cid"))
+        .join(broadcast(cents.select(col("cid").as("cid2"),
+          col("cv"), col("cn"))))
+        .select(col("vec_id"), col("cid"), col("cid2"),
+          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("ccos"))
+      sc.groupBy("vec_id", "cid")
+        .agg(max(when(col("cid2") === col("cid"), col("ccos"))).as("owncos"),
+          max(when(col("cid2") =!= col("cid"), col("ccos"))).as("othcos"))
+        .select(col("cid"),
+          when(lit(1.0) - col("othcos") <= 0.0, lit(0L))
+            .otherwise(floor(lit(1000000.0)
+              * ((lit(1.0) - col("othcos")) - (lit(1.0) - col("owncos")))
+              / (lit(1.0) - col("othcos"))).cast("long")).as("s_ppm"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_points"),
+          expr("CAST(sum(s_ppm) div count(*) AS BIGINT)").as("mean_sil_ppm"),
+          min("s_ppm").as("min_sil_ppm"))
+        .orderBy("cid")
+    }),
+
     // the SAME IVF index with the codebook Lloyd-refined — shipped as a
     // sibling query because the choice is a measured TRADE, not an
     // upgrade: on this corpus (near-uniform synthetic embeddings, no
@@ -2816,6 +2849,37 @@ object Similarity {
        FROM probes JOIN assigned USING (cid)
        WHERE assigned.vec_id <> probes.q AND assigned.label % 3 = 0""")
 
+  /** SQL mirror of s_silhouette: the unrefined IVF assignment CTEs,
+    * then per-point own-vs-best-other centroid cosine distance floored
+    * to ppm and averaged per cell in integer arithmetic. */
+  private def sqlSilhouette: String =
+    s"""WITH e AS ($sqlVecs),
+       c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${sqlK("e")}),
+       assigned AS MATERIALIZED (SELECT vec_id, v, n, cid FROM (
+           SELECT e.vec_id, e.v, e.n, c0.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                 c0.cid) AS arn
+           FROM e, c0) WHERE arn = 1),
+       sc AS (SELECT a.vec_id, a.cid, c0.cid AS cid2,
+           (${VecOps.sqlDot("a.v", "c0.cv")} / (a.n * c0.cn)) AS ccos
+         FROM assigned a, c0),
+       per AS (SELECT vec_id, cid,
+           max(CASE WHEN cid2 = cid THEN ccos END) AS owncos,
+           max(CASE WHEN cid2 <> cid THEN ccos END) AS othcos
+         FROM sc GROUP BY vec_id, cid),
+       sil AS (SELECT cid,
+           CASE WHEN 1.0 - othcos <= 0.0 THEN 0
+             ELSE CAST(floor(1000000.0
+               * ((1.0 - othcos) - (1.0 - owncos)) / (1.0 - othcos))
+               AS BIGINT) END AS s_ppm
+         FROM per)
+       SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(s_ppm) // count(*) AS BIGINT) AS mean_sil_ppm,
+         CAST(min(s_ppm) AS BIGINT) AS min_sil_ppm
+       FROM sil GROUP BY cid ORDER BY cid"""
+
   /** SQL mirror of s_range_search: the unrefined IVF probe with the
     * micro-unit radius predicate in place of the top-K window. */
   private def sqlRangeSearch: String =
@@ -3288,6 +3352,7 @@ object Similarity {
 
     "s_ivf_ann" -> sqlIvf(refine = false),
     "s_ivf_kmeans" -> sqlIvf(refine = true),
+    "s_silhouette" -> sqlSilhouette,
 
     // upsert: the centroid draw sees only pre-batch vectors; assignment
     // covers the full corpus (old standing + delta in one argmax — the
