@@ -1489,6 +1489,49 @@ object Relational {
         .orderBy("lag")
     }),
 
+    // MANN-WHITNEY U — the nonparametric A/B readout q_abtest's Welch
+    // z² can't give when spend is heavy-tailed (rank tests don't care
+    // about the tail): urgent/high-priority orders vs the rest on
+    // order-total cents. Ranks never materialize per row — the same
+    // bucketed distinct-value prefix as q_gini (bounded bucket
+    // histogram window + in-bucket ≤width-value window), and a tie
+    // block contributes its MIDRANK sum in the closed form
+    // ca·(2·r0 + c + 1) kept DOUBLED so the ½s of midranks stay
+    // integer. 2U_A = 2R_A − n_A(n_A+1); the common-language effect
+    // size (P[A > B] + ½P[A = B]) and the rank-biserial correlation
+    // are integer ppm off it. One row out; everything after the one
+    // orders scan runs at the |distinct cents| grain.
+    "q_mwu" -> ((s, dir) => {
+      val width = 1L << 16
+      val per = graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "orders").select(
+          floor(dec("o_totalprice") * 100).cast("long").as("cents"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("arm")),
+        "q")
+      val v = per.withColumn("bkt", expr(s"cents div ${width}L"))
+        .groupBy("bkt", "cents")
+        .agg(count(lit(1)).as("c"), sum("arm").as("ca"))
+      val vM = graft.operators.BoundedPercentile.memoInput(v, "q")
+      val hcum = vM.groupBy("bkt").agg(sum("c").as("bc"))
+        .withColumn("cb",
+          sum("bc").over(Window.orderBy("bkt")) - col("bc"))
+      val vin = vM.withColumn("ci",
+        sum("c").over(Window.partitionBy("bkt").orderBy("cents")) - col("c"))
+      vin.join(hcum.select("bkt", "cb"), "bkt")
+        .withColumn("r0", col("cb") + col("ci"))
+        .agg(sum("ca").as("n_a"), sum(col("c") - col("ca")).as("n_b"),
+          sum(col("ca").cast("decimal(38,0)")
+            * (lit(2) * col("r0") + col("c") + 1)).as("r2a"))
+        .select(col("n_a"), col("n_b"),
+          expr("CAST(r2a - n_a * (CAST(n_a AS DECIMAL(38,0)) + 1) AS BIGINT)")
+            .as("u2"),
+          expr("""CAST((1000000 * (r2a - n_a * (CAST(n_a AS DECIMAL(38,0)) + 1)))
+            div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""")
+            .as("cles_ppm"))
+        .withColumn("rb_ppm", (col("cles_ppm") * 2 - 1000000L).cast("long"))
+    }),
+
     "q_mad" -> ((s, dir) => madQuery(s, dir))
   )
 
@@ -2362,6 +2405,26 @@ object Relational {
          SELECT CAST(lag AS INT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
            CAST((1000000 * num + 2000000 * den) // den - 2000000 AS BIGINT)
              AS acf_ppm
-         FROM p, dn ORDER BY lag"""
+         FROM p, dn ORDER BY lag""",
+
+    "q_mwu" ->
+      """WITH p AS (SELECT
+             CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+               AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END AS arm
+           FROM orders),
+         r AS (SELECT cents, count(*) AS c, sum(arm) AS ca,
+             sum(count(*)) OVER (ORDER BY cents) - count(*) AS r0
+           FROM p GROUP BY cents),
+         a AS (SELECT sum(ca) AS n_a, sum(c - ca) AS n_b,
+             sum(CAST(ca AS HUGEINT) * (2 * r0 + c + 1)) AS r2a FROM r)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2,
+           CAST((1000000 * (r2a - n_a * (n_a + 1))) // (2 * n_a * n_b)
+             AS BIGINT) AS cles_ppm,
+           CAST(2 * ((1000000 * (r2a - n_a * (n_a + 1)))
+             // (2 * n_a * n_b)) - 1000000 AS BIGINT) AS rb_ppm
+         FROM a"""
   )
 }

@@ -232,4 +232,35 @@ class StatsOpsSpec extends SparkSpec {
       assert(lift > 100000L && lift < 10000000L, s"absurd lift $lift")
     }
   }
+
+  test("q_mwu equals a naive midrank replay") {
+    val rows = Tables.load(spark, dir, "orders")
+      .select(expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"),
+        expr("CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // naive doubled midranks: sort, then a tie block spanning sorted
+    // positions [i+1, i+c] has midrank (2i + c + 1) / 2
+    val sorted = rows.sortBy(_._1)
+    val rank2 = collection.mutable.Map.empty[Long, Long]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      rank2(sorted(i)._1) = 2L * i + (j - i) + 1
+      i = j
+    }
+    val nA = rows.count(_._2 == 1).toLong
+    val nB = rows.length - nA
+    val r2a = rows.filter(_._2 == 1).map(r => BigInt(rank2(r._1))).sum
+    val u2 = r2a - BigInt(nA) * (nA + 1)
+    val cles = BigInt(1000000) * u2 / (2 * BigInt(nA) * nB)
+    val got = Relational.queries("q_mwu")(spark, dir).collect()(0)
+    assert(got.getLong(0) == nA && got.getLong(1) == nB)
+    assert(BigInt(got.getLong(2)) == u2, s"u2 ${got.getLong(2)} vs $u2")
+    assert(BigInt(got.getLong(3)) == cles)
+    assert(got.getLong(4) == got.getLong(3) * 2 - 1000000L)
+    // priority is independent of spend in the synthetic data: the
+    // effect size must sit near 1/2, not at a degenerate extreme
+    assert(got.getLong(3) > 300000L && got.getLong(3) < 700000L)
+  }
 }
