@@ -1160,6 +1160,36 @@ object Similarity {
         .orderBy("cid")
     }),
 
+    // DUNN INDEX (centroid-diameter variant) — the separation half of
+    // the index-geometry audit (s_silhouette reads per-point fit; Dunn
+    // reads the worst-case ratio: nearest centroid pair vs fattest
+    // cell): sep = min over centroid pairs of cosine distance — a K×K
+    // comparison, and K=√N makes that O(N) work, bounded and tiny next
+    // to the assignment — and diam = 2·max point-to-own-centroid
+    // distance off the SAME memoized assignment relation. Both floor
+    // to ppm BEFORE the min/max (floor is monotone, so floor-then-min
+    // equals min-then-floor, and the selected values are integers both
+    // engines agree on); the final ratio is one integer division of
+    // two one-row scalars.
+    "s_dunn" -> ((s, dir) => {
+      val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
+      val c1 = cents.select(col("cid").as("i"), col("cv").as("vi"),
+        col("cn").as("ni"))
+      val c2 = cents.select(col("cid").as("j"), col("cv").as("vj"),
+        col("cn").as("nj"))
+      val sep = c1.join(broadcast(c2), col("i") < col("j"))
+        .select(floor((lit(1.0) - VecOps.cosine(col("vi"), col("vj"),
+          col("ni"), col("nj"))) * lit(1000000.0)).cast("long").as("d"))
+        .agg(min("d").as("min_sep_ppm"))
+      val diam = assigned.join(broadcast(cents), "cid")
+        .select(floor((lit(1.0) - VecOps.cosine(col("v"), col("cv"),
+          col("n"), col("cn"))) * lit(2000000.0)).cast("long").as("dd"))
+        .agg(max("dd").as("max_diam_ppm"))
+      sep.crossJoin(diam)
+        .withColumn("dunn_ppm",
+          expr("CAST((1000000 * min_sep_ppm) div max_diam_ppm AS BIGINT)"))
+    }),
+
     // the SAME IVF index with the codebook Lloyd-refined — shipped as a
     // sibling query because the choice is a measured TRADE, not an
     // upgrade: on this corpus (near-uniform synthetic embeddings, no
@@ -2880,6 +2910,33 @@ object Similarity {
          CAST(min(s_ppm) AS BIGINT) AS min_sil_ppm
        FROM sil GROUP BY cid ORDER BY cid"""
 
+  /** SQL mirror of s_dunn: the same assignment CTEs, centroid-pair
+    * separation min and twice-radius diameter max floored to ppm, one
+    * integer ratio. */
+  private def sqlDunn: String =
+    s"""WITH e AS ($sqlVecs),
+       c0 AS (SELECT vec_id AS cid, v AS cv, n AS cn FROM e
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${sqlK("e")}),
+       assigned AS MATERIALIZED (SELECT vec_id, v, n, cid FROM (
+           SELECT e.vec_id, e.v, e.n, c0.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY (${VecOps.sqlDot("e.v", "c0.cv")} / (e.n * c0.cn)) DESC,
+                 c0.cid) AS arn
+           FROM e, c0) WHERE arn = 1),
+       sep AS (SELECT min(CAST(floor((1.0
+             - (${VecOps.sqlDot("a.cv", "b.cv")} / (a.cn * b.cn)))
+             * 1000000.0) AS BIGINT)) AS min_sep_ppm
+         FROM c0 a JOIN c0 b ON a.cid < b.cid),
+       diam AS (SELECT max(CAST(floor((1.0
+             - (${VecOps.sqlDot("assigned.v", "c0.cv")}
+               / (assigned.n * c0.cn)))
+             * 2000000.0) AS BIGINT)) AS max_diam_ppm
+         FROM assigned JOIN c0 USING (cid))
+       SELECT min_sep_ppm, max_diam_ppm,
+         CAST((1000000 * min_sep_ppm) // max_diam_ppm AS BIGINT)
+           AS dunn_ppm
+       FROM sep, diam"""
+
   /** SQL mirror of s_range_search: the unrefined IVF probe with the
     * micro-unit radius predicate in place of the top-K window. */
   private def sqlRangeSearch: String =
@@ -3353,6 +3410,7 @@ object Similarity {
     "s_ivf_ann" -> sqlIvf(refine = false),
     "s_ivf_kmeans" -> sqlIvf(refine = true),
     "s_silhouette" -> sqlSilhouette,
+    "s_dunn" -> sqlDunn,
 
     // upsert: the centroid draw sees only pre-batch vectors; assignment
     // covers the full corpus (old standing + delta in one argmax — the

@@ -286,6 +286,29 @@ object TextAnalysis {
           expr("CAST((1000000 * CAST(n_types AS BIGINT)) div n_tokens AS BIGINT)"))
         .orderBy("doc_id")),
 
+    // SIMPSON DIVERSITY per source — the repeat-probability readout of
+    // each source's term distribution (the collision half of the
+    // diversity picture x_heaps' growth curve doesn't carry: two
+    // sources can share a vocab size while one is template spam that
+    // repeats its head tokens): D = Σ n_i(n_i−1) / (N(N−1)), the exact
+    // probability two tokens drawn without replacement are the same
+    // type — PURE INTEGER (no entropy logs, which are not bit-portable
+    // across engines). Term counts map-side combine per (source,
+    // term); the moment sums run in DECIMAL(38,0) (n² ≈ 1e24 at 1e12
+    // tokens of one term). One |sources|-row output.
+    "x_simpson" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"), explode(wordsCol).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("n").cast("decimal(38,0)") * (col("n") - 1)).as("coll"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("""CAST((1000000 * coll)
+            div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))
+            AS BIGINT)""").as("simpson_ppm"))
+        .orderBy("source")),
+
     // HEAPS'-LAW vocabulary growth curve — the corpus-level companion
     // of x_ttr's per-doc breadth (does vocabulary keep growing with
     // ingest, or has the corpus gone derivative?): ten ingest-order
@@ -1343,6 +1366,20 @@ object TextAnalysis {
              AS BIGINT)) // len(string_split(text, ' ')) AS BIGINT)
              AS ttr_ppm
          FROM documents ORDER BY doc_id""",
+
+    "x_simpson" ->
+      """WITH tc AS (SELECT source, term, count(*) AS n
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+             FROM documents)
+           GROUP BY source, term),
+         a AS (SELECT source, sum(n) AS n_tokens, count(*) AS n_types,
+             sum(CAST(n AS HUGEINT) * (n - 1)) AS coll
+           FROM tc GROUP BY source)
+         SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST((1000000 * coll) // (CAST(n_tokens AS HUGEINT)
+             * (n_tokens - 1)) AS BIGINT) AS simpson_ppm
+         FROM a ORDER BY source""",
 
     "x_heaps" ->
       """WITH ids AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi

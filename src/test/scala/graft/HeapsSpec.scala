@@ -44,4 +44,25 @@ class HeapsSpec extends SparkSpec {
     val head = rows.head
     assert(head._5 > 0 && head._5 <= vocab)
   }
+
+  test("x_simpson equals a naive BigInt collision-probability replay") {
+    val terms = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val got = TextAnalysis.queries("x_simpson")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val bySrc = terms.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet)
+    for ((src, g) <- bySrc) {
+      val counts = g.groupBy(_._2).map(_._2.length)
+      val n = BigInt(g.length)
+      val coll = counts.map(c => BigInt(c) * (c - 1)).sum
+      val (nTokens, nTypes, ppm) = got(src)
+      assert(nTokens == g.length && nTypes == counts.size)
+      assert(BigInt(ppm) == BigInt(1000000) * coll / (n * (n - 1)),
+        s"$src: $ppm")
+      assert(ppm >= 0 && ppm < 1000000)
+    }
+  }
 }

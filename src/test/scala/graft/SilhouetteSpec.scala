@@ -57,4 +57,27 @@ class SilhouetteSpec extends SparkSpec {
     assert(got.values.forall { case (_, mean, mn) =>
       mn >= 0L && mean >= 0 && mean < 1000000 })
   }
+
+  test("s_dunn equals a naive replay over the same draw and assignment") {
+    val vs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val norm = vs.view.mapValues(v => math.sqrt(dot(v, v))).toMap
+    def cos(v: Long, c: Long): Double = dot(vs(v), vs(c)) / (norm(v) * norm(c))
+
+    val k = Similarity.kFor(vs.size.toLong)
+    val cents = vs.keys.toSeq
+      .sortBy(id => (md5Hex(id.toString), id)).take(k)
+    val sep = (for (a <- cents; b <- cents if a < b)
+      yield math.floor((1.0 - cos(a, b)) * 1000000.0).toLong).min
+    val diam = vs.keys.map { id =>
+      val own = cents.map(c => (-cos(id, c), c)).min._2
+      math.floor((1.0 - cos(id, own)) * 2000000.0).toLong
+    }.max
+    val got = Similarity.queries("s_dunn")(spark, dir).collect()(0)
+    assert(got.getLong(0) == sep, s"sep ${got.getLong(0)} vs $sep")
+    assert(got.getLong(1) == diam, s"diam ${got.getLong(1)} vs $diam")
+    assert(got.getLong(2) == 1000000L * sep / diam)
+  }
 }
