@@ -1532,6 +1532,38 @@ object Relational {
         .withColumn("rb_ppm", (col("cles_ppm") * 2 - 1000000L).cast("long"))
     }),
 
+    // KENDALL τ_a between daily revenue and daily order count — the
+    // rank-association readout (does more volume actually move more
+    // money, monotonically?) that q_cov's linear covariance can't
+    // give: concordance is counted over day PAIRS at the bounded
+    // |days| grain (the q_cusum contract — a few thousand rows
+    // whatever the corpus, so the pair self-join is ≤ |days|²/2,
+    // bounded work, never a fact-table pair explosion). Signs compare
+    // via CASE chains — never dx·dy, whose cross-product overflows
+    // BIGINT at daily-total magnitudes — and the signed C−D divides
+    // with the q_cov +K shift. Exact integers end to end.
+    "q_kendall" -> ((s, dir) => {
+      val d = graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "orders")
+          .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+            floor(dec("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("day")
+          .agg(sum("cents").as("rev"), count(lit(1)).as("cnt")),
+        "q")
+      val sgn = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        when(a > b, 1).when(a < b, -1).otherwise(0)
+      d.as("a").join(d.as("b"), col("a.day") < col("b.day"))
+        .select((sgn(col("a.rev"), col("b.rev"))
+          * sgn(col("a.cnt"), col("b.cnt"))).as("s"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("s") === 1, 1L).otherwise(0L)).as("concordant"),
+          sum(when(col("s") === -1, 1L).otherwise(0L)).as("discordant"))
+        .select(col("n_pairs"), col("concordant"), col("discordant"),
+          expr("""CAST((1000000 * (CAST(concordant AS DECIMAL(38,0)) - discordant)
+            + 2000000 * CAST(n_pairs AS DECIMAL(38,0))) div n_pairs
+            - 2000000 AS BIGINT)""").as("tau_ppm"))
+    }),
+
     "q_mad" -> ((s, dir) => madQuery(s, dir))
   )
 
@@ -2425,6 +2457,28 @@ object Relational {
              AS BIGINT) AS cles_ppm,
            CAST(2 * ((1000000 * (r2a - n_a * (n_a + 1)))
              // (2 * n_a * n_b)) - 1000000 AS BIGINT) AS rb_ppm
-         FROM a"""
+         FROM a""",
+
+    "q_kendall" ->
+      """WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             sum(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+               AS BIGINT)) AS rev,
+             count(*) AS cnt
+           FROM orders GROUP BY 1),
+         p AS (SELECT (CASE WHEN a.rev > b.rev THEN 1
+               WHEN a.rev < b.rev THEN -1 ELSE 0 END)
+             * (CASE WHEN a.cnt > b.cnt THEN 1
+               WHEN a.cnt < b.cnt THEN -1 ELSE 0 END) AS s
+           FROM d a JOIN d b ON a.day < b.day)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS concordant,
+           CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS discordant,
+           CAST((1000000 * (CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+               AS HUGEINT) - sum(CASE WHEN s = -1 THEN 1 ELSE 0 END))
+             + 2000000 * CAST(count(*) AS HUGEINT)) // count(*)
+             - 2000000 AS BIGINT) AS tau_ppm
+         FROM p"""
   )
 }

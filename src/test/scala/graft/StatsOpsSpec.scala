@@ -263,4 +263,27 @@ class StatsOpsSpec extends SparkSpec {
     // effect size must sit near 1/2, not at a degenerate extreme
     assert(got.getLong(3) > 300000L && got.getLong(3) < 700000L)
   }
+
+  test("q_kendall equals a naive pair count and reads a positive trend") {
+    val d = Tables.load(spark, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("rev"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var conc = 0L; var disc = 0L; var pairs = 0L
+    for (a <- d; b <- d if a._1 < b._1) {
+      pairs += 1
+      val s = java.lang.Long.signum(a._2 - b._2) * java.lang.Long.signum(a._3 - b._3)
+      if (s > 0) conc += 1 else if (s < 0) disc += 1
+    }
+    val got = Relational.queries("q_kendall")(spark, dir).collect()(0)
+    assert(got.getLong(0) == pairs && got.getLong(1) == conc
+      && got.getLong(2) == disc)
+    val expect = ((BigInt(1000000) * (conc - disc) + BigInt(2000000) * pairs)
+      / pairs - 2000000).toLong
+    assert(got.getLong(3) == expect)
+    // revenue is order-count driven: the association must be strongly
+    // positive — a sign slip in the CASE chains would flip this
+    assert(got.getLong(3) > 200000L, s"tau ${got.getLong(3)}")
+  }
 }
