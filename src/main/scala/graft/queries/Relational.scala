@@ -1564,6 +1564,40 @@ object Relational {
             - 2000000 AS BIGINT)""").as("tau_ppm"))
     }),
 
+    // DETERMINISTIC POISSON BOOTSTRAP of the mean order total — the
+    // distributed bootstrap (multinomial resampling needs a global
+    // coordinated draw; Poisson(1) weights are per-row independent,
+    // the large-scale standard): each row gets, per replicate b, a
+    // weight drawn by inverting the Poisson(1) CDF at a keyed-md5
+    // uniform — the CDF as a FIXED ppm table ([[poissonCdfPpm]], the
+    // benfordPpm discipline: one literal table feeds both engines, no
+    // transcendental is ever evaluated in-query). The 32× explode
+    // fan-out map-side combines into 32 partial sums — the shuffle
+    // carries B rows, not B corpora — and each replicate mean is one
+    // integer division. The 32-row output IS the bootstrap
+    // distribution; its spread is the standard error readout.
+    "q_bootstrap" -> ((s, dir) => {
+      val fan = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(dec("o_totalprice") * 100).cast("long").as("cents"))
+        .select(col("o_orderkey"), col("cents"),
+          explode(expr(s"sequence(0, ${BootstrapB - 1})")).as("b"))
+        .withColumn("u", graft.functions.Determinism.md5Idx(
+          concat(lit("bs#"), col("b").cast("string"), lit("#"),
+            col("o_orderkey").cast("string"))) % 1000000L)
+      val wCol = poissonCdfPpm.zipWithIndex.reverse
+        .foldLeft(lit(poissonCdfPpm.size.toLong): org.apache.spark.sql.Column) {
+          case (acc, (t, k)) => when(col("u") < t, k.toLong).otherwise(acc)
+        }
+      fan.withColumn("w", wCol)
+        .groupBy("b")
+        .agg(sum("w").as("n_eff"),
+          sum(col("w").cast("decimal(38,0)") * col("cents")).as("swx"))
+        .select(col("b").cast("int").as("b"), col("n_eff"),
+          expr("CAST((1000000 * swx) div n_eff AS BIGINT)").as("mean_micro"))
+        .orderBy("b")
+    }),
+
     "q_mad" -> ((s, dir) => madQuery(s, dir))
   )
 
@@ -1633,6 +1667,15 @@ object Relational {
         max(when(col("adev") > col("mad") * 5, col("cents")))
           .as("max_out_cents"))
   }
+
+  /** Poisson(1) CDF floored to ppm, k = 0..7 (weights cap at 8 — the
+    * tail past P(≤7) is under 1e-5). ONE literal table feeds the
+    * Column tree and the oracle SQL (the benfordPpm discipline), so
+    * no in-query exp/factorial can drift cross-engine. */
+  private[graft] val poissonCdfPpm: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L,
+      999989L)
+  private[graft] val BootstrapB = 32 // q_bootstrap replicates
 
   /** Benford expectations round(log10(1+1/d)·1e6), d = 1..9 — they sum
     * to exactly 1e6. ONE table feeds the Column tree and the oracle
@@ -2479,6 +2522,27 @@ object Relational {
                AS HUGEINT) - sum(CASE WHEN s = -1 THEN 1 ELSE 0 END))
              + 2000000 * CAST(count(*) AS HUGEINT)) // count(*)
              - 2000000 AS BIGINT) AS tau_ppm
-         FROM p"""
+         FROM p""",
+
+    "q_bootstrap" -> {
+      val u = graft.functions.Determinism.sqlMd5Idx(
+        "'bs#' || CAST(b AS VARCHAR) || '#' || CAST(o_orderkey AS VARCHAR)")
+      val cases = poissonCdfPpm.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+      s"""WITH o AS (SELECT o_orderkey,
+             CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+               AS BIGINT) AS cents
+           FROM orders),
+         f AS (SELECT o_orderkey, cents, b FROM o, range(0, $BootstrapB) t(b)),
+         wv AS (SELECT b, cents,
+             (CASE $cases ELSE ${poissonCdfPpm.size} END) AS w
+           FROM (SELECT b, cents, ($u % 1000000) AS u FROM f)),
+         a AS (SELECT b, sum(w) AS n_eff,
+             sum(CAST(w AS HUGEINT) * cents) AS swx
+           FROM wv GROUP BY b)
+         SELECT CAST(b AS INT) AS b, CAST(n_eff AS BIGINT) AS n_eff,
+           CAST((1000000 * swx) // n_eff AS BIGINT) AS mean_micro
+         FROM a ORDER BY b"""
+    }
   )
 }

@@ -286,4 +286,37 @@ class StatsOpsSpec extends SparkSpec {
     // positive — a sign slip in the CASE chains would flip this
     assert(got.getLong(3) > 200000L, s"tau ${got.getLong(3)}")
   }
+
+  test("q_bootstrap equals a naive replay and resamples around the mean") {
+    val rows = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def u(b: Int, key: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bs#$b#$key".getBytes("UTF-8")).map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16) % 1000000L
+    }
+    def w(uv: Long): Long = {
+      val idx = Relational.poissonCdfPpm.indexWhere(uv < _)
+      if (idx < 0) Relational.poissonCdfPpm.size.toLong else idx.toLong
+    }
+    val got = Relational.queries("q_bootstrap")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (0 until Relational.BootstrapB))
+    val trueMeanMicro = BigInt(1000000) * rows.map(r => BigInt(r._2)).sum / rows.length
+    for ((b, nEff, meanMicro) <- got) {
+      val ws = rows.map { case (k, c) => (w(u(b, k)), c) }
+      assert(nEff == ws.map(_._1).sum, s"replicate $b n_eff")
+      val expect = BigInt(1000000) * ws.map { case (x, c) => BigInt(x) * c }.sum /
+        ws.map(_._1).sum
+      assert(BigInt(meanMicro) == expect, s"replicate $b mean")
+      // Poisson(1) weights: n_eff concentrates near n (±5 sigma ~ 5*sqrt(n))
+      assert(math.abs(nEff - rows.length) < 5 * math.sqrt(rows.length) + 10)
+      // each replicate mean sits within a few SEM of the point estimate
+      assert((BigInt(meanMicro) - trueMeanMicro).abs < trueMeanMicro / 10)
+    }
+    // the distribution has spread: not every replicate collapses to one value
+    assert(got.map(_._3).distinct.length > Relational.BootstrapB / 2)
+  }
 }
