@@ -1598,6 +1598,59 @@ object Relational {
         .orderBy("b")
     }),
 
+    // HYPERLOGLOG cardinality sketch, 64 registers — the third
+    // mergeable sketch family (KMV = d_source_overlap, count-min =
+    // x_cms_terms, bloom = x_bloom_membership): distinct customers per
+    // order priority AND, inside the same query, the 'ALL' row whose
+    // registers are the max-MERGE of the five per-group register sets
+    // — mergeability is demonstrated by the result, not claimed.
+    // Deterministic cross-engine: register = md5(48-bit) % 64, rank =
+    // leading-zero CASE chain over the 42-bit remainder (no log/clz
+    // builtin drift), estimate = the bias-corrected harmonic mean as
+    // ONE integer floor division — S = Σ 2^(43−M_j) is exact in BIGINT
+    // (≤ 2^49) and α·m²·2^43 is a DECIMAL(38,0) literal baked into
+    // both engines ([[HllNum]]). No small-range linear-counting branch:
+    // v_zero is emitted so a reader can apply it, keeping the query
+    // transcendental-free. Scale: the shuffle carries ≤ groups×64
+    // register rows whatever the corpus; merge cost is |groups|×64.
+    "q_hll" -> ((s, dir) => {
+      val h = graft.functions.Determinism.md5IdxK(
+        concat(lit("hll#"), col("o_custkey").cast("string")), 12)
+      val hashed = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"), col("o_custkey"))
+        .withColumn("h", h)
+        .select(col("grp"), expr("CAST(h % 64 AS INT)").as("reg"),
+          expr("h div 64").as("rest"))
+      // rank of the leftmost set bit in the 42-bit remainder (+1), the
+      // HLL rho: rest ≥ 2^41 → 1, …, rest ≥ 1 → 42, rest = 0 → 43
+      val rho = (1 to 42).reverse
+        .foldLeft(lit(43): org.apache.spark.sql.Column) { case (acc, k) =>
+          when(col("rest") >= (1L << (42 - k)), k).otherwise(acc) }
+      val perGrp = hashed.select(col("grp"), col("reg"), rho.as("rho"))
+        .groupBy("grp", "reg").agg(max("rho").as("mj"))
+      val merged = perGrp.groupBy("reg").agg(max("mj").as("mj"))
+        .select(lit("ALL").as("grp"), col("reg"), col("mj"))
+      val agg = perGrp.unionByName(merged).groupBy("grp").agg(
+        (lit(64) - count(lit(1))).cast("int").as("v_zero"),
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(43 - mj AS INT))"))
+          + (lit(64L) - count(lit(1))) * lit(8796093022208L)).as("s_reg"))
+      val byGrp = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"), col("o_custkey"))
+      val exact = byGrp.groupBy("grp")
+        .agg(countDistinct("o_custkey").as("exact_d"))
+        .unionByName(byGrp.agg(countDistinct("o_custkey").as("exact_d"))
+          .select(lit("ALL").as("grp"), col("exact_d")))
+      agg.join(exact, "grp") // ≤ |groups|+1 rows each side
+        .select(col("grp"), col("v_zero"), col("s_reg"),
+          expr(s"""CAST(CAST('$HllNum' AS DECIMAL(38,0))
+            div (1000 * s_reg) AS BIGINT)""").as("est"), col("exact_d"))
+        .select(col("grp"), col("v_zero"), col("s_reg"), col("est"),
+          col("exact_d"),
+          expr("""CAST((1000000 * CAST(abs(est - exact_d) AS DECIMAL(38,0)))
+            div exact_d AS BIGINT)""").as("err_ppm"))
+        .orderBy("grp")
+    }),
+
     "q_mad" -> ((s, dir) => madQuery(s, dir))
   )
 
@@ -1676,6 +1729,12 @@ object Relational {
     Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L,
       999989L)
   private[graft] val BootstrapB = 32 // q_bootstrap replicates
+
+  /** q_hll estimate numerator α_64·m²·2^43 = 0.709·4096·2^43 scaled by
+    * the α denominator 1000 — exactly 709·4096·8796093022208. ONE
+    * literal feeds both engines (the benfordPpm discipline); the
+    * divisor carries the 1000. */
+  private[graft] val HllNum = BigInt("25544417086445453312")
 
   /** Benford expectations round(log10(1+1/d)·1e6), d = 1..9 — they sum
     * to exactly 1e6. ONE table feeds the Column tree and the oracle
@@ -2543,6 +2602,35 @@ object Relational {
          SELECT CAST(b AS INT) AS b, CAST(n_eff AS BIGINT) AS n_eff,
            CAST((1000000 * swx) // n_eff AS BIGINT) AS mean_micro
          FROM a ORDER BY b"""
+    },
+
+    "q_hll" -> {
+      val h = graft.functions.Determinism.sqlMd5IdxK(
+        "'hll#' || CAST(o_custkey AS VARCHAR)", 12)
+      val rho = (1 to 42)
+        .map(k => s"WHEN rest >= ${1L << (42 - k)} THEN $k").mkString(" ")
+      s"""WITH b AS (SELECT grp, (h % 64) AS reg, (h // 64) AS rest
+           FROM (SELECT o_orderpriority AS grp, ($h) AS h FROM orders)),
+         r AS (SELECT grp, reg, max(CASE $rho ELSE 43 END) AS mj
+           FROM b GROUP BY grp, reg),
+         rall AS (SELECT 'ALL' AS grp, reg, max(mj) AS mj FROM r GROUP BY reg),
+         agg AS (SELECT grp, CAST(64 - count(*) AS INT) AS v_zero,
+             (sum(1::BIGINT << CAST(43 - mj AS INT))
+              + (64 - count(*)) * 8796093022208) AS s_reg
+           FROM (SELECT grp, reg, mj FROM r
+                 UNION ALL SELECT grp, reg, mj FROM rall) GROUP BY grp),
+         ex AS (SELECT o_orderpriority AS grp,
+               count(DISTINCT o_custkey) AS exact_d FROM orders GROUP BY 1
+             UNION ALL
+             SELECT 'ALL', count(DISTINCT o_custkey) FROM orders),
+         e AS (SELECT a.grp, v_zero, CAST(s_reg AS BIGINT) AS s_reg,
+             CAST(CAST('$HllNum' AS HUGEINT) // (1000 * s_reg) AS BIGINT)
+               AS est, CAST(exact_d AS BIGINT) AS exact_d
+           FROM agg a JOIN ex USING (grp))
+         SELECT grp, v_zero, s_reg, est, exact_d,
+           CAST((1000000::HUGEINT * abs(est - exact_d)) // exact_d
+             AS BIGINT) AS err_ppm
+         FROM e ORDER BY grp"""
     }
   )
 }

@@ -319,4 +319,46 @@ class StatsOpsSpec extends SparkSpec {
     // the distribution has spread: not every replicate collapses to one value
     assert(got.map(_._3).distinct.length > Relational.BootstrapB / 2)
   }
+
+  test("q_hll equals a naive register replay; ALL row is the register merge") {
+    val rows = Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_custkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def regs(g: Seq[Long]): Array[Int] = {
+      val m = Array.fill(64)(0)
+      for (k <- g) {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"hll#$k".getBytes("UTF-8")).map(x => f"$x%02x").mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+        val reg = (h % 64).toInt
+        val rest = h / 64
+        val rho = if (rest == 0) 43 else 43 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+        m(reg) = math.max(m(reg), rho)
+      }
+      m
+    }
+    def est(m: Array[Int]): (Long, Long, Long) = {
+      val s = m.map(mj => 1L << (43 - mj)).sum
+      val vZero = m.count(_ == 0)
+      (vZero.toLong, s, (Relational.HllNum / (1000 * BigInt(s))).toLong)
+    }
+    val got = Relational.queries("q_hll")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(1).toLong, r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val byGrp = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.keySet == byGrp.keySet + "ALL")
+    val grpRegs = byGrp.view.mapValues(g => regs(g)).toMap
+    for ((grp, m) <- grpRegs + ("ALL" ->
+        grpRegs.values.reduce((a, b) => a.zip(b).map(p => math.max(p._1, p._2))))) {
+      val (vZero, s, e) = est(m)
+      val exact = (if (grp == "ALL") rows.map(_._2) else byGrp(grp)).distinct.length
+      val (gv, gs, ge, gx, gerr) = got(grp)
+      assert((gv, gs, ge) == ((vZero, s, e)), s"$grp registers")
+      assert(gx == exact, s"$grp exact")
+      assert(gerr == 1000000L * math.abs(e - exact) / exact, s"$grp err")
+      // m=64 keeps the raw estimate within ~3.5 sigma of truth here
+      assert(gerr < 450000L, s"$grp err_ppm $gerr")
+    }
+  }
 }
