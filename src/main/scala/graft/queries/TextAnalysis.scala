@@ -588,22 +588,70 @@ object TextAnalysis {
     // one explode; the per-doc mean is one map-side-combinable
     // aggregation; the model rides the closure at ANY corpus size.
     "x_qclf" -> ((s, dir) =>
-      docs(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          explode(concat(shingleHashes(wordsCol, 1), shingleHashes(wordsCol, 2)))
-            .as("h"))
-        .select(col("doc_id"),
-          element_at(lit(qclfWeights),
-            (pmod(col("h"), lit(QclfBuckets.toLong)) + 1).cast("int")).as("wm"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("nf"), sum("wm").as("sw"))
-        .select(col("doc_id"), col("nf").cast("int").as("n_feats"),
-          expr("sw div nf").as("qclf_micro"),
-          when(expr("sw div nf") >= QclfThresholdMicro, 1).otherwise(0)
+      qclfScored(s, dir)
+        .select(col("doc_id"), col("n_feats"), col("qclf_micro"),
+          when(col("qclf_micro") >= QclfThresholdMicro, 1).otherwise(0)
             .cast("int").as("kept"),
-          (expr("sw div nf") - lit(QclfThresholdMicro)).as("margin_micro"))
+          (col("qclf_micro") - lit(QclfThresholdMicro)).as("margin_micro"))
         .orderBy("doc_id")),
+
+    // CLASSIFIER EVALUATION — AUC + operating point of the deployed
+    // x_qclf scorer against the Gopher rule label (the weak label a
+    // production curation run actually has): AUC is the Wilcoxon
+    // rank-sum identity U⁺/(n⁺·n⁻) with ties as midranks — exactly
+    // q_mwu's machinery pointed at (score, label) — so it needs no
+    // per-row ranks: the bounded bucket-histogram prefix plus the
+    // in-bucket distinct-score prefix, tie blocks contributing the
+    // DOUBLED closed form ca·(2·r0+c+1). The confusion quadrant at
+    // the shipped threshold rides the same scan; precision/recall/F1
+    // in integer ppm with greatest(1,·) denominators so an empty
+    // quadrant degrades to 0 identically in both engines (Spark div
+    // NULLs on zero, DuckDB errors — neither is allowed to happen).
+    // One row out; everything past the score join runs at the
+    // |distinct scores| grain.
+    "x_qclf_auc" -> ((s, dir) => {
+      val width = 1L << 16
+      val scored = graft.operators.BoundedPercentile.memoInput(
+        qclfScored(s, dir)
+          .join(docs(s, dir).select(col("doc_id"), gopherKeep.as("lbl")),
+            "doc_id")
+          .select(col("qclf_micro").as("score"), col("lbl"),
+            when(col("qclf_micro") >= QclfThresholdMicro, 1L).otherwise(0L)
+              .as("pred")),
+        "x")
+      val v = scored.withColumn("bkt", expr(s"score div ${width}L"))
+        .groupBy("bkt", "score")
+        .agg(count(lit(1)).as("c"), sum("lbl").as("ca"))
+      val vM = graft.operators.BoundedPercentile.memoInput(v, "x")
+      val hcum = vM.groupBy("bkt").agg(sum("c").as("bc"))
+        .withColumn("cb",
+          sum("bc").over(Window.orderBy("bkt")) - col("bc"))
+      val vin = vM.withColumn("ci",
+        sum("c").over(Window.partitionBy("bkt").orderBy("score")) - col("c"))
+      val rank = vin.join(hcum.select("bkt", "cb"), "bkt")
+        .withColumn("r0", col("cb") + col("ci"))
+        .agg(sum("ca").as("n_pos"), sum(col("c") - col("ca")).as("n_neg"),
+          sum(col("ca").cast("decimal(38,0)")
+            * (lit(2) * col("r0") + col("c") + 1)).as("r2p"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("""CAST((1000000 * (r2p - n_pos * (CAST(n_pos AS DECIMAL(38,0)) + 1)))
+            div (2 * greatest(1, CAST(n_pos AS DECIMAL(38,0)) * n_neg))
+            AS BIGINT)""").as("auc_ppm"))
+      val conf = scored.agg(
+        sum(col("lbl") * col("pred")).as("tp"),
+        sum((lit(1L) - col("lbl")) * col("pred")).as("fp"),
+        sum(col("lbl") * (lit(1L) - col("pred"))).as("fn"),
+        sum((lit(1L) - col("lbl")) * (lit(1L) - col("pred"))).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("CAST((1000000 * tp) div greatest(1, tp + fp) AS BIGINT)")
+            .as("precision_ppm"),
+          expr("CAST((1000000 * tp) div greatest(1, tp + fn) AS BIGINT)")
+            .as("recall_ppm"))
+        .withColumn("f1_ppm",
+          expr("""CAST((2 * precision_ppm * recall_ppm)
+            div greatest(1, precision_ppm + recall_ppm) AS BIGINT)"""))
+      rank.crossJoin(conf) // 1×1-row scalar attach
+    }),
 
     // chunking: 50-token windows, stride 40 (10-token overlap) — the
     // pretraining tokenize-and-pack precursor. WordWindows builds every
@@ -1109,6 +1157,24 @@ object TextAnalysis {
     * construction: the per-doc mean stays in truncating-division
     * agreement across engines (Spark `div` truncates toward zero,
     * DuckDB `//` floors — they only agree at ≥ 0). */
+  /** Per-doc classifier readout (doc_id, n_feats, qclf_micro) — the
+    * ONE scorer x_qclf ships and x_qclf_auc grades; a copy in the eval
+    * would let it silently grade a different model than the deployed
+    * one (the gopherRuleFlags sharing rule). */
+  private def qclfScored(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(concat(shingleHashes(wordsCol, 1), shingleHashes(wordsCol, 2)))
+          .as("h"))
+      .select(col("doc_id"),
+        element_at(lit(qclfWeights),
+          (pmod(col("h"), lit(QclfBuckets.toLong)) + 1).cast("int")).as("wm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nf"), sum("wm").as("sw"))
+      .select(col("doc_id"), col("nf").cast("int").as("n_feats"),
+        expr("sw div nf").as("qclf_micro"))
+
   private[graft] val qclfWeights: Array[Long] = {
     val boosted = stopwords
       .map(w => Determinism.jvmMd5Idx(w, 12) % QclfBuckets).toSet
@@ -1532,6 +1598,46 @@ object TextAnalysis {
              AS INT) AS kept,
            CAST(sw // nf - $QclfThresholdMicro AS BIGINT) AS margin_micro
          FROM scored ORDER BY doc_id""",
+
+    "x_qclf_auc" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         feats AS (SELECT doc_id,
+             (${Determinism.sqlMd5IdxK("x", 12)} % $QclfBuckets) AS b
+           FROM (SELECT doc_id, unnest(list_concat(
+             ${sqlShingles("w", 1)}, ${sqlShingles("w", 2)})) AS x FROM w)),
+         sc AS (SELECT doc_id,
+             sum((${qclfWeights.mkString("[", ", ", "]")})[CAST(b + 1 AS INT)])
+               // count(*) AS score
+           FROM feats GROUP BY doc_id),
+         m AS (${sqlGopherM()}),
+         lbl AS (SELECT doc_id, CAST($sqlGopherKeep AS BIGINT) AS lbl FROM m),
+         j AS (SELECT score, lbl,
+             CASE WHEN score >= $QclfThresholdMicro THEN 1 ELSE 0 END AS pred
+           FROM sc JOIN lbl USING (doc_id)),
+         r AS (SELECT score, count(*) AS c, sum(lbl) AS ca,
+             sum(count(*)) OVER (ORDER BY score) - count(*) AS r0
+           FROM j GROUP BY score),
+         a AS (SELECT sum(ca) AS n_pos, sum(c - ca) AS n_neg,
+             sum(CAST(ca AS HUGEINT) * (2 * r0 + c + 1)) AS r2p FROM r),
+         conf AS (SELECT sum(lbl * pred) AS tp, sum((1 - lbl) * pred) AS fp,
+             sum(lbl * (1 - pred)) AS fn, sum((1 - lbl) * (1 - pred)) AS tn
+           FROM j),
+         pr AS (SELECT tp, fp, fn, tn,
+             CAST((1000000 * tp) // greatest(1, tp + fp) AS BIGINT)
+               AS precision_ppm,
+             CAST((1000000 * tp) // greatest(1, tp + fn) AS BIGINT)
+               AS recall_ppm
+           FROM conf)
+         SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           CAST((1000000 * (r2p - n_pos * (CAST(n_pos AS HUGEINT) + 1)))
+             // (2 * greatest(1, CAST(n_pos AS HUGEINT) * n_neg))
+             AS BIGINT) AS auc_ppm,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           precision_ppm, recall_ppm,
+           CAST((2 * precision_ppm * recall_ppm)
+             // greatest(1, precision_ppm + recall_ppm) AS BIGINT) AS f1_ppm
+         FROM a, pr""",
 
     "x_dsir_sample" ->
       s"""WITH $sqlDsirCtes,

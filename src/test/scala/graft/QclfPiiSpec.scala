@@ -42,6 +42,45 @@ class QclfPiiSpec extends SparkSpec {
     }
   }
 
+  test("x_qclf_auc equals a naive midrank AUC + confusion replay") {
+    import spark.implicits._
+    // per-doc (score, label, pred) from the gate queries themselves —
+    // the eval must grade THE deployed scorer and THE deployed label
+    val scores = SparkEntry.queries("x_qclf")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("qclf_micro"), r.getAs[Int]("kept"))).toMap
+    val labels = SparkEntry.queries("x_gopher_filter")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("keep")).toMap
+    assert(scores.keySet == labels.keySet)
+    val j = scores.toSeq.map { case (id, (s, p)) => (s, labels(id), p) }
+    // midrank AUC: rank-sum of positives over the tie-grouped scores
+    val sorted = j.map(_._1).distinct.sorted
+    val byScore = j.groupBy(_._1)
+    var r0 = 0L; var r2p = BigInt(0)
+    for (s <- sorted) {
+      val g = byScore(s); val c = g.size; val ca = g.count(_._2 == 1)
+      r2p += BigInt(ca) * (2 * r0 + c + 1); r0 += c
+    }
+    val nPos = j.count(_._2 == 1).toLong
+    val nNeg = j.size - nPos
+    val aucPpm = ((BigInt(1000000) * (r2p - BigInt(nPos) * (nPos + 1))) /
+      (2 * BigInt(nPos).max(1) * BigInt(nNeg).max(1))).toLong
+    val tp = j.count(t => t._2 == 1 && t._3 == 1).toLong
+    val fp = j.count(t => t._2 == 0 && t._3 == 1).toLong
+    val fn = j.count(t => t._2 == 1 && t._3 == 0).toLong
+    val got = SparkEntry.queries("x_qclf_auc")(spark, dir).collect()(0)
+    assert(got.getAs[Long]("n_pos") == nPos && got.getAs[Long]("n_neg") == nNeg)
+    assert(got.getAs[Long]("auc_ppm") == aucPpm, "auc")
+    assert(got.getAs[Long]("tp") == tp && got.getAs[Long]("fp") == fp &&
+      got.getAs[Long]("fn") == fn)
+    assert(got.getAs[Long]("precision_ppm") ==
+      1000000L * tp / math.max(1L, tp + fp))
+    assert(got.getAs[Long]("recall_ppm") ==
+      1000000L * tp / math.max(1L, tp + fn))
+    // a fluency-trained scorer must beat coin-flip against the rule label
+    assert(got.getAs[Long]("auc_ppm") > 500000L, s"auc ${got.getAs[Long]("auc_ppm")}")
+  }
+
   test("x_qclf weights are nonnegative (cross-engine division contract)") {
     // Spark `div` truncates toward zero, DuckDB `//` floors — the
     // per-doc mean agrees across engines only because every weight
