@@ -20,6 +20,14 @@ object Similarity {
 
   private val K = 5          // neighbors returned per query
   private[graft] val NQueries = 5   // queries = vec_id < NQueries
+
+  /** s_ndcg position discounts floor(1e6/log2(pos+1)), pos = 1..K, and
+    * the closed-form ideal DCG (grade K+1−p at every position p). ONE
+    * table feeds both engines — no in-query log. */
+  private[graft] val NdcgDiscPpm =
+    Seq(1000000L, 630929L, 500000L, 430676L, 386852L)
+  private[graft] val NdcgIdcg: Long =
+    (1 to K).map(p => (K + 1 - p) * NdcgDiscPpm(p - 1)).sum // = 10271920
   private val PhraseLen = 3  // s_phrase: first PhraseLen tokens of each query doc
   private[graft] val NProbe = 2     // IVF probes
   private val KnnK = 3       // neighbors per vector in the KNN graph
@@ -1088,6 +1096,32 @@ object Similarity {
     // against their cost (probes vs multi-probe buckets) in one exact,
     // oracle-checked number per query.
     "s_ivf_recall" -> recallOf("s_ivf_ann"),
+
+    // NDCG@K — the GRADED retrieval eval recall can't give (recall
+    // counts set membership; NDCG reads whether the index returns the
+    // right items in the right ORDER): relevance grade = K+1−exact_rank
+    // from the brute-force truth, position discount = 1/log2(pos+1) as
+    // a FIXED ppm table baked into both engines (the benfordPpm
+    // discipline — no in-query log), DCG one integer sum over the
+    // K·NQueries join of the two memoized top-K relations, normalized
+    // by the closed-form ideal (every grade at its own position) in
+    // one integer division. Zero corpus cost beyond the shared builds.
+    "s_ndcg" -> ((s, dir) => {
+      val grades = bfTopk(s, dir).select(col("q"), col("vec_id"),
+        (lit(K + 1) - col("rn")).cast("long").as("grade"))
+      val disc = NdcgDiscPpm.zipWithIndex.foldLeft(lit(0L): Column) {
+        case (acc, (d, i)) => when(col("rn") === i + 1, d).otherwise(acc) }
+      Similarity.queries("s_ivf_ann")(s, dir)
+        .select(col("q"), col("vec_id"), disc.as("disc"))
+        .join(grades, Seq("q", "vec_id"), "left")
+        .select(col("q"),
+          (coalesce(col("grade"), lit(0L)) * col("disc")).as("gd"))
+        .groupBy("q").agg(sum("gd").as("dcg_scaled"))
+        .select(col("q"), col("dcg_scaled"),
+          expr(s"CAST((1000000 * dcg_scaled) div $NdcgIdcg AS BIGINT)")
+            .as("ndcg_ppm"))
+        .orderBy("q")
+    }),
 
     // RECALL@k TUNING CURVE — the sweep discipline on the retrieval
     // cut itself (s_probe_sweep tunes how hard to search; this tunes
@@ -3525,6 +3559,22 @@ object Similarity {
          $sqlAdcTopk"""
   )
 
+  /** SQL mirror of s_ndcg: the same grade/discount literals over the
+    * bf and IVF top-K CTEs. */
+  private def sqlNdcg: String = {
+    val disc = NdcgDiscPpm.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
+    s"""WITH bf AS (${oracleBase("s_cosine_topk")}),
+       ann AS (${oracleBase("s_ivf_ann")}),
+       j AS (SELECT ann.q,
+           (CASE ann.rn $disc ELSE 0 END)
+             * coalesce(${K + 1} - bf.rn, 0) AS gd
+         FROM ann LEFT JOIN bf ON bf.q = ann.q AND bf.vec_id = ann.vec_id)
+       SELECT q, CAST(sum(gd) AS BIGINT) AS dcg_scaled,
+         CAST((1000000 * sum(gd)) // $NdcgIdcg AS BIGINT) AS ndcg_ppm
+       FROM j GROUP BY q ORDER BY q"""
+  }
+
   private def sqlRecall(annName: String) =
     s"""WITH bf AS (${oracleBase("s_cosine_topk")}),
        ann AS (${oracleBase(annName)})
@@ -4345,6 +4395,10 @@ object Similarity {
     ("s_maxsim_recall" -> sqlMaxSimRecall(oracleBase("s_maxsim"))) +
     ("s_ann_recall" -> sqlRecall("s_lsh_ann")) +
     ("s_ivf_recall" -> sqlRecall("s_ivf_ann")) +
+    // graded order-aware eval: grade K+1−exact_rank, fixed ppm
+    // discounts, closed-form ideal — both tables shared with the Spark
+    // side as literals
+    ("s_ndcg" -> sqlNdcg) +
     ("s_recall_curve" ->
       s"""WITH bf AS (${oracleBase("s_cosine_topk")}),
          ann AS (${sqlIvf(refine = false)}),
