@@ -1598,6 +1598,52 @@ object Relational {
         .orderBy("b")
     }),
 
+    // THEIL–SEN robust trend — the slope estimator q_linreg's OLS
+    // can't defend against outlier days (one flash-sale day drags a
+    // least-squares line; the median of pairwise slopes shrugs it
+    // off, 29% breakdown): pairwise slopes at the bounded |days|
+    // grain (the q_kendall contract — ≤ |days|²/2 rows whatever the
+    // corpus), each slope ONE integer floor division with the q_cov
+    // +K·dday shift in DECIMAL(38,0) so both engines' divisions agree
+    // on negative trends; the median is an exact order-statistic
+    // selection (row_number at the bounded pair grain, deterministic
+    // (slope, da, db) tie-break), and the intercept re-runs the same
+    // selection over the |days| residuals of the chosen slope.
+    "q_theilsen" -> ((s, dir) => {
+      val d = graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "orders")
+          .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+            floor(dec("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("day").agg(sum("cents").as("rev")),
+        "q")
+      val slopes = d.as("a").join(d.as("b"), col("a.day") < col("b.day"))
+        .select(col("a.day").as("da"), col("b.day").as("db"),
+          col("a.rev").as("ra"), col("b.rev").as("rb"))
+        .select(col("da"), col("db"),
+          expr(s"""CAST((1000000 * (CAST(rb AS DECIMAL(38,0)) - ra)
+            + CAST('$TheilShift' AS DECIMAL(38,0)) * (db - da)) div (db - da)
+            - CAST('$TheilShift' AS DECIMAL(38,0)) AS BIGINT)""").as("slope"))
+      val med = slopes
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("slope"), col("da"), col("db"))))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+        .filter(expr("rn = (np + 1) div 2"))
+        .select(col("slope").as("slope_micro"), col("np").as("n_pairs"))
+      val inter = d.crossJoin(med) // 1-row scalar attach
+        .select(col("day"),
+          expr("""CAST(1000000 AS DECIMAL(38,0)) * rev
+            - CAST(slope_micro AS DECIMAL(38,0)) * day""").as("resid"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("resid"), col("day"))))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+        .filter(expr("rn = (nd + 1) div 2"))
+        .select(expr("CAST(resid AS BIGINT)").as("intercept_micro"),
+          col("nd").as("n_days"))
+      med.crossJoin(inter) // 1×1-row
+        .select(col("n_days"), col("n_pairs"), col("slope_micro"),
+          col("intercept_micro"))
+    }),
+
     // HYPERLOGLOG cardinality sketch, 64 registers — the third
     // mergeable sketch family (KMV = d_source_overlap, count-min =
     // x_cms_terms, bloom = x_bloom_membership): distinct customers per
@@ -1735,6 +1781,13 @@ object Relational {
     * literal feeds both engines (the benfordPpm discipline); the
     * divisor carries the 1000. */
   private[graft] val HllNum = BigInt("25544417086445453312")
+
+  /** q_theilsen's positivity shift: keeps slope numerators positive so
+    * Spark `div` (truncate) == DuckDB `//` (floor). Sized to 4e18 —
+    * big enough that 1e6·|Δrev| stays under it for daily totals up to
+    * $40B/day, small enough that the shifted quotient (≈ shift) still
+    * fits the BIGINT that Spark's `div` returns. */
+  private[graft] val TheilShift = BigInt("4000000000000000000")
 
   /** Benford expectations round(log10(1+1/d)·1e6), d = 1..9 — they sum
     * to exactly 1e6. ONE table feeds the Column tree and the oracle
@@ -2603,6 +2656,34 @@ object Relational {
            CAST((1000000 * swx) // n_eff AS BIGINT) AS mean_micro
          FROM a ORDER BY b"""
     },
+
+    "q_theilsen" ->
+      s"""WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             sum(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+               AS BIGINT)) AS rev
+           FROM orders GROUP BY 1),
+         p AS (SELECT a.day AS da, b.day AS db,
+             CAST((1000000 * (CAST(b.rev AS HUGEINT) - a.rev)
+               + CAST('$TheilShift' AS HUGEINT) * (b.day - a.day))
+               // (b.day - a.day)
+               - CAST('$TheilShift' AS HUGEINT) AS BIGINT) AS slope
+           FROM d a JOIN d b ON a.day < b.day),
+         r AS (SELECT slope, row_number() OVER (ORDER BY slope, da, db) AS rn,
+             count(*) OVER () AS np FROM p),
+         m AS (SELECT slope AS slope_micro, np AS n_pairs FROM r
+           WHERE rn = (np + 1) // 2),
+         res AS (SELECT d.day,
+             CAST(1000000 AS HUGEINT) * d.rev
+               - CAST(m.slope_micro AS HUGEINT) * d.day AS resid
+           FROM d, m),
+         r2 AS (SELECT day, resid,
+             row_number() OVER (ORDER BY resid, day) AS rn,
+             count(*) OVER () AS nd FROM res),
+         i AS (SELECT CAST(resid AS BIGINT) AS intercept_micro, nd AS n_days
+           FROM r2 WHERE rn = (nd + 1) // 2)
+         SELECT CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_pairs AS BIGINT) AS n_pairs, slope_micro, intercept_micro
+         FROM m, i""",
 
     "q_hll" -> {
       val h = graft.functions.Determinism.sqlMd5IdxK(

@@ -320,6 +320,37 @@ class StatsOpsSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length > Relational.BootstrapB / 2)
   }
 
+  test("q_theilsen equals a naive pairwise-median replay") {
+    val days = Tables.load(spark, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"),
+        expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(g => g.map(_._2).sum).toMap
+      .toSeq.sorted
+    val k = Relational.TheilShift
+    val slopes = (for {
+      (da, ra) <- days; (db, rb) <- days if da < db
+    } yield {
+      val s = ((BigInt(1000000) * (BigInt(rb) - ra) + k * (db - da))
+        / (db - da) - k).toLong
+      (s, da, db)
+    }).sorted
+    val nP = slopes.length
+    val slope = slopes((nP + 1) / 2 - 1)._1
+    val resid = days.map { case (d, r) =>
+      (BigInt(1000000) * r - BigInt(slope) * d, d) }.sorted
+    val nD = days.length
+    val intercept = resid((nD + 1) / 2 - 1)._1.toLong
+    val got = Relational.queries("q_theilsen")(spark, dir).collect()(0)
+    assert(got.getLong(0) == nD && got.getLong(1) == nP)
+    assert(got.getLong(2) == slope, s"slope ${got.getLong(2)} want $slope")
+    assert(got.getLong(3) == intercept, s"intercept ${got.getLong(3)}")
+    // the trend line must land inside the observed revenue envelope
+    val revs = days.map(_._2)
+    val mid = (BigInt(slope) * days(nD / 2)._1 + intercept) / 1000000
+    assert(mid >= revs.min / 2 && mid <= revs.max * 2, s"line level $mid")
+  }
+
   test("q_hll equals a naive register replay; ALL row is the register merge") {
     val rows = Tables.load(spark, dir, "orders")
       .select(col("o_orderpriority"), col("o_custkey"))
