@@ -1659,43 +1659,11 @@ object Relational {
     // v_zero is emitted so a reader can apply it, keeping the query
     // transcendental-free. Scale: the shuffle carries ≤ groups×64
     // register rows whatever the corpus; merge cost is |groups|×64.
-    "q_hll" -> ((s, dir) => {
-      val h = graft.functions.Determinism.md5IdxK(
-        concat(lit("hll#"), col("o_custkey").cast("string")), 12)
-      val hashed = t(s, dir, "orders")
-        .select(col("o_orderpriority").as("grp"), col("o_custkey"))
-        .withColumn("h", h)
-        .select(col("grp"), expr("CAST(h % 64 AS INT)").as("reg"),
-          expr("h div 64").as("rest"))
-      // rank of the leftmost set bit in the 42-bit remainder (+1), the
-      // HLL rho: rest ≥ 2^41 → 1, …, rest ≥ 1 → 42, rest = 0 → 43
-      val rho = (1 to 42).reverse
-        .foldLeft(lit(43): org.apache.spark.sql.Column) { case (acc, k) =>
-          when(col("rest") >= (1L << (42 - k)), k).otherwise(acc) }
-      val perGrp = hashed.select(col("grp"), col("reg"), rho.as("rho"))
-        .groupBy("grp", "reg").agg(max("rho").as("mj"))
-      val merged = perGrp.groupBy("reg").agg(max("mj").as("mj"))
-        .select(lit("ALL").as("grp"), col("reg"), col("mj"))
-      val agg = perGrp.unionByName(merged).groupBy("grp").agg(
-        (lit(64) - count(lit(1))).cast("int").as("v_zero"),
-        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(43 - mj AS INT))"))
-          + (lit(64L) - count(lit(1))) * lit(8796093022208L)).as("s_reg"))
-      val byGrp = t(s, dir, "orders")
-        .select(col("o_orderpriority").as("grp"), col("o_custkey"))
-      val exact = byGrp.groupBy("grp")
-        .agg(countDistinct("o_custkey").as("exact_d"))
-        .unionByName(byGrp.agg(countDistinct("o_custkey").as("exact_d"))
-          .select(lit("ALL").as("grp"), col("exact_d")))
-      agg.join(exact, "grp") // ≤ |groups|+1 rows each side
-        .select(col("grp"), col("v_zero"), col("s_reg"),
-          expr(s"""CAST(CAST('$HllNum' AS DECIMAL(38,0))
-            div (1000 * s_reg) AS BIGINT)""").as("est"), col("exact_d"))
-        .select(col("grp"), col("v_zero"), col("s_reg"), col("est"),
-          col("exact_d"),
-          expr("""CAST((1000000 * CAST(abs(est - exact_d) AS DECIMAL(38,0)))
-            div exact_d AS BIGINT)""").as("err_ppm"))
-        .orderBy("grp")
-    }),
+    "q_hll" -> ((s, dir) =>
+      hllFinish(
+        hllRows(t(s, dir, "orders"))
+          .groupBy("grp", "reg").agg(max("rho").as("mj")),
+        t(s, dir, "orders"))),
 
     "q_mad" -> ((s, dir) => madQuery(s, dir))
   )
@@ -1781,6 +1749,55 @@ object Relational {
     * literal feeds both engines (the benfordPpm discipline); the
     * divisor carries the 1000. */
   private[graft] val HllNum = BigInt("25544417086445453312")
+
+  /** Per-row HLL observation of an orders frame: (grp = priority,
+    * reg = 48-bit keyed md5 % 64, rho = leading-zero rank of the
+    * 42-bit remainder via a CASE chain — no clz/log builtin drift).
+    * Shared by the batch sketch (q_hll) and its streaming register
+    * maintenance (st_hll), so both sketch THE same observation. */
+  private[graft] def hllRows(orders: DataFrame): DataFrame = {
+    val h = graft.functions.Determinism.md5IdxK(
+      concat(lit("hll#"), col("o_custkey").cast("string")), 12)
+    // rho: rest ≥ 2^41 → 1, …, rest ≥ 1 → 42, rest = 0 → 43
+    val rho = (1 to 42).reverse
+      .foldLeft(lit(43): org.apache.spark.sql.Column) { case (acc, k) =>
+        when(col("rest") >= (1L << (42 - k)), k).otherwise(acc) }
+    orders.select(col("o_orderpriority").as("grp"), col("o_custkey"))
+      .withColumn("h", h)
+      .select(col("grp"), expr("CAST(h % 64 AS INT)").as("reg"),
+        expr("h div 64").as("rest"))
+      .select(col("grp"), col("reg"), rho.as("rho"))
+  }
+
+  /** HLL readout over a (grp, reg, mj) register relation: adds the
+    * max-merged 'ALL' row, folds each group's registers into the
+    * harmonic sum S = Σ 2^(43−M_j) (empty registers contribute 2^43),
+    * divides the shared α·m²·2^43 literal once, and prices the
+    * estimate against the exact distinct count from `orders`. */
+  private[graft] def hllFinish(perGrp: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val merged = perGrp.groupBy("reg").agg(max("mj").as("mj"))
+      .select(lit("ALL").as("grp"), col("reg"), col("mj"))
+    val agg = perGrp.unionByName(merged).groupBy("grp").agg(
+      (lit(64) - count(lit(1))).cast("int").as("v_zero"),
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(43 - mj AS INT))"))
+        + (lit(64L) - count(lit(1))) * lit(8796093022208L)).as("s_reg"))
+    val byGrp = orders
+      .select(col("o_orderpriority").as("grp"), col("o_custkey"))
+    val exact = byGrp.groupBy("grp")
+      .agg(countDistinct("o_custkey").as("exact_d"))
+      .unionByName(byGrp.agg(countDistinct("o_custkey").as("exact_d"))
+        .select(lit("ALL").as("grp"), col("exact_d")))
+    agg.join(exact, "grp") // ≤ |groups|+1 rows each side
+      .select(col("grp"), col("v_zero"), col("s_reg"),
+        expr(s"""CAST(CAST('$HllNum' AS DECIMAL(38,0))
+          div (1000 * s_reg) AS BIGINT)""").as("est"), col("exact_d"))
+      .select(col("grp"), col("v_zero"), col("s_reg"), col("est"),
+        col("exact_d"),
+        expr("""CAST((1000000 * CAST(abs(est - exact_d) AS DECIMAL(38,0)))
+          div exact_d AS BIGINT)""").as("err_ppm"))
+      .orderBy("grp")
+  }
 
   /** q_theilsen's positivity shift: keeps slope numerators positive so
     * Spark `div` (truncate) == DuckDB `//` (floor). Sized to 4e18 —

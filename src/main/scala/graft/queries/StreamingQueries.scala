@@ -361,6 +361,36 @@ object StreamingQueries {
         st.select(col("day"), col("total").cast("long").as("tot_cents")))
     }),
 
+    // STREAMING HLL cardinality monitor — q_hll's 64 registers per
+    // order priority maintained INCREMENTALLY from the order stream:
+    // per-row (grp, reg, rho) is a stateless scalar projection
+    // (Relational.hllRows — THE batch observation, shared), and the
+    // register table is the st_inc_agg mergeable state keyed on
+    // (grp, reg) whose `hi` IS the register max — HLL registers are
+    // max-merge state, so micro-batch boundaries are invisible by
+    // construction and the oracle is exactly the batch q_hll SQL.
+    // Standing state is ≤ groups×64 rows however fast or long the
+    // stream runs; the estimate readout is a ≤ 64·|groups|-row fold
+    // whenever asked.
+    "st_hll" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val stored = s.read.parquet(s"$dir/orders.parquet").schema
+      val orders = s.readStream.schema(stored)
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      val obs = Relational.hllRows(orders)
+      val acc = new StreamingOps.IncAggState(Seq("grp", "reg"), col("rho"))
+      StreamingOps.withStreamConf(s) {
+        val q = StreamingOps.ingest(obs, acc)
+        q.processAllAvailable()
+        q.stop()
+      }
+      val st = acc.current(s, obs.schema)
+      graft.CacheBook.register(s, "st")(() => acc.release())
+      Relational.hllFinish(
+        st.select(col("grp"), col("reg"), col("hi").cast("int").as("mj")),
+        s.read.parquet(s"$dir/orders.parquet"))
+    }),
+
     // STREAMING composition-drift monitor — q_chisq's contingency
     // cells maintained INCREMENTALLY from the document stream (the
     // st_inc_agg mergeable-state machinery keyed on (lang, source)),
@@ -520,6 +550,10 @@ object StreamingQueries {
     // the batch seasonal readout verbatim — streamed cell merges must
     // be invisible in the standing daily state
     "st_seasonal" -> Relational.oracleSql("q_seasonal"),
+
+    // register maintenance must be invisible: streamed max-merge state
+    // == the batch sketch, so the oracle IS q_hll's SQL
+    "st_hll" -> Relational.oracleSql("q_hll"),
 
     // streaming media-dedup gate: the m_phash_inc chunk pipeline with
     // the candidate join restricted to new-vs-standing (stream side

@@ -244,6 +244,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming HLL registers in 3 micro-batches equal the one-shot sketch") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // registers are max-merge state: ANY chunking must land identically
+    val rows = (1L to 90L).map(i => (s"${i % 3}-P", i * 7 % 40))
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDS().toDF("o_orderpriority", "o_custkey")
+    val acc = new StreamingOps.IncAggState(Seq("grp", "reg"), col("rho"))
+    val obs = graft.queries.Relational.hllRows(stream)
+    val q = StreamingOps.ingest(obs, acc)
+    rows.grouped(30).foreach { chunk =>
+      input.addData(chunk)
+      q.processAllAvailable() // one micro-batch per chunk
+    }
+    q.stop()
+    val got = acc.current(spark, obs.schema)
+      .select(col("grp"), col("reg"), col("hi").cast("int").as("mj"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val want = graft.queries.Relational
+      .hllRows(rows.toDF("o_orderpriority", "o_custkey"))
+      .groupBy("grp", "reg").agg(max("rho").as("mj"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    acc.release()
+    assert(got == want && got.nonEmpty)
+  }
+
   test("CDC upsert in shuffled micro-batches equals the one-shot argmax") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
