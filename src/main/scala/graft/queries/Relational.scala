@@ -1391,6 +1391,48 @@ object Relational {
         .orderBy("brand_a", "brand_b")
     }),
 
+    // APRIORI LEVEL-3 — frequent brand TRIPLES with the classic
+    // candidate-generate-and-prune step on top of q_basket_pairs'
+    // frequent pairs: candidates come from F2⋈F2 on the shared first
+    // brand with the (b,c)-must-be-frequent Apriori prune (sound by
+    // anti-monotonicity — support(abc) ≤ support(bc), so nothing a
+    // direct count would keep is lost), and the pruned candidate set
+    // (≤ |F2|·√|F2|, brand-bounded) BROADCASTS as a semi-join filter
+    // onto the per-order expansion BEFORE the third join — per-order
+    // work stays bounded by basket size, the brand-triple explosion
+    // never materializes, and the count shuffle carries only
+    // candidate-surviving rows.
+    "q_basket_triples" -> ((s, dir) => {
+      val ob = graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("o"), col("p_brand").as("brand"))
+          .distinct(),
+        "q")
+      val pairsAll = ob.as("x").join(ob.as("y"),
+          col("x.o") === col("y.o") && col("x.brand") < col("y.brand"))
+        .select(col("x.o").as("o"), col("x.brand").as("ba"),
+          col("y.brand").as("bb"))
+      val f2 = pairsAll.groupBy("ba", "bb").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 3)
+      val cand = f2.select("ba", "bb").as("p")
+        .join(f2.select(col("ba"), col("bb").as("bc")).as("c2"),
+          col("p.ba") === col("c2.ba") && col("p.bb") < col("c2.bc"))
+        .select(col("p.ba").as("ca"), col("p.bb").as("cb"),
+          col("c2.bc").as("cc"))
+        .join(f2.select(col("ba").as("cb"), col("bb").as("cc")),
+          Seq("cb", "cc"), "left_semi")
+      t3From(ob, pairsAll, cand)
+        .join(broadcast(f2.select(col("ba"), col("bb"),
+          col("sup").as("sup_ab"))), Seq("ba", "bb"))
+        .select(col("ba").as("brand_a"), col("bb").as("brand_b"),
+          col("bc").as("brand_c"), col("support"),
+          expr("CAST((1000000 * support) div sup_ab AS BIGINT)")
+            .as("conf_ppm"))
+        .orderBy("brand_a", "brand_b", "brand_c")
+    }),
+
     // EXACT GINI coefficient per market segment — the inequality
     // readout behind q_pareto's share cut (one number instead of two
     // slices). Gini needs Σ rank·x over the value-sorted per-customer
@@ -1798,6 +1840,25 @@ object Relational {
           div exact_d AS BIGINT)""").as("err_ppm"))
       .orderBy("grp")
   }
+
+  /** q_basket_triples' counting stage: per-order pair rows prefix-
+    * pruned against the broadcast candidate set, extended by the third
+    * basket item, candidate-semi-joined again, then counted with the
+    * ≥3 support bar. */
+  private def t3From(ob: DataFrame, pairsAll: DataFrame,
+      cand: DataFrame): DataFrame =
+    pairsAll
+      .join(broadcast(cand.select(col("ca").as("ba"), col("cb").as("bb"))
+        .distinct()), Seq("ba", "bb"), "left_semi")
+      .as("xy")
+      .join(ob.as("z"),
+        col("xy.o") === col("z.o") && col("xy.bb") < col("z.brand"))
+      .select(col("xy.ba").as("ba"), col("xy.bb").as("bb"),
+        col("z.brand").as("bc"))
+      .join(broadcast(cand.select(col("ca").as("ba"), col("cb").as("bb"),
+        col("cc").as("bc"))), Seq("ba", "bb", "bc"), "left_semi")
+      .groupBy("ba", "bb", "bc").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 3)
 
   /** q_theilsen's positivity shift: keeps slope numerators positive so
     * Spark `div` (truncate) == DuckDB `//` (floor). Sized to 4e18 —
@@ -2673,6 +2734,29 @@ object Relational {
            CAST((1000000 * swx) // n_eff AS BIGINT) AS mean_micro
          FROM a ORDER BY b"""
     },
+
+    "q_basket_triples" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         pr AS (SELECT x.o, x.brand AS ba, y.brand AS bb
+           FROM ob x JOIN ob y ON x.o = y.o AND x.brand < y.brand),
+         f2 AS (SELECT ba, bb, count(*) AS sup FROM pr
+           GROUP BY ba, bb HAVING count(*) >= 3),
+         cand AS (SELECT p.ba AS ca, p.bb AS cb, q.bb AS cc
+           FROM f2 p JOIN f2 q ON p.ba = q.ba AND p.bb < q.bb
+           WHERE EXISTS (SELECT 1 FROM f2 r
+             WHERE r.ba = p.bb AND r.bb = q.bb)),
+         t3 AS (SELECT pr.ba, pr.bb, z.brand AS bc
+           FROM pr JOIN ob z ON pr.o = z.o AND pr.bb < z.brand
+           WHERE EXISTS (SELECT 1 FROM cand c
+             WHERE c.ca = pr.ba AND c.cb = pr.bb AND c.cc = z.brand)),
+         sup3 AS (SELECT ba, bb, bc, count(*) AS support FROM t3
+           GROUP BY ba, bb, bc HAVING count(*) >= 3)
+         SELECT ba AS brand_a, bb AS brand_b, bc AS brand_c,
+           CAST(support AS BIGINT) AS support,
+           CAST((1000000 * support) // sup AS BIGINT) AS conf_ppm
+         FROM sup3 JOIN f2 USING (ba, bb)
+         ORDER BY brand_a, brand_b, brand_c""",
 
     "q_theilsen" ->
       s"""WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,

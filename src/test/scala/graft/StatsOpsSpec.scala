@@ -233,6 +233,35 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_basket_triples equals a naive triple count (Apriori prune loses nothing)") {
+    val ob = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("brand"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val baskets = ob.groupBy(_._1).values.map(_.map(_._2).sorted.toSeq).toSeq
+    // the naive count has NO candidate pruning: equality proves the
+    // Apriori prune is lossless, not just fast
+    val pairSup = baskets.flatMap(bs =>
+      for (a <- bs; b <- bs if a < b) yield (a, b))
+      .groupBy(identity).map { case (p, g) => p -> g.size }
+    val naive = baskets.flatMap(bs =>
+      for (a <- bs; b <- bs if a < b; c <- bs if b < c) yield (a, b, c))
+      .groupBy(identity).map { case (tr, g) => tr -> g.size }
+      .filter(_._2 >= 3)
+    val got = Relational.queries("q_basket_triples")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == naive.keySet)
+    assert(got.nonEmpty)
+    for ((tr, (sup, conf)) <- got) {
+      assert(sup == naive(tr), s"$tr support")
+      assert(conf == 1000000L * sup / pairSup((tr._1, tr._2)), s"$tr conf")
+      // anti-monotonicity: triple support never exceeds its pair's
+      assert(sup <= pairSup((tr._1, tr._2)))
+    }
+  }
+
   test("q_mwu equals a naive midrank replay") {
     val rows = Tables.load(spark, dir, "orders")
       .select(expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"),
