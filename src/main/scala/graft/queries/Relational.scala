@@ -1391,6 +1391,49 @@ object Relational {
         .orderBy("brand_a", "brand_b")
     }),
 
+    // TRIMMED MEAN per priority — the robust location estimate between
+    // q_mad (median-based) and the raw mean: drop the lowest and
+    // highest n/10 order totals EXACTLY, without ever sorting the fact
+    // rows — the q_gini bucketed distinct-value prefix gives each tie
+    // block its rank interval [r0+1, r0+c], and the block's kept mass
+    // is the integer overlap with [k+1, n−k] (one greatest/least
+    // chain, codegen). Everything past the scan runs at the |distinct
+    // cents| grain; the raw mean rides the same pass for contrast.
+    "q_trimmed" -> ((s, dir) => {
+      val width = 1L << 16
+      val per = graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
+          floor(dec("o_totalprice") * 100).cast("long").as("cents")),
+        "q")
+      val v = graft.operators.BoundedPercentile.memoInput(
+        per.withColumn("bkt", expr(s"cents div ${width}L"))
+          .groupBy("grp", "bkt", "cents").agg(count(lit(1)).as("c")),
+        "q")
+      val hcum = v.groupBy("grp", "bkt").agg(sum("c").as("bc"))
+        .withColumn("cb",
+          sum("bc").over(Window.partitionBy("grp").orderBy("bkt"))
+            - col("bc"))
+      val vin = v.withColumn("ci",
+        sum("c").over(Window.partitionBy("grp", "bkt").orderBy("cents"))
+          - col("c"))
+      val tot = per.groupBy("grp").agg(count(lit(1)).as("n"))
+        .withColumn("k", expr("n div 10"))
+      vin.join(hcum.select("grp", "bkt", "cb"), Seq("grp", "bkt"))
+        .withColumn("r0", col("cb") + col("ci"))
+        .join(broadcast(tot), "grp")
+        .withColumn("kept",
+          expr("greatest(0L, least(r0 + c, n - k) - greatest(r0, k))"))
+        .groupBy("grp").agg(
+          max("n").as("n"), max("k").as("k_trim"),
+          sum(expr("CAST(cents AS DECIMAL(38,0)) * c")).as("sall"),
+          sum(expr("CAST(cents AS DECIMAL(38,0)) * kept")).as("skept"))
+        .select(col("grp"), col("n"), col("k_trim"),
+          expr("CAST((1000000 * sall) div n AS BIGINT)").as("mean_micro"),
+          expr("CAST((1000000 * skept) div (n - 2 * k_trim) AS BIGINT)")
+            .as("trimmed_micro"))
+        .orderBy("grp")
+    }),
+
     // APRIORI LEVEL-3 — frequent brand TRIPLES with the classic
     // candidate-generate-and-prune step on top of q_basket_pairs'
     // frequent pairs: candidates come from F2⋈F2 on the shared first
@@ -2734,6 +2777,27 @@ object Relational {
            CAST((1000000 * swx) // n_eff AS BIGINT) AS mean_micro
          FROM a ORDER BY b"""
     },
+
+    "q_trimmed" ->
+      """WITH p AS (SELECT o_orderpriority AS grp,
+             CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+               AS BIGINT) AS cents
+           FROM orders),
+         t AS (SELECT grp, count(*) AS n, count(*) // 10 AS k
+           FROM p GROUP BY grp),
+         r AS (SELECT grp, cents, count(*) AS c,
+             sum(count(*)) OVER (PARTITION BY grp ORDER BY cents)
+               - count(*) AS r0
+           FROM p GROUP BY grp, cents),
+         kx AS (SELECT r.grp, cents, c, r0, n, k,
+             greatest(0, least(r0 + c, n - k) - greatest(r0, k)) AS kept
+           FROM r JOIN t USING (grp))
+         SELECT grp, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_trim,
+           CAST((1000000 * sum(CAST(cents AS HUGEINT) * c)) // n
+             AS BIGINT) AS mean_micro,
+           CAST((1000000 * sum(CAST(cents AS HUGEINT) * kept))
+             // (n - 2 * k) AS BIGINT) AS trimmed_micro
+         FROM kx GROUP BY grp, n, k ORDER BY grp""",
 
     "q_basket_triples" ->
       """WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS brand

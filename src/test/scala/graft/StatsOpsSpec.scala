@@ -233,6 +233,29 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_trimmed equals a naive sort-and-drop replay") {
+    val rows = Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = Relational.queries("q_trimmed")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == rows.map(_._1).toSet)
+    for ((grp, g) <- rows.groupBy(_._1)) {
+      val xs = g.map(_._2).sorted
+      val n = xs.length; val k = n / 10
+      val kept = xs.slice(k, n - k)
+      val (gn, gk, mean, trm) = got(grp)
+      assert(gn == n && gk == k)
+      assert(mean == (BigInt(1000000) * xs.map(BigInt(_)).sum / n).toLong)
+      assert(trm == (BigInt(1000000) * kept.map(BigInt(_)).sum
+        / kept.length).toLong, s"$grp trimmed")
+      // trimming 10% tails moves a location estimate, it doesn't teleport it
+      assert(math.abs(trm - mean) < mean / 5, s"$grp trim distance")
+    }
+  }
+
   test("q_basket_triples equals a naive triple count (Apriori prune loses nothing)") {
     val ob = Tables.load(spark, dir, "lineitem")
       .join(Tables.load(spark, dir, "part").select("p_partkey", "p_brand"),
