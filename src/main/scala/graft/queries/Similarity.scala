@@ -1501,6 +1501,39 @@ object Similarity {
         .limit(20)
     }),
 
+    // ADAMIC–ADAR link scoring — the degree-aware upgrade of
+    // s_link_pred's common-neighbor Jaccard (a shared RARE neighbor is
+    // stronger evidence than a shared hub): AA(a,b) = Σ 1/ln(deg z)
+    // over the common neighbors, with 1/ln(d) as a FIXED ppm table
+    // (d = 2..64, hubs clamp at 64 — the standard practical cap) so no
+    // in-query log can drift cross-engine; the weight attaches to the
+    // wedge relation by one codegen element_at against the broadcast-
+    // literal table. Wedge work is degree-bounded (O(N·deg²) on the
+    // KnnK graph), candidates anti-join the existing edges, top-20 by
+    // TakeOrdered with total tie-break.
+    "s_adamic_adar" -> ((s, dir) => {
+      val und = graft.CacheBook.materialize(graft.operators.TriangleCount
+        .canonical(knnGraph(s, dir).select("src", "nbr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.CacheBook.register(s, "s")(() => { und.unpersist(false); () })
+      val ed = und.select(col("u").as("src"), col("w").as("nbr"))
+        .unionByName(und.select(col("w").as("src"), col("u").as("nbr")))
+      val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
+      val aa = ed.as("e1").join(ed.as("e2"),
+          col("e1.nbr") === col("e2.src") && col("e1.src") < col("e2.nbr"))
+        .select(col("e1.src").as("a"), col("e1.nbr").as("z"),
+          col("e2.nbr").as("b"))
+        .join(deg.select(col("src").as("z"), col("deg")), "z")
+        // wedge centers have deg >= 2, so index d-1 into the d=2.. table
+        .withColumn("w", element_at(lit(AdamicPpm),
+          (least(col("deg"), lit(64L)) - 1).cast("int")))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("common"), sum("w").as("aa_ppm"))
+      aa.join(und, aa("a") === und("u") && aa("b") === und("w"), "left_anti")
+        .orderBy(col("aa_ppm").desc, col("common").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // SEED-DISTANCE labeling — multi-source BFS from the query seeds
     // over the KNN graph: the proximity-to-trusted-set signal a
     // curation pipeline ranks by (docs within h hops of a vetted seed
@@ -3090,6 +3123,37 @@ object Similarity {
 
   /** SQL mirror of s_link_pred: 2-hop wedge candidates minus existing
     * edges, scored by common-neighbor count + neighborhood Jaccard. */
+  /** s_adamic_adar's 1/ln(d) in ppm for d = 2..64 (index d−1 in the
+    * 1-based lookups; degrees above 64 clamp). ONE table feeds both
+    * engines — no in-query log. */
+  private[graft] val AdamicPpm: Array[Long] =
+    (2 to 64).map(d => math.floor(1e6 / math.log(d)).toLong).toArray
+
+  /** SQL mirror of s_adamic_adar over the shared knn CTEs. */
+  private def sqlAdamicAdar: String = {
+    val arr = AdamicPpm.mkString("[", ", ", "]")
+    s"""WITH $sqlKnnCtes,
+       und AS MATERIALIZED (SELECT DISTINCT least(src, nbr) AS u,
+           greatest(src, nbr) AS w FROM knn),
+       ed AS (SELECT u AS src, w AS nbr FROM und
+         UNION ALL SELECT w AS src, u AS nbr FROM und),
+       deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       wedge AS (SELECT e1.src AS a, e1.nbr AS z, e2.nbr AS b
+         FROM ed e1 JOIN ed e2
+           ON e1.nbr = e2.src AND e1.src < e2.nbr),
+       aa AS (SELECT a, b, count(*) AS common,
+           sum(($arr)[CAST(least(deg, 64) - 1 AS INT)]) AS aa_ppm
+         FROM wedge JOIN deg ON deg.src = wedge.z
+         GROUP BY a, b),
+       nonedge AS (SELECT a, b, common, aa_ppm FROM aa
+         WHERE NOT EXISTS (SELECT 1 FROM und
+           WHERE und.u = aa.a AND und.w = aa.b))
+       SELECT a, b, CAST(common AS BIGINT) AS common,
+         CAST(aa_ppm AS BIGINT) AS aa_ppm
+       FROM nonedge
+       ORDER BY aa_ppm DESC, common DESC, a, b LIMIT 20"""
+  }
+
   private def sqlLinkPred: String =
     s"""WITH $sqlKnnCtes,
        und AS MATERIALIZED (SELECT DISTINCT least(src, nbr) AS u,
@@ -4284,6 +4348,7 @@ object Similarity {
     ("s_label_prop" -> sqlLabelProp) +
     ("s_modularity" -> sqlModularity) +
     ("s_link_pred" -> sqlLinkPred) +
+    ("s_adamic_adar" -> sqlAdamicAdar) +
     ("s_kcore_peel" -> sqlKcorePeel) +
     ("s_negatives" -> sqlNegatives) +
     ("s_seed_dist" -> sqlSeedDist) +

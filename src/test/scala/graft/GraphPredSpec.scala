@@ -51,6 +51,28 @@ class GraphPredSpec extends SparkSpec {
     assert(got.forall(t => t._3 >= 1 && t._4 > 0))
   }
 
+  test("s_adamic_adar equals naive degree-weighted scoring, no existing edges") {
+    val got = Similarity.queries("s_adamic_adar")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 20)
+    val cand = for {
+      (a, na) <- adj.toSeq
+      mid <- na.toSeq
+      b <- adj(mid).toSeq if a < b && !und.contains((a, b))
+    } yield (a, b, mid)
+    val naive = cand.groupBy(t => (t._1, t._2)).map { case ((a, b), g) =>
+      val aa = g.map { case (_, _, z) =>
+        Similarity.AdamicPpm(math.min(adj(z).size, 64) - 2)
+      }.sum
+      (a, b, g.length.toLong, aa)
+    }.toSeq.sortBy(t => (-t._4, -t._3, t._1, t._2)).take(20)
+    assert(got.toSeq == naive, "top-20 diverges from the naive AA scoring")
+    assert(got.forall(t => !und.contains((t._1, t._2))))
+    // a shared rare neighbor must outscore the same count of hubs:
+    // every aa_ppm is at least common·(weight of a deg-64 hub)
+    assert(got.forall(t => t._4 >= t._3 * Similarity.AdamicPpm.last))
+  }
+
   test("s_beam_sweep's beam-8 row equals the shipped graph-search recall") {
     val sweep = Similarity.queries("s_beam_sweep")(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
