@@ -1391,6 +1391,54 @@ object Relational {
         .orderBy("brand_a", "brand_b")
     }),
 
+    // KOLMOGOROV–SMIRNOV two-sample statistic — the whole-distribution
+    // A/B readout q_mwu's rank test can't give (MWU reads a location
+    // shift; KS reads ANY shape difference): D = max |F_A − F_B| over
+    // the pooled distinct order totals, both ECDFs as integer ppm
+    // floor divisions (the ppm-resolution statistic IS the contract,
+    // so both engines agree exactly). Cumulatives ride the q_mwu
+    // bucket-prefix discipline — bucket histogram window + in-bucket
+    // distinct-value prefix, nothing sorts the fact rows — and the
+    // argmax row is a bounded-grain TakeOrdered with value tie-break.
+    "q_ks" -> ((s, dir) => {
+      val width = 1L << 16
+      val per = graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "orders").select(
+          floor(dec("o_totalprice") * 100).cast("long").as("cents"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("arm")),
+        "q")
+      val v = graft.operators.BoundedPercentile.memoInput(
+        per.withColumn("bkt", expr(s"cents div ${width}L"))
+          .groupBy("bkt", "cents")
+          .agg(count(lit(1)).as("c"), sum("arm").as("ca")),
+        "q")
+      val hcum = v.groupBy("bkt")
+        .agg(sum("c").as("bc"), sum("ca").as("bca"))
+        .select(col("bkt"),
+          (sum("bc").over(Window.orderBy("bkt")) - col("bc")).as("cb"),
+          (sum("bca").over(Window.orderBy("bkt")) - col("bca")).as("cba"))
+      val wIn = Window.partitionBy("bkt").orderBy("cents")
+      val vin = v
+        .withColumn("ci", sum("c").over(wIn) - col("c"))
+        .withColumn("cia", sum("ca").over(wIn) - col("ca"))
+      val tot = per.agg(sum("arm").as("n_a"),
+        (count(lit(1)) - sum("arm")).as("n_b"))
+      vin.join(hcum, "bkt")
+        .crossJoin(broadcast(tot)) // 1-row scalar attach
+        .select(col("cents"), col("n_a"), col("n_b"),
+          (col("cba") + col("cia") + col("ca")).as("cum_a"),
+          (col("cb") + col("ci") + col("c")
+            - (col("cba") + col("cia") + col("ca"))).as("cum_b"))
+        .select(col("cents"), col("n_a"), col("n_b"),
+          expr("""abs((1000000 * cum_a) div n_a
+            - (1000000 * cum_b) div n_b)""").as("d_ppm"))
+        .orderBy(col("d_ppm").desc, col("cents").asc)
+        .limit(1)
+        .select(col("n_a"), col("n_b"), col("d_ppm"),
+          col("cents").as("at_cents"))
+    }),
+
     // TRIMMED MEAN per priority — the robust location estimate between
     // q_mad (median-based) and the raw mean: drop the lowest and
     // highest n/10 order totals EXACTLY, without ever sorting the fact
@@ -2777,6 +2825,26 @@ object Relational {
            CAST((1000000 * swx) // n_eff AS BIGINT) AS mean_micro
          FROM a ORDER BY b"""
     },
+
+    "q_ks" ->
+      """WITH p AS (SELECT
+             CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+               AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END AS arm
+           FROM orders),
+         t AS (SELECT sum(arm) AS n_a, count(*) - sum(arm) AS n_b FROM p),
+         r AS (SELECT cents,
+             sum(sum(arm)) OVER (ORDER BY cents) AS cum_a,
+             sum(count(*) - sum(arm)) OVER (ORDER BY cents) AS cum_b
+           FROM p GROUP BY cents),
+         d AS (SELECT cents, n_a, n_b,
+             abs((1000000 * cum_a) // n_a
+               - (1000000 * cum_b) // n_b) AS d_ppm
+           FROM r, t)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(d_ppm AS BIGINT) AS d_ppm, cents AS at_cents
+         FROM d ORDER BY d_ppm DESC, cents LIMIT 1""",
 
     "q_trimmed" ->
       """WITH p AS (SELECT o_orderpriority AS grp,

@@ -233,6 +233,29 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_ks equals a naive pooled-ECDF replay") {
+    val rows = Tables.load(spark, dir, "orders")
+      .select(expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"),
+        expr("CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val nA = rows.count(_._2 == 1).toLong
+    val nB = rows.length - nA
+    val byV = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var ca = 0L; var cb = 0L
+    val curve = byV.map { case (v, g) =>
+      ca += g.count(_._2 == 1); cb += g.count(_._2 == 0)
+      (v, math.abs(1000000L * ca / nA - 1000000L * cb / nB))
+    }
+    val (atV, d) = curve.maxBy(t => (t._2, -t._1))
+    val got = Relational.queries("q_ks")(spark, dir).collect()(0)
+    assert(got.getLong(0) == nA && got.getLong(1) == nB)
+    assert(got.getLong(2) == d, s"D ${got.getLong(2)} want $d")
+    assert(got.getLong(3) == atV, s"argmax ${got.getLong(3)} want $atV")
+    // priority is assigned independently of totals here: D stays small,
+    // but it is a max of |ECDF gaps| so it is never exactly zero
+    assert(d > 0L && d < 200000L, s"implausible D $d")
+  }
+
   test("q_trimmed equals a naive sort-and-drop replay") {
     val rows = Tables.load(spark, dir, "orders")
       .select(col("o_orderpriority"),
@@ -433,7 +456,8 @@ class StatsOpsSpec extends SparkSpec {
     assert(got.keySet == byGrp.keySet + "ALL")
     val grpRegs = byGrp.view.mapValues(g => regs(g)).toMap
     for ((grp, m) <- grpRegs + ("ALL" ->
-        grpRegs.values.reduce((a, b) => a.zip(b).map(p => math.max(p._1, p._2))))) {
+        grpRegs.values.reduce((a, b) =>
+          a.toSeq.zip(b.toSeq).map(p => math.max(p._1, p._2)).toArray))) {
       val (vZero, s, e) = est(m)
       val exact = (if (grp == "ALL") rows.map(_._2) else byGrp(grp)).distinct.length
       val (gv, gs, ge, gx, gerr) = got(grp)
