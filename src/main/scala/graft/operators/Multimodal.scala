@@ -447,6 +447,44 @@ object Multimodal {
 
   final case class PHash(doc_id: Long, phash: String)
 
+  final case class Blur(doc_id: Long, n_lap: Int, s_lap: Long, s_lap2: Long)
+
+  /** Laplacian moments of a REAL-decoded image — the sharpness /
+    * blur-audit feature (variance of the 4-neighbor Laplacian is the
+    * classic focus measure): per interior pixel
+    * L = 4p − p(x±1,y) − p(x,y±1), returning exact integer (n, ΣL,
+    * ΣL²) so the variance is one downstream floor division. Only the
+    * three moments cross the wire — never pixels. */
+  def blurPng(docId: Long, bytes: Array[Byte]): Blur = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    var n = 0; var sL = 0L; var sL2 = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val l = 4L * raster.getSample(x, y, 0) -
+          raster.getSample(x - 1, y, 0) - raster.getSample(x + 1, y, 0) -
+          raster.getSample(x, y - 1, 0) - raster.getSample(x, y + 1, 0)
+        n += 1; sL += l; sL2 += l * l
+        x += 1
+      }
+      y += 1
+    }
+    Blur(docId, n, sL, sL2)
+  }
+
+  /** Encode→decode→Laplacian-moment pipeline over the id column,
+    * batched like [[decodeSynthetic]] — the decode is REAL ImageIO. */
+  def blurSynthetic(ids: Dataset[Long]): Dataset[Blur] = {
+    import ids.sparkSession.implicits._
+    rebalance(ids).mapPartitions(_.grouped(BatchSize).flatMap(_.map { id =>
+      blurPng(id, syntheticPng(id))
+    }))
+  }
+
   /** Encode→decode→perceptual-hash over the id column, batched like
     * [[decodeSynthetic]]. The hash is the image-dedup KEY: exact-match
     * groups are duplicate images; near-dup at hamming ≤ t band-groups

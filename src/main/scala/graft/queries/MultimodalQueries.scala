@@ -12,6 +12,10 @@ import graft.operators.Multimodal
   * real pipeline; features derive from md5 so DuckDB mirrors them. */
 object MultimodalQueries {
 
+  /** m_blur keep bar: Laplacian variance below this reads as
+    * out-of-focus. One constant, both engines. */
+  private val BlurKeepVar = 100L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // EXPLICIT family build — the d_build / x_build / s_index_build
     // convention for the m family: materializes every memoized decode
@@ -118,6 +122,29 @@ object MultimodalQueries {
         Tables.load(s, dir, "documents").select(col("doc_id")).as[Long],
         target = 64)
         .toDF().orderBy("doc_id")
+    }),
+
+    // IMAGE BLUR / SHARPNESS audit — the quality gate an image
+    // curation run applies before anything trains (drop the blurry):
+    // variance of the 4-neighbor Laplacian, THE classic focus
+    // measure, over REAL-decoded interior pixels. The decode returns
+    // only the three exact integer moments (n, ΣL, ΣL²) — pixels
+    // never leave the partition — and the variance is one integer
+    // floor division (numerator ≥ 0 by Cauchy–Schwarz, so truncate ==
+    // floor cross-engine). Decode-VERIFIED like m_decode: the oracle
+    // replays the Laplacian arithmetic on the closed-form pixels.
+    "m_blur" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.blurSynthetic(
+        Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])
+        .toDF()
+        .select(col("doc_id"), col("n_lap"), col("s_lap"), col("s_lap2"),
+          expr("""CAST((n_lap * s_lap2 - s_lap * s_lap)
+            div (CAST(n_lap AS BIGINT) * n_lap) AS BIGINT)""").as("lapvar"),
+          when(expr("""(n_lap * s_lap2 - s_lap * s_lap)
+            div (CAST(n_lap AS BIGINT) * n_lap)""") >= BlurKeepVar, 1)
+            .otherwise(0).cast("int").as("kept"))
+        .orderBy("doc_id")
     }),
 
     // IMAGE DEDUP via perceptual hash — the multimodal sibling of
@@ -690,6 +717,33 @@ object MultimodalQueries {
            CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
            (((rsg * 1000000) // (ow * oh)) / 1000000.0) AS resized_mean_gray
          FROM out ORDER BY doc_id""",
+
+    // the 4-neighbor Laplacian replayed on the closed-form pixels over
+    // the interior range — verifies the DECODED moments
+    "m_blur" ->
+      s"""WITH dims AS (SELECT doc_id,
+             CAST(16 + doc_id % 32 AS INT) AS w,
+             CAST(16 + (doc_id * 7) % 32 AS INT) AS h
+           FROM documents),
+         lap AS (SELECT doc_id, count(*) AS n_lap,
+             sum(l) AS s_lap, sum(l * l) AS s_lap2
+           FROM (SELECT d.doc_id,
+               4 * ((d.doc_id + 3 * x.i + 5 * y.i) % 256)
+               - ((d.doc_id + 3 * (x.i - 1) + 5 * y.i) % 256)
+               - ((d.doc_id + 3 * (x.i + 1) + 5 * y.i) % 256)
+               - ((d.doc_id + 3 * x.i + 5 * (y.i - 1)) % 256)
+               - ((d.doc_id + 3 * x.i + 5 * (y.i + 1)) % 256) AS l
+             FROM dims d, unnest(range(1, w - 1)) AS x(i),
+               unnest(range(1, h - 1)) AS y(i))
+           GROUP BY doc_id)
+         SELECT doc_id, CAST(n_lap AS INT) AS n_lap,
+           CAST(s_lap AS BIGINT) AS s_lap, CAST(s_lap2 AS BIGINT) AS s_lap2,
+           CAST((n_lap * s_lap2 - s_lap * s_lap) // (n_lap * n_lap)
+             AS BIGINT) AS lapvar,
+           CAST(CASE WHEN (n_lap * s_lap2 - s_lap * s_lap)
+               // (n_lap * n_lap) >= $BlurKeepVar
+             THEN 1 ELSE 0 END AS INT) AS kept
+         FROM lap ORDER BY doc_id""",
 
     // thumbnail pixel (i, j) = formula at ((i*w)//8, (j*h)//8); bit k
     // row-major (i = k%8, j = k//8), set iff 64*p > sum — the same

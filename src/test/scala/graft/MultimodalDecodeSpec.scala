@@ -27,6 +27,25 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
   }
 
+  test("blurPng moments match the pixel-formula Laplacian reference") {
+    for (id <- Seq(0L, 3L, 17L, 100L, 4242L)) {
+      val w = (16 + id % 32).toInt
+      val h = (16 + (id * 7) % 32).toInt
+      val b = Multimodal.blurPng(id, Multimodal.syntheticPng(id))
+      val ls = for (y <- 1 until h - 1; x <- 1 until w - 1) yield
+        4 * gray(id, x, y) - gray(id, x - 1, y) - gray(id, x + 1, y) -
+          gray(id, x, y - 1) - gray(id, x, y + 1)
+      assert(b.n_lap == ls.length, s"id $id n")
+      assert(b.s_lap == ls.sum, s"id $id sum")
+      assert(b.s_lap2 == ls.map(l => l * l).sum, s"id $id sum2")
+      // the linear gradient has zero Laplacian except at mod-256 wrap
+      // edges — so the variance is nonzero but edge-dominated
+      val n = ls.length.toLong
+      val v = (n * b.s_lap2 - b.s_lap * b.s_lap) / (n * n)
+      assert(v >= 0, s"id $id var $v")
+    }
+  }
+
   test("PNG encode is a real ImageIO artifact (magic bytes) and decode is lossless") {
     val bytes = Multimodal.syntheticPng(42L)
     assert(bytes.take(8).map(_ & 0xff).toSeq ==
