@@ -1760,6 +1760,34 @@ object Similarity {
     "s_pq_ann" -> memoAnn("s_pq_ann")((s, dir) => pqAnnBody(s, dir)),
     "s_pq_recall" -> recallOf("s_pq_ann"),
 
+    // PQ DISTORTION audit — the reconstruction-error half of the PQ
+    // eval pair (s_pq_recall prices retrieval accuracy; this prices
+    // the QUANTIZER itself, per subspace — the readout that says which
+    // subspace's codebook is underfit and whether more Lloyd rounds or
+    // more codes would pay): per (vector, subspace) squared L2 to THE
+    // deployed codeword (the memoized pqModel codebook — not a
+    // recompute), floored to integer micro PER ROW (a fixed-order IEEE
+    // chain, so distributed summation order can't perturb the sums),
+    // then one map-side-combined aggregate to PqM rows.
+    "s_pq_distortion" -> ((s, dir) => {
+      val (codes, _, cb) = pqModel(s, dir)
+      val e = vecs(s, dir)
+      val exSubs = (0 until PqM).map(m =>
+        struct(lit(m).as("m"), slice(col("v"), m * PqSub + 1, PqSub).as("xsub")))
+      e.select(col("vec_id"), explode(array(exSubs: _*)).as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.xsub").as("xsub"))
+        .join(codes, Seq("vec_id", "m"))
+        .join(broadcast(cb), Seq("m", "code"))
+        .select(col("m"),
+          floor(subL2(col("xsub"), col("csub")) * 1000000.0)
+            .cast("long").as("d2"))
+        .groupBy("m")
+        .agg(count(lit(1)).as("n"), sum("d2").as("sum_d2_micro"))
+        .select(col("m"), col("n"), col("sum_d2_micro"),
+          expr("sum_d2_micro div n").as("mean_d2_micro"))
+        .orderBy("m")
+    }),
+
     // IVF-PQ composition — the full production ANN shape: the IVF
     // probe bounds the CANDIDATE SET (sub-linear: only the probed
     // cells' vectors are scored) and PQ bounds the SCORING COST (8
@@ -2667,17 +2695,21 @@ object Similarity {
   // scan of the code table (compose with IVF cells for sub-linear
   // search — this query prices the PQ term alone).
   private val pqCache = collection.mutable
-    .Map.empty[(SparkSession, String), graft.Once[(DataFrame, DataFrame)]]
+    .Map.empty[(SparkSession, String),
+      graft.Once[(DataFrame, DataFrame, DataFrame)]]
 
   /** PQ model pieces — (per-vector codes, per-query integer micro
-    * LUT) — shared by s_pq_ann (full code-table scan) and s_ivfpq_ann
-    * (scoring restricted to the IVF-probed cells). Memoized per
-    * (session, corpus), released with the "s" family scope: the Lloyd
-    * loop + encoding is the expensive half of every PQ query. */
-  private def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    * LUT, refined codebook) — shared by s_pq_ann (full code-table
+    * scan), s_ivfpq_ann (scoring restricted to the IVF-probed cells)
+    * and s_pq_distortion (reconstruction-error audit of THE deployed
+    * codebook). Memoized per (session, corpus), released with the "s"
+    * family scope: the Lloyd loop + encoding is the expensive half of
+    * every PQ query. */
+  private def pqModel(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     graft.CacheBook.touch(s, "s", "pq_model")
     synchronized { pqCache.getOrElseUpdate((s, dir), new graft.Once(() => {
-      val (codes, lut) = pqModelBody(s, dir)
+      val (codes, lut, cb) = pqModelBody(s, dir)
       val codesP = codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lutP = lut.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.CacheBook.materialize(codesP); graft.CacheBook.materialize(lutP)
@@ -2686,11 +2718,14 @@ object Similarity {
         codesP.unpersist(false); lutP.unpersist(false)
         ()
       }
-      (codesP, lutP)
+      // cb is a broadcast-literal-sized frame (PqM*PqKsub rows) that
+      // the two persisted relations already embody — no third persist
+      (codesP, lutP, cb)
     })) }.value
   }
 
-  private def pqModelBody(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def pqModelBody(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
       val e = vecs(s, dir)
       val wDraw = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       val trainers = e
@@ -2738,7 +2773,7 @@ object Similarity {
         .join(cb, "m")
         .select(col("q"), col("m"), col("code"),
           floor(subDot(col("qsub"), col("csub")) * 1000000.0).as("micro")))
-      (codes, lut)
+      (codes, lut, cb)
   }
 
   /** top-K per query by the integer-exact ADC score. */
@@ -2751,7 +2786,7 @@ object Similarity {
   }
 
   private val pqAnnBody: (SparkSession, String) => DataFrame = ((s, dir) => {
-      val (codes, lut) = pqModel(s, dir)
+      val (codes, lut, _) = pqModel(s, dir)
       adcTopk(codes.join(lut, Seq("m", "code"))
         .filter(col("vec_id") =!= col("q"))
         .groupBy("q", "vec_id")
@@ -2877,7 +2912,7 @@ object Similarity {
         .join(assigned.select("vec_id", "cid"), "cid")
         .filter(col("vec_id") =!= col("q"))
         .select("q", "vec_id")
-      val (codes, lut) = pqModel(s, dir)
+      val (codes, lut, _) = pqModel(s, dir)
       adcTopk(cand.join(codes, "vec_id")
         .join(lut, Seq("q", "m", "code"))
         .groupBy("q", "vec_id")
@@ -4480,6 +4515,20 @@ object Similarity {
          FROM j, ks WHERE brn <= k GROUP BY k ORDER BY k""") +
     ("s_ivf_kmeans_recall" -> sqlRecall("s_ivf_kmeans")) +
     ("s_pq_recall" -> sqlRecall("s_pq_ann")) +
+    // reconstruction error vs the SAME refined codebook CTEs; per-row
+    // micro floors before the sums, mirroring the engine exactly
+    ("s_pq_distortion" ->
+      s"""WITH e AS ($sqlVecs),
+         $sqlPqCtes,
+         dist AS (SELECT ex.m,
+             CAST(floor((${sqlSubL2("ex.xsub", "cb.csub")}) * 1000000.0)
+               AS BIGINT) AS d2
+           FROM ex JOIN codes ON ex.vec_id = codes.vec_id AND ex.m = codes.m
+           JOIN cb ON cb.m = codes.m AND cb.code = codes.code)
+         SELECT CAST(m AS INT) AS m, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(d2) AS BIGINT) AS sum_d2_micro,
+           CAST(sum(d2) // count(*) AS BIGINT) AS mean_d2_micro
+         FROM dist GROUP BY m ORDER BY m""") +
     ("s_ivfpq_recall" -> sqlRecall("s_ivfpq_ann")) +
     ("s_bq_recall" -> sqlRecall("s_bq_topk")) +
     ("s_ivf_bq_recall" -> sqlRecall("s_ivf_bq")) +
