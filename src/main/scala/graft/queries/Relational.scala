@@ -1749,19 +1749,61 @@ object Relational {
             floor(dec("o_totalprice") * 100).cast("long").as("cents"))
           .groupBy("day").agg(sum("cents").as("rev")),
         "q")
-      val slopes = d.as("a").join(d.as("b"), col("a.day") < col("b.day"))
-        .select(col("a.day").as("da"), col("b.day").as("db"),
-          col("a.rev").as("ra"), col("b.rev").as("rb"))
-        .select(col("da"), col("db"),
-          expr(s"""CAST((1000000 * (CAST(rb AS DECIMAL(38,0)) - ra)
-            + CAST('$TheilShift' AS DECIMAL(38,0)) * (db - da)) div (db - da)
-            - CAST('$TheilShift' AS DECIMAL(38,0)) AS BIGINT)""").as("slope"))
-      val med = slopes
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("slope"), col("da"), col("db"))))
-        .withColumn("np", count(lit(1)).over(Window.partitionBy()))
-        .filter(expr("rn = (np + 1) div 2"))
-        .select(col("slope").as("slope_micro"), col("np").as("n_pairs"))
+      // pairwise slopes in PURE BIGINT: floor(1e6·Δrev / Δday) via the
+      // pmod identity (nm − pmod(nm, dd)) div dd — exact floor for any
+      // sign, zero decimal ops in the 2.9M-row hot loop (the DECIMAL
+      // +K-shift first cut cost ~3x in codegen). Headroom: 1e6·|Δrev|
+      // holds to |Δrev| ≤ 9.2e12 cents/day — $92B/day swings.
+      def slopesOf(): DataFrame =
+        d.as("a").join(d.as("b"), col("a.day") < col("b.day"))
+          .select((col("b.day") - col("a.day")).as("dd"),
+            (lit(1000000L) * (col("b.rev") - col("a.rev"))).as("nm"))
+          // greatest() guard: BroadcastNestedLoopJoin codegen can run
+          // this projection on candidate pairs BEFORE the dd > 0 join
+          // condition culls them — ANSI mode then throws on the dd = 0
+          // diagonal. Guarded rows never survive the condition, so the
+          // guard value is unobservable.
+          .select(expr("""CAST((nm - pmod(nm, greatest(dd, 1)))
+            div greatest(dd, 1) AS BIGINT)""").as("slope"))
+      // median by TWO PASSES over the (cheap, checkpointed-daily-grain)
+      // pair generator — never a global sort of the |days|²/2 pair
+      // relation (measured 12.5 s through one WindowExec partition at
+      // sf0.1), never a pair-grain checkpoint: pass 1 folds pairs to a
+      // bucket histogram (map-side combined; |buckets| rows total),
+      // the target bucket + in-bucket offset fall out of a bounded
+      // cumulative window, and pass 2 re-generates ONLY the target
+      // bucket's pairs (the bucket predicate pushes into the join) and
+      // walks its distinct-slope prefix. Engine-internal algorithm —
+      // the oracle checks the median VALUE, which no tie-break moves.
+      // bucket width 2^38, sized to the MICRO-scaled slope range
+      // (±1e6·Δrev/Δday ~ ±1e15 here): ~15k buckets, so the
+      // cumulative window is postcard-sized. The first cut used 2^16 —
+      // one bucket PER PAIR (2.76M buckets, measured 4.3 s in the
+      // histogram window alone); a selection bucket must compress.
+      val width = 1L << 38
+      val bktCol = expr(s"CAST((slope - pmod(slope, ${width}L)) div ${width}L AS BIGINT)")
+      val bhist = slopesOf()
+        .select(bktCol.as("bkt"))
+        .groupBy("bkt").agg(count(lit(1)).as("bc"))
+      val target = bhist
+        .withColumn("cb", sum("bc").over(Window.orderBy("bkt")) - col("bc"))
+        .withColumn("np", sum("bc").over(Window.partitionBy()))
+        .withColumn("r", expr("(np + 1) div 2"))
+        .filter(expr("cb < r AND r <= cb + bc"))
+        .select(col("bkt").as("tb"), (col("r") - col("cb")).as("off"),
+          col("np"))
+      // med is ONE row but feeds two consumers (the intercept's resid
+      // and the output) — without the eager checkpoint each consumer
+      // re-runs both pair passes (measured 6 pair-join executions)
+      val med = graft.operators.BoundedPercentile.memoInput(
+        slopesOf()
+          .select(col("slope"), bktCol.as("bkt"))
+          .join(broadcast(target), col("bkt") === col("tb")) // 1-row filter
+          .groupBy("slope", "off", "np").agg(count(lit(1)).as("c"))
+          .withColumn("ci", sum("c").over(Window.orderBy("slope")))
+          .filter(expr("ci - c < off AND off <= ci"))
+          .select(col("slope").as("slope_micro"), col("np").as("n_pairs")),
+        "q")
       val inter = d.crossJoin(med) // 1-row scalar attach
         .select(col("day"),
           expr("""CAST(1000000 AS DECIMAL(38,0)) * rev
