@@ -1391,6 +1391,44 @@ object Relational {
         .orderBy("brand_a", "brand_b")
     }),
 
+    // WALD–WOLFOWITZ RUNS TEST — the randomness audit on the daily
+    // revenue sequence (is the series a coin flip around its median,
+    // or does it trend/oscillate? — the question q_acf answers in
+    // magnitude, this answers as a distribution-free count): days
+    // binarize against the lower-median daily revenue (an exact
+    // |days|-grain order statistic), runs count by one lag window over
+    // the day-ordered sequence, and the null expectation
+    // E[R] = 2·n₁·n₂/n + 1 emits in integer ppm next to the observed
+    // count. Everything after the one orders scan is |days|-grain.
+    "q_runs" -> ((s, dir) => {
+      val d = graft.operators.BoundedPercentile.memoInput(
+        t(s, dir, "orders")
+          .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+            floor(dec("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("day").agg(sum("cents").as("rev")),
+        "q")
+      val med = d
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("rev"), col("day"))))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+        .filter(expr("rn = (nd + 1) div 2"))
+        .select(col("rev").as("med"))
+      val signed = d.crossJoin(broadcast(med)) // 1-row scalar attach
+        .select(col("day"), when(col("rev") > col("med"), 1L).otherwise(0L)
+          .as("s"))
+        .withColumn("chg",
+          when(lag("s", 1).over(Window.orderBy("day")).isNull, 1L)
+            .when(lag("s", 1).over(Window.orderBy("day")) =!= col("s"), 1L)
+            .otherwise(0L))
+      signed.agg(count(lit(1)).as("n_days"),
+          sum("s").as("n_above"),
+          (count(lit(1)) - sum("s")).as("n_below"),
+          sum("chg").as("runs"))
+        .select(col("n_days"), col("n_above"), col("n_below"), col("runs"),
+          expr("""CAST((2000000 * n_above * n_below) div n_days + 1000000
+            AS BIGINT)""").as("expected_ppm"))
+    }),
+
     // KOLMOGOROV–SMIRNOV two-sample statistic — the whole-distribution
     // A/B readout q_mwu's rank test can't give (MWU reads a location
     // shift; KS reads ANY shape difference): D = max |F_A − F_B| over
@@ -1804,7 +1842,7 @@ object Relational {
           .filter(expr("ci - c < off AND off <= ci"))
           .select(col("slope").as("slope_micro"), col("np").as("n_pairs")),
         "q")
-      val inter = d.crossJoin(med) // 1-row scalar attach
+      val inter = d.crossJoin(broadcast(med)) // 1-row scalar attach
         .select(col("day"),
           expr("""CAST(1000000 AS DECIMAL(38,0)) * rev
             - CAST(slope_micro AS DECIMAL(38,0)) * day""").as("resid"))
@@ -1814,7 +1852,7 @@ object Relational {
         .filter(expr("rn = (nd + 1) div 2"))
         .select(expr("CAST(resid AS BIGINT)").as("intercept_micro"),
           col("nd").as("n_days"))
-      med.crossJoin(inter) // 1×1-row
+      med.crossJoin(broadcast(inter)) // 1×1-row
         .select(col("n_days"), col("n_pairs"), col("slope_micro"),
           col("intercept_micro"))
     }),
@@ -2867,6 +2905,29 @@ object Relational {
            CAST((1000000 * swx) // n_eff AS BIGINT) AS mean_micro
          FROM a ORDER BY b"""
     },
+
+    "q_runs" ->
+      """WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             sum(CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+               AS BIGINT)) AS rev
+           FROM orders GROUP BY 1),
+         m AS (SELECT rev AS med FROM (
+             SELECT rev, row_number() OVER (ORDER BY rev, day) AS rn,
+               count(*) OVER () AS nd FROM d)
+           WHERE rn = (nd + 1) // 2),
+         sg AS (SELECT day,
+             CASE WHEN rev > med THEN 1 ELSE 0 END AS s FROM d, m),
+         ch AS (SELECT s, CASE
+             WHEN lag(s) OVER (ORDER BY day) IS NULL THEN 1
+             WHEN lag(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS chg
+           FROM sg)
+         SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(s) AS BIGINT) AS n_above,
+           CAST(count(*) - sum(s) AS BIGINT) AS n_below,
+           CAST(sum(chg) AS BIGINT) AS runs,
+           CAST((2000000 * sum(s) * (count(*) - sum(s))) // count(*)
+             + 1000000 AS BIGINT) AS expected_ppm
+         FROM ch""",
 
     "q_ks" ->
       """WITH p AS (SELECT

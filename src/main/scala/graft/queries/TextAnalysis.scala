@@ -510,6 +510,33 @@ object TextAnalysis {
 
     // benchmark decontamination: docs sharing any word 8-gram with the
     // benchmark set (doc_id < 10) are flagged with the overlap count.
+    // N-GRAM NOVELTY — the incremental-corpus-value readout (how much
+    // does each document ADD, in ingestion order?): fraction of a
+    // doc's distinct 5-gram hashes whose FIRST occurrence (min doc_id
+    // over the corpus) is the doc itself. The dedup-adjacent metric
+    // that is NOT dedup: a doc can be no-one's duplicate yet still
+    // contribute nothing new. One gram-grain shuffle with map-side
+    // distinct; first-seen is a min-combine; every doc has ≥1 window
+    // by the shingle floor, so the ratio never divides by zero.
+    "x_novelty" -> ((s, dir) => {
+      val grams = graft.operators.BoundedPercentile.memoInput(
+        docs(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            explode(array_distinct(shingleHashes(wordsCol, 5))).as("g")),
+        "x")
+      val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+      grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("ng"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("nv"))
+        .select(col("doc_id"), col("ng").cast("int").as("n_grams"),
+          col("nv").cast("int").as("n_novel"),
+          expr("CAST((1000000 * nv) div ng AS BIGINT)").as("novelty_ppm"))
+        .orderBy("doc_id")
+    }),
+
     "x_contamination" -> ((s, dir) => {
       // ShingleHashes hashes the 5-gram windows in one codegen loop at
       // the scan — no window string ever materializes and only longs
@@ -650,7 +677,7 @@ object TextAnalysis {
         .withColumn("f1_ppm",
           expr("""CAST((2 * precision_ppm * recall_ppm)
             div greatest(1, precision_ppm + recall_ppm) AS BIGINT)"""))
-      rank.crossJoin(conf) // 1×1-row scalar attach
+      rank.crossJoin(broadcast(conf)) // 1×1-row scalar attach
     }),
 
     // chunking: 50-token windows, stride 40 (10-token overlap) — the
@@ -1561,6 +1588,20 @@ object TextAnalysis {
          WHERE (${Determinism.sqlMd5Idx("'smp#' || CAST(doc_id AS VARCHAR)")} % 100) < $rateSql
          ORDER BY doc_id"""
     },
+
+    "x_novelty" ->
+      s"""WITH grams AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             ${sqlShingles("string_split(text, ' ')", 5)},
+             x -> ${Determinism.sqlMd5IdxK("x", 12)}))) AS g
+           FROM documents),
+         f AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+             AS INT) AS n_novel,
+           CAST((1000000 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END))
+             // count(*) AS BIGINT) AS novelty_ppm
+         FROM grams JOIN f USING (g) GROUP BY doc_id ORDER BY doc_id""",
 
     "x_contamination" ->
       s"""WITH grams AS (

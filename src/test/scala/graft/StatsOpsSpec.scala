@@ -233,6 +233,29 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_runs equals a naive run-length walk") {
+    val days = Tables.load(spark, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"),
+        expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap.toSeq.sorted
+    val n = days.length
+    val med = days.map(t => (t._2, t._1)).sorted.apply((n + 1) / 2 - 1)._1
+    val signs = days.map(_._2 > med)
+    val runs = 1 + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+    val nAbove = signs.count(identity).toLong
+    val got = Relational.queries("q_runs")(spark, dir).collect()(0)
+    assert(got.getLong(0) == n && got.getLong(1) == nAbove)
+    assert(got.getLong(2) == n - nAbove)
+    assert(got.getLong(3) == runs, s"runs ${got.getLong(3)} want $runs")
+    assert(got.getLong(4) ==
+      2000000L * nAbove * (n - nAbove) / n + 1000000L)
+    // a revenue series around its median behaves run-wise like a fair
+    // coin unless it trends hard: observed within 30% of expectation
+    val exp = got.getLong(4) / 1000000.0
+    assert(math.abs(runs - exp) < 0.3 * exp, s"runs $runs vs E $exp")
+  }
+
   test("q_ks equals a naive pooled-ECDF replay") {
     val rows = Tables.load(spark, dir, "orders")
       .select(expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"),
@@ -452,7 +475,7 @@ class StatsOpsSpec extends SparkSpec {
       .map(r => r.getString(0) ->
         (r.getInt(1).toLong, r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
       .toMap
-    val byGrp = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val byGrp = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     assert(got.keySet == byGrp.keySet + "ALL")
     val grpRegs = byGrp.view.mapValues(g => regs(g)).toMap
     for ((grp, m) <- grpRegs + ("ALL" ->
