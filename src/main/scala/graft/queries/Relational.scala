@@ -1543,15 +1543,23 @@ object Relational {
           col("x.o") === col("y.o") && col("x.brand") < col("y.brand"))
         .select(col("x.o").as("o"), col("x.brand").as("ba"),
           col("y.brand").as("bb"))
-      val f2 = pairsAll.groupBy("ba", "bb").agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 3)
-      val cand = f2.select("ba", "bb").as("p")
-        .join(f2.select(col("ba"), col("bb").as("bc")).as("c2"),
-          col("p.ba") === col("c2.ba") && col("p.bb") < col("c2.bc"))
-        .select(col("p.ba").as("ca"), col("p.bb").as("cb"),
-          col("c2.bc").as("cc"))
-        .join(f2.select(col("ba").as("cb"), col("bb").as("cc")),
-          Seq("cb", "cc"), "left_semi")
+      // f2 is ≤|brands|² rows but its subtree re-runs the per-order
+      // pair aggregation on EVERY reference (cand reads it three
+      // times, the confidence join once, the prefix filter once —
+      // five pair-join executions without the memo)
+      val f2 = graft.operators.BoundedPercentile.memoInput(
+        pairsAll.groupBy("ba", "bb").agg(count(lit(1)).as("sup"))
+          .filter(col("sup") >= 3),
+        "q")
+      val cand = graft.operators.BoundedPercentile.memoInput(
+        f2.select("ba", "bb").as("p")
+          .join(f2.select(col("ba"), col("bb").as("bc")).as("c2"),
+            col("p.ba") === col("c2.ba") && col("p.bb") < col("c2.bc"))
+          .select(col("p.ba").as("ca"), col("p.bb").as("cb"),
+            col("c2.bc").as("cc"))
+          .join(f2.select(col("ba").as("cb"), col("bb").as("cc")),
+            Seq("cb", "cc"), "left_semi"),
+        "q")
       t3From(ob, pairsAll, cand)
         .join(broadcast(f2.select(col("ba"), col("bb"),
           col("sup").as("sup_ab"))), Seq("ba", "bb"))
