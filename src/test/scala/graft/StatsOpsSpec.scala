@@ -482,7 +482,7 @@ class StatsOpsSpec extends SparkSpec {
         grpRegs.values.reduce((a, b) =>
           a.toSeq.zip(b.toSeq).map(p => math.max(p._1, p._2)).toArray))) {
       val (vZero, s, e) = est(m)
-      val exact = (if (grp == "ALL") rows.map(_._2) else byGrp(grp)).distinct.length
+      val exact = (if (grp == "ALL") rows.map(_._2).toSeq else byGrp(grp)).distinct.length
       val (gv, gs, ge, gx, gerr) = got(grp)
       assert((gv, gs, ge) == ((vZero, s, e)), s"$grp registers")
       assert(gx == exact, s"$grp exact")
