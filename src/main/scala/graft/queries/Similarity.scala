@@ -186,25 +186,28 @@ object Similarity {
     * sub-vector slices reinterpreted as per-token embeddings (the
     * multi-vector view of the corpus s_maxsim scores). Unrolled
     * left-to-right like every other dot here, so bit-exact cross-engine. */
-  private def tokDot(a: Column, b: Column, t: Int, u: Int): Column =
-    (1 to PqSub).map(i =>
-      element_at(a, (t - 1) * PqSub + i) * element_at(b, (u - 1) * PqSub + i))
-      .reduceLeft(_ + _)
   private def sqlTokDot(a: String, b: String, t: Int, u: Int): String =
     (1 to PqSub).map(i =>
       s"$a[${(t - 1) * PqSub + i}] * $b[${(u - 1) * PqSub + i}]")
       .mkString("(", " + ", ")")
 
   /** Late-interaction MaxSim in integer micro-units: per query token,
-    * the max dot against all doc tokens (greatest over PqM identical
-    * IEEE chains — selection, not arithmetic), floored to micro-units,
-    * then summed as BIGINT — the 8-term row-local sum is exact under
-    * any evaluation order, unlike a float sum-of-maxes. */
+    * the max dot against all doc tokens (a selection over PqM identical
+    * IEEE chains, not arithmetic), floored to micro-units, then summed
+    * as BIGINT — the 8-term row-local sum is exact under any evaluation
+    * order, unlike a float sum-of-maxes. One native codegen Expression
+    * (round-14 optimization): the equivalent Column tree was 1024
+    * `element_at` calls per pair — the scorer dominated every
+    * token-family entry's cpu; [[graft.functions.MaxSimMicro]] keeps
+    * the identical left-to-right/greatest/floor arithmetic (bit-exact
+    * vs the sqlMaxSim oracle — MaxSimExprSpec pins tree == expression
+    * on random vectors). */
   private[graft] def maxSimMicro(qv: Column, dv: Column): Column =
-    (1 to PqM).map { t =>
-      floor(greatest((1 to PqM).map(u => tokDot(qv, dv, t, u)): _*)
-        * lit(1000000.0)).cast("long")
-    }.reduceLeft(_ + _)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.MaxSimMicro(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(qv),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(dv),
+        PqM, PqSub))
   private def sqlMaxSim(qv: String, dv: String): String =
     (1 to PqM).map { t =>
       s"""CAST(floor(greatest(${(1 to PqM).map(u => sqlTokDot(qv, dv, t, u))
