@@ -35,40 +35,21 @@ case class SimHash(child: Expression, bits: Int, hexChars: Int)
 }
 
 object SimHash {
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  /** First `hexChars` hex chars of the digest as a long (nibble-exact,
-    * so odd widths like 15 — a 60-bit value — work). */
-  private def hexPrefix(dig: Array[Byte], hexChars: Int): Long = {
-    var v = 0L
-    var i = 0
-    while (i < hexChars) {
-      val b = dig(i / 2) & 0xff
-      val nibble = if (i % 2 == 0) b >>> 4 else b & 0xf
-      v = (v << 4) | nibble
-      i += 1
-    }
-    v
-  }
-
   def eval(words: ArrayData, bits: Int, hexChars: Int): Long = {
     val n = words.numElements()
     // distinct words, first-seen order (matches array_distinct)
     val seen = new java.util.HashSet[Any]()
     val votes = new Array[Int](bits)
-    val md = digests.get()
     var distinct = 0
     var i = 0
     while (i < n) {
       val w = words.getUTF8String(i)
       if (seen.add(w)) {
         distinct += 1
-        md.reset()
-        md.update(w.getBytes)
-        val h = hexPrefix(md.digest(), hexChars)
+        val len = w.numBytes()
+        val buf = Md5.buffer(len)
+        w.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+        val h = Md5.hexPrefixLong(buf, len, hexChars)
         var b = 0
         while (b < bits) {
           votes(b) += ((h >>> b) & 1L).toInt

@@ -1,6 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The one window-hash loop behind [[ShingleHashes]] (positional) and
   * [[ShingleHashSet]] (sorted-distinct): element `i` of the result is
@@ -14,38 +16,56 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * Null elements are SKIPPED, matching `concat_ws` (which drops null
   * arguments without emitting a separator), so the hashes stay equal to
   * the documented Column formula even on arrays with containsNull=true.
+  *
+  * Round 14: hashes through [[Md5]] (zero-allocation core) instead of
+  * JCA MessageDigest — each window's bytes are assembled once into the
+  * per-thread scratch and digested in place; the UTF8String views are
+  * extracted once per ROW, not once per (window, word). Same bytes in,
+  * same hash out (Md5Spec pins the core to JCA).
   */
 private[functions] object WindowHash {
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
 
   def hashWindows(words: ArrayData, k: Int, hexChars: Int): Array[Long] = {
     val n = words.numElements()
     val m = math.max(n - k, 0) + 1
-    val md = digests.get()
     val out = new Array[Long](m)
     val nBytes = hexChars / 2
+    // one UTF8String view per element, reused by the k windows it joins
+    val ws = new Array[UTF8String](n)
+    var j = 0
+    while (j < n) {
+      ws(j) = if (words.isNullAt(j)) null else words.getUTF8String(j)
+      j += 1
+    }
     var i = 0
     while (i < m) {
-      md.reset()
       val end = math.min(i + k, n)
-      var j = i
+      var len = 0
       var first = true
-      while (j < end) {
-        if (!words.isNullAt(j)) {
-          if (!first) md.update(' '.toByte)
-          md.update(words.getUTF8String(j).getBytes)
+      var t = i
+      while (t < end) {
+        if (ws(t) != null) {
+          if (!first) len += 1
+          len += ws(t).numBytes()
           first = false
         }
-        j += 1
+        t += 1
       }
-      val dig = md.digest()
-      var v = 0L
-      var b = 0
-      while (b < nBytes) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
-      out(i) = v
+      val buf = Md5.buffer(len)
+      var pos = 0
+      first = true
+      t = i
+      while (t < end) {
+        val u = ws(t)
+        if (u != null) {
+          if (!first) { buf(pos) = ' '.toByte; pos += 1 }
+          u.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + pos)
+          pos += u.numBytes()
+          first = false
+        }
+        t += 1
+      }
+      out(i) = Md5.bytePrefixLong(buf, len, nBytes)
       i += 1
     }
     out

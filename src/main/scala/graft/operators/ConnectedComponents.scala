@@ -34,6 +34,27 @@ object ConnectedComponents {
     * width around a run() (Dedup.clusterLabels) can hold it too. */
   private[graft] val confLock = new Object
 
+  /** Scope the session to the label-loop execution profile: pinned
+    * narrow shuffle width AND adaptive execution OFF. Inside the loop
+    * every relation is label-table-sized and every plan reads eager
+    * checkpoints — AQE cannot improve a join or coalesce anything
+    * useful at width 8, but it turns each round's single action into
+    * 3-4 sequential query-stage JOBS, and the loops are round-latency
+    * bound (round 14: the d-family label loops dropped ~2x wall at
+    * identical results when the per-round job count fell back to 1).
+    * Callers must hold [[confLock]]. */
+  private[graft] def pinnedLoopConf[T](spark: org.apache.spark.sql.SparkSession)(
+      body: => T): T = {
+    val widthKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevW = spark.conf.get(widthKey)
+    val prevA = spark.conf.get(aqeKey)
+    spark.conf.set(widthKey, sys.env.getOrElse("SPARK_GRAFT_CC_PARTITIONS", "8"))
+    spark.conf.set(aqeKey, "false")
+    try body
+    finally { spark.conf.set(widthKey, prevW); spark.conf.set(aqeKey, prevA) }
+  }
+
   /** @param edges two-column DataFrame of undirected edges (a, b).
     * @return (id, cluster) for every node that appears in an edge;
     *   cluster = min node id of the component. */
@@ -47,17 +68,11 @@ object ConnectedComponents {
     // pipeline twice.)
     val e = edges.toDF("src", "dst").localCheckpoint(true)
     confLock.synchronized {
-      // scope shuffle width to the label table, not the session default:
-      // each round is a handful of joins over one row per NODE (already a
-      // reduction of the edge data), and the per-round fixed cost is task
-      // count x rounds. On a cluster this is the same knob sized to node
-      // count; AQE re-widens nothing here because the data really is small.
-      val spark = e.sparkSession
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      val parts = sys.env.getOrElse("SPARK_GRAFT_CC_PARTITIONS", "8")
-      spark.conf.set(key, parts)
-      try runLoop(e, maxIter) finally spark.conf.set(key, prev)
+      // scope shuffle width to the label table, not the session default
+      // (each round is a handful of joins over one row per NODE), and
+      // drop AQE for the loop's duration — see [[pinnedLoopConf]]. On a
+      // cluster this is the same knob sized to node count.
+      pinnedLoopConf(e.sparkSession) { runLoop(e, maxIter) }
     }
   }
 
@@ -186,11 +201,7 @@ object ConnectedComponents {
     // the conf lock, like run()
     val raw = edges.toDF("a", "b").localCheckpoint(true)
     confLock.synchronized {
-      val spark = raw.sparkSession
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_CC_PARTITIONS", "8"))
-      try runStarsLoop(raw, maxIter) finally spark.conf.set(key, prev)
+      pinnedLoopConf(raw.sparkSession) { runStarsLoop(raw, maxIter) }
     }
   }
 

@@ -25,7 +25,14 @@ object LabelProp {
     * @param register sink for cache-release thunks (edge persist +
     *   per-round checkpoints).
     * @return (vec_id, lbl) for every node that appears in an edge. */
-  def run(und: DataFrame, iters: Int, register: (() => Unit) => Unit): DataFrame = {
+  def run(und: DataFrame, iters: Int, register: (() => Unit) => Unit): DataFrame =
+    ConnectedComponents.confLock.synchronized {
+      ConnectedComponents.pinnedLoopConf(und.sparkSession) {
+        runLoop(und, iters, register)
+      }
+    }
+
+  private def runLoop(und: DataFrame, iters: Int, register: (() => Unit) => Unit): DataFrame = {
     // coalesceTo = 0: keep the input layout (plan parity with the
     // committed s_label_prop budget; the loop body is the cost here).
     val edges = TriangleCount.bidirectional(und, register, coalesceTo = 0)

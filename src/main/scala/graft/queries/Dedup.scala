@@ -1275,11 +1275,10 @@ object Dedup {
       // confLock serializes the override with concurrent CC runs —
       // re-entrant, so the run() inside the body locks again safely
       ConnectedComponents.confLock.synchronized {
-        val widthKey = "spark.sql.shuffle.partitions"
-        val prevWidth = s.conf.get(widthKey)
-        s.conf.set(widthKey, sys.env.getOrElse("SPARK_GRAFT_CC_PARTITIONS", "8"))
-        try book(s, dir, "x", "cluster_labels", labelCache, clusterLabelsBody(s, dir), checkpointed = true)
-        finally s.conf.set(widthKey, prevWidth)
+        ConnectedComponents.pinnedLoopConf(s) {
+          book(s, dir, "x", "cluster_labels", labelCache,
+            clusterLabelsBody(s, dir), checkpointed = true)
+        }
       }
     })) }.value
   }

@@ -349,14 +349,22 @@ object Similarity {
       // unscoped walk would fan each tiny round into thousands of
       // tasks. Scope the width to the walk (the ConnectedComponents/
       // Slicer knob pattern; SPARK_GRAFT_WALK_PARTITIONS to retune).
-      // On local[32] this is wall-neutral (A/B-measured — round latency
-      // there is per-job scheduling, not task count); the scope exists
-      // for the cluster default. The memoized KNN graph is built
-      // EAGERLY by its memo cell before any caller reaches here, so
-      // the scope never captures a corpus-scale build.
+      // On local[32] the width alone is wall-neutral (A/B-measured —
+      // round latency there is per-job scheduling, not task count); the
+      // width scope exists for the cluster default. AQE additionally
+      // goes OFF for the walk (round 14): on these few-KB beam frames
+      // it only splits each round's one action into 3-4 sequential
+      // query-stage jobs — pure scheduling latency, nothing to
+      // re-optimize (the ConnectedComponents.pinnedLoopConf rationale).
+      // The memoized KNN graph is built EAGERLY by its memo cell before
+      // any caller reaches here, so the scope never captures a
+      // corpus-scale build.
       val key = "spark.sql.shuffle.partitions"
+      val aqeKey = "spark.sql.adaptive.enabled"
       val prev = s.conf.get(key)
+      val prevA = s.conf.get(aqeKey)
       s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_WALK_PARTITIONS", "8"))
+      s.conf.set(aqeKey, "false")
       try {
         var beam = cosRerank(e, qs, seed)
           .filter(col("brn") <= width).select("q", "vec_id")
@@ -373,7 +381,7 @@ object Similarity {
           beam = cp
         }
         beam
-      } finally s.conf.set(key, prev)
+      } finally { s.conf.set(key, prev); s.conf.set(aqeKey, prevA) }
     }
 
   private val bfCache = collection.mutable
