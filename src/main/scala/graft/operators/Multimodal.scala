@@ -28,6 +28,43 @@ object Multimodal {
     * run. */
   javax.imageio.ImageIO.setUseCache(false)
 
+  // `ImageIO.read`/`write` additionally pay a registry service scan
+  // plus reader/writer construction and disposal PER CALL — more than
+  // the actual decode math at these frame sizes. One reader/writer per
+  // (thread, format), reused via setInput/setOutput: same JDK codec
+  // classes, decoded pixels and encoded bytes are byte-identical
+  // (MjpegSpec / PngCodecSpec pin the round-trips).
+  private val pngReaders = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+  }
+  private val jpgReaders = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
+  }
+  private val pngWriters = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+  }
+  private val jpgWriters = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+  }
+
+  /** Decode an in-memory image with the thread's reused reader. */
+  private def readImage(bytes: Array[Byte],
+      readers: ThreadLocal[javax.imageio.ImageReader]): java.awt.image.BufferedImage = {
+    val r = readers.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try { r.setInput(iis, true, true); r.read(0) }
+    finally { r.setInput(null); iis.close() }
+  }
+  private[graft] def readPng(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    readImage(bytes, pngReaders)
+  private[graft] def readJpeg(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    readImage(bytes, jpgReaders)
+
   /** One media blob: id + bytes + claimed kind. */
   final case class Blob(doc_id: Long, bytes: Array[Byte], kind: String)
 
@@ -156,6 +193,12 @@ object Multimodal {
     * 1.0 the quantization tables are all ones, so encode -> decode
     * reproduces every pixel exactly (MjpegSpec checks all 256 levels). */
   def jpegFrame(level: Int): Array[Byte] = {
+    // a uniform frame is a pure function of its level: 256 possible
+    // frames, encoded at most once per JVM each (the encoder side of a
+    // synthetic video build; the DECODE side still decodes every frame
+    // of every container — the decode-verified property is untouched)
+    val cached = jpegFrameCache.get(level)
+    if (cached != null) return cached
     val img = new java.awt.image.BufferedImage(FrameW, FrameH,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val r = img.getRaster
@@ -165,7 +208,7 @@ object Multimodal {
       while (x < FrameW) { r.setSample(x, y, 0, level); x += 1 }
       y += 1
     }
-    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val w = jpgWriters.get()
     val p = w.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(1.0f)
@@ -173,14 +216,20 @@ object Multimodal {
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     w.setOutput(ios)
     w.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    w.dispose(); ios.close()
-    bos.toByteArray
+    w.setOutput(null); ios.close()
+    val bytes = bos.toByteArray
+    jpegFrameCache.putIfAbsent(level, bytes)
+    bytes
   }
+
+  // level -> encoded uniform frame (bounded by the 256 gray levels)
+  private val jpegFrameCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
 
   /** Decoded-pixel mean of one JPEG frame — integer division, exact on
     * uniform frames (the level the scene-cut window compares). */
   def decodedFrameLevel(jpeg: Array[Byte]): Int = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    val img = readJpeg(jpeg)
     val raster = img.getRaster
     var sum = 0L
     var y = 0
@@ -355,7 +404,10 @@ object Multimodal {
     }
     if (perturb) raster.setSample(0, 0, 0, 255)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val wr = pngWriters.get()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    wr.setOutput(ios)
+    try wr.write(img) finally { wr.setOutput(null); ios.close() }
     bos.toByteArray
   }
 
@@ -366,7 +418,7 @@ object Multimodal {
     * (i,j) is ((i*w) div out_w, (j*h) div out_h)). Means are integer
     * micro-units with one final division — bit-identical cross-engine. */
   def decodePng(docId: Long, bytes: Array[Byte], target: Int): DecodedPng = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = readPng(bytes)
     val w = img.getWidth
     val h = img.getHeight
     val raster = img.getRaster
@@ -436,7 +488,7 @@ object Multimodal {
     * (exposure/scale shifts) mostly agree, which is why avg-hash is
     * the standard first-pass image-dedup key. */
   def phashPng(bytes: Array[Byte]): String = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = readPng(bytes)
     val w = img.getWidth
     val h = img.getHeight
     val raster = img.getRaster
@@ -456,7 +508,7 @@ object Multimodal {
     * ΣL²) so the variance is one downstream floor division. Only the
     * three moments cross the wire — never pixels. */
   def blurPng(docId: Long, bytes: Array[Byte]): Blur = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val img = readPng(bytes)
     val w = img.getWidth
     val h = img.getHeight
     val raster = img.getRaster

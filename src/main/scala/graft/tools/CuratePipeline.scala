@@ -51,16 +51,28 @@ object CuratePipeline {
     stages += "after_quality" -> quality.count()
 
     // 2. language: keep docs whose predicted language is confident-ish
-    // (>=1 marker hit for the winning language) OR tagged en
-    val langKept = quality // corpus markers are sparse; keep all, record
-    stages += "after_lang" -> langKept.count()
+    // (>=1 marker hit for the winning language) OR tagged en. langKept
+    // IS the quality frame (markers are sparse; keep all, record), so
+    // its count is the SAME NUMBER by identity — the oracle counts the
+    // same CTE twice; re-running the scan+filter for it was pure waste.
+    val langKept = quality
+    stages += "after_lang" -> stages("after_quality")
 
-    // 3. exact dedup on normalized text (canonical = min doc_id)
-    val normed = langKept.withColumn("h",
-      md5(trim(lower(regexp_replace(col("text"), "\\s+", " "))).cast("binary")))
-    val canon = normed.groupBy("h").agg(min("doc_id").as("keep_id"))
-    val exact = normed.join(canon, "h").filter(col("doc_id") === col("keep_id"))
+    // 3. exact dedup on normalized text (canonical = min doc_id) — the
+    // exactPairs window idiom: ONE shuffle on the hash instead of
+    // groupBy + equi-join (same keep set, same rows). LAZY checkpoint:
+    // the stage count below is the materializing action, and the two
+    // line-dedup readers then re-read blocks instead of re-running
+    // quality -> md5 -> window from the scan per reference.
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val exact = langKept.withColumn("h",
+        md5(trim(lower(regexp_replace(col("text"), "\\s+", " "))).cast("binary")))
+      .withColumn("keep_id", min("doc_id").over(wH))
+      .filter(col("doc_id") === col("keep_id"))
       .drop("h", "keep_id")
+      .localCheckpoint(false)
+    graft.CacheBook.register(spark, "curate")(
+      () => graft.CacheBook.unpersistCheckpoint(exact))
     stages += "after_exact_dedup" -> exact.count()
 
     // 3b. line-level boilerplate strip (C4-style, the x_line_dedup
@@ -82,8 +94,9 @@ object CuratePipeline {
       // re-run quality→exact-dedup→line-dedup from the scan (the line
       // strip alone is two corpus shuffles). At 100 TB this is where a
       // pipeline writes its post-cleaning staging parquet; in-session
-      // the local checkpoint is that staging artifact.
-      .localCheckpoint(true)
+      // the local checkpoint is that staging artifact. LAZY: the stage
+      // count is the materializing action (one job, not two).
+      .localCheckpoint(false)
     graft.CacheBook.register(spark, "curate")(
       () => graft.CacheBook.unpersistCheckpoint(lineDeduped))
     stages += "after_line_dedup" -> lineDeduped.count()
@@ -112,7 +125,14 @@ object CuratePipeline {
       .select((-col("m.nid")).as("doc_id"))
     val dupIds = labels.select(col("id").as("doc_id"))
       .join(keepIds, Seq("doc_id"), "left_anti")
+    // LAZY checkpoint + count-fold: near0 feeds three consumers (the
+    // decontamination probe side, its anti-join, and the image-dedup
+    // semi-join) — materialized once here, they re-read blocks instead
+    // of replaying the near-dedup anti-join chain per action.
     val near0 = lineDeduped.join(dupIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
+    graft.CacheBook.register(spark, "curate")(
+      () => graft.CacheBook.unpersistCheckpoint(near0))
     stages += "after_near_dedup" -> near0.count()
 
     // 4b'. eval-set DECONTAMINATION (when a benchmark corpus is
@@ -166,8 +186,9 @@ object CuratePipeline {
         () => graft.CacheBook.unpersistCheckpoint(keepImg))
       // checkpoint the surviving corpus: span strip walks it several
       // times (spans + words + the reassembly join) and each walk would
-      // otherwise replay the dedup/decontam anti-join chain
-      near.join(keepImg, Seq("doc_id"), "left_semi").localCheckpoint(true)
+      // otherwise replay the dedup/decontam anti-join chain. LAZY: the
+      // stage count below materializes it.
+      near.join(keepImg, Seq("doc_id"), "left_semi").localCheckpoint(false)
     }
     graft.CacheBook.register(spark, "curate")(
       () => graft.CacheBook.unpersistCheckpoint(imgDeduped))
@@ -197,7 +218,7 @@ object CuratePipeline {
     // checkpoint cuts the curated frame's lineage first, so the
     // release can't force a rebuild downstream.
     val curated = stripped.withColumn("n_tokens", size(split(col("text"), " ")))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the stage count materializes it
     stages += "after_span_strip" -> curated.count()
     if (releaseDedupCaches) graft.CacheBook.release(spark, "d")
     // the curated frame's own checkpoint blocks are the caller's to
