@@ -291,13 +291,12 @@ object Dedup {
               org.apache.spark.sql.graftbridge.ColumnBridge.expression(
                 wordsOf(col("text"))), 3, 12)).as("sh"))
         .repartition(math.max(width / 4, 1))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // unpersist on a failed materialization: otherwise partially
-      // cached blocks leak with no registered release (book() runs
-      // only after a successful count)
-      try sh.count()
-      catch { case e: Throwable => sh.unpersist(false); throw e }
-      book(s, dir, "d", "shingles", shCache, sh)
+        // EAGER localCheckpoint, not persist (round 14): the persisted
+        // relation kept its full logical plan, and every consumer
+        // re-planned + re-codegen'd the build subtree (the memoAnn
+        // Janino finding) — the checkpoint truncates it to a LogicalRDD
+        .localCheckpoint(true)
+      book(s, dir, "d", "shingles", shCache, sh, checkpointed = true)
     })) }.value
   }
 
@@ -388,13 +387,12 @@ object Dedup {
         }
         out
       }.toDF("a", "b", "jac")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize EAGERLY: d_dedup_eval unions three aggregates that
-      // each reference this relation — lazily cached, those branches
-      // race and compute the pairwise join several times
-      try pairs.count()
-      catch { case e: Throwable => pairs.unpersist(false); throw e }
-      book(s, dir, "d", "jaccard", jacCache, pairs)
+        // eager checkpoint: d_dedup_eval unions three aggregates that
+        // each reference this relation (racing branches would compute
+        // the pairwise join several times), and the truncated plan
+        // spares every consumer the build subtree's codegen
+        .localCheckpoint(true)
+      book(s, dir, "d", "jaccard", jacCache, pairs, checkpointed = true)
     })) }.value
   }
 
@@ -409,11 +407,10 @@ object Dedup {
     graft.CacheBook.touch(s, "d", "minhash")
     synchronized { mhCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val pairs = lshPairs(shingleSets(s, dir), minJac = 0.2)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // eager: consumers fan out into racing union branches
-      try pairs.count()
-      catch { case e: Throwable => pairs.unpersist(false); throw e }
-      book(s, dir, "d", "minhash", mhCache, pairs)
+        // eager checkpoint: consumers fan out into racing union
+        // branches, and the truncated plan spares them the codegen
+        .localCheckpoint(true)
+      book(s, dir, "d", "minhash", mhCache, pairs, checkpointed = true)
     })) }.value
   }
 
@@ -616,11 +613,10 @@ object Dedup {
       // groupBy + self-join (which scans and md5s the corpus twice)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
       book(s, dir, "d", "exact_pairs", exactCache,
-        graft.CacheBook.materialize(
-          hashed.withColumn("dup_of", min("doc_id").over(w))
-            .filter(col("doc_id") =!= col("dup_of"))
-            .select("doc_id", "dup_of")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+        hashed.withColumn("dup_of", min("doc_id").over(w))
+          .filter(col("doc_id") =!= col("dup_of"))
+          .select("doc_id", "dup_of")
+          .localCheckpoint(true), checkpointed = true)
     })) }.value
   }
 

@@ -435,16 +435,18 @@ object Similarity {
       synchronized {
         annCache.getOrElseUpdate((s, dir, name), new graft.Once(() =>
           graft.CacheBook.building(s, "s", s"ann:$name") {
-          val r = body(s, dir)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // unpersist on a failed materialization: otherwise partially
-          // cached blocks linger with no registered release and the retry
-          // persists a SECOND plan over the leaked one
-          try r.count()
-          catch { case e: Throwable => r.unpersist(false); throw e }
+          // EAGER localCheckpoint, not persist (round 14): a persisted
+          // memo keeps its full logical plan, so every CONSUMER re-plans
+          // and re-CODEGENS the whole build subtree — Janino compilation
+          // of the inlined multi-join lineage measured 10-20 cpu-s per
+          // first task on the wedge queries (recs=64, cpu=16 s stages in
+          // the event log), dwarfing their actual data work. The
+          // checkpoint truncates the memo to a LogicalRDD leaf: same
+          // rows, same blocks, postcard-sized consumer plans.
+          val r = body(s, dir).localCheckpoint(true)
           graft.CacheBook.register(s, "s", s"ann:$name") { () =>
             Similarity.synchronized { annCache.remove((s, dir, name)) }
-            r.unpersist(false)
+            graft.CacheBook.unpersistCheckpoint(r)
             ()
           }
           r
@@ -470,12 +472,10 @@ object Similarity {
       val r = topk(q.join(e, col("vec_id") =!= col("q"))
         .select(col("q"), col("vec_id"),
           VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try r.count()
-      catch { case e2: Throwable => r.unpersist(false); throw e2 }
+        .localCheckpoint(true) // truncated plan for the 5 recall readers
       graft.CacheBook.register(s, "s", "bf_topk") { () =>
         Similarity.synchronized { bfCache.remove((s, dir)) }
-        r.unpersist(false)
+        graft.CacheBook.unpersistCheckpoint(r)
         ()
       }
       r

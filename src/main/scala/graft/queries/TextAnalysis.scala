@@ -72,16 +72,14 @@ object TextAnalysis {
       TextAnalysis.synchronized {
         xCache.getOrElseUpdate((s, dir, name), new graft.Once(() =>
           graft.CacheBook.building(s, "x", s"x:$name") {
-          val r = body(s, dir)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // unpersist on a failed materialization: otherwise partially
-          // cached blocks linger with no registered release and the retry
-          // persists a SECOND plan over the leaked one
-          try r.count()
-          catch { case e: Throwable => r.unpersist(false); throw e }
+          // EAGER localCheckpoint, not persist (round 14): a persisted
+          // memo keeps its plan, so every consumer re-plans and
+          // re-codegens the build subtree (the memoAnn Janino finding);
+          // the checkpoint truncates it to a LogicalRDD leaf.
+          val r = body(s, dir).localCheckpoint(true)
           graft.CacheBook.register(s, "x", s"x:$name") { () =>
             TextAnalysis.synchronized { xCache.remove((s, dir, name)) }
-            r.unpersist(false)
+            graft.CacheBook.unpersistCheckpoint(r)
             ()
           }
           r
