@@ -170,6 +170,31 @@ object CacheBook {
     }.flatten.toSet
   }
 
+  // ---- memo build plans ------------------------------------------------
+  // Since round 14 the family memos EAGERLY localCheckpoint (plan
+  // truncation — consumers read a LogicalRDD leaf instead of re-planning
+  // and re-codegening the build subtree). That makes the build's plan
+  // invisible to consumers, so the plan-shape invariants (PlanShapeSpec,
+  // AnnIndexStoreSpec) would lose their teeth: every memo build records
+  // its FORMATTED executed plan here, keyed like the release thunks, and
+  // the specs assert over query plan + touched build plans.
+  private val buildPlans =
+    mutable.Map.empty[(SparkSession, String, String), String]
+
+  /** Record `df`'s formatted executed plan under (scope, name) and
+    * return `df` — call on the pre-checkpoint build frame. */
+  def recordBuildPlan(s: SparkSession, scope: String, name: String)(
+      df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    synchronized { buildPlans((s, scope, name)) = plan }
+    df
+  }
+
+  /** The recorded build plan for (scope, name), or "" if none. */
+  def buildPlan(s: SparkSession, scope: String, name: String): String =
+    synchronized { buildPlans.getOrElse((s, scope, name), "") }
+
   /** Eagerly materialize a freshly-persisted relation — the SURVEY §4
     * rule as one audited helper: count() forces every partition into
     * the block store before any consumer reads it (a lazy persist lets

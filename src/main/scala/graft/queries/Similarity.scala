@@ -443,7 +443,8 @@ object Similarity {
           // the event log), dwarfing their actual data work. The
           // checkpoint truncates the memo to a LogicalRDD leaf: same
           // rows, same blocks, postcard-sized consumer plans.
-          val r = body(s, dir).localCheckpoint(true)
+          val r = graft.CacheBook.recordBuildPlan(s, "s", s"ann:$name")(
+            body(s, dir)).localCheckpoint(true)
           graft.CacheBook.register(s, "s", s"ann:$name") { () =>
             Similarity.synchronized { annCache.remove((s, dir, name)) }
             graft.CacheBook.unpersistCheckpoint(r)
@@ -469,9 +470,10 @@ object Similarity {
       val e = vecs(s, dir)
       val q = broadcast(e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn")))
-      val r = topk(q.join(e, col("vec_id") =!= col("q"))
-        .select(col("q"), col("vec_id"),
-          VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos")))
+      val r = graft.CacheBook.recordBuildPlan(s, "s", "bf_topk")(
+        topk(q.join(e, col("vec_id") =!= col("q"))
+          .select(col("q"), col("vec_id"),
+            VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos"))))
         .localCheckpoint(true) // truncated plan for the 5 recall readers
       graft.CacheBook.register(s, "s", "bf_topk") { () =>
         Similarity.synchronized { bfCache.remove((s, dir)) }

@@ -76,7 +76,8 @@ object TextAnalysis {
           // memo keeps its plan, so every consumer re-plans and
           // re-codegens the build subtree (the memoAnn Janino finding);
           // the checkpoint truncates it to a LogicalRDD leaf.
-          val r = body(s, dir).localCheckpoint(true)
+          val r = graft.CacheBook.recordBuildPlan(s, "x", s"x:$name")(
+            body(s, dir)).localCheckpoint(true)
           graft.CacheBook.register(s, "x", s"x:$name") { () =>
             TextAnalysis.synchronized { xCache.remove((s, dir, name)) }
             graft.CacheBook.unpersistCheckpoint(r)

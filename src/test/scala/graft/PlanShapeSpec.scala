@@ -11,6 +11,18 @@ class PlanShapeSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  /** Query plan PLUS the formatted build plans of every memo the query
+    * touched — since round 14 the family memos eagerly localCheckpoint
+    * (consumers read a LogicalRDD leaf), so the build subtree's shape
+    * lives in CacheBook's recorded build plans, not the consumer plan. */
+  private def planWithBuilds(name: String): String = {
+    val (df, touched) = CacheBook.traced { SparkEntry.queries(name)(spark, dir) }
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode) + "\n" +
+      touched.map { case (sc, nm) => CacheBook.buildPlan(spark, sc, nm) }
+        .mkString("\n")
+  }
+
   test("q_filter_pushdown: filters and pruned columns reach the parquet scan") {
     val p = planOf("q_filter_pushdown")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(400))
@@ -65,7 +77,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("x_lm_score: the Zipf-skewed bigram count join is salted") {
-    val p = planOf("x_lm_score")
+    val p = planWithBuilds("x_lm_score")
     assert(p.contains("__salt"), "count join must carry the salt key")
     graft.CacheBook.releaseAll(spark)
   }
@@ -74,7 +86,7 @@ class PlanShapeSpec extends SparkSpec {
     // the assignment cross join is O(N*K) only while K is fixed: the
     // centroid subtree must carry a global Limit (constant in corpus
     // size) and feed the broadcast side of the join
-    val p = planOf("s_ivf_ann")
+    val p = planWithBuilds("s_ivf_ann")
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
       "centroids must be a LIMIT-K sample")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
@@ -85,8 +97,7 @@ class PlanShapeSpec extends SparkSpec {
     // the chained merge replaces ride as result EXPRESSIONS of the
     // distinct-word aggregate (simple toString elides those — read the
     // formatted plan), never as typed lambdas deserializing to objects
-    val pf = SparkEntry.queries("x_bpe_encode")(spark, dir).queryExecution
-      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pf = planWithBuilds("x_bpe_encode")
     assert(pf.contains("replace("), pf.take(600))
     assert(!pf.contains("DeserializeToObject") && !pf.contains("MapElements"),
       "encode must stay in whole-stage codegen — no object pipeline")
@@ -107,7 +118,7 @@ class PlanShapeSpec extends SparkSpec {
     // O(N*NQueries) BroadcastNestedLoopJoin (5 broadcast rows, same as
     // s_cosine_topk) — the LEXICAL side and the fusion must still be
     // broadcast/equi-join shaped, and nothing may plan a cartesian
-    val p = planOf("s_hybrid_rrf")
+    val p = planWithBuilds("s_hybrid_rrf")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
       "query-word side must broadcast")
     assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
@@ -118,7 +129,7 @@ class PlanShapeSpec extends SparkSpec {
     // the all-vectors probe and the top-k both window on src — a
     // SinglePartition window here would serialize the whole corpus
     // through one task; candidates must come from the cid equi-join
-    val p = planOf("s_knn_graph")
+    val p = planWithBuilds("s_knn_graph")
     assert(p.contains("windowspecdefinition(src"), p.take(600))
     assert(!p.contains("SinglePartition"), "per-vector work must stay partitioned")
     assert(!p.contains("CartesianProduct"), "candidates are cell-bounded, never all-pairs")
@@ -129,8 +140,9 @@ class PlanShapeSpec extends SparkSpec {
     // the 2-hop expansion must be a self-equi-join of the KnnK*N edge
     // list read from the memo, the re-rank window partitioned on src —
     // no cartesian, no single-partition collapse
-    val p = planOf("s_nn_descent")
-    assert(p.contains("InMemoryTableScan"), "seed graph must be read from the memo")
+    val p = planWithBuilds("s_nn_descent")
+    assert(p.contains("Scan ExistingRDD"),
+      "seed graph must be read from the checkpointed memo")
     assert(p.contains("windowspecdefinition(src"), p.take(600))
     assert(!p.contains("CartesianProduct"), "candidates are graph-bounded, never all-pairs")
     assert(!p.contains("SinglePartition"), "per-vector work must stay partitioned")
@@ -143,13 +155,14 @@ class PlanShapeSpec extends SparkSpec {
     // as s_ivf_ann); the iteration itself must be pure equi-join —
     // nothing may plan a cartesian, and the per-iteration base-case
     // join is the LeftOuter against the contribution aggregate
-    val p = planOf("s_graph_rank")
+    val p = planWithBuilds("s_graph_rank")
     assert(!p.contains("CartesianProduct"), "rank propagation is edge-join only")
     assert(p.contains("LeftOuter"), "missing-inlink base case must be a left join")
     // edges⋈deg is memoized persisted: every iteration must read the
     // SAME in-memory relation — re-aggregating deg per iteration is the
     // r7 scale nit this guards against
-    assert(p.contains("InMemoryTableScan"), "ed must be read from the persisted memo")
+    assert(p.contains("Scan ExistingRDD"),
+      "ed must be read from the checkpointed memo")
     // the one allowed deg aggregation is the cached build INSIDE the
     // printed InMemoryRelation lineage; un-memoized, the aggregate
     // subtree would repeat once per iteration. NOTE: this anchors on
@@ -169,10 +182,10 @@ class PlanShapeSpec extends SparkSpec {
     // exponentially in rounds. The final curve must read checkpointed
     // RDDs (Scan ExistingRDD) + the memoized brute-force baseline, and
     // nothing may plan a cartesian.
-    val p = planOf("s_nn_descent_k")
+    val p = planWithBuilds("s_nn_descent_k")
     assert(!p.contains("CartesianProduct"), "candidates are graph-bounded, never all-pairs")
-    assert(p.contains("Scan ExistingRDD"), "rounds must read per-round checkpoints")
-    assert(p.contains("InMemoryTableScan"), "ground truth must come from the bf memo")
+    assert(p.contains("Scan ExistingRDD"),
+      "rounds must read per-round checkpoints (and the bf memo leaf)")
     graft.CacheBook.releaseAll(spark)
   }
 
@@ -181,9 +194,9 @@ class PlanShapeSpec extends SparkSpec {
     // pair-up (broadcast nested loop of two tiny frames — the
     // scalar-subquery shape); expansion joins must stay equi-shaped
     // and the result reads from the memo.
-    val p = planOf("s_graph_search")
+    val p = planWithBuilds("s_graph_search")
     assert(!p.contains("CartesianProduct"), "beam expansion must be an edge equi-join")
-    assert(p.contains("InMemoryTableScan"), "result must be memoized")
+    assert(p.contains("Scan ExistingRDD"), "result must be memoized (checkpoint leaf)")
     graft.CacheBook.releaseAll(spark)
   }
 
@@ -238,7 +251,7 @@ class PlanShapeSpec extends SparkSpec {
     // join (a shuffle here would move the corpus-sized feature stream
     // twice), and the exploded feature relation is persisted so the
     // count passes and the probe share one materialization
-    val p = planOf("x_dsir")
+    val p = planWithBuilds("x_dsir")
     assert(p.contains("BroadcastHashJoin"),
       "the bucket-weight lookup must broadcast")
     assert(p.contains("InMemoryTableScan"),
@@ -306,7 +319,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("s_bq_topk / s_mrl_topk: coarse window is partial-limited and slim") {
     for (name <- Seq("s_bq_topk", "s_mrl_topk")) {
-      val p = planOf(name)
+      val p = planWithBuilds(name)
       // rank-filter pushdown: the top-C cut must run map-side BEFORE
       // the coarse exchange, not only after — at corpus scale the
       // difference is shuffling C rows/query/partition vs N rows
