@@ -775,6 +775,10 @@ object Dedup {
       val exF = Future(exactPairs(s, dir).count())
       val bandF = shF.map(sh => bandsMemo(sh).count())
       val jacF = shF.map(_ => jaccardPairs(s, dir).count())
+      // the standing-labels INPUT (full minhash pair relation) joins the
+      // fan-out too — the sequential tail below then pays only the CC
+      // label loop itself, not the band-probe pair build (round 14)
+      val mhF = shF.map(_ => minhashPairs(s, dir).count())
       // the KMV corpus sketch (+ its pair-union membership relation)
       // and the standing SketchStore artifact branch off the same
       // shingle relation on independent futures — built here so
@@ -787,6 +791,7 @@ object Dedup {
       Await.result(kmvStoreF, Duration.Inf)
       val (nBand, nJac, nEx) = (Await.result(bandF, Duration.Inf),
         Await.result(jacF, Duration.Inf), Await.result(exF, Duration.Inf))
+      Await.result(mhF, Duration.Inf)
       // the standing labels (the nightly labeling artifact
       // d_cluster_inc extends) build LAST, alone: their CC run scopes
       // the session shuffle width down, which must not capture the

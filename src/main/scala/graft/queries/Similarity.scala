@@ -384,6 +384,53 @@ object Similarity {
       } finally { s.conf.set(key, prev); s.conf.set(aqeKey, prevA) }
     }
 
+  /** [[beamWalk]] for ALL sweep widths in ONE keyed loop: the beam
+    * frame carries a `w` column, the per-round re-rank windows on
+    * (w, q), and the cut is `brn <= w`. Each width's trajectory depends
+    * only on its own rows, so the result equals `widths.map(w =>
+    * beamWalk(..., w))` row-for-row (same ordering, same ties) — but
+    * the sweep pays `rounds` checkpoints instead of |widths|·rounds
+    * sequential ones (round 14: s_beam_sweep's wall is round latency,
+    * not data). Returns (w, q, vec_id). */
+  private def beamWalkSwept(s: SparkSession, e: DataFrame, qs: DataFrame,
+      edges: DataFrame, seed: DataFrame, rounds: Int,
+      widths: Seq[Int]): DataFrame =
+    walkConfLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prev = s.conf.get(key)
+      val prevA = s.conf.get(aqeKey)
+      s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_WALK_PARTITIONS", "8"))
+      s.conf.set(aqeKey, "false")
+      try {
+        val wq = Window.partitionBy("w", "q")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        def rerank(cand: DataFrame): DataFrame =
+          cand.join(e.select(col("vec_id"), col("v"), col("n")), "vec_id")
+            .join(qs, "q")
+            .select(col("w"), col("q"), col("vec_id"),
+              VecOps.cosine(col("qv"), col("v"), col("qn"), col("n")).as("cos"))
+            .withColumn("brn", row_number().over(wq))
+        val seed0 = cosRerank(e, qs, seed)
+        var beam = widths.map(w => seed0.filter(col("brn") <= w)
+            .select(lit(w).cast("int").as("w"), col("q"), col("vec_id")))
+          .reduce(_ unionByName _)
+        for (_ <- 1 to rounds) {
+          val expanded = beam
+            .union(beam.join(edges, Seq("vec_id"))
+              .select(col("w"), col("q"), col("nbr").as("vec_id")))
+            .distinct()
+          beam = rerank(expanded).filter(col("brn") <= col("w"))
+            .select("w", "q", "vec_id")
+          val cp = beam.localCheckpoint(true)
+          graft.CacheBook.register(s, "s")(() =>
+            graft.CacheBook.unpersistCheckpoint(cp))
+          beam = cp
+        }
+        beam
+      } finally { s.conf.set(key, prev); s.conf.set(aqeKey, prevA) }
+    }
+
   private val bfCache = collection.mutable
     .Map.empty[(SparkSession, String), graft.Once[DataFrame]]
 
@@ -1987,9 +2034,12 @@ object Similarity {
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(SearchSeeds).select("vec_id"))
       val bf = bfTopk(s, dir).select("q", "vec_id")
+      // all three widths walk as ONE keyed loop (beamWalkSwept: same
+      // trajectories, rounds checkpoints instead of 3x rounds)
+      val beams = beamWalkSwept(s, e, qs, gexp,
+        qs.select("q").join(seeds), SearchRounds, SweepBeams)
       SweepBeams.map { w =>
-        val beam = beamWalk(s, e, qs, gexp,
-          qs.select("q").join(seeds), SearchRounds, w)
+        val beam = beams.filter(col("w") === w).select("q", "vec_id")
         topk(cosRerank(e, qs, beam.filter(col("vec_id") =!= col("q")))
           .select("q", "vec_id", "cos"))
           .select("q", "vec_id")
