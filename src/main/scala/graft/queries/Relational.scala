@@ -1361,21 +1361,12 @@ object Relational {
     // 1e6·support·n product runs in DECIMAL(38,0) (1e6·1e9·1e9 needs
     // ~1e24); all ratios integer floor-division, identical engines.
     "q_basket_pairs" -> ((s, dir) => {
-      val ob = graft.operators.BoundedPercentile.memoInput(
-        t(s, dir, "lineitem")
-          .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
-            col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("o"), col("p_brand").as("brand"))
-          .distinct(),
-        "q")
+      val ob = basketOb(s, dir)
       val bcnt = ob.groupBy("brand").agg(count(lit(1)).as("cnt"))
       val n = ob.agg(countDistinct("o").as("n_orders"))
-      val pairs = ob.as("x").join(ob.as("y"),
-          col("x.o") === col("y.o") && col("x.brand") < col("y.brand"))
-        .select(col("x.brand").as("brand_a"), col("y.brand").as("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 3)
+      val pairs = basketPairSup(s, dir)
+        .select(col("ba").as("brand_a"), col("bb").as("brand_b"),
+          col("sup").as("support"))
       pairs
         .join(broadcast(bcnt.select(col("brand").as("brand_a"),
           col("cnt").as("cnt_a"))), "brand_a")
@@ -1532,25 +1523,9 @@ object Relational {
     // never materializes, and the count shuffle carries only
     // candidate-surviving rows.
     "q_basket_triples" -> ((s, dir) => {
-      val ob = graft.operators.BoundedPercentile.memoInput(
-        t(s, dir, "lineitem")
-          .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
-            col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("o"), col("p_brand").as("brand"))
-          .distinct(),
-        "q")
-      val pairsAll = ob.as("x").join(ob.as("y"),
-          col("x.o") === col("y.o") && col("x.brand") < col("y.brand"))
-        .select(col("x.o").as("o"), col("x.brand").as("ba"),
-          col("y.brand").as("bb"))
-      // f2 is ≤|brands|² rows but its subtree re-runs the per-order
-      // pair aggregation on EVERY reference (cand reads it three
-      // times, the confidence join once, the prefix filter once —
-      // five pair-join executions without the memo)
-      val f2 = graft.operators.BoundedPercentile.memoInput(
-        pairsAll.groupBy("ba", "bb").agg(count(lit(1)).as("sup"))
-          .filter(col("sup") >= 3),
-        "q")
+      val ob = basketOb(s, dir)
+      val pairsAll = basketPairRows(s, dir)
+      val f2 = basketPairSup(s, dir)
       val cand = graft.operators.BoundedPercentile.memoInput(
         f2.select("ba", "bb").as("p")
           .join(f2.select(col("ba"), col("bb").as("bc")).as("c2"),
@@ -2019,6 +1994,64 @@ object Relational {
           div exact_d AS BIGINT)""").as("err_ppm"))
       .orderBy("grp")
   }
+
+
+  // ---- shared basket relations (round 14) ------------------------------
+  // q_basket_pairs and q_basket_triples consumed the SAME per-order
+  // brand relation, the same per-order pair rows and the same >=3
+  // pair-support aggregate, each rebuilding them per query (and the
+  // triples entry ran the order self-join twice: once for support, once
+  // for extension). Named family memos, the d/x/s convention: built
+  // once per (session, corpus), eager-checkpointed (truncated plans),
+  // released with the "q" scope at family end.
+  private val qMemoCache =
+    collection.mutable.Map.empty[(SparkSession, String, String), graft.Once[DataFrame]]
+  private def memoQ(name: String)(
+      body: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      graft.CacheBook.touch(s, "q", s"q:$name")
+      Relational.synchronized {
+        qMemoCache.getOrElseUpdate((s, dir, name), new graft.Once(() =>
+          graft.CacheBook.building(s, "q", s"q:$name") {
+            val r = graft.CacheBook.recordBuildPlan(s, "q", s"q:$name")(
+              body(s, dir)).localCheckpoint(true)
+            graft.CacheBook.register(s, "q", s"q:$name") { () =>
+              Relational.synchronized { qMemoCache.remove((s, dir, name)) }
+              graft.CacheBook.unpersistCheckpoint(r)
+              ()
+            }
+            r
+          }))
+      }.value
+    }
+
+  /** Distinct (order, brand) rows — the basket relation. */
+  private def basketOb: (SparkSession, String) => DataFrame = memoQ("basket_ob") {
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("brand"))
+        .distinct()
+  }
+
+  /** Per-order brand pair rows (o, ba, bb), ba < bb — the one order
+    * self-join both basket entries extend. */
+  private def basketPairRows: (SparkSession, String) => DataFrame =
+    memoQ("basket_pair_rows") { (s, dir) =>
+      val ob = basketOb(s, dir)
+      ob.as("x").join(ob.as("y"),
+          col("x.o") === col("y.o") && col("x.brand") < col("y.brand"))
+        .select(col("x.o").as("o"), col("x.brand").as("ba"),
+          col("y.brand").as("bb"))
+    }
+
+  /** Frequent pairs: (ba, bb, sup) at the >=3 support bar. */
+  private def basketPairSup: (SparkSession, String) => DataFrame =
+    memoQ("basket_sup") { (s, dir) =>
+      basketPairRows(s, dir).groupBy("ba", "bb").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 3)
+    }
 
   /** q_basket_triples' counting stage: per-order pair rows prefix-
     * pruned against the broadcast candidate set, extended by the third
