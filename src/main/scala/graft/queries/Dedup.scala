@@ -1170,18 +1170,22 @@ object Dedup {
       import org.apache.spark.sql.expressions.Window
       // the 4-gram hashed shingle relation is read by BOTH the prefix
       // pipeline and the verify join — persist the md5 scan once
+      // EAGER localCheckpoint, not persist (round 14 OPT): sh feeds the
+      // prefix pipeline AND the verify join — eagerness stops those
+      // branches racing the md5 scan (SURVEY §4), and the CHECKPOINT
+      // truncates the plan so the three consumer stages codegen against
+      // a LogicalRDD leaf instead of re-inlining the ShingleHashSet
+      // subtree (the memoAnn Janino finding, stage-attributed here:
+      // the 32-task self-join stage burned more cpu than its data)
       val sh = docs(s, dir)
         .select(col("doc_id"),
           org.apache.spark.sql.graftbridge.ColumnBridge.column(
             graft.functions.ShingleHashSet(
               org.apache.spark.sql.graftbridge.ColumnBridge.expression(
                 wordsOf(col("text"))), 4, 12)).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // EAGER materialization (SURVEY §4): sh feeds the prefix pipeline
-      // AND the verify join — a lazy persist lets those branches race
-      // and run the md5 scan twice before either populates the cache
-      graft.CacheBook.materialize(sh)
-      graft.CacheBook.register(s, "d")(() => { sh.unpersist(false); () })
+        .localCheckpoint(true)
+      graft.CacheBook.register(s, "d")(() =>
+        graft.CacheBook.unpersistCheckpoint(sh))
       val tok = sh.select(col("doc_id"), explode(col("sh")).as("s"),
         size(col("sh")).as("n"))
       val dfRel = tok.groupBy("s").agg(count(lit(1)).as("df"))
@@ -1189,15 +1193,16 @@ object Dedup {
       // the skew guard downstream, and here the token space is sparse
       // by construction (4-grams) so no key carries corpus-scale df
       val wOrd = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+      // eager CHECKPOINT: pre immediately SELF-joins (x/y below) — the
+      // textbook lazy-persist build race (SURVEY §4), and both join
+      // branches plan against the truncated leaf (same finding as sh)
       val pre = tok.join(dfRel, "s")
         .withColumn("rn", row_number().over(wOrd))
         .filter(col("rn") <= expr("n - ((n + 1) div 2) + 1"))
         .select("doc_id", "s", "n", "rn")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // eager: pre immediately SELF-joins (x/y below) — the textbook
-      // instance of the lazy-persist build race SURVEY §4 documents
-      graft.CacheBook.materialize(pre)
-      graft.CacheBook.register(s, "d")(() => { pre.unpersist(false); () })
+        .localCheckpoint(true)
+      graft.CacheBook.register(s, "d")(() =>
+        graft.CacheBook.unpersistCheckpoint(pre))
       val cand = pre.as("x").join(pre.as("y"),
           col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id")
             && lit(2) * col("y.n") >= col("x.n")

@@ -1457,13 +1457,10 @@ object Similarity {
     // wedge relation is O(N·KnnK²) — degree-bounded, never quadratic
     // in N; the canonical edge list persists because three join
     // branches read it.
-    "s_triangle_count" -> ((s, dir) => {
-      val und = graft.CacheBook.materialize(graft.operators.TriangleCount
-        .canonical(knnGraph(s, dir).select("src", "nbr"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      graft.CacheBook.register(s, "s")(() => { und.unpersist(false); () })
-      graft.operators.TriangleCount.perNode(und).orderBy("vec_id")
-    }),
+    "s_triangle_count" -> ((s, dir) =>
+      // knnUnd (round 14 OPT): the canonical edge list is the shared
+      // named memo — three join branches read its checkpointed blocks
+      graft.operators.TriangleCount.perNode(knnUnd(s, dir)).orderBy("vec_id")),
 
     // COMMUNITY detection by synchronous label propagation (Raghavan
     // et al. 2007) over the KNN graph — the soft-clustering sibling
@@ -1498,10 +1495,9 @@ object Similarity {
     // engines, and the global Q is a window sum over the
     // |communities|-row relation — never the graph.
     "s_modularity" -> ((s, dir) => {
-      val und = graft.CacheBook.materialize(graft.operators.TriangleCount
-        .canonical(knnGraph(s, dir).select("src", "nbr"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      graft.CacheBook.register(s, "s")(() => { und.unpersist(false); () })
+      // knnUnd (round 14 OPT): shared canonical-edge memo — this entry
+      // reads it for e_in and the degree mass, never builds its own
+      val und = knnUnd(s, dir)
       val lab = lpaLabels(s, dir)
       val m = und.agg(count(lit(1)).as("m"))
       val ein = und
@@ -1538,17 +1534,12 @@ object Similarity {
     // (common, jaccard, pair) is a TakeOrdered — (a,b) is unique per
     // candidate, so the cut is a total order, never planner-tied.
     "s_link_pred" -> ((s, dir) => {
-      val und = graft.CacheBook.materialize(graft.operators.TriangleCount
-        .canonical(knnGraph(s, dir).select("src", "nbr"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      graft.CacheBook.register(s, "s")(() => { und.unpersist(false); () })
-      val ed = und.select(col("u").as("src"), col("w").as("nbr"))
-        .unionByName(und.select(col("w").as("src"), col("u").as("nbr")))
-      val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
-      val cand = ed.as("e1").join(ed.as("e2"),
-          col("e1.nbr") === col("e2.src") && col("e1.src") < col("e2.nbr"))
-        .select(col("e1.src").as("a"), col("e2.nbr").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      // shared relations (round 14 OPT): the undirected graph, the
+      // degree table and the wedge aggregate are named memos this entry
+      // splits with s_adamic_adar — see wedgeAgg for the equivalence
+      val und = knnUnd(s, dir)
+      val deg = knnUndDeg(s, dir)
+      val cand = wedgeAgg(s, dir).select("a", "b", "common")
       cand.join(und,
           cand("a") === und("u") && cand("b") === und("w"), "left_anti")
         .join(deg.select(col("src").as("a"), col("deg").as("dega")), "a")
@@ -1572,23 +1563,10 @@ object Similarity {
     // KnnK graph), candidates anti-join the existing edges, top-20 by
     // TakeOrdered with total tie-break.
     "s_adamic_adar" -> ((s, dir) => {
-      val und = graft.CacheBook.materialize(graft.operators.TriangleCount
-        .canonical(knnGraph(s, dir).select("src", "nbr"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      graft.CacheBook.register(s, "s")(() => { und.unpersist(false); () })
-      val ed = und.select(col("u").as("src"), col("w").as("nbr"))
-        .unionByName(und.select(col("w").as("src"), col("u").as("nbr")))
-      val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
-      val aa = ed.as("e1").join(ed.as("e2"),
-          col("e1.nbr") === col("e2.src") && col("e1.src") < col("e2.nbr"))
-        .select(col("e1.src").as("a"), col("e1.nbr").as("z"),
-          col("e2.nbr").as("b"))
-        .join(deg.select(col("src").as("z"), col("deg")), "z")
-        // wedge centers have deg >= 2, so index d-1 into the d=2.. table
-        .withColumn("w", element_at(lit(AdamicPpm),
-          (least(col("deg"), lit(64L)) - 1).cast("int")))
-        .groupBy("a", "b")
-        .agg(count(lit(1)).as("common"), sum("w").as("aa_ppm"))
+      // shared wedge aggregate (round 14 OPT) — built once, also read
+      // by s_link_pred; this entry is the anti-join + top-20 readout
+      val und = knnUnd(s, dir)
+      val aa = wedgeAgg(s, dir)
       aa.join(und, aa("a") === und("u") && aa("b") === und("w"), "left_anti")
         .orderBy(col("aa_ppm").desc, col("common").desc, col("a"), col("b"))
         .limit(20)
@@ -2955,6 +2933,54 @@ object Similarity {
     memoAnn("s_graph_ed")((s2, d2) => {
       val edges = knnGraph(s2, d2).select("src", "nbr")
       edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    })(s, dir)
+
+  /** Memoized canonical UNDIRECTED KNN edge list (u < w) — round 14
+    * OPT: s_triangle_count, s_modularity, s_link_pred and
+    * s_adamic_adar each built and persisted their own copy of the SAME
+    * relation (four resident duplicates, four canonical projections);
+    * one checkpointed memo per (session, corpus) serves all four. */
+  private def knnUnd(s: SparkSession, dir: String): DataFrame =
+    memoAnn("s_knn_und")((s2, d2) => graft.operators.TriangleCount
+      .canonical(knnGraph(s2, d2).select("src", "nbr")))(s, dir)
+
+  /** Memoized per-node degree over [[knnUnd]] — s_link_pred's jaccard
+    * denominators and the Adamic–Adar wedge weights read the same
+    * relation. Identical to grouping the bidirectional edge expansion:
+    * each undirected edge contributes one u- and one w-appearance. */
+  private def knnUndDeg(s: SparkSession, dir: String): DataFrame =
+    memoAnn("s_knn_und_deg")((s2, d2) => {
+      val und = knnUnd(s2, d2)
+      und.select(col("u").as("src"))
+        .unionByName(und.select(col("w").as("src")))
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+    })(s, dir)
+
+  /** Memoized 2-hop wedge aggregate (a, b, common, aa_ppm), a < b —
+    * round 14 OPT: s_link_pred and s_adamic_adar each ran the SAME
+    * bidirectional-edge self-join on the shared midpoint (the entries'
+    * entire cost, ~18 cpu-s apiece with the graph standing) and then
+    * aggregated it two slightly different ways; ONE aggregate carries
+    * both readouts (common = plain wedge count — the deg lookup is an
+    * inner join on a key set that contains every midpoint, so it
+    * preserves wedge rows exactly; aa_ppm = the degree-weighted sum).
+    * Wedge work stays degree-bounded (O(N·deg²) on the KnnK graph). */
+  private def wedgeAgg(s: SparkSession, dir: String): DataFrame =
+    memoAnn("s_wedge_agg")((s2, d2) => {
+      val und = knnUnd(s2, d2)
+      val ed = und.select(col("u").as("src"), col("w").as("nbr"))
+        .unionByName(und.select(col("w").as("src"), col("u").as("nbr")))
+      val deg = knnUndDeg(s2, d2)
+      ed.as("e1").join(ed.as("e2"),
+          col("e1.nbr") === col("e2.src") && col("e1.src") < col("e2.nbr"))
+        .select(col("e1.src").as("a"), col("e1.nbr").as("z"),
+          col("e2.nbr").as("b"))
+        .join(deg.select(col("src").as("z"), col("deg")), "z")
+        // wedge centers have deg >= 2, so index d-1 into the d=2.. table
+        .withColumn("w", element_at(lit(AdamicPpm),
+          (least(col("deg"), lit(64L)) - 1).cast("int")))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("common"), sum("w").as("aa_ppm"))
     })(s, dir)
 
   /** Memoized LPA community labels — the LabelProp trajectory runs

@@ -1186,20 +1186,26 @@ object TextAnalysis {
   /** Per-doc classifier readout (doc_id, n_feats, qclf_micro) — the
     * ONE scorer x_qclf ships and x_qclf_auc grades; a copy in the eval
     * would let it silently grade a different model than the deployed
-    * one (the gopherRuleFlags sharing rule). */
-  private def qclfScored(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        explode(concat(shingleHashes(wordsCol, 1), shingleHashes(wordsCol, 2)))
-          .as("h"))
-      .select(col("doc_id"),
-        element_at(lit(qclfWeights),
-          (pmod(col("h"), lit(QclfBuckets.toLong)) + 1).cast("int")).as("wm"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("nf"), sum("wm").as("sw"))
-      .select(col("doc_id"), col("nf").cast("int").as("n_feats"),
-        expr("sw div nf").as("qclf_micro"))
+    * one (the gopherRuleFlags sharing rule). Named memo (round 14 OPT):
+    * x_qclf and x_qclf_auc each re-ran the full hashed-ngram explode
+    * (~8 cpu-s apiece, the two entries' whole cost); the scorer now
+    * materializes once per (session, corpus) and the eval reads the
+    * |docs|-row checkpoint. */
+  private def qclfScored: (SparkSession, String) => DataFrame =
+    memoX("qclf_scored") { (s, dir) =>
+      docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(concat(shingleHashes(wordsCol, 1), shingleHashes(wordsCol, 2)))
+            .as("h"))
+        .select(col("doc_id"),
+          element_at(lit(qclfWeights),
+            (pmod(col("h"), lit(QclfBuckets.toLong)) + 1).cast("int")).as("wm"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nf"), sum("wm").as("sw"))
+        .select(col("doc_id"), col("nf").cast("int").as("n_feats"),
+          expr("sw div nf").as("qclf_micro"))
+    }
 
   private[graft] val qclfWeights: Array[Long] = {
     val boosted = stopwords
