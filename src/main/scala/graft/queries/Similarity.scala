@@ -2158,9 +2158,12 @@ object Similarity {
         .withColumn("prn", row_number().over(wPool))
         .filter(col("prn") <= MmrPool)
         .select("q", "vec_id", "relm")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.CacheBook.materialize(pool)
-      graft.CacheBook.register(s, "s")(() => { pool.unpersist(false); () })
+        // eager CHECKPOINT (round 14 OPT): every greedy round's three
+        // relations re-planned the corpus cosine subtree behind a
+        // persist; the NQueries*MmrPool-row leaf truncates it
+        .localCheckpoint(true)
+      graft.CacheBook.register(s, "s")(() =>
+        graft.CacheBook.unpersistCheckpoint(pool))
       // within-pool pairwise similarities: equi-join on q, MmrPool² rows
       // per query, corpus-independent — every greedy round reads this
       val pv = pool.join(e.select(col("vec_id"), col("v"), col("n")), "vec_id")
@@ -2172,35 +2175,45 @@ object Similarity {
         .select(col("q"), col("a"), col("b"),
           floor(VecOps.cosine(col("av"), col("bv"), col("an"), col("bn"))
             * lit(1000000.0)).cast("long").as("simm"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.CacheBook.materialize(pairs)
-      graft.CacheBook.register(s, "s")(() => { pairs.unpersist(false); () })
+        .localCheckpoint(true)
+      graft.CacheBook.register(s, "s")(() =>
+        graft.CacheBook.unpersistCheckpoint(pairs))
       val wSel = Window.partitionBy("q").orderBy(col("mmr").desc, col("vec_id").asc)
-      // round 1: pure relevance (no redundancy term yet)
-      var sel = pool
-        .withColumn("mmr", lit(7L) * col("relm"))
-        .withColumn("srn", row_number().over(wSel))
-        .filter(col("srn") === 1)
-        .select(col("q"), col("vec_id"), lit(1).cast("int").as("rank"), col("mmr"))
-      for (t <- 2 to MmrK) {
-        val red = pairs
-          .join(sel.select(col("q"), col("vec_id").as("b")), Seq("q", "b"))
-          .groupBy(col("q"), col("a")).agg(max(col("simm")).as("redm"))
-        val cand = pool.join(sel.select("q", "vec_id"), Seq("q", "vec_id"), "left_anti")
-        val pick = cand.join(red,
-            cand("q") === red("q") && cand("vec_id") === red("a"))
-          .select(cand("q"), cand("vec_id"),
-            (lit(7L) * col("relm") - lit(3L) * col("redm")).as("mmr"))
-          .withColumn("srn", row_number().over(wSel))
-          .filter(col("srn") === 1)
-          .select(col("q"), col("vec_id"), lit(t).cast("int").as("rank"), col("mmr"))
-        sel = sel.unionByName(pick)
-        // bound plan depth: next round references sel in the anti-join
-        // AND the redundancy join — unchecked the plan grows ~3^rounds
-        val cp = sel.localCheckpoint(true)
-        graft.CacheBook.register(s, "s")(() =>
-          graft.CacheBook.unpersistCheckpoint(cp))
-        sel = cp
+      // the greedy loop runs over <=NQueries*MmrPool-row relations —
+      // pinned narrow width + AQE-off (round 14 OPT: the CC/BFS loop
+      // profile; each round was 3-4 AQE query-stage jobs of 32-task
+      // shuffles over ~250 rows). Inputs are materialized checkpoints,
+      // so nothing expensive serializes behind the conf lock.
+      var sel: DataFrame = null
+      graft.operators.ConnectedComponents.confLock.synchronized {
+        graft.operators.ConnectedComponents.pinnedLoopConf(s) {
+          // round 1: pure relevance (no redundancy term yet)
+          sel = pool
+            .withColumn("mmr", lit(7L) * col("relm"))
+            .withColumn("srn", row_number().over(wSel))
+            .filter(col("srn") === 1)
+            .select(col("q"), col("vec_id"), lit(1).cast("int").as("rank"), col("mmr"))
+          for (t <- 2 to MmrK) {
+            val red = pairs
+              .join(sel.select(col("q"), col("vec_id").as("b")), Seq("q", "b"))
+              .groupBy(col("q"), col("a")).agg(max(col("simm")).as("redm"))
+            val cand = pool.join(sel.select("q", "vec_id"), Seq("q", "vec_id"), "left_anti")
+            val pick = cand.join(red,
+                cand("q") === red("q") && cand("vec_id") === red("a"))
+              .select(cand("q"), cand("vec_id"),
+                (lit(7L) * col("relm") - lit(3L) * col("redm")).as("mmr"))
+              .withColumn("srn", row_number().over(wSel))
+              .filter(col("srn") === 1)
+              .select(col("q"), col("vec_id"), lit(t).cast("int").as("rank"), col("mmr"))
+            sel = sel.unionByName(pick)
+            // bound plan depth: next round references sel in the anti-join
+            // AND the redundancy join — unchecked the plan grows ~3^rounds
+            val cp = sel.localCheckpoint(true)
+            graft.CacheBook.register(s, "s")(() =>
+              graft.CacheBook.unpersistCheckpoint(cp))
+            sel = cp
+          }
+        }
       }
       sel.select(col("q"), col("rank"), col("vec_id"), col("mmr").as("mmr_micro"))
         .orderBy("q", "rank")
