@@ -94,12 +94,27 @@ object BoundedPercentile {
   def fences(df: DataFrame, keys: Seq[String], vcol: String,
       specs: Seq[Spec], width: Long, offset: Long = 0L,
       countCol: Option[String] = None, scope: String = "q"): DataFrame = {
-    require(specs.nonEmpty && width > 0)
+    require(width > 0)
+    fencesBy(df, keys, vcol, specs, lit(width), offset, countCol, scope)
+  }
+
+  /** [[fences]] with a PER-KEY bucket width: `widthOf` is a positive
+    * LONG expression over the input columns that must be constant
+    * within each key group (buckets of one group must share one
+    * width). This is the multi-metric fuse — unpivot several metrics
+    * into (metric, value) rows, key by metric, give each metric its
+    * own width, and ONE histogram checkpoint + ONE boundary pass
+    * serves every metric (q_rfm paid three of each before). */
+  def fencesBy(df: DataFrame, keys: Seq[String], vcol: String,
+      specs: Seq[Spec], widthOf: Column, offset: Long = 0L,
+      countCol: Option[String] = None, scope: String = "q"): DataFrame = {
+    require(specs.nonEmpty)
     val kc = keys.map(col)
     val joinOn = keys :+ "__bkt"
 
-    val b = df.select(kc :+ (col(vcol) + lit(offset)).as("__v"): _*)
-      .withColumn("__bkt", expr(s"__v div ${width}L"))
+    val b = df.select(kc :+ (col(vcol) + lit(offset)).as("__v")
+        :+ widthOf.as("__w"): _*)
+      .withColumn("__bkt", expr("__v div __w"))
 
     // pass 1: bounded bucket histogram + cumulative counts (the window
     // runs over ≤ domain/width rows per key — postcard-sized at 100 TB).

@@ -473,13 +473,19 @@ object Dedup {
     graft.CacheBook.touch(s, "d", s"bands:${key._2}:${key._3}")
     synchronized {
       bandCache.getOrElseUpdate(key, new graft.Once(() => {
-        val b = bandsOf(sh)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try b.count()
-        catch { case e: Throwable => b.unpersist(false); throw e }
+        // EAGER localCheckpoint, not persist (round 14): the persisted
+        // band table kept its full build plan (sig agg + band explode),
+        // and every consumer — the LSH self-joins reference it on BOTH
+        // sides — re-planned and re-codegen'd that subtree per first
+        // touch (measured: d_edit_dup first-touch 10.2 cpu-s at 0.9
+        // cpu-s of actual execution). The checkpoint truncates it to a
+        // LogicalRDD leaf; the build plan stays auditable via
+        // CacheBook.recordBuildPlan.
+        val b = graft.CacheBook.recordBuildPlan(s, "d",
+          s"bands:${key._2}:${key._3}")(bandsOf(sh)).localCheckpoint(true)
         graft.CacheBook.register(s, "d", s"bands:${key._2}:${key._3}") { () =>
           Dedup.synchronized { bandCache.remove(key) }
-          b.unpersist(false)
+          graft.CacheBook.unpersistCheckpoint(b)
           ()
         }
         b
@@ -1063,6 +1069,10 @@ object Dedup {
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
       val t = docs(s, dir)
+      // (A banded-threshold Levenshtein was tried in round 14 and
+      // REVERTED by measurement: the kernel is < 1 cpu-s at sf0.1 —
+      // the entry's first-touch cost was the band-table plan re-codegen,
+      // fixed in bandsMemo — so the threshold variant bought nothing.)
       cand.join(t.select(col("doc_id").as("a"), col("text").as("ta")), "a")
         .join(t.select(col("doc_id").as("b"), col("text").as("tb")), "b")
         .select(col("a"), col("b"),
