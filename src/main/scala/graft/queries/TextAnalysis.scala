@@ -263,10 +263,16 @@ object TextAnalysis {
       val bpF = Future(bpeWtok(s, dir).count())
       val dsF = Future(dsirScores(s, dir).count())
       val lsF = Future(lmScores(s, dir).count())
+      // the qclf scorer memo joined the family in round 14 (x_qclf and
+      // x_qclf_auc share it) — force it on the fan-out too so x_qclf
+      // prices a probe, not the hashed-ngram build; memoX materializes
+      // eagerly, so no count (and no output row) is needed
+      val qcF = Future { qclfScored(s, dir); () }
       val (nBg, nSp, nLn, nBp, nDs, nLs) = (
         Await.result(bgF, Duration.Inf), Await.result(spF, Duration.Inf),
         Await.result(lnF, Duration.Inf), Await.result(bpF, Duration.Inf),
         Await.result(dsF, Duration.Inf), Await.result(lsF, Duration.Inf))
+      Await.result(qcF, Duration.Inf)
       Seq(("bigram_kinds", nBg), ("bpe_vocab", nBp),
         ("dsir_docs", nDs), ("line_kinds", nLn), ("lm_docs", nLs),
         ("span_kinds", nSp))

@@ -122,4 +122,40 @@ class BoundedPercentileSpec extends SparkSpec {
         check(vs, specs, width)
     }
   }
+
+  test("fencesBy with per-key widths == one fences call per metric (q_rfm fuse)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(0xfe4ce5)
+    val n = 150
+    // three metrics with very different domains, q_rfm-shaped
+    val rows = (1 to n).map(_ => (rng.nextInt(365).toLong,
+      (1 + rng.nextInt(40)).toLong, (rng.nextInt(2000000) + 100).toLong))
+    val per = rows.toDF("rec", "fr", "mc")
+    val widths = Map("r" -> 32L, "f" -> 8L, "m" -> (1L << 16))
+    val specs = (1 to 4).map(k => Spec(s"p$k", k, 5))
+    // the fused keyed pass, per-metric widths via the key expression
+    val melted = per.select(explode(array(
+        struct(lit("r").as("met"), col("rec").as("v")),
+        struct(lit("f").as("met"), col("fr").as("v")),
+        struct(lit("m").as("met"), col("mc").as("v")))).as("t"))
+      .select(col("t.met").as("met"), col("t.v").as("v"))
+    val widthOf = when(col("met") === "r", lit(widths("r")))
+      .when(col("met") === "f", lit(widths("f")))
+      .otherwise(lit(widths("m")))
+    val fused = BoundedPercentile.fencesBy(melted, Seq("met"), "v", specs,
+        widthOf, scope = "test")
+      .collect().map(r => r.getAs[String]("met") ->
+        specs.map(sp => r.getAs[Double](sp.name))).toMap
+    // the reference: one independent global fences call per metric
+    val split = Map(
+      "r" -> rows.map(_._1), "f" -> rows.map(_._2), "m" -> rows.map(_._3))
+      .map { case (m, vs) =>
+        val row = BoundedPercentile.fences(vs.toDF("v"), Seq.empty, "v",
+          specs, widths(m), scope = "test").collect().head
+        m -> specs.map(sp => row.getAs[Double](sp.name))
+      }
+    CacheBook.release(spark, "test")
+    assert(fused == split,
+      s"fused keyed fences diverged from per-metric fences:\n$fused\n$split")
+  }
 }
