@@ -2042,25 +2042,43 @@ object Relational {
       }.value
     }
 
-  /** Distinct (order, brand) rows — the basket relation. */
-  private def basketOb: (SparkSession, String) => DataFrame = memoQ("basket_ob") {
-    (s, dir) =>
+  /** Per-order SORTED DISTINCT brand array — the basket relation in
+    * array form (round 14 OPT): one shuffle to the order grain with
+    * the dedup inside the aggregate, where the old shape paid a
+    * (o, brand)-keyed distinct exchange AND THEN a second order-keyed
+    * self-join exchange to enumerate pairs. Probe A/B at sf0.1 (cpu-s):
+    * distinct 3.3 + self-join 7.1 vs array-build 2.3 + in-row pair
+    * expansion 3.0 — the pair volume is identical (same 984k rows),
+    * only the exchange/SMJ machinery is gone. Per-order arrays are
+    * basket-bounded, so the row width is bounded at any corpus scale. */
+  private def basketObArr: (SparkSession, String) => DataFrame =
+    memoQ("basket_ob_arr") { (s, dir) =>
       t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("brand"))
-        .distinct()
-  }
+        .groupBy("o").agg(sort_array(array_distinct(collect_list("brand"))).as("bs"))
+    }
 
-  /** Per-order brand pair rows (o, ba, bb), ba < bb — the one order
-    * self-join both basket entries extend. */
+  /** Distinct (order, brand) rows — the exploded view of
+    * [[basketObArr]] (same multiset as the old distinct: per-order
+    * arrays are distinct and sorted). */
+  private def basketOb: (SparkSession, String) => DataFrame =
+    (s, dir) => basketObArr(s, dir).select(col("o"), explode(col("bs")).as("brand"))
+
+  /** Per-order brand pair rows (o, ba, bb), ba < bb — in-row pair
+    * expansion over the sorted array (row-for-row the multiset the old
+    * order self-join produced: element i pairs with every later
+    * element, and the array is sorted distinct so ba < bb). The HOF
+    * lambda is interpreted, but it runs ONCE per memo build and
+    * measured ~3.0 cpu-s vs the 7.1 cpu-s SMJ self-join it replaces. */
   private def basketPairRows: (SparkSession, String) => DataFrame =
     memoQ("basket_pair_rows") { (s, dir) =>
-      val ob = basketOb(s, dir)
-      ob.as("x").join(ob.as("y"),
-          col("x.o") === col("y.o") && col("x.brand") < col("y.brand"))
-        .select(col("x.o").as("o"), col("x.brand").as("ba"),
-          col("y.brand").as("bb"))
+      basketObArr(s, dir)
+        .select(col("o"), explode(flatten(expr(
+          "transform(bs, (x, i) -> transform(slice(bs, i + 2, size(bs))," +
+            " y -> struct(x AS ba, y AS bb)))"))).as("p"))
+        .select(col("o"), col("p.ba").as("ba"), col("p.bb").as("bb"))
     }
 
   /** Frequent pairs: (ba, bb, sup) at the >=3 support bar. */
