@@ -1067,16 +1067,43 @@ object Dedup {
       val cand = bands.as("x").join(bands.as("y"),
           col("x.bi") === col("y.bi") && col("x.bk") === col("y.bk")
             && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        // WIDTH anchor for the verify stage (round 14, decade-measured):
+        // the distinct's own exchange is ENSURE_REQUIREMENTS, so AQE
+        // coalesces it by BYTES — 3 tasks for the tiny (a, b) pairs on
+        // the replica decade corpus — and the O(len²) Levenshtein
+        // verify (broadcast text joins keep it in the same stage) ran
+        // 290 cpu-s on those 3 tasks (111 s wall). An explicit keyed
+        // repartition BELOW the distinct satisfies its clustering
+        // requirement exactly (no ENSURE_REQUIREMENTS exchange remains
+        // to coalesce, and AQE never coalesces user repartitions), so
+        // the aggregate AND the verify run at the session width.
+        // A repartition ABOVE the distinct was tried first and is
+        // optimizer-eliminated (redundant under the final global Sort).
+        .repartition(s.sparkContext.defaultParallelism, col("a"), col("b"))
+        .distinct()
       val t = docs(s, dir)
       // (A banded-threshold Levenshtein was tried in round 14 and
       // REVERTED by measurement: the kernel is < 1 cpu-s at sf0.1 —
       // the entry's first-touch cost was the band-table plan re-codegen,
       // fixed in bandsMemo — so the threshold variant bought nothing.)
+      // The mills filter referencing `dist` used to be pushed INTO the
+      // broadcast join as its condition, evaluating the O(len²) DP
+      // TWICE per row (condition + output projection). The
+      // OptimizerFence marks the computed column non-deterministic
+      // (the guide's asNondeterministic remedy, expression form; zero
+      // runtime cost): the filter can no longer sink below the
+      // projection, so the DP evaluates exactly once. With the width
+      // anchor above, the decade read went 111.9 s wall / 291 cpu-s →
+      // 10.9 s / 147 (one eval, 32 tasks). Same rows, same output.
+      val fencedDist = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.OptimizerFence(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            levenshtein(col("ta"), col("tb")))))
       cand.join(t.select(col("doc_id").as("a"), col("text").as("ta")), "a")
         .join(t.select(col("doc_id").as("b"), col("text").as("tb")), "b")
         .select(col("a"), col("b"),
-          levenshtein(col("ta"), col("tb")).as("dist"),
+          fencedDist.as("dist"),
           greatest(length(col("ta")), length(col("tb"))).as("maxlen"))
         .filter(col("dist") * 1000 <= col("maxlen") * lit(EditRatioMills))
         .select("a", "b", "dist", "maxlen")
