@@ -20,6 +20,54 @@ object Slicer {
   def trustForwardKeys: Boolean =
     !sys.env.get("SPARK_GRAFT_SLICE_TRUST_FK").exists(_.equalsIgnoreCase("false")) &&
       !java.lang.Boolean.getBoolean("graft.slice.distrustForwardKeys")
+
+  /** REFCOUNTED discovery execution profile (pinned narrow shuffle
+    * width + AQE off — see the rationale at the [[Slicer.discover]]
+    * call site). A plain save/set/restore races when two discoveries
+    * overlap: the first to finish would restore the session width under
+    * the one still running (the reason slice_diff's two discoveries ran
+    * sequentially through round 14). Every entrant pins the SAME
+    * values, so the scope is safely shared: the first entrant (per
+    * session) saves the session conf and pins, later entrants only bump
+    * the count, and the LAST exit restores. AQE's per-stage re-planning
+    * adds scheduling latency to every exchange in a round's join chain,
+    * and discovery already knows what AQE would learn at runtime (key
+    * counts gate the broadcast hints explicitly) — A/B-measured; at
+    * warehouse scale SPARK_GRAFT_SLICE_AQE=true keeps AQE on. */
+  private val scopeState =
+    collection.mutable.Map.empty[SparkSession, (Int, String, String)]
+
+  /** Public alias: run `body` under the pinned discovery profile (for
+    * slice-entry readouts that materialize small results over the
+    * discovered key sets — same refcounting, safe next to a live
+    * discovery). */
+  def pinned[T](spark: SparkSession)(body: => T): T =
+    discoveryScope(spark)(body)
+
+  private[operators] def discoveryScope[T](spark: SparkSession)(body: => T): T = {
+    val widthKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    scopeState.synchronized {
+      scopeState.get(spark) match {
+        case Some((depth, w, a)) => scopeState(spark) = (depth + 1, w, a)
+        case None =>
+          scopeState(spark) = (1, spark.conf.get(widthKey), spark.conf.get(aqeKey))
+          spark.conf.set(widthKey,
+            sys.env.getOrElse("SPARK_GRAFT_SLICE_PARTITIONS", "8"))
+          spark.conf.set(aqeKey,
+            sys.env.getOrElse("SPARK_GRAFT_SLICE_AQE", "false"))
+      }
+    }
+    try body
+    finally scopeState.synchronized {
+      val (depth, w, a) = scopeState(spark)
+      if (depth == 1) {
+        scopeState.remove(spark)
+        spark.conf.set(widthKey, w)
+        spark.conf.set(aqeKey, a)
+      } else scopeState(spark) = (depth - 1, w, a)
+    }
+  }
 }
 
 /** Graph-guided subsetting — the Spark-native re-expression of the
@@ -130,24 +178,14 @@ final class Slicer(
     // and a BFS round chains several exchanges whose per-task overhead
     // is the dominant cost once key sets are small relative to the
     // cluster. Same knob pattern as ConnectedComponents; on a cluster
-    // size it to the expected key volume via the env var.
-    val spark = SparkSession.active
-    val widthKey = "spark.sql.shuffle.partitions"
-    val prevWidth = spark.conf.get(widthKey)
-    spark.conf.set(widthKey, sys.env.getOrElse("SPARK_GRAFT_SLICE_PARTITIONS", "8"))
-    // AQE's per-stage re-planning adds scheduling latency to every
-    // exchange in a round's join chain, and discovery already knows the
-    // things AQE would learn at runtime (key counts gate the broadcast
-    // hints explicitly); on key-only traffic the latency outweighs the
-    // re-planning value, so it is scoped OFF here (A/B-measured). At
-    // warehouse scale the trade reverses — AQE's empty-build-side
-    // propagation and skew handling pay for their latency — so
-    // SPARK_GRAFT_SLICE_AQE=true keeps it on for discovery.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.get(aqeKey)
-    spark.conf.set(aqeKey, sys.env.getOrElse("SPARK_GRAFT_SLICE_AQE", "false"))
-    try discoverLoop(roots, priorKeys, priorCounts, priorMaxes)
-    finally { spark.conf.set(widthKey, prevWidth); spark.conf.set(aqeKey, prevAqe) }
+    // size it to the expected key volume via the env var. The scope is
+    // REFCOUNTED ([[Slicer.discoveryScope]]) so independent discoveries
+    // may run concurrently (slice_diff overlaps its two root cohorts):
+    // all entrants pin the same values, and only the last exit restores
+    // the session conf.
+    Slicer.discoveryScope(SparkSession.active) {
+      discoverLoop(roots, priorKeys, priorCounts, priorMaxes)
+    }
   }
 
   private def discoverLoop(

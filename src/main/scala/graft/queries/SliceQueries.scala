@@ -143,9 +143,22 @@ object SliceQueries {
     // dimensions (nation/region/part/supplier) overlap — exactly the
     // shape a real scope change produces. Per table cost is one
     // key-set join; the A side reuses the memoized customer slice.
+    // The two discoveries are INDEPENDENT (disjoint root cohorts, no
+    // shared mutable state), so they run CONCURRENTLY under the
+    // refcounted discovery profile (round 14: each is round-latency
+    // bound at width 8, so overlapping them back-fills the idle cores
+    // — guide §2.6); the diff readout then materializes inside the
+    // same pinned scope, one narrow action instead of ~30 width-32 AQE
+    // query stages over key sets of ≤12k rows.
     "slice_diff" -> ((s, dir) => {
-      val a = custSlice(s, dir)
-      val b = slicer(s, dir).run(Seq(SliceRoot("customer", "c_custkey % 50 = 23")))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fa = Future(custSlice(s, dir))
+      val fb = Future(slicer(s, dir)
+        .run(Seq(SliceRoot("customer", "c_custkey % 50 = 23"))))
+      val a = Await.result(fa, Duration.Inf)
+      val b = Await.result(fb, Duration.Inf)
       val g = SchemaGraph.tpch
       val frames = g.tables.map(_.id).sorted.map { t =>
         val kc = g.table(t).key
@@ -167,7 +180,15 @@ object SliceQueries {
             (col("n_a") - col("n_common")).as("n_only_a"),
             (col("n_b") - col("n_common")).as("n_only_b"))
       }
-      frames.reduce(_ unionByName _).orderBy("table_id")
+      // one |tables|-row readout: materialize it while the narrow
+      // profile is still pinned (the caller's action would otherwise
+      // re-plan the 9 join subtrees at session width)
+      val out = graft.operators.Slicer.pinned(s) {
+        frames.reduce(_ unionByName _).localCheckpoint(true)
+      }
+      graft.CacheBook.register(s, "slice")(() =>
+        graft.CacheBook.unpersistCheckpoint(out))
+      out.orderBy("table_id")
     }),
 
     // FK REFERENTIAL-INTEGRITY audit — the pre-slice data-quality

@@ -14,12 +14,17 @@ object Rca {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // stage-level cpu attribution: SPARK_GRAFT_EVENTLOG=<dir> writes the
+    // standard event log there (sum per-stage Executor CPU Time offline)
+    val spark = sys.env.get("SPARK_GRAFT_EVENTLOG").fold(b0)(d =>
+        b0.config("spark.eventLog.enabled", "true")
+          .config("spark.eventLog.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fail fast on a typo'd query name BEFORE replaying anything — a
