@@ -139,15 +139,21 @@ object TextAnalysis {
     * corpus); priced by x_build's fan-out like the other memos. */
   private def dsirScores: (SparkSession, String) => DataFrame = memoX("dsir") {
     (s, dir) =>
+      // EAGER localCheckpoint, not persist (the item-1/11 plan-tax, one
+      // more instance found by stage attribution this session: behind a
+      // persist both in-build consumers — the fused bucket counts and
+      // the probe join — re-planned and re-CODEGEN'd the 2×ShingleHashes
+      // explode subtree; two 32-task stages burned 8.6+9.7 cpu-s on 64
+      // output records doing Janino work, ~20% of x_build's cpu)
       val feats = docs(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           explode(concat(shingleHashes(wordsCol, 1), shingleHashes(wordsCol, 2)))
             .as("h"))
         .select(col("doc_id"), pmod(col("h"), lit(DsirBuckets.toLong)).as("b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.CacheBook.materialize(feats)
-      graft.CacheBook.register(s, "x", "x:dsir")(() => { feats.unpersist(false); () })
+        .localCheckpoint(true)
+      graft.CacheBook.register(s, "x", "x:dsir")(() =>
+        graft.CacheBook.unpersistCheckpoint(feats))
       // ONE pass over the feature relation serves BOTH sides' bucket
       // counts (was: two full groupBy passes, one per side — measured
       // ~2x the cpu of the fused aggregate at sf0.1). Buckets seen only
