@@ -2519,13 +2519,21 @@ object Similarity {
         // nightly build saw), override-aware like every draw site
         val kOldTok = centroidOverride.map { k => overrideWarned; k }
           .getOrElse(kFor(PqM.toLong * e.filter(col("vec_id") < tNew).count()))
-        val cents = graft.CacheBook.materialize(tokCentroids(oldToks, kOldTok)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val standing = graft.CacheBook.materialize(tokAssign(oldToks, cents)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // EAGER localCheckpoints, not persists (the item-1 plan tax):
+        // behind a persist every consumer of the standing cells
+        // (s_tok_upsert's merge, st_tok_ingest's stream-static join)
+        // re-planned and re-codegen'd the toksOf-explode + assignment
+        // subtree per action; the checkpoint truncates both relations
+        // to LogicalRDD leaves. Build shape stays auditable via the
+        // recorded build plan (PlanShapeSpec discipline).
+        val cents = graft.CacheBook.recordBuildPlan(s, "s", "tok_old")(
+          tokCentroids(oldToks, kOldTok)).localCheckpoint(true)
+        val standing = graft.CacheBook.recordBuildPlan(s, "s", "tok_old:cells")(
+          tokAssign(oldToks, cents)).localCheckpoint(true)
         graft.CacheBook.register(s, "s", "tok_old") { () =>
           Similarity.synchronized { tokOldCache.remove((s, dir)) }
-          cents.unpersist(false); standing.unpersist(false)
+          graft.CacheBook.unpersistCheckpoint(cents)
+          graft.CacheBook.unpersistCheckpoint(standing)
           ()
         }
         (tNew, kOldTok, cents, standing)
