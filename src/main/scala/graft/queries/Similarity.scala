@@ -449,16 +449,18 @@ object Similarity {
   private def sigBase(s: SparkSession, dir: String): DataFrame = {
     graft.CacheBook.touch(s, "s", "sig_base")
     synchronized { sigCache.getOrElseUpdate((s, dir), new graft.Once(() => {
-      val e = vecs(s, dir)
-        .withColumn("s1", bqSig(col("v"), 0))
-        .withColumn("s2", bqSig(col("v"), 32))
-        .withColumn("pn", sqrt(prefixDot(col("v"), col("v"), MrlDim)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try e.count()
-      catch { case t: Throwable => e.unpersist(false); throw t }
+      // EAGER localCheckpoint, not persist (the item-1 plan tax): the
+      // BQ/MRL consumers re-planned and re-codegen'd the signature
+      // projection behind the InMemoryRelation on every action.
+      val e = graft.CacheBook.recordBuildPlan(s, "s", "sig_base")(
+        vecs(s, dir)
+          .withColumn("s1", bqSig(col("v"), 0))
+          .withColumn("s2", bqSig(col("v"), 32))
+          .withColumn("pn", sqrt(prefixDot(col("v"), col("v"), MrlDim))))
+        .localCheckpoint(true)
       graft.CacheBook.register(s, "s", "sig_base") { () =>
         Similarity.synchronized { sigCache.remove((s, dir)) }
-        e.unpersist(false)
+        graft.CacheBook.unpersistCheckpoint(e)
         ()
       }
       e
@@ -2620,15 +2622,19 @@ object Similarity {
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(nCentroids(s, dir))
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn"))
-      // persist the K-row centroid table too: for refine=true its
+      // checkpoint the K-row centroid table too: for refine=true its
       // lineage is the whole Lloyd loop over the corpus, and every
-      // consumer that broadcasts cents would otherwise re-run it
-      val cents0 = graft.CacheBook.materialize(
-        (if (refine) refineCentroids(e, seed) else seed)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // consumer that broadcasts cents would otherwise re-run it.
+      // EAGER localCheckpoints, not persists (the item-1 plan tax):
+      // behind a persist every IVF probe (s_ivf_ann, s_filtered_ann,
+      // the sweep/upsert/health entries) re-planned and re-codegen'd
+      // the corpus×K assignment subtree per action.
+      val cents0 = graft.CacheBook.recordBuildPlan(s, "s", s"ivf:$refine")(
+        if (refine) refineCentroids(e, seed) else seed).localCheckpoint(true)
       val cents = broadcast(cents0)
       val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-      val assigned = e.join(cents)
+      val assigned = graft.CacheBook.recordBuildPlan(s, "s", s"ivf:$refine:cells")(
+        e.join(cents)
         .select(col("vec_id"), col("label"), col("v"), col("n"), col("cid"),
           VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("ccos"))
         .withColumn("arn", row_number().over(wAssign))
@@ -2637,12 +2643,12 @@ object Similarity {
         // cells parquet): the in-memory analog of storing filterable
         // metadata IN the index files, which is what lets filtered
         // search prune candidates without a corpus-side join
-        .select("vec_id", "label", "v", "n", "cid")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.CacheBook.materialize(assigned)
+        .select("vec_id", "label", "v", "n", "cid"))
+        .localCheckpoint(true)
       graft.CacheBook.register(s, "s", s"ivf:$refine") { () =>
         Similarity.synchronized { ivfCache.remove((s, dir, refine)) }
-        assigned.unpersist(false); cents0.unpersist(false)
+        graft.CacheBook.unpersistCheckpoint(assigned)
+        graft.CacheBook.unpersistCheckpoint(cents0)
         ()
       }
       (cents, assigned)
@@ -2683,16 +2689,17 @@ object Similarity {
       // the OLD population (the count the nightly build saw)
       val kOld = centroidOverride.map { k => overrideWarned; k }
         .getOrElse(kFor(e.filter(col("vec_id") < tNew).count()))
-      val seed = e.filter(col("vec_id") < tNew)
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(kOld)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try seed.count()
-      catch { case t: Throwable => seed.unpersist(false); throw t }
+      // eager localCheckpoint, not persist: the K-row seed's lineage is
+      // a full-corpus md5 sort, re-planned per consumer behind a persist
+      val seed = graft.CacheBook.recordBuildPlan(s, "s", "old_seed")(
+        e.filter(col("vec_id") < tNew)
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(kOld)
+          .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn")))
+        .localCheckpoint(true)
       graft.CacheBook.register(s, "s", "old_seed") { () =>
         Similarity.synchronized { seedCache.remove((s, dir)) }
-        seed.unpersist(false)
+        graft.CacheBook.unpersistCheckpoint(seed)
         ()
       }
       (tNew, seed)
@@ -2772,12 +2779,19 @@ object Similarity {
     graft.CacheBook.touch(s, "s", "pq_model")
     synchronized { pqCache.getOrElseUpdate((s, dir), new graft.Once(() => {
       val (codes, lut, cb) = pqModelBody(s, dir)
-      val codesP = codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val lutP = lut.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.CacheBook.materialize(codesP); graft.CacheBook.materialize(lutP)
+      // EAGER localCheckpoints, not persists (the item-1 plan tax):
+      // the codes/LUT lineage is the whole Lloyd loop + encoding, and
+      // behind a persist every PQ consumer (s_pq_ann's code-table
+      // scan, s_ivfpq_ann, s_pq_distortion) re-planned and re-codegen'd
+      // it per action — s_pq_ann priced 6.8 cpu-s for a 0.96 s probe.
+      val codesP = graft.CacheBook.recordBuildPlan(s, "s", "pq_model")(
+        codes).localCheckpoint(true)
+      val lutP = graft.CacheBook.recordBuildPlan(s, "s", "pq_model:lut")(
+        lut).localCheckpoint(true)
       graft.CacheBook.register(s, "s", "pq_model") { () =>
         Similarity.synchronized { pqCache.remove((s, dir)) }
-        codesP.unpersist(false); lutP.unpersist(false)
+        graft.CacheBook.unpersistCheckpoint(codesP)
+        graft.CacheBook.unpersistCheckpoint(lutP)
         ()
       }
       // cb is a broadcast-literal-sized frame (PqM*PqKsub rows) that

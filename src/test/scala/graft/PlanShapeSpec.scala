@@ -131,7 +131,11 @@ class PlanShapeSpec extends SparkSpec {
     // through one task; candidates must come from the cid equi-join
     val p = planWithBuilds("s_knn_graph")
     assert(p.contains("windowspecdefinition(src"), p.take(600))
-    assert(!p.contains("SinglePartition"), "per-vector work must stay partitioned")
+    // guard the EXCHANGE form specifically: a K-row checkpointed
+    // centroid leaf legitimately reports SinglePartition as its
+    // output partitioning (Scan ExistingRDD), which is not a collapse
+    assert(!p.contains("Exchange SinglePartition"),
+      "per-vector work must stay partitioned")
     assert(!p.contains("CartesianProduct"), "candidates are cell-bounded, never all-pairs")
     graft.CacheBook.releaseAll(spark)
   }
@@ -145,7 +149,10 @@ class PlanShapeSpec extends SparkSpec {
       "seed graph must be read from the checkpointed memo")
     assert(p.contains("windowspecdefinition(src"), p.take(600))
     assert(!p.contains("CartesianProduct"), "candidates are graph-bounded, never all-pairs")
-    assert(!p.contains("SinglePartition"), "per-vector work must stay partitioned")
+    // exchange form only — K-row checkpoint leaves report
+    // SinglePartition output partitioning without being a collapse
+    assert(!p.contains("Exchange SinglePartition"),
+      "per-vector work must stay partitioned")
     graft.CacheBook.releaseAll(spark)
   }
 
@@ -249,13 +256,14 @@ class PlanShapeSpec extends SparkSpec {
     // the hashed-feature space is DsirBuckets rows whatever the corpus
     // size — the per-doc scoring join must plan as a broadcast hash
     // join (a shuffle here would move the corpus-sized feature stream
-    // twice), and the exploded feature relation is persisted so the
-    // count passes and the probe share one materialization
+    // twice), and the exploded feature relation is CHECKPOINTED (round
+    // 14: eager localCheckpoint, not persist — the plan-tax fix) so
+    // the count pass and the probe share one materialization
     val p = planWithBuilds("x_dsir")
     assert(p.contains("BroadcastHashJoin"),
       "the bucket-weight lookup must broadcast")
-    assert(p.contains("InMemoryTableScan"),
-      "the feature stream must come from the persisted relation")
+    assert(p.contains("Scan ExistingRDD"),
+      "the feature stream must come from the one materialized relation")
     assert(!p.contains("CartesianProduct"),
       "only the 1-row totals pair-up may be unconditioned")
     graft.CacheBook.releaseAll(spark)
@@ -325,9 +333,9 @@ class PlanShapeSpec extends SparkSpec {
       // difference is shuffling C rows/query/partition vs N rows
       assert(p.contains("WindowGroupLimit"),
         s"$name coarse top-C must plan a WindowGroupLimit")
-      // one persisted signature relation feeds queries, coarse pass
+      // one CHECKPOINTED signature relation feeds queries, coarse pass
       // and rescore — never a recomputed projection per consumer
-      assert(p.contains("InMemoryTableScan"), s"$name must reuse its cache")
+      assert(p.contains("Scan ExistingRDD"), s"$name must reuse the memo")
       // vectors must not ride the coarse shuffle: the rescore pulls
       // them back via hash joins on the slim candidate frame
       assert(p.contains("BroadcastHashJoin"), s"$name rescore joins")
