@@ -70,9 +70,12 @@ object StreamingQueries {
       val (tNew, seed) = S.oldSeed(s, dir) // shared delta convention, persisted once
       val old = S.vecs(s, dir).filter(col("vec_id") < tNew)
       val cents = seed.collect() // bounded: kFor(old-count) rows (≈√N, floor 24)
-      val standing = graft.CacheBook.materialize(S.assignTo(old, seed)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      graft.CacheBook.register(s, "s")(() => { standing.unpersist(false); () })
+      // eager localCheckpoint, not persist: the stream-static join
+      // re-plans per micro-batch, and behind a persist each batch
+      // re-codegen'd the old-corpus assignment subtree
+      val standing = S.assignTo(old, seed).localCheckpoint(true)
+      graft.CacheBook.register(s, "s")(() =>
+        graft.CacheBook.unpersistCheckpoint(standing))
       val newVecs = s.readStream.schema(StreamingOps.embRawSchema)
         .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
         .filter(col("vec_id") >= tNew)
