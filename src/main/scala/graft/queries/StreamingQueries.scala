@@ -477,8 +477,11 @@ object StreamingQueries {
           hk.map(c => bit_count(col(s"x.$c").bitwiseXOR(col(s"y.$c"))))
             .reduce(_ + _).cast("int").as("dist"))
         .filter(col("dist") <= 3)
-      StreamingOps.runToMemory(s, matches, name,
-          org.apache.spark.sql.streaming.OutputMode.Append())
+      // parquet sink, not memory: the gate harness must not collect
+      // the match table to the driver (the decade-corpus match volume
+      // broke spark.driver.maxResultSize through the memory sink; the
+      // production landing zone writes parquet/kafka anyway)
+      StreamingOps.runToParquet(s, matches, name, scope = "st")
         .orderBy("doc_id", "dup")
     })
   )

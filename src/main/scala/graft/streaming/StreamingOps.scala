@@ -108,6 +108,51 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** [[runToMemory]] with a PARQUET sink (append-mode streams only):
+    * the result lands as files and reads back lazily, so the driver
+    * never holds the emitted table (the memory sink collects it — at
+    * the 10x replica decade corpus st_media_dedup's match volume
+    * exceeded spark.driver.maxResultSize through exactly that collect;
+    * the production path is a parquet/kafka sink anyway, so the gate
+    * harness now exercises the production sink shape). Same width /
+    * maintenance scoping; the output+checkpoint dirs register for the
+    * caller's CacheBook scope so a session can reclaim them. */
+  def runToParquet(spark: SparkSession, df: DataFrame, name: String,
+      scope: String): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val mKey = "spark.sql.streaming.stateStore.maintenanceInterval"
+    val prev = spark.conf.get(key)
+    val prevM = spark.conf.getOption(mKey)
+    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    spark.conf.set(mKey, "600s")
+    val out = java.nio.file.Files.createTempDirectory(s"graft_stream_$name")
+    try {
+      val q = df.writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/cp")
+        .outputMode(OutputMode.Append())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      spark.conf.set(key, prev)
+      prevM match {
+        case Some(v) => spark.conf.set(mKey, v)
+        case None    => spark.conf.unset(mKey)
+      }
+    }
+    graft.CacheBook.register(spark, scope) { () =>
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(out.toFile)
+    }
+    // read back via the sink's OWN schema (the stream may emit zero
+    // rows; the metadata log still carries the schema)
+    spark.read.schema(df.schema).parquet(s"$out/data")
+  }
+
   // --- streaming sessionization (flatMapGroupsWithState) --------------
 
   final case class SessEvent(user_id: Long, event_id: Long, ts: Timestamp)
