@@ -2457,6 +2457,26 @@ object Similarity {
     * artifact once per (session, corpus) — the temp-dir stand-in for
     * the nightly build's output location. Released with the "s" scope
     * (artifact deleted, next call rewrites). */
+  /** WIDTH ANCHOR for the corpus×K assignment passes (the d_edit_dup
+    * item-15 class, found at decade scale in the third round-14
+    * session): the tokens×K / vectors×K join + dot + partial
+    * WindowGroupLimit evaluate MAP-SIDE at the input's partitioning —
+    * scan-inherited, 2 partitions on a single-file gate corpus — so
+    * the O(N·K) assignment serialized on 2 tasks (98 cpu-s in one
+    * 100 s stage at sf1e; s_index_build 107 → 46 s, s_tok_upsert
+    * 78 → 10 s decade walls with the anchor). The keyed repartition
+    * satisfies the assignment window's clustering requirement exactly
+    * (no second exchange survives) and costs one narrow-row shuffle.
+    * Env-tunable: a cluster sizes it to cores like every width knob
+    * here (DEPLOY.md); the local default is the session parallelism.
+    * Local trade, measured both ways: at 32 SMT threads the spread
+    * dense loop holds sibling hyperthreads, inflating the CPU-TIME
+    * channel ~2-3x at FLAT sf0.1 wall (the budgets price it); at 8
+    * threads (the driver's scaling run) it is neutral-to-better. */
+  private def assignWidth(s: SparkSession): Int =
+    sys.env.get("SPARK_GRAFT_ASSIGN_PARTITIONS").flatMap(_.toIntOption)
+      .getOrElse(s.sparkContext.defaultParallelism)
+
   /** Per-token view of a vector frame: each vector's PqM fixed 8-dim
     * slices as rows (vec_id, t, tv) — the multi-vector reading shared
     * by the token index build, its delta upsert, and the probe side. */
@@ -2492,7 +2512,9 @@ object Similarity {
     // of the two evils here.
     val wA = Window.partitionBy("vec_id", "t")
       .orderBy(col("cdot").desc, col("cid").asc)
-    toks.join(broadcast(cents))
+    // width anchor — see [[assignWidth]]
+    toks.repartition(assignWidth(toks.sparkSession), col("vec_id"), col("t"))
+      .join(broadcast(cents))
       .select(col("vec_id"), col("t"), col("tv"), col("cid"),
         subDot(col("tv"), col("cv")).as("cdot"))
       .withColumn("arn", row_number().over(wA))
@@ -2634,7 +2656,8 @@ object Similarity {
       val cents = broadcast(cents0)
       val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
       val assigned = graft.CacheBook.recordBuildPlan(s, "s", s"ivf:$refine:cells")(
-        e.join(cents)
+        e.repartition(assignWidth(s), col("vec_id"))
+          .join(cents)
         .select(col("vec_id"), col("label"), col("v"), col("n"), col("cid"),
           VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("ccos"))
         .withColumn("arn", row_number().over(wAssign))
@@ -2711,7 +2734,9 @@ object Similarity {
     * delta upsert and the rebuild-equivalence spec. */
   private[graft] def assignTo(part: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-    part.join(broadcast(cents))
+    // width anchor — see [[assignWidth]]
+    part.repartition(assignWidth(part.sparkSession), col("vec_id"))
+      .join(broadcast(cents))
       .select(col("vec_id"), col("label"), col("v"), col("n"), col("cid"),
         VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("ccos"))
       .withColumn("arn", row_number().over(w))
