@@ -253,13 +253,17 @@ object Similarity {
   private def refineCentroids(e: DataFrame, cents0: DataFrame): DataFrame = {
     var cents = cents0
     for (_ <- 0 until LloydIters) {
-      val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-      val assigned = e.join(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("cid"),
-          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("ccos"))
-        .withColumn("arn", row_number().over(wA))
-        .filter(col("arn") === 1)
-        .select("cid", "v")
+      // round 15: constant-bank argmax expression per iteration (see
+      // [[collectCosineBank]]) — the former broadcast-join + window
+      // materialized and sorted N×K rows per round, and nesting the
+      // rounds' plans re-ran every earlier round's assignment inside
+      // the next broadcast build; the per-round collect evaluates each
+      // round exactly once (K≈√N rows to the driver, the same rows the
+      // broadcast shipped)
+      val assigned = e.select(
+          element_at(graft.functions.NearestCentroids.nearest(
+            collectCosineBank(cents), col("v"), 1, col("n")), 1).as("cid"),
+          col("v"))
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
@@ -982,18 +986,19 @@ object Similarity {
       graft.CacheBook.register(s, "s")(() =>
         graft.CacheBook.unpersistCheckpoint(reps))
       val k = kFor(reps.count())
-      val cents = broadcast(reps
+      // ONE reps-grain top-NProbe pass serves BOTH the assignment
+      // (rn = 1) and the probe set (rn ≤ NProbe) — the constant-bank
+      // expression ranks exactly as the oracle's two CTEs' row_number
+      // (cosine desc, cid asc; see [[collectCosineBank]])
+      val bank = collectCosineBank(reps
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("n").as("cn")))
-      // ONE reps×K cosine pass + window serves BOTH the assignment
-      // (rn = 1) and the probe set (rn ≤ NProbe) — the same row_number
-      // ordering the oracle's two CTEs rank by
-      val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-      val ranked = reps.join(cents)
+      val ranked = reps
+        .select(col("vec_id"), col("v"), col("n"),
+          posexplode(graft.functions.NearestCentroids.nearest(
+            bank, col("v"), math.max(1, NProbe), col("n"))).as(Seq("pos", "cid")))
         .select(col("vec_id"), col("v"), col("n"), col("cid"),
-          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("ccos"))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") <= math.max(1, NProbe))
+          (col("pos") + 1).as("rn"))
         .localCheckpoint(true)
       graft.CacheBook.register(s, "s")(() =>
         graft.CacheBook.unpersistCheckpoint(ranked))
@@ -1064,14 +1069,11 @@ object Similarity {
     "s_dbscan_sweep" -> ((s, dir) => {
       val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
       val e = vecs(s, dir)
-      val wp = Window.partitionBy("src").orderBy(col("pcos").desc, col("cid").asc)
-      val probes = e.join(broadcast(cents))
-        .select(col("vec_id").as("src"), col("v").as("qv"), col("n").as("qn"),
-          col("cid"),
-          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("pcos"))
-        .withColumn("prn", row_number().over(wp))
-        .filter(col("prn") <= NProbe)
-        .select("src", "qv", "qn", "cid")
+      // constant-bank top-NProbe expression — see [[collectCosineBank]]
+      val probes = e.select(col("vec_id").as("src"), col("v").as("qv"),
+        col("n").as("qn"),
+        explode(graft.functions.NearestCentroids.nearest(
+          collectCosineBank(cents), col("v"), NProbe, col("n"))).as("cid"))
       val bandArr = array(DbSweepBands.map(lit(_)): _*)
       // one row per (pair, band-it-clears); consumed by deg AND the
       // border semi-join — persist once, family-scoped
@@ -2477,6 +2479,17 @@ object Similarity {
     sys.env.get("SPARK_GRAFT_ASSIGN_PARTITIONS").flatMap(_.toIntOption)
       .getOrElse(s.sparkContext.defaultParallelism)
 
+  /** Collect a (cid, cv, cn) centroid relation into a constant
+    * [[graft.functions.CentroidBank]] — the same K≈√N rows the old
+    * plans collected to the driver for their broadcast join, now riding
+    * the assignment expression instead (see [[graft.functions
+    * .NearestCentroids]]: no N×K row explosion, no window sort; scores
+    * and tie-breaks bit-identical by construction). */
+  private def collectCosineBank(cents: DataFrame): graft.functions.CentroidBank =
+    graft.functions.NearestCentroids.cosineBank(
+      cents.select("cid", "cv", "cn").collect().toSeq.map(r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))))
+
   /** Per-token view of a vector frame: each vector's PqM fixed 8-dim
     * slices as rows (vec_id, t, tv) — the multi-vector reading shared
     * by the token index build, its delta upsert, and the probe side. */
@@ -2504,23 +2517,23 @@ object Similarity {
     * batch upserts equal a one-shot assignment of the union (the
     * AnnIndexStore.assign property, restated for the dot metric). */
   private def tokAssign(toks: DataFrame, cents: DataFrame): DataFrame = {
-    // argmax via row_number window. A struct-max hash aggregate
-    // (map-side combine, no sort) was A/B-measured 6x SLOWER on the
-    // sf1e decade corpus (19 → 122 s): the struct buffer forces
-    // ObjectHashAggregate with per-row array hashing, losing
-    // whole-stage codegen — the sort the window pays is the cheaper
-    // of the two evils here.
-    val wA = Window.partitionBy("vec_id", "t")
-      .orderBy(col("cdot").desc, col("cid").asc)
+    // round 15: the K-row centroid table (the same rows the old plan
+    // broadcast) rides a constant bank inside ONE argmax expression —
+    // the former join + row_number window materialized and SORTED the
+    // full tokens×K relation just to keep one row per token (a
+    // struct-max hash aggregate was A/B-measured 6x slower still:
+    // ObjectHashAggregate loses whole-stage codegen). Raw-dot scores
+    // accumulate in subDot's exact IEEE order; ties break cid-asc as
+    // the window did — assignment identical row for row.
+    val bank = graft.functions.NearestCentroids.dotBank(
+      cents.select("cid", "cv").collect().toSeq.map(r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray)))
     // width anchor — see [[assignWidth]]
     toks.repartition(assignWidth(toks.sparkSession), col("vec_id"), col("t"))
-      .join(broadcast(cents))
-      .select(col("vec_id"), col("t"), col("tv"), col("cid"),
-        subDot(col("tv"), col("cv")).as("cdot"))
-      .withColumn("arn", row_number().over(wA))
-      .filter(col("arn") === 1)
       .select(col("vec_id"),
-        sqrt(subDot(col("tv"), col("tv"))).as("n"), col("tv").as("v"), col("cid"))
+        sqrt(subDot(col("tv"), col("tv"))).as("n"), col("tv").as("v"),
+        element_at(graft.functions.NearestCentroids.nearest(
+          bank, col("tv"), 1), 1).as("cid"))
   }
 
   private val tokOldCache = collection.mutable
@@ -2654,19 +2667,19 @@ object Similarity {
       val cents0 = graft.CacheBook.recordBuildPlan(s, "s", s"ivf:$refine")(
         if (refine) refineCentroids(e, seed) else seed).localCheckpoint(true)
       val cents = broadcast(cents0)
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+      // constant-bank argmax expression (see [[collectCosineBank]]):
+      // the old plan joined the broadcast K rows and window-sorted the
+      // full N×K relation to keep one row per vector
+      val bank = collectCosineBank(cents0)
       val assigned = graft.CacheBook.recordBuildPlan(s, "s", s"ivf:$refine:cells")(
         e.repartition(assignWidth(s), col("vec_id"))
-          .join(cents)
-        .select(col("vec_id"), col("label"), col("v"), col("n"), col("cid"),
-          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("ccos"))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
         // label rides in the cell relation (and thus the persisted
         // cells parquet): the in-memory analog of storing filterable
         // metadata IN the index files, which is what lets filtered
         // search prune candidates without a corpus-side join
-        .select("vec_id", "label", "v", "n", "cid"))
+        .select(col("vec_id"), col("label"), col("v"), col("n"),
+          element_at(graft.functions.NearestCentroids.nearest(
+            bank, col("v"), 1, col("n")), 1).as("cid")))
         .localCheckpoint(true)
       graft.CacheBook.register(s, "s", s"ivf:$refine") { () =>
         Similarity.synchronized { ivfCache.remove((s, dir, refine)) }
@@ -2733,15 +2746,13 @@ object Similarity {
     * cid tie-break) — the per-vector-independent kernel shared by the
     * delta upsert and the rebuild-equivalence spec. */
   private[graft] def assignTo(part: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    // constant-bank argmax expression — see [[collectCosineBank]]
+    val bank = collectCosineBank(cents)
     // width anchor — see [[assignWidth]]
     part.repartition(assignWidth(part.sparkSession), col("vec_id"))
-      .join(broadcast(cents))
-      .select(col("vec_id"), col("label"), col("v"), col("n"), col("cid"),
-        VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("ccos"))
-      .withColumn("arn", row_number().over(w))
-      .filter(col("arn") === 1)
-      .select("vec_id", "label", "v", "n", "cid")
+      .select(col("vec_id"), col("label"), col("v"), col("n"),
+        element_at(graft.functions.NearestCentroids.nearest(
+          bank, col("v"), 1, col("n")), 1).as("cid"))
   }
 
   /** The upsert itself: standing assignment (old vectors, in production
@@ -2757,13 +2768,10 @@ object Similarity {
   private def probeCells(e: DataFrame, cents: DataFrame): DataFrame = {
       val qRaw = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn"))
-      val wProbe = Window.partitionBy("q").orderBy(col("pcos").desc, col("cid").asc)
-      broadcast(qRaw.join(cents)
-        .select(col("q"), col("qv"), col("qn"), col("cid"),
-          VecOps.cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("pcos"))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= NProbe)
-        .select("q", "qv", "qn", "cid"))
+      // constant-bank top-NProbe expression — see [[collectCosineBank]]
+      broadcast(qRaw.select(col("q"), col("qv"), col("qn"),
+        explode(graft.functions.NearestCentroids.nearest(
+          collectCosineBank(cents), col("qv"), NProbe, col("qn"))).as("cid")))
   }
 
   /** Shared IVF body: fixed-K hash-ordered centroid draw, optionally
@@ -2843,13 +2851,22 @@ object Similarity {
         struct(lit(m).as("m"), slice(col("v"), m * PqSub + 1, PqSub).as("xsub")))
       val ex = e.select(col("vec_id"), explode(array(exSubs: _*)).as("x"))
         .select(col("vec_id"), col("x.m").as("m"), col("x.xsub").as("xsub"))
-      val wEnc = Window.partitionBy("vec_id", "m").orderBy(col("l2").asc, col("code").asc)
-      def encodeWith(codebook: DataFrame): DataFrame =
-        ex.join(codebook, "m")
-          .select(col("vec_id"), col("m"), col("code"), col("xsub"),
-            subL2(col("xsub"), col("csub")).as("l2"))
-          .withColumn("ern", row_number().over(wEnc))
-          .filter(col("ern") === 1)
+      // round 15: per-subspace L2 argmin as the constant-bank expression
+      // (one bank per m — the same PqM*PqKsub rows the old plan
+      // broadcast; squared distances accumulate in subL2's exact IEEE
+      // order, ties break code-asc as the window did). The former join
+      // + window materialized and sorted 8N×Ksub rows per encode pass —
+      // and the Lloyd rounds nested those plans.
+      def encodeWith(codebook: DataFrame): DataFrame = {
+        val bank = graft.functions.NearestCentroids.l2Banks(
+          codebook.select("m", "code", "csub").collect().toSeq.map(r =>
+            (r.getInt(0), r.getInt(1).toLong, r.getSeq[Double](2).toArray)))
+        ex.select(col("vec_id"), col("m"),
+          element_at(graft.functions.NearestCentroids.nearest(
+            bank, col("xsub"), 1, lit(1.0), col("m")), 1)
+            .cast("int").as("code"),
+          col("xsub"))
+      }
       // Lloyd refinement per subspace, same exact-mean contract as the
       // IVF path (micro-unit BIGINT sums, one double division): assign
       // every sub-vector to its nearest code by L2, recompute each
@@ -2905,14 +2922,11 @@ object Similarity {
   private val knnGraphBody: (SparkSession, String) => DataFrame = ((s, dir) => {
       val (cents, assigned) = buildIvfIndex(s, dir, refine = false)
       val e = vecs(s, dir)
-      val wp = Window.partitionBy("src").orderBy(col("pcos").desc, col("cid").asc)
-      val probes = e.join(broadcast(cents))
-        .select(col("vec_id").as("src"), col("v").as("qv"), col("n").as("qn"),
-          col("cid"),
-          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("pcos"))
-        .withColumn("prn", row_number().over(wp))
-        .filter(col("prn") <= NProbe)
-        .select("src", "qv", "qn", "cid")
+      // constant-bank top-NProbe expression — see [[collectCosineBank]]
+      val probes = e.select(col("vec_id").as("src"), col("v").as("qv"),
+        col("n").as("qn"),
+        explode(graft.functions.NearestCentroids.nearest(
+          collectCosineBank(cents), col("v"), NProbe, col("n"))).as("cid"))
       val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("nbr").asc)
       probes.join(assigned, "cid")
         .filter(col("vec_id") =!= col("src"))
@@ -2966,14 +2980,11 @@ object Similarity {
     memoAnn("s_knn_base")((s2, d2) => {
       val (tNew, seed) = oldSeed(s2, d2)
       val eOld = vecs(s2, d2).filter(col("vec_id") < tNew)
-      val wp = Window.partitionBy("src").orderBy(col("pcos").desc, col("cid").asc)
-      val probes = eOld.join(broadcast(seed))
-        .select(col("vec_id").as("src"), col("v").as("qv"), col("n").as("qn"),
-          col("cid"),
-          VecOps.cosine(col("v"), col("cv"), col("n"), col("cn")).as("pcos"))
-        .withColumn("prn", row_number().over(wp))
-        .filter(col("prn") <= NProbe)
-        .select("src", "qv", "qn", "cid")
+      // constant-bank top-NProbe expression — see [[collectCosineBank]]
+      val probes = eOld.select(col("vec_id").as("src"), col("v").as("qv"),
+        col("n").as("qn"),
+        explode(graft.functions.NearestCentroids.nearest(
+          collectCosineBank(seed), col("v"), NProbe, col("n"))).as("cid"))
       val assignedOld = assignTo(eOld, seed)
       val wk = Window.partitionBy("src").orderBy(col("cos").desc, col("nbr").asc)
       probes.join(assignedOld, "cid")

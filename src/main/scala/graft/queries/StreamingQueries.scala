@@ -82,19 +82,18 @@ object StreamingQueries {
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"))
         .withColumn("n", graft.functions.VecOps.norm(col("v")))
-      // negated cosine sorts asc == cosine desc; ties break to cid asc
-      val cellArr = array(cents.map { r =>
-        val cv = r.getSeq[Double](1)
-        struct(
-          (-(graft.functions.VecOps.dotPlane(col("v"), cv)
-            / (col("n") * lit(r.getDouble(2))))).as("nc"),
-          lit(r.getLong(0)).as("cid"))
-      }.toIndexedSeq: _*)
+      // round 15: constant-bank top-NProbe expression instead of the
+      // K-struct literal array + per-row array_sort — same rows, same
+      // ranking (cosine desc == negated-cosine asc, ties cid-asc),
+      // and the streaming plan loses the K-wide literal tree it
+      // re-codegen'd every micro-batch
+      val bank = graft.functions.NearestCentroids.cosineBank(
+        cents.toSeq.map(r =>
+          (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))))
       val probed = newVecs
-        .withColumn("cell",
-          explode(slice(array_sort(cellArr), 1, S.NProbe)))
-        .select(col("vec_id").as("q"), col("v").as("qv"),
-          col("n").as("qn"), col("cell.cid").as("cid"))
+        .select(col("vec_id").as("q"), col("v").as("qv"), col("n").as("qn"),
+          explode(graft.functions.NearestCentroids.nearest(
+            bank, col("v"), S.NProbe, col("n"))).as("cid"))
       val matches = probed.join(standing, "cid")
         .select(col("q"), col("vec_id"),
           graft.functions.VecOps.cosine(
@@ -142,21 +141,22 @@ object StreamingQueries {
       val toks = newVecs
         .withColumn("t", explode(array((1 to 8).map(lit(_)): _*)))
         .withColumn("tv", slice(col("qv"), (col("t") - 1) * 8 + 1, lit(8)))
-      // negated dot sorts asc == dot desc; ties break to cid asc
-      val cellArr = array(centRows.map { r =>
-        val cv = r.getSeq[Double](1)
-        struct(
-          (-graft.functions.VecOps.dotPlane(col("tv"), cv)).as("nd"),
-          lit(r.getLong(0)).as("cid"))
-      }.toIndexedSeq: _*)
+      // round 15: constant-bank top-np expression instead of the
+      // K-struct literal array + per-row array_sort — same rows, same
+      // ranking (dot desc == negated-dot asc, ties cid-asc), and the
+      // streaming plan loses the K-wide literal tree it re-codegen'd
+      // every micro-batch.
       // keys ONLY through the candidate join + dedup: the pre-dedup
       // candidate volume is q·8·np·cellpop rows, and carrying the
       // 64-double query vector through that shuffle measured 3x the
       // whole entry — both vectors rejoin from the static corpus after
       // the (q, vec_id) pairs are distinct
+      val bank = graft.functions.NearestCentroids.dotBank(
+        centRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)))
       val probed = toks
-        .withColumn("cell", explode(slice(array_sort(cellArr), 1, np)))
-        .select(col("q"), col("cell.cid").as("cid"))
+        .select(col("q"),
+          explode(graft.functions.NearestCentroids.nearest(
+            bank, col("tv"), np)).as("cid"))
       val cand = probed.join(standing.select("vec_id", "cid"), "cid")
         .filter(col("vec_id") =!= col("q"))
         .select("q", "vec_id")

@@ -82,15 +82,17 @@ class PlanShapeSpec extends SparkSpec {
     graft.CacheBook.releaseAll(spark)
   }
 
-  test("s_ivf_ann: centroid set is a CONSTANT-K limited broadcast") {
-    // the assignment cross join is O(N*K) only while K is fixed: the
-    // centroid subtree must carry a global Limit (constant in corpus
-    // size) and feed the broadcast side of the join
+  test("s_ivf_ann: constant-K centroid draw; assignment is the bank expression") {
+    // the centroid subtree must carry a global Limit (constant in
+    // corpus size); since round 15 the assignment itself is the
+    // nearest_centroids constant-bank expression — no N×K join rows,
+    // no per-vector window sort may reappear in the cells build
     val p = planWithBuilds("s_ivf_ann")
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
       "centroids must be a LIMIT-K sample")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      "assignment must broadcast the K centroids, never shuffle N x K")
+    assert(p.contains("nearest_centroids"),
+      "assignment must be the constant-bank argmax expression")
+    assert(!p.contains("CartesianProduct"), "never shuffle N x K")
   }
 
   test("x_bpe_encode: the encode is pure codegen over the distinct-word relation") {
