@@ -44,7 +44,8 @@ object StreamingQueries {
           when(col("qclf_micro") >= TextAnalysis.QclfThresholdMicro, 1)
             .otherwise(0).cast("int"))
       StreamingOps.runToMemory(s, scored, name,
-          org.apache.spark.sql.streaming.OutputMode.Append())
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          noDataBatch = false) // stateless: every row emits in its data batch
         .orderBy("doc_id")
     }),
 
@@ -101,7 +102,8 @@ object StreamingQueries {
         .filter(floor(col("cos") * lit(1000000.0)).cast("long")
           >= S.RangeTauMicro)
       StreamingOps.runToMemory(s, matches, name,
-          org.apache.spark.sql.streaming.OutputMode.Append())
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          noDataBatch = false) // stateless probe: emits in the data batch
         .orderBy("q", "vec_id")
     }),
 
@@ -178,7 +180,10 @@ object StreamingQueries {
         .filter(col("ms") * 10 >= col("selfms") * 7)
         .select(col("q"), col("vec_id"), col("ms").as("maxsim_micro"))
       StreamingOps.runToMemory(s, matches, name,
-          org.apache.spark.sql.streaming.OutputMode.Append())
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          // the one stateful op (candidate dropDuplicates) emits first
+          // occurrences eagerly — the flush batch would only evict
+          noDataBatch = false)
         .orderBy("q", "vec_id")
     }),
 
@@ -192,7 +197,8 @@ object StreamingQueries {
         .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
       val dd = StreamingOps.dedup(stream, Seq("user_id"), "h", "2 hours")
       StreamingOps.runToMemory(s, dd, name,
-          org.apache.spark.sql.streaming.OutputMode.Append())
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          noDataBatch = false) // dropDuplicates emits first-seen eagerly
         .orderBy("user_id", "h")
     }),
 
@@ -262,7 +268,8 @@ object StreamingQueries {
           col("old_sh"), col("sh"), minJac = 0.2)
         .dropDuplicates("a", "b")
       StreamingOps.runToMemory(s, verified, name,
-          org.apache.spark.sql.streaming.OutputMode.Append())
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          noDataBatch = false) // band-verify emits eagerly; dedup is first-seen
         .orderBy("a", "b")
     }),
 
@@ -288,7 +295,8 @@ object StreamingQueries {
       val name = synchronized { runId += 1; s"st_join_$runId" }
       val out = StreamingOps.runToMemory(s,
         StreamingOps.purchaseErrorJoin(StreamingOps.eventsStream(s, dir)), name,
-        org.apache.spark.sql.streaming.OutputMode.Append())
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        noDataBatch = false) // inner join emits on match; flush only evicts
       out.orderBy("p_id", "e_id")
     }),
 
@@ -306,11 +314,9 @@ object StreamingQueries {
         .select("event_id", "user_id", "ts", "event_type", "value")
       val acc = new StreamingOps.CdcState(Seq("user_id"),
         Seq(col("ts").desc, col("event_id").desc))
-      StreamingOps.withStreamConf(s) {
-        val q = StreamingOps.ingest(ev, acc)
-        q.processAllAvailable()
-        q.stop()
-      }
+      val q = StreamingOps.ingest(ev, acc)
+      q.processAllAvailable()
+      q.stop()
       val st = acc.current(s, ev.schema)
       graft.CacheBook.register(s, "st")(() => acc.release())
       st.orderBy("user_id")
@@ -322,11 +328,9 @@ object StreamingQueries {
       val orders = s.readStream.schema(stored)
         .option("pathGlobFilter", "orders.parquet").parquet(dir)
       val acc = new StreamingOps.IncAggState(Seq("o_custkey"), col("o_totalprice"))
-      StreamingOps.withStreamConf(s) {
-        val q = StreamingOps.ingest(orders, acc)
-        q.processAllAvailable()
-        q.stop()
-      }
+      val q = StreamingOps.ingest(orders, acc)
+      q.processAllAvailable()
+      q.stop()
       val st = acc.current(s, stored)
       graft.CacheBook.register(s, "st")(() => acc.release())
       st.select(col("o_custkey"), col("n"),
@@ -353,11 +357,9 @@ object StreamingQueries {
           expr("CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)")
             .as("cents"))
       val acc = new StreamingOps.IncAggState(Seq("day"), col("cents"))
-      StreamingOps.withStreamConf(s) {
-        val q = StreamingOps.ingest(orders, acc)
-        q.processAllAvailable()
-        q.stop()
-      }
+      val q = StreamingOps.ingest(orders, acc)
+      q.processAllAvailable()
+      q.stop()
       val st = acc.current(s, orders.schema)
       graft.CacheBook.register(s, "st")(() => acc.release())
       Relational.seasonalReadout(
@@ -382,11 +384,9 @@ object StreamingQueries {
         .option("pathGlobFilter", "orders.parquet").parquet(dir)
       val obs = Relational.hllRows(orders)
       val acc = new StreamingOps.IncAggState(Seq("grp", "reg"), col("rho"))
-      StreamingOps.withStreamConf(s) {
-        val q = StreamingOps.ingest(obs, acc)
-        q.processAllAvailable()
-        q.stop()
-      }
+      val q = StreamingOps.ingest(obs, acc)
+      q.processAllAvailable()
+      q.stop()
       val st = acc.current(s, obs.schema)
       graft.CacheBook.register(s, "st")(() => acc.release())
       Relational.hllFinish(
@@ -409,11 +409,9 @@ object StreamingQueries {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
       val acc = new StreamingOps.IncAggState(Seq("lang", "source"),
         col("n_chars"))
-      StreamingOps.withStreamConf(s) {
-        val q = StreamingOps.ingest(docs, acc)
-        q.processAllAvailable()
-        q.stop()
-      }
+      val q = StreamingOps.ingest(docs, acc)
+      q.processAllAvailable()
+      q.stop()
       val st = acc.current(s, StreamingOps.docsRawSchema)
       graft.CacheBook.register(s, "st")(() => acc.release())
       Relational.chisqReadout(
@@ -481,7 +479,8 @@ object StreamingQueries {
       // the match table to the driver (the decade-corpus match volume
       // broke spark.driver.maxResultSize through the memory sink; the
       // production landing zone writes parquet/kafka anyway)
-      StreamingOps.runToParquet(s, matches, name, scope = "st")
+      StreamingOps.runToParquet(s, matches, name, scope = "st",
+        noDataBatch = false) // stateless band gate: emits in the data batch
         .orderBy("doc_id", "dup")
     })
   )

@@ -74,38 +74,50 @@ object StreamingOps {
   /** Run a bounded stream to completion into a memory sink; returns the
     * materialized result. This is a REAL streaming execution (source →
     * state store → sink), just over a finite input. */
+  /** Throwaway session clone carrying the bounded-stream SQL conf —
+    * state-store width scoped to stream state volume (each store pays
+    * per-commit IO every micro-batch; at cluster scale the same knob is
+    * sized to throughput), background snapshot maintenance pushed out
+    * (pure IO on short bounded runs), and optionally the no-data-batch
+    * policy. A CLONE rather than set/restore on the shared session:
+    * graft.Verify submits queries on a 4-thread pool, and a scoped conf
+    * on the shared session races concurrent query starts (measured:
+    * a leaked no-data-batch=false swallowed st_left_join's
+    * watermark-flush emission). The clone dies with the query. */
+  private def streamSession(spark: SparkSession,
+      noDataBatch: Boolean): SparkSession = {
+    val ss = org.apache.spark.sql.graftbridge.SessionBridge.cloneSession(spark)
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    ss.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+    // noDataBatch = false (round 15): a query whose every result row is
+    // emitted EAGERLY in the data batch (inner stream-stream join,
+    // dropDuplicates, stateless projections) gets nothing from the
+    // watermark-advance no-data micro-batch — it replans, recommits
+    // the WAL and rewrites every state store (~a full batch's fixed
+    // cost measured) purely to evict state a bounded run is about to
+    // drop anyway. Queries whose EMISSION is watermark-gated (outer
+    // join null-padding, sessionize timeouts) keep the default — the
+    // flush batch is their output path.
+    if (!noDataBatch)
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    ss
+  }
+
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    // State-store count = shuffle partitions at query start; scope it to
-    // the stream's actual state volume rather than the batch session's
-    // width (each store pays per-commit file IO every micro-batch). At
-    // cluster scale this is the same knob, sized to stream throughput.
-    val key = "spark.sql.shuffle.partitions"
-    val mKey = "spark.sql.streaming.stateStore.maintenanceInterval"
-    val prev = spark.conf.get(key)
-    val prevM = spark.conf.getOption(mKey)
-    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
-    spark.conf.set(key, streamParts)
-    // short bounded runs: background state-store snapshot maintenance
-    // only adds IO here (a long-lived stream wants the default — both
-    // keys are restored below so later streams on this session get it)
-    spark.conf.set(mKey, "600s")
-    try {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally {
-      spark.conf.set(key, prev)
-      prevM match {
-        case Some(v) => spark.conf.set(mKey, v)
-        case None    => spark.conf.unset(mKey)
-      }
-    }
-    spark.table(name)
+      mode: OutputMode = OutputMode.Complete(),
+      noDataBatch: Boolean = true): DataFrame = {
+    val ss = streamSession(spark, noDataBatch)
+    val q = org.apache.spark.sql.graftbridge.SessionBridge.withSession(ss, df)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the memory sink's table registers in the CLONE's temp catalog
+    ss.table(name)
   }
 
   /** [[runToMemory]] with a PARQUET sink (append-mode streams only):
@@ -118,30 +130,20 @@ object StreamingOps {
     * maintenance scoping; the output+checkpoint dirs register for the
     * caller's CacheBook scope so a session can reclaim them. */
   def runToParquet(spark: SparkSession, df: DataFrame, name: String,
-      scope: String): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val mKey = "spark.sql.streaming.stateStore.maintenanceInterval"
-    val prev = spark.conf.get(key)
-    val prevM = spark.conf.getOption(mKey)
-    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
-    spark.conf.set(mKey, "600s")
+      scope: String, noDataBatch: Boolean = true): DataFrame = {
+    // same per-query conf clone as [[runToMemory]] — never the shared
+    // session (the Verify pool races scoped set/restore)
+    val ss = streamSession(spark, noDataBatch)
     val out = java.nio.file.Files.createTempDirectory(s"graft_stream_$name")
-    try {
-      val q = df.writeStream
-        .format("parquet")
-        .option("path", s"$out/data")
-        .option("checkpointLocation", s"$out/cp")
-        .outputMode(OutputMode.Append())
-        .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally {
-      spark.conf.set(key, prev)
-      prevM match {
-        case Some(v) => spark.conf.set(mKey, v)
-        case None    => spark.conf.unset(mKey)
-      }
-    }
+    val q = org.apache.spark.sql.graftbridge.SessionBridge.withSession(ss, df)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/cp")
+      .outputMode(OutputMode.Append())
+      .start()
+    q.processAllAvailable()
+    q.stop()
     graft.CacheBook.register(spark, scope) { () =>
       def rm(p: java.io.File): Unit = {
         Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
@@ -362,29 +364,6 @@ object StreamingOps {
       .start()
   }
 
-  /** Run `body` with the stream-scoped SQL conf every bounded
-    * streaming query here uses ([[runToMemory]] documents why: state
-    * stores pay per-commit IO per shuffle partition every micro-batch,
-    * so the width is sized to stream state volume, and background
-    * snapshot maintenance only adds IO on short bounded runs). The
-    * foreachBatch ingests run their per-batch plans under the same
-    * scoping. Both keys restore afterwards. */
-  def withStreamConf[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val mKey = "spark.sql.streaming.stateStore.maintenanceInterval"
-    val prev = spark.conf.get(key)
-    val prevM = spark.conf.getOption(mKey)
-    spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
-    spark.conf.set(mKey, "600s")
-    try body
-    finally {
-      spark.conf.set(key, prev)
-      prevM match {
-        case Some(v) => spark.conf.set(mKey, v)
-        case None    => spark.conf.unset(mKey)
-      }
-    }
-  }
 
   /** Standing state maintained from a stream by per-micro-batch
     * recomputation: `computeNext(batch)` folds the batch into the
@@ -422,10 +401,16 @@ object StreamingOps {
     }
   }
 
-  /** Maintain `acc` from a stream of rows via foreachBatch. */
+  /** Maintain `acc` from a stream of rows via foreachBatch. Starts from
+    * a stream-conf clone ([[streamSession]]) so the per-batch fold
+    * plans run at the stream width without touching the shared
+    * session's conf (the former withStreamConf set/restore raced
+    * graft.Verify's concurrent query submissions). */
   def ingest(rows: DataFrame, acc: MicroBatchState)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    rows.writeStream
+    org.apache.spark.sql.graftbridge.SessionBridge
+      .withSession(streamSession(rows.sparkSession, noDataBatch = true), rows)
+      .writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) acc.absorb(batch.toDF())
