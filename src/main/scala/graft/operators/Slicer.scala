@@ -205,20 +205,36 @@ final class Slicer(
     def seenOf(t: String): Option[DataFrame] =
       genKeys.get(t).map(_.reduce(_ union _))
 
-    /** Persist fresh frontiers, run the round's ONE fused action, fold
-      * the survivors into the discovered state. */
+    /** Persist fresh frontiers, materialize the round's count+max stats,
+      * fold the survivors into the discovered state. Round 15: one
+      * SMALL ACTION PER FRAME ON PARALLEL FUTURES instead of the r14
+      * single fused action — the fused plan was one job, but its
+      * broadcast builds (one per semi/anti join in the round's chains)
+      * ran as strictly SEQUENTIAL driver jobs, and the event-log
+      * timeline showed the round's wall dominated by the ~0.1-0.2 s
+      * planning gaps between those jobs, not by task time (guide §2.6:
+      * actions are only sequential because the driver calls them
+      * sequentially). Per-frame futures plan, build broadcasts and
+      * schedule concurrently; the per-table stats rows are identical. */
     def ingest(fresh: Seq[(String, DataFrame)]): Unit = {
       val t0 = System.nanoTime()
       frontier = Map.empty
-      countMaxAll(fresh.map { case (t, df) =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val stats = fresh.map { case (t, df) =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
         // session-lifetime discovery state is family-scoped: the cache
         // manager holds persisted frames forever unless unpersisted, so
         // every generation registers for release (double-unpersist from
         // the compaction path below is a harmless no-op)
         graft.CacheBook.register(p.sparkSession, "slice")(() => { p.unpersist(false); () })
-        t -> p
-      }).foreach { case (t, (df, n, mx)) =>
+        t -> (p, Future(countMaxOne(t, p)))
+      }
+      stats.map { case (t, (df, fut)) =>
+        val (n, mx) = Await.result(fut, Duration.Inf)
+        (t, (df, n, mx))
+      }.foreach { case (t, (df, n, mx)) =>
         if (n > 0) {
           frontier += t -> (df, n)
           counts += t -> (counts(t) + n)
@@ -335,25 +351,16 @@ final class Slicer(
     (genKeys.map { case (t, v) => t -> v.reduce(_ union _) }, counts, maxes)
   }
 
-  /** Count + max(first key, cast long) of several (persisted) DataFrames
-    * in ONE Spark job: their grouped stats union into a single plan, so
-    * a BFS round costs one action regardless of how many tables its
-    * frontier touches. A non-castable (e.g. string) key yields None. */
-  private def countMaxAll(dfs: Seq[(String, DataFrame)])
-      : Seq[(String, (DataFrame, Long, Option[Long]))] = {
-    if (dfs.isEmpty) return Seq.empty
-    val stats = dfs.map { case (t, df) =>
-      df.groupBy().agg(
-          count(lit(1)).as("n"),
-          max(col(keyCols(t).head).cast("long")).as("mx"))
-        .select(lit(t).as("t"), col("n"), col("mx"))
-    }.reduce(_ union _).collect().map { r =>
-      r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
-    }.toMap
-    dfs.map { case (t, df) =>
-      val (n, mx) = stats.getOrElse(t, (0L, None))
-      t -> (df, n, mx)
-    }
+  /** Count + max(first key, cast long) of one (persisted) frontier
+    * frame — the action each [[ingest]] future runs. The count gates
+    * broadcasts and IS the manifest; the max IS the sequence capture.
+    * A non-castable (e.g. string) key yields None. */
+  private def countMaxOne(t: String, df: DataFrame): (Long, Option[Long]) = {
+    val r = df.groupBy().agg(
+        count(lit(1)).as("n"),
+        max(col(keyCols(t).head).cast("long")).as("mx"))
+      .collect().head
+    (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
   }
 
   /** Run discovery ONCE; everything (rows, manifest, sequences) derives
