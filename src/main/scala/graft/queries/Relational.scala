@@ -1390,7 +1390,10 @@ object Relational {
         .join(broadcast(bcnt.select(col("brand").as("brand_b"),
           col("cnt").as("cnt_b"))), "brand_b")
         .crossJoin(broadcast(n))
-        .select(col("brand_a"), col("brand_b"), col("support"),
+        // joins/sorts ran on dictionary positions; decode at the readout
+        // (sorted dictionary: position order == string order)
+        .select(brandOf(s, dir)(col("brand_a")).as("brand_a"),
+          brandOf(s, dir)(col("brand_b")).as("brand_b"), col("support"),
           expr("CAST((1000000 * support) div cnt_a AS BIGINT)")
             .as("conf_ppm"),
           expr("""CAST((1000000 * CAST(support AS DECIMAL(38,0)) * n_orders)
@@ -1555,8 +1558,10 @@ object Relational {
       t3From(ob, pairsAll, cand)
         .join(broadcast(f2.select(col("ba"), col("bb"),
           col("sup").as("sup_ab"))), Seq("ba", "bb"))
-        .select(col("ba").as("brand_a"), col("bb").as("brand_b"),
-          col("bc").as("brand_c"), col("support"),
+        // joins/sorts ran on dictionary positions; decode at the readout
+        .select(brandOf(s, dir)(col("ba")).as("brand_a"),
+          brandOf(s, dir)(col("bb")).as("brand_b"),
+          brandOf(s, dir)(col("bc")).as("brand_c"), col("support"),
           expr("CAST((1000000 * support) div sup_ab AS BIGINT)")
             .as("conf_ppm"))
         .orderBy("brand_a", "brand_b", "brand_c")
@@ -2042,6 +2047,33 @@ object Relational {
       }.value
     }
 
+  /** Sorted distinct brand dictionary (round 15): the brand domain is
+    * dimension-bounded (25 values in TPC-H at ANY corpus scale), so the
+    * heavy basket relations carry a 4-byte dictionary POSITION instead
+    * of the brand string (guide §2.3 narrower types: the pair/triple
+    * shuffles and the basket arrays halve), and every comparison /
+    * sort on positions equals the string comparison because the
+    * dictionary is sorted. Readouts decode via element_at on the same
+    * literal. One tiny distinct per (session, corpus), q-scoped. */
+  private val brandDictCache =
+    collection.mutable.Map.empty[(SparkSession, String), graft.Once[Array[String]]]
+  private def brandDict(s: SparkSession, dir: String): Array[String] = {
+    graft.CacheBook.touch(s, "q", "q:brand_dict")
+    Relational.synchronized {
+      brandDictCache.getOrElseUpdate((s, dir), new graft.Once(() => {
+        graft.CacheBook.register(s, "q", "q:brand_dict") { () =>
+          Relational.synchronized { brandDictCache.remove((s, dir)) }
+          ()
+        }
+        t(s, dir, "part").select("p_brand").distinct().orderBy("p_brand")
+          .collect().map(_.getString(0))
+      }))
+    }.value
+  }
+  /** Decode a 1-based dictionary position column back to the brand. */
+  private def brandOf(s: SparkSession, dir: String)(bid: org.apache.spark.sql.Column) =
+    element_at(lit(brandDict(s, dir)), bid)
+
   /** Per-order SORTED DISTINCT brand array — the basket relation in
     * array form (round 14 OPT): one shuffle to the order grain with
     * the dedup inside the aggregate, where the old shape paid a
@@ -2050,17 +2082,21 @@ object Relational {
     * distinct 3.3 + self-join 7.1 vs array-build 2.3 + in-row pair
     * expansion 3.0 — the pair volume is identical (same 984k rows),
     * only the exchange/SMJ machinery is gone. Per-order arrays are
-    * basket-bounded, so the row width is bounded at any corpus scale. */
+    * basket-bounded, so the row width is bounded at any corpus scale.
+    * Round 15: elements are dictionary POSITIONS ([[brandDict]]) —
+    * int sort order == string sort order on the sorted dictionary. */
   private def basketObArr: (SparkSession, String) => DataFrame =
     memoQ("basket_ob_arr") { (s, dir) =>
       t(s, dir, "lineitem")
         .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
           col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("o"), col("p_brand").as("brand"))
+        .select(col("l_orderkey").as("o"),
+          array_position(lit(brandDict(s, dir)), col("p_brand"))
+            .cast("int").as("brand"))
         .groupBy("o").agg(sort_array(array_distinct(collect_list("brand"))).as("bs"))
     }
 
-  /** Distinct (order, brand) rows — the exploded view of
+  /** Distinct (order, brand-position) rows — the exploded view of
     * [[basketObArr]] (same multiset as the old distinct: per-order
     * arrays are distinct and sorted). */
   private def basketOb: (SparkSession, String) => DataFrame =
@@ -2069,16 +2105,16 @@ object Relational {
   /** Per-order brand pair rows (o, ba, bb), ba < bb — in-row pair
     * expansion over the sorted array (row-for-row the multiset the old
     * order self-join produced: element i pairs with every later
-    * element, and the array is sorted distinct so ba < bb). The HOF
-    * lambda is interpreted, but it runs ONCE per memo build and
-    * measured ~3.0 cpu-s vs the 7.1 cpu-s SMJ self-join it replaces. */
+    * element, and the array is sorted distinct so ba < bb). Round 15:
+    * two Generate stages (posexplode + slice-explode), all native
+    * codegen expressions — the former nested transform() lambdas
+    * evaluated interpreted per row (guide §4.1). */
   private def basketPairRows: (SparkSession, String) => DataFrame =
     memoQ("basket_pair_rows") { (s, dir) =>
       basketObArr(s, dir)
-        .select(col("o"), explode(flatten(expr(
-          "transform(bs, (x, i) -> transform(slice(bs, i + 2, size(bs))," +
-            " y -> struct(x AS ba, y AS bb)))"))).as("p"))
-        .select(col("o"), col("p.ba").as("ba"), col("p.bb").as("bb"))
+        .select(col("o"), col("bs"), posexplode(col("bs")).as(Seq("i", "ba")))
+        .select(col("o"), col("ba"),
+          explode(expr("slice(bs, i + 2, size(bs))")).as("bb"))
     }
 
   /** Frequent pairs: (ba, bb, sup) at the >=3 support bar. */
