@@ -2475,7 +2475,7 @@ object Similarity {
     * dense loop holds sibling hyperthreads, inflating the CPU-TIME
     * channel ~2-3x at FLAT sf0.1 wall (the budgets price it); at 8
     * threads (the driver's scaling run) it is neutral-to-better. */
-  private def assignWidth(s: SparkSession): Int =
+  private[graft] def assignWidth(s: SparkSession): Int =
     sys.env.get("SPARK_GRAFT_ASSIGN_PARTITIONS").flatMap(_.toIntOption)
       .getOrElse(s.sparkContext.defaultParallelism)
 

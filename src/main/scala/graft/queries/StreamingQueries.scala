@@ -155,7 +155,15 @@ object StreamingQueries {
       // the (q, vec_id) pairs are distinct
       val bank = graft.functions.NearestCentroids.dotBank(
         centRows.toSeq.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)))
+      // WIDTH ANCHOR (the r14 item-21 class, found here at decade in
+      // round 15): the probe explode, the broadcast candidate join and
+      // the dedup's partial aggregate all evaluate MAP-SIDE at the
+      // stream scan's partitioning — 2 partitions on a single-file
+      // corpus — so the q·8·np·cellpop candidate expansion serialized
+      // on 2 tasks (22 s of a 38 s decade wall in one stage). The keyed
+      // repartition spreads it; sf0.1 cost is one narrow 8k-row shuffle.
       val probed = toks
+        .repartition(S.assignWidth(s), col("q"), col("t"))
         .select(col("q"),
           explode(graft.functions.NearestCentroids.nearest(
             bank, col("tv"), np)).as("cid"))
