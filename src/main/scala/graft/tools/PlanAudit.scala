@@ -24,10 +24,28 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_PLANS_WITH_BUILDS=1 (round 15): since the family memos
+    // eagerly localCheckpoint, a consumer plan reads LogicalRDD leaves
+    // and the build subtrees live in CacheBook's recorded build plans —
+    // append the build plans of every memo the query touched so the
+    // captured file carries the full structural evidence (the
+    // PlanShapeSpec planWithBuilds discipline, in the audit tool).
+    val withBuilds = sys.env.get("GRAFT_PLANS_WITH_BUILDS").contains("1")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      if (withBuilds) {
+        val (df, touched) = graft.CacheBook.traced {
+          SparkEntry.queries(n)(spark, sfDir)
+        }
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        touched.foreach { case (sc, nm) =>
+          println(s"---------- build plan: $sc/$nm ----------")
+          println(graft.CacheBook.buildPlan(spark, sc, nm))
+        }
+      } else
+        println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }
